@@ -1,0 +1,51 @@
+"""SparkSession factory.
+
+The reference's runtime layer is a hand-configured 2-node Hadoop/YARN
+cluster (reference hadoop.md:341-352, 744-780); Spark replaces that
+wholesale. This factory encodes the local-mode test configuration; on a
+real cluster the same code runs under ``spark-submit --master yarn`` with
+``spark.executor.*`` sizing instead.
+
+Scale notes (100 TB design intent):
+- AQE on: runtime partition coalescing, skew-join splitting, and
+  dynamic broadcast decisions replace hand-tuned MapReduce knobs.
+- ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound;
+  AQE coalesces down. On a 1000-executor cluster you'd raise it
+  (rule of thumb: 2-3x total cores) — here it tracks local cores.
+- Arrow enabled so any pandas_udf path is vectorized batch transfer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "adm-bda-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a local SparkSession tuned for the test tiers."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, min(2 * cpus, 64))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
