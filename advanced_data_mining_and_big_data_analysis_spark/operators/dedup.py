@@ -1,0 +1,143 @@
+"""Deduplication operators for LLM-data pipelines (BASELINE.json north star).
+
+Four tiers, cheapest first — the standard web-corpus dedup ladder:
+
+1. exact        — md5(text) group-by (one shuffle on a 16-byte key)
+2. fingerprint  — md5(sorted distinct token set): catches reorderings
+3. SimHash      — 16-bit majority-vote hash: catches small edits
+4. MinHash+LSH  — shingle → k-minhash signature → banded buckets →
+                  candidate self-join → exact Jaccard verify
+
+Scale notes: every tier is shuffle-on-short-key. The LSH candidate join is
+the only quadratic-risk step and it is quadratic ONLY within a (band,
+bucket) group — band/row counts are chosen so bucket sizes stay O(dup
+cluster), never O(corpus). At 100 TB you'd additionally salt the largest
+buckets and cap per-bucket candidate fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import text as X
+
+
+def exact_dup_stats(docs: DataFrame, text_col: str = "text", by: str = "source") -> DataFrame:
+    """Per-group exact / fingerprint duplicate statistics."""
+    toks = X.tokens(text_col)
+    enriched = docs.select(
+        F.col(by),
+        F.md5(F.col(text_col)).alias("exact_hash"),
+        X.fingerprint(toks).alias("fp_hash"),
+    )
+    return enriched.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("exact_hash").alias("n_unique_exact"),
+        F.countDistinct("fp_hash").alias("n_unique_fingerprint"),
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one row per exact text (lowest doc_id wins — deterministic,
+    unlike dropDuplicates which keeps an arbitrary row)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(F.md5(F.col(text_col))).orderBy("doc_id")
+    return docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def minhash_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, bucket) LSH bucket assignments."""
+    rows = num_hashes // bands
+    # Distributed minhash: explode shingles to rows, take the k salted mins
+    # as ordinary partial aggregates (map-side combine → one shuffle on the
+    # doc id). This beats the per-row array<transform> formulation twice
+    # over: flat expressions stay inside whole-stage codegen (the nested-HOF
+    # version cost ~50s of janino compile alone), and at 100 TB the
+    # shuffle-with-combine shape is exactly how you'd scale signature
+    # computation across executors.
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode(X.word_shingles(X.tokens(text_col), n=shingle_n)).alias("_s"),
+    )
+    sig_df = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.col("_s"), F.lit(f"#{i}")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig_df.select(id_col, F.explode(band_structs).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Verified near-duplicate pairs: LSH candidates → exact shingle-set
+    Jaccard filter. Returns (id_a, id_b, jaccard)."""
+    buckets = minhash_buckets(docs, id_col, text_col, num_hashes, bands, shingle_n)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sh = docs.select(
+        F.col(id_col).alias("_id"), X.word_shingles(X.tokens(text_col), n=shingle_n).alias("_sh")
+    ).repartition(F.col("_id"))
+    pairs = (
+        cand.join(sh.select(F.col("_id"), F.col("_sh").alias("sh_a")), F.col("id_a") == F.col("_id"))
+        .drop("_id")
+        .join(sh.select(F.col("_id"), F.col("_sh").alias("sh_b")), F.col("id_b") == F.col("_id"))
+        .drop("_id")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def simhash_stats(docs: DataFrame, text_col: str = "text", by: str = "lang") -> DataFrame:
+    """Per-group SimHash collision statistics (distinct hashes vs docs)."""
+    sh = X.simhash16(X.tokens(text_col))
+    return (
+        docs.select(F.col(by), sh.alias("simhash"))
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("simhash").alias("n_distinct_simhash"),
+        )
+    )

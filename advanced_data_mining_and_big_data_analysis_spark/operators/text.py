@@ -1,0 +1,172 @@
+"""Text-analysis operators for LLM-data pipelines (BASELINE.json north star).
+
+All operators are pure Column expressions (JVM-side, codegen'd) built from a
+shared deterministic hash primitive (md5 over normalized strings) so every
+result is reproducible across engines and cluster sizes — no Python UDFs in
+any hot path.
+
+Canonical text pipeline: normalize → tokenize → (shingle | fingerprint |
+simhash | stopword-profile). Each step is independently reusable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small per-language stopword profiles (public common-word lists) for the
+# n-gram/stopword language-ID heuristic. Deliberately tiny — the operator's
+# shape (profile intersect ratio) is what scales, not the word lists.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "los", "un", "por", "con"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"],
+}
+
+
+def normalize(text: Column | str) -> Column:
+    """Lowercase and strip non-alphanumerics to spaces."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " ")
+
+
+def tokens(text: Column | str) -> Column:
+    """array<string> of normalized words (empty strings dropped)."""
+    return F.filter(F.split(normalize(text), " +"), lambda x: x != "")
+
+
+def word_shingles(toks: Column, n: int = 3, distinct: bool = True) -> Column:
+    """n-word shingles as array<string>; empty array when under n tokens.
+    (sequence() would descend for size < n, hence the guard.)"""
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    sh = F.when(F.size(toks) >= n, joined).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(sh) if distinct else sh
+
+
+def minhash_signature(shingles: Column, k: int = 16) -> Column:
+    """MinHash signature: k independent permutations simulated by salting
+    md5 (min of md5(shingle || '#i') as hex string — string order is a
+    uniform stand-in for integer order and is engine-portable)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(s, F.lit(f"#{i}")))))
+            for i in range(k)
+        ]
+    )
+
+
+def lsh_band_bucket(sig: Column, band: int, rows_per_band: int = 4) -> Column:
+    """Bucket id for one LSH band: hash of the band's signature slice."""
+    return F.md5(F.concat_ws("|", F.slice(sig, band * rows_per_band + 1, rows_per_band)))
+
+
+def simhash16(toks: Column) -> Column:
+    """16-bit SimHash over the token multiset: bit j of each token is the
+    high bit of md5 hex nibble j; simhash bit j = majority vote."""
+    def bit_counter(j: int):
+        def fold(acc, t):
+            return acc + F.when(
+                F.lit("89abcdef").contains(F.substring(F.md5(t), j + 1, 1)), 1
+            ).otherwise(0)
+
+        return fold
+
+    n = F.size(toks)
+    total = F.lit(0).cast("long")
+    for j in range(16):
+        cnt_j = F.aggregate(toks, F.lit(0), bit_counter(j))
+        total = total + F.when(cnt_j * 2 > n, F.lit(1 << j)).otherwise(0).cast("long")
+    return total
+
+
+def fingerprint(toks: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    token set — catches reordered/duplicated-word near-dups exactly."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+
+
+def stopword_hits(toks: Column, words: list[str]) -> Column:
+    """Count of tokens (with multiplicity) in the stopword list."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratio (0-safe)."""
+    n = F.size(toks)
+    return {
+        lang: F.when(n > 0, stopword_hits(toks, ws) / n).otherwise(F.lit(0.0))
+        for lang, ws in STOPWORDS.items()
+    }
+
+
+def predict_lang(toks: Column) -> Column:
+    """Arg-max language with fixed precedence order (deterministic ties)."""
+    s = lang_scores(toks)
+    langs = list(STOPWORDS)
+    expr = F.lit(langs[-1])
+    # fold right-to-left: earlier languages win ties
+    for lang in reversed(langs[:-1]):
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = s[lang] >= s[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return F.when(F.greatest(*[s[lang] for lang in langs]) > 0, expr).otherwise(F.lit("unknown"))
+
+
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Character n-grams over normalized text (array<string>, distinct)."""
+    s = normalize(text)
+    grams = F.when(
+        F.length(s) >= n,
+        F.transform(F.sequence(F.lit(1), F.length(s) - (n - 1)), lambda i: s.substr(i, F.lit(n))),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count (raw split on single spaces)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(c, " "))
+
+
+def token_count_bpe_ish(text: Column | str) -> Column:
+    """BPE-ish token count: alpha runs, digit runs, and single punctuation
+    marks each count as one token (regex identical across engines)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)))
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Quality-scoring features (length / punctuation / stopword ratios)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_char = F.length(c)
+    n_alnum_space = F.length(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""))
+    token_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    en_ratio = F.when(n_tok > 0, stopword_hits(toks, STOPWORDS["en"]) / n_tok).otherwise(F.lit(0.0))
+    return {
+        "n_tokens": n_tok,
+        "n_chars": n_char,
+        "punct_ratio": F.when(n_char > 0, (n_char - n_alnum_space) / n_char).otherwise(F.lit(0.0)),
+        "avg_token_len": F.when(n_tok > 0, token_chars / n_tok).otherwise(F.lit(0.0)),
+        "stopword_ratio": en_ratio,
+    }
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite 0..1 quality score: rewards mid-length docs with low
+    punctuation density — the shape of C4/Gopher-style quality filters."""
+    q = quality_features(text)
+    length_ok = q["n_tokens"].between(20, 200).cast("double")
+    punct_ok = (q["punct_ratio"] < 0.1).cast("double")
+    wordlen_ok = q["avg_token_len"].between(3.0, 10.0).cast("double")
+    return (length_ok + punct_ok + wordlen_ok) / 3.0

@@ -1,1 +1,271 @@
-"""Placeholder — populated in a later milestone."""
+"""Dedup + text-analysis declared queries over the ``documents`` table.
+
+The Spark side uses operators/{text,dedup}.py; the DuckDB oracle below is
+generated from the SAME primitive definitions (tokenize → shingle → salted
+md5 minhash → banded buckets → jaccard verify), so the driver's hash check
+pins the full dedup semantics, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import text as X
+from ..sources import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# DuckDB fragments mirroring operators/text.py primitives
+# ---------------------------------------------------------------------------
+
+_TOKS = (
+    "list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),"
+    " x -> x <> '')"
+)
+
+
+def _shingles(toks: str) -> str:
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= 3 THEN "
+        f"list_transform(range(1, len({toks}) - 1), i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]) "
+        f"ELSE [] END)"
+    )
+
+
+def _sig_list(sh: str, k: int = 16) -> str:
+    mins = ", ".join(f"list_min(list_transform({sh}, s -> md5(s || '#{i}')))" for i in range(k))
+    return f"[{mins}]"
+
+
+_FP = f"md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))"
+
+_SIMHASH = (
+    "list_reduce(list_transform(range(0, 16), j -> CASE WHEN "
+    f"2 * len(list_filter({_TOKS}, t -> strpos('89abcdef', substr(md5(t), j + 1, 1)) > 0)) "
+    f"> len({_TOKS}) THEN (1::BIGINT << j) ELSE 0::BIGINT END), (a, b) -> a + b)"
+)
+
+
+def _stop_hits(toks: str, words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({toks}, t -> list_contains([{lst}], t)))"
+
+
+@query(
+    "q40_exact_dedup_stats",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique_exact,
+           COUNT(DISTINCT {_FP}) AS n_unique_fingerprint
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    description="exact + token-set-fingerprint dedup statistics per source (north-star dedup tier 1-2)",
+)
+def q40_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dup_stats(docs, "text", "source").orderBy("source")
+
+
+_NEARDUP_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, {_shingles('toks')} AS sh FROM t),
+    s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+    sig AS (SELECT doc_id, {_sig_list('sh')} AS sig FROM s2),
+    bands AS (SELECT doc_id, b,
+                     md5(array_to_string(list_slice(sig, 4 * b + 1, 4 * b + 4), '|')) AS bucket
+              FROM sig CROSS JOIN range(0, 4) r(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    j AS (SELECT id_a, id_b,
+                 len(list_intersect(sa.sh, sb.sh)) * 1.0
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+          FROM cand JOIN s2 sa ON sa.doc_id = cand.id_a
+                    JOIN s2 sb ON sb.doc_id = cand.id_b)
+    SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+    FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+"""
+
+
+@query(
+    "q41_minhash_neardup",
+    oracle=_NEARDUP_ORACLE,
+    description="MinHash+LSH near-duplicate pairs (16 hashes, 4 bands) verified by exact shingle Jaccard (north-star dedup tier 4)",
+)
+def q41_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs(docs, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy("id_a", "id_b")
+
+
+@query(
+    "q42_simhash_stats",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT {_SIMHASH}) AS n_distinct_simhash
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    description="16-bit SimHash collision statistics per language (north-star dedup tier 3)",
+)
+def q42_simhash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_stats(docs, "text", "lang").orderBy("lang")
+
+
+@query(
+    "q43_fingerprint_groups",
+    oracle=f"""
+    WITH g AS (SELECT {_FP} AS fp, COUNT(*) AS group_size FROM documents GROUP BY fp)
+    SELECT group_size, COUNT(*) AS n_groups FROM g GROUP BY group_size ORDER BY group_size
+    """,
+    description="document-fingerprint duplicate-cluster size histogram",
+)
+def q43_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    groups = (
+        docs.select(X.fingerprint(X.tokens("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    return groups.groupBy("group_size").agg(F.count(F.lit(1)).alias("n_groups")).orderBy("group_size")
+
+
+def _lang_predict_sql() -> str:
+    ratios = {
+        lang: f"(CASE WHEN len(toks) > 0 THEN {_stop_hits('toks', ws)} * 1.0 / len(toks) ELSE 0.0 END)"
+        for lang, ws in X.STOPWORDS.items()
+    }
+    langs = list(X.STOPWORDS)
+    case = []
+    for lang in langs[:-1]:
+        conds = " AND ".join(f"{ratios[lang]} >= {ratios[o]}" for o in langs if o != lang)
+        case.append(f"WHEN {conds} THEN '{lang}'")
+    chain = f"CASE {' '.join(case)} ELSE '{langs[-1]}' END"
+    any_hit = f"GREATEST({', '.join(ratios[lang] for lang in langs)}) > 0"
+    return f"CASE WHEN {any_hit} THEN {chain} ELSE 'unknown' END"
+
+
+@query(
+    "q44_lang_id_confusion",
+    oracle=f"""
+    WITH t AS (SELECT lang AS labeled, {_TOKS} AS toks FROM documents)
+    SELECT labeled, {_lang_predict_sql()} AS predicted, COUNT(*) AS n
+    FROM t GROUP BY labeled, predicted ORDER BY labeled, predicted
+    """,
+    description="stopword-profile language-ID vs labeled lang, confusion counts (north-star text analysis)",
+)
+def q44_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("lang").alias("labeled"), X.predict_lang(X.tokens("text")).alias("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("labeled", "predicted")
+    )
+
+
+@query(
+    "q45_quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, text, {_TOKS} AS toks,
+             len(text) AS n_char,
+             len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_alnum
+      FROM documents),
+    q AS (
+      SELECT source,
+             len(toks) AS n_tokens,
+             CASE WHEN n_char > 0 THEN (n_char - n_alnum) * 1.0 / n_char ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN list_reduce(list_transform(toks, t -> len(t)), (a, b) -> a + b) * 1.0 / len(toks)
+                  ELSE 0.0 END AS avg_token_len
+      FROM t),
+    s AS (
+      SELECT source, n_tokens, punct_ratio,
+             (CAST(n_tokens BETWEEN 20 AND 200 AS DOUBLE)
+              + CAST(punct_ratio < 0.1 AS DOUBLE)
+              + CAST(avg_token_len BETWEEN 3.0 AND 10.0 AS DOUBLE)) / 3.0 AS score
+      FROM q)
+    SELECT source, COUNT(*) AS n_docs,
+           ROUND(AVG(score), 6) AS avg_quality,
+           ROUND(AVG(punct_ratio), 6) AS avg_punct_ratio,
+           ROUND(AVG(n_tokens), 4) AS avg_tokens
+    FROM s GROUP BY source ORDER BY source
+    """,
+    description="quality scoring: length/punctuation/word-length gates (north-star text analysis)",
+)
+def q45_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    qf = X.quality_features("text")
+    return (
+        docs.select(
+            "source",
+            X.quality_score("text").alias("score"),
+            qf["punct_ratio"].alias("punct_ratio"),
+            qf["n_tokens"].alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("avg_quality"),
+            F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q46_token_counts",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+             AS total_bpe_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    description="whitespace vs BPE-ish regex token counting (north-star text analysis)",
+)
+def q46_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(X.token_count_ws("text").cast("long")).alias("total_ws_tokens"),
+            F.sum(X.token_count_bpe_ish("text").cast("long")).alias("total_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q47_char_ngram_vocab",
+    oracle="""
+    WITH n AS (
+      SELECT lang,
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g') AS s
+      FROM documents),
+    g AS (
+      SELECT lang, unnest(list_distinct(
+               CASE WHEN len(s) >= 3
+                    THEN list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))
+                    ELSE [] END)) AS gram
+      FROM n)
+    SELECT lang, COUNT(DISTINCT gram) AS n_distinct_trigrams, COUNT(*) AS n_doc_grams
+    FROM g GROUP BY lang ORDER BY lang
+    """,
+    description="character trigram vocabulary per language (n-gram profile op)",
+)
+def q47_char_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(X.char_ngrams("text", 3)).alias("gram"))
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("gram").alias("n_distinct_trigrams"),
+            F.count(F.lit(1)).alias("n_doc_grams"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,126 @@
+"""Unit tests for operator semantics against tiny in-memory fixtures
+(numpy/pandas oracles where the reference defines the semantics)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_data_mining_and_big_data_analysis_spark.functions import calendar as C
+from advanced_data_mining_and_big_data_analysis_spark.functions import metrics as M
+from advanced_data_mining_and_big_data_analysis_spark.functions import scalar as S
+from advanced_data_mining_and_big_data_analysis_spark.operators import dedup as D
+from advanced_data_mining_and_big_data_analysis_spark.operators import multimodal as MM
+from advanced_data_mining_and_big_data_analysis_spark.operators import similarity as SIM
+from advanced_data_mining_and_big_data_analysis_spark.operators import text as X
+
+
+def test_smape_matches_reference_formula(spark):
+    # reference semantics (kaggle.py:109-131): mean(|yt-yp| / ((|yt|+|yp|)/200)), 0-safe
+    data = [(100.0, 110.0), (50.0, 45.0), (0.0, 0.0), (10.0, 0.0)]
+    df = spark.createDataFrame(data, "yt double, yp double")
+    got = df.agg(M.smape("yt", "yp").alias("s")).collect()[0]["s"]
+    yt = np.array([r[0] for r in data])
+    yp = np.array([r[1] for r in data])
+    denom = (np.abs(yt) + np.abs(yp)) / 200.0
+    terms = np.where(denom == 0, 0.0, np.abs(yt - yp) / np.where(denom == 0, 1, denom))
+    assert got == pytest.approx(terms.mean(), abs=1e-12)
+
+
+def test_geometric_round_reference_semantics(spark):
+    # kaggle.py:837-842: floor if x < sqrt(floor*ceil) else ceil
+    vals = [0.4, 0.5, 1.4, 1.5, 2.44, 2.45, 3.0, 9.48, 9.49]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r["g"] for r in df.select(S.geometric_round("x").alias("g")).collect()]
+    exp = []
+    for x in vals:
+        lo, hi = math.floor(x), math.ceil(x)
+        exp.append(lo if x < math.sqrt(lo * hi) else hi)
+    assert got == exp
+
+
+def test_better_than_median(spark):
+    # spread < threshold -> mean; else median (kaggle.py:132-144)
+    df = spark.createDataFrame([([1.0, 2.0, 3.0],), ([1.0, 2.0, 100.0],)], "p array<double>")
+    got = [r["c"] for r in df.select(S.better_than_median(F.col("p"), 10.0).alias("c")).collect()]
+    assert got[0] == pytest.approx(2.0)  # mean of 1,2,3
+    assert got[1] == pytest.approx(2.0)  # median of 1,2,100
+
+
+def test_easter_dates_known_values():
+    import datetime as dt
+
+    assert C.easter_date(2022) == dt.date(2022, 4, 17)
+    assert C.easter_date(2000) == dt.date(2000, 4, 23)
+    assert C.easter_date(1997) == dt.date(1997, 3, 30)
+
+
+def test_season_mapping(spark):
+    df = spark.createDataFrame(
+        [("2021-01-15",), ("2021-04-15",), ("2021-07-15",), ("2021-10-15",), ("2021-12-15",)],
+        "d string",
+    ).select(F.to_date("d").alias("d"))
+    got = [r["s"] for r in df.select(C.season("d").alias("s")).collect()]
+    assert got == ["DJF", "MAM", "JJA", "SON", "DJF"]
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([("Hello, World! hello spark sql",)], "text string")
+    toks = df.select(X.tokens("text").alias("t")).collect()[0]["t"]
+    assert toks == ["hello", "world", "hello", "spark", "sql"]
+    sh = df.select(X.word_shingles(X.tokens("text"), 3).alias("s")).collect()[0]["s"]
+    assert "hello world hello" in sh and len(sh) == 3
+    # under-n docs produce empty shingles, not errors
+    tiny = spark.createDataFrame([("one two",)], "text string")
+    assert tiny.select(X.word_shingles(X.tokens("text"), 3).alias("s")).collect()[0]["s"] == []
+
+
+def test_near_dup_pairs_planted_duplicate(spark):
+    # A pair with identical shingle sets (jaccard 1.0) MUST collide in every
+    # LSH band (identical signatures) — deterministic, unlike a partial
+    # overlap whose collision depends on the salt draws.
+    base = "the quick brown fox jumps over the lazy dog again and again until dawn breaks slowly"
+    reordered = base + " the quick brown fox"  # same shingles + a few extra
+    other = "completely different words describing an unrelated subject matter entirely separate topic"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, other), (4, reordered)], "doc_id long, text string"
+    )
+    pairs = {(p["id_a"], p["id_b"]): p["jaccard"] for p in D.near_dup_pairs(docs, jaccard_threshold=0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == pytest.approx(1.0)
+    assert all(3 not in pair for pair in pairs)
+
+
+def test_dedup_exact_keeps_lowest_id(spark):
+    docs = spark.createDataFrame(
+        [(5, "same text"), (2, "same text"), (9, "unique")], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"] for r in D.dedup_exact(docs).collect())
+    assert kept == [2, 9]
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [-1.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = SIM.topk_cosine(emb, query_id=0, k=3).collect()
+    assert got[0]["vec_id"] == 1 and got[0]["cos_sim"] == pytest.approx(1.0)
+    assert got[-1]["vec_id"] == 3 and got[-1]["cos_sim"] == pytest.approx(-1.0)
+
+
+def test_multimodal_feature_extraction(spark):
+    media = MM.synthetic_media_df(spark, n=12)
+    out = MM.extract_features(media).collect()
+    assert len(out) == 12
+    by_id = {r["media_id"]: r for r in out}
+    # known mime decodes to a 4-moment feature; unknown mime -> null feature
+    assert by_id[1]["feature"] is not None and len(by_id[1]["feature"]) == 4
+    assert by_id[0]["feature"] is None  # media_id 0 has mime application/octet-stream
+    assert by_id[1]["n_bytes"] == len(bytes([(1 * 7 + j) % 256 for j in range(33)]))
+
+
+def test_label_encode_alphabetical(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("c",), ("a",)], "k string")
+    got = {r["k"]: r["k_code"] for r in S.label_encode(df, "k").collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
