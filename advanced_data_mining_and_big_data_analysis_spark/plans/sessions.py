@@ -1,1 +1,140 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-stream queries: sessionization, sliding windows, dedup, late data.
+
+These are the BATCH twins of streaming/windows.py — identical window
+semantics expressed over the static ``events`` table so the DuckDB oracle
+can check them (SURVEY §2.11: the driver's events table is the stream
+surface; tests/test_streaming.py runs the same ops as real streams and
+asserts stream == batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+
+
+@query(
+    "q60_sessionization",
+    oracle=f"""
+    WITH l AS (
+      SELECT user_id, event_id, ts, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events WHERE user_id <= 30),
+    m AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > {_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new,
+             event_id
+      FROM l),
+    s AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM m)
+    SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+    FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+    description="gap-based sessionization (lag + running sum) — batch twin of session_window (SURVEY §2.11)",
+)
+def q60_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > _GAP_US), 1
+    ).otherwise(0)
+    with_sid = ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("long"),
+    )
+    return (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "q61_sliding_windows",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTES, value FROM events)
+    SELECT ws AS window_start, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+    FROM b GROUP BY ws ORDER BY ws
+    """,
+    description="sliding event-time windows (1h window / 30m slide) — F.window on batch, epoch-aligned pane expansion in SQL (SURVEY §2.11)",
+)
+def q61_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "q62_first_event_dedup",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events)
+    SELECT event_type, COUNT(*) AS n_first_events, MIN(ts) AS earliest
+    FROM r WHERE rn = 1 GROUP BY event_type ORDER BY event_type
+    """,
+    description="keep-first dedup on (user, event_type) — batch twin of dropDuplicatesWithinWatermark (SURVEY §2.11)",
+)
+def q62_first_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_first_events"), F.min("ts").alias("earliest"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q63_late_events",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS high_water
+      FROM events)
+    SELECT event_type,
+           CAST(SUM(CASE WHEN epoch_us(ts) < epoch_us(high_water) - 600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           COUNT(*) AS n_events
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+    description="late-data accounting: events >10min behind the running event-time high-watermark (arrival order = event_id). Batch model of watermark drop semantics; the global-order window is parity-only — the streaming path keeps bounded state instead (SURVEY §2.11)",
+)
+def q63_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    high_water = F.max("ts").over(w)
+    late = F.unix_micros(F.col("ts")) < F.unix_micros(high_water) - 600_000_000
+    return (
+        ev.withColumn("late", late)
+        .groupBy("event_type")
+        .agg(F.sum(F.col("late").cast("long")).alias("n_late"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )

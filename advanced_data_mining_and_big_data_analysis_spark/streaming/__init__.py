@@ -1,0 +1,17 @@
+from .windows import (
+    session_agg,
+    sliding_agg,
+    stream_from_directory,
+    streaming_dedup,
+    tumbling_agg,
+    write_foreach_batch_parquet,
+)
+
+__all__ = [
+    "session_agg",
+    "sliding_agg",
+    "stream_from_directory",
+    "streaming_dedup",
+    "tumbling_agg",
+    "write_foreach_batch_parquet",
+]

