@@ -1,0 +1,98 @@
+"""BoostedHybrid: the reference's core custom model (kaggle.py:592-655).
+
+Semantics (reference BoostedHybrid.fit/predict):
+    fit  : model_1 on (X1, y); model_2 on (X2, y - model_1(X1))
+    pred : model_1(X1) + model_2(X2)
+
+Re-expressed as a Spark ML Estimator/Model pair composing any two Spark ML
+regressors via a residual column. The optional log-target wrapper
+reproduces the reference's TransformedTargetRegressor(log1p/expm1)
+(kaggle.py:794-796): fit on log1p(y), invert with expm1 at predict time.
+
+Round-1 scope: in-memory composition (no MLWriter persistence).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Estimator, Transformer
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class BoostedHybridModel(Transformer):
+    """Fitted hybrid: prediction = m1(features1) + m2(features2)."""
+
+    def __init__(
+        self,
+        fitted_1,
+        fitted_2,
+        prediction_col: str = "prediction",
+        log_target: bool = False,
+    ):
+        super().__init__()
+        self.fitted_1 = fitted_1
+        self.fitted_2 = fitted_2
+        self.prediction_col = prediction_col
+        self.log_target = log_target
+
+    def copy(self, extra=None):  # noqa: D102 — Params.defaultCopy can't rebuild custom ctors
+        return BoostedHybridModel(self.fitted_1, self.fitted_2, self.prediction_col, self.log_target)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        out = self.fitted_2.transform(self.fitted_1.transform(df))
+        p1 = self.fitted_1.getOrDefault("predictionCol")
+        p2 = self.fitted_2.getOrDefault("predictionCol")
+        raw = F.col(p1) + F.col(p2)
+        pred = F.expm1(raw) if self.log_target else raw
+        return out.withColumn(self.prediction_col, pred).drop(p1, p2)
+
+
+class BoostedHybrid(Estimator):
+    """Estimator composing a linear stage and a residual booster stage.
+
+    ``model_1`` / ``model_2`` are unfitted Spark ML regressors; their
+    featuresCol params select X1/X2 (the reference splits features the
+    same way — Fourier/trend columns to the linear stage, categorical/
+    calendar to the booster, kaggle.py:701-714).
+    """
+
+    def __init__(
+        self,
+        model_1: Estimator,
+        model_2: Estimator,
+        label_col: str = "label",
+        prediction_col: str = "prediction",
+        log_target: bool = False,
+    ):
+        super().__init__()
+        self.model_1 = model_1
+        self.model_2 = model_2
+        self.label_col = label_col
+        self.prediction_col = prediction_col
+        self.log_target = log_target
+
+    def copy(self, extra=None):  # noqa: D102 — Params.defaultCopy can't rebuild custom ctors
+        return BoostedHybrid(
+            self.model_1.copy(),
+            self.model_2.copy(),
+            self.label_col,
+            self.prediction_col,
+            self.log_target,
+        )
+
+    def _fit(self, df: DataFrame) -> BoostedHybridModel:
+        y = F.log1p(F.col(self.label_col)) if self.log_target else F.col(self.label_col)
+        train = df.withColumn("_y", y)
+
+        m1 = self.model_1.copy()
+        m1.setParams(labelCol="_y", predictionCol="_pred1")
+        fitted_1 = m1.fit(train)
+
+        with_resid = fitted_1.transform(train).withColumn("_resid", F.col("_y") - F.col("_pred1"))
+        m2 = self.model_2.copy()
+        m2.setParams(labelCol="_resid", predictionCol="_pred2")
+        fitted_2 = m2.fit(with_resid)
+
+        return BoostedHybridModel(
+            fitted_1, fitted_2, prediction_col=self.prediction_col, log_target=self.log_target
+        )

@@ -1,0 +1,73 @@
+"""Out-of-fold stacking ensemble (kaggle.py:791 StackingRegressor).
+
+sklearn's StackingRegressor = K-fold OOF predictions per base estimator →
+meta-regressor on the OOF matrix → base estimators refit on full data.
+Spark has no built-in; this is the hand-rolled fold bookkeeping SURVEY §7
+budgets for. Folds are assigned by a deterministic hash of a row id —
+stable across partitionings (seeded rand() is partition-sensitive; a
+content hash is not).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Estimator
+from pyspark.ml.regression import LinearRegression
+from pyspark.ml.feature import VectorAssembler
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fold_of(id_col: str, k: int):
+    """Deterministic fold id: last 7 hex digits of md5(id) mod k."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10).cast("long") % k
+    )
+
+
+def oof_stack(
+    train: DataFrame,
+    test: DataFrame,
+    base_estimators: list[Estimator],
+    id_col: str,
+    label_col: str = "label",
+    k: int = 3,
+    prediction_col: str = "prediction",
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (oof_train, scored_test).
+
+    oof_train: train rows + per-base OOF predictions + meta prediction.
+    scored_test: test rows + meta prediction from full-data base models.
+    """
+    train = train.withColumn("_fold", fold_of(id_col, k))
+    base_cols = [f"_base{i}" for i in range(len(base_estimators))]
+
+    # OOF predictions: for each fold, train each base on the other folds
+    oof_parts = []
+    for fold in range(k):
+        tr = train.filter(F.col("_fold") != fold)
+        ho = train.filter(F.col("_fold") == fold)
+        scored = ho
+        for i, est in enumerate(base_estimators):
+            model = est.copy().fit(tr)
+            # contract: every base estimator predicts into "prediction"
+            scored = model.transform(scored).withColumnRenamed("prediction", base_cols[i])
+        oof_parts.append(scored.select(*train.columns, *base_cols))
+    oof = oof_parts[0]
+    for part in oof_parts[1:]:
+        oof = oof.unionByName(part)
+
+    # meta learner on the OOF matrix
+    assembler = VectorAssembler(inputCols=base_cols, outputCol="_meta_features")
+    meta = LinearRegression(
+        featuresCol="_meta_features", labelCol=label_col, predictionCol=prediction_col
+    )
+    meta_model = meta.fit(assembler.transform(oof))
+    oof_scored = meta_model.transform(assembler.transform(oof))
+
+    # full-data base refits score the test set
+    scored_test = test
+    for i, est in enumerate(base_estimators):
+        model = est.copy().fit(train)
+        scored_test = model.transform(scored_test).withColumnRenamed("prediction", base_cols[i])
+    scored_test = meta_model.transform(assembler.transform(scored_test))
+    return oof_scored, scored_test

@@ -1,0 +1,121 @@
+"""End-to-end TPS-shaped pipeline (SURVEY §5 reference-domain regression).
+
+Synthesizes a deterministic sales table with the exact shape of the Kaggle
+TPS Jan-2022 train set the reference models (FIXTURES.md Group A:
+date × {Finland,Norway,Sweden} × {KaggleMart,KaggleRama} ×
+{Mug,Hat,Sticker}, seasonal + weekday + holiday + trend effects), runs the
+reference's modeling recipe Spark-first — calendar/Fourier features →
+feature pipelines → log-target BoostedHybrid — and evaluates SMAPE on a
+2018 hold-out exactly like kaggle.py:701-714.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.ml.regression import GBTRegressor, LinearRegression
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import calendar as C
+from ..functions import metrics as M
+from .boosted_hybrid import BoostedHybrid
+from .encoders import build_feature_pipeline
+
+COUNTRIES = {"Finland": 0.9, "Norway": 1.15, "Sweden": 1.0}
+STORES = {"KaggleMart": 1.0, "KaggleRama": 1.35}
+PRODUCTS = {"Kaggle Mug": 300.0, "Kaggle Hat": 600.0, "Kaggle Sticker": 150.0}
+
+
+def synthetic_sales(
+    spark: SparkSession, start: str = "2015-01-01", end: str = "2018-12-31", seed: int = 42
+) -> DataFrame:
+    """Deterministic TPS-shaped table: num_sold = product base × country ×
+    store × yearly seasonality × weekday lift × December spike × mild
+    yearly trend × lognormal noise."""
+    dates = pd.date_range(start, end, freq="D")
+    rng = np.random.RandomState(seed)
+    rows = []
+    row_id = 0
+    for country, cf in COUNTRIES.items():
+        for store, sf_ in STORES.items():
+            for product, base in PRODUCTS.items():
+                doy = dates.dayofyear.values
+                wd = dates.weekday.values
+                year = dates.year.values
+                season = 1.0 + 0.3 * np.sin(2 * np.pi * doy / 365.0) + 0.1 * np.cos(
+                    4 * np.pi * doy / 365.0
+                )
+                weekend = np.where(wd >= 5, 1.25, 1.0)
+                december = np.where((dates.month.values == 12) & (dates.day.values >= 24), 1.6, 1.0)
+                trend = 1.0 + 0.05 * (year - 2015)
+                noise = np.exp(rng.normal(0.0, 0.08, len(dates)))
+                y = base * cf * sf_ * season * weekend * december * trend * noise
+                for d, v in zip(dates, y):
+                    rows.append((row_id, d.date(), country, store, product, float(np.float32(v))))
+                    row_id += 1
+    pdf = pd.DataFrame(rows, columns=["row_id", "date", "country", "store", "product", "num_sold"])
+    return spark.createDataFrame(pdf)
+
+
+def engineer_features(df: DataFrame) -> DataFrame:
+    """The reference's feature block (kaggle.py:193-331) via functions/calendar."""
+    parts = C.calendar_parts("date")
+    flags = C.weekday_flags("date")
+    harmonics = C.fourier_doy("date", order=2)
+    out = (
+        df.withColumn("year", parts["year"].cast("double"))
+        .withColumn("weekday", parts["weekday"].cast("double"))
+        .withColumn("wd56", flags["wd56"].cast("double"))
+        .withColumn("season", C.season("date"))
+        .withColumn("dec_window", C.month_day_flag("date", 12, (24, 31)).cast("double"))
+    )
+    for name, expr in harmonics.items():
+        out = out.withColumn(name, expr)
+    return out
+
+
+def run_tps_pipeline(
+    spark: SparkSession,
+    train_end: str = "2017-12-31",
+    valid_start: str = "2018-01-01",
+    gbt_iters: int = 20,
+) -> dict[str, float]:
+    """Fit log-target BoostedHybrid on the time split; return metrics."""
+    data = engineer_features(synthetic_sales(spark))
+
+    linear_cols = ["sin1", "cos1", "sin2", "cos2", "year", "wd56", "dec_window"]
+    feat1 = build_feature_pipeline(
+        cat_cols=["country", "store", "product"],
+        num_cols=linear_cols,
+        output_col="features1",
+        one_hot=True,
+        scale=False,
+    ).fit(data)
+    feat2 = build_feature_pipeline(
+        cat_cols=["country", "store", "product", "season"],
+        num_cols=["weekday", "wd56", "dec_window", "year"],
+        output_col="features2",
+        one_hot=False,
+        scale=False,
+    ).fit(data)
+    prepared = feat2.transform(feat1.transform(data)).cache()
+
+    train = prepared.filter(F.col("date") <= F.lit(train_end))
+    valid = prepared.filter(F.col("date") >= F.lit(valid_start))
+
+    hybrid = BoostedHybrid(
+        model_1=LinearRegression(featuresCol="features1", regParam=1e-4),
+        model_2=GBTRegressor(featuresCol="features2", maxIter=gbt_iters, maxDepth=5, seed=42),
+        label_col="num_sold",
+        log_target=True,
+    )
+    model = hybrid.fit(train)
+    scored = model.transform(valid)
+    row = scored.agg(
+        M.smape("num_sold", "prediction").alias("smape"),
+        M.mae("num_sold", "prediction").alias("mae"),
+        M.rmse("num_sold", "prediction").alias("rmse"),
+    ).collect()[0]
+    prepared.unpersist()
+    return {"smape": row["smape"], "mae": row["mae"], "rmse": row["rmse"]}

@@ -1,0 +1,82 @@
+"""ML-layer tests: BoostedHybrid mechanics, OOF stacking, and the
+reference-domain end-to-end TPS run under a loose SMAPE ceiling
+(SURVEY §5: models aren't bit-reproducible — assert quality, not hashes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.ml.feature import VectorAssembler
+from pyspark.ml.regression import LinearRegression
+from pyspark.sql import functions as F
+
+from advanced_data_mining_and_big_data_analysis_spark.functions import metrics as M
+from advanced_data_mining_and_big_data_analysis_spark.ml import (
+    BoostedHybrid,
+    oof_stack,
+    run_tps_pipeline,
+    synthetic_sales,
+)
+
+
+@pytest.fixture(scope="module")
+def linear_data(spark):
+    # y = 3*a + two-level group offset: linear stage captures 3*a,
+    # booster stage must capture the group offset from feature b
+    rows = [
+        (i, float(i % 10), float((i // 10) % 2), 3.0 * (i % 10) + 50.0 * ((i // 10) % 2))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, a double, b double, y double")
+    df = VectorAssembler(inputCols=["a"], outputCol="features1").transform(df)
+    return VectorAssembler(inputCols=["b"], outputCol="features2").transform(df)
+
+
+def test_boosted_hybrid_residual_composition(linear_data):
+    hybrid = BoostedHybrid(
+        model_1=LinearRegression(featuresCol="features1"),
+        model_2=LinearRegression(featuresCol="features2"),
+        label_col="y",
+    )
+    scored = hybrid.fit(linear_data).transform(linear_data)
+    mae = scored.agg(M.mae("y", "prediction").alias("m")).collect()[0]["m"]
+    assert mae < 1e-6  # exactly recoverable: linear + group offset
+
+    # single linear stage on features1 alone CANNOT reach that
+    single = LinearRegression(featuresCol="features1", labelCol="y").fit(linear_data)
+    mae_single = (
+        single.transform(linear_data).agg(M.mae("y", "prediction").alias("m")).collect()[0]["m"]
+    )
+    assert mae_single > 1.0
+
+
+def test_oof_stack_runs_and_scores(linear_data):
+    base = [
+        BoostedHybrid(
+            model_1=LinearRegression(featuresCol="features1"),
+            model_2=LinearRegression(featuresCol="features2"),
+            label_col="y",
+        ),
+        LinearRegression(featuresCol="features1", labelCol="y"),
+    ]
+    oof, scored_test = oof_stack(
+        linear_data, linear_data.limit(50), base, id_col="id", label_col="y", k=3
+    )
+    assert oof.count() == 200
+    assert scored_test.count() == 50
+    mae = oof.agg(M.mae("y", "prediction").alias("m")).collect()[0]["m"]
+    assert mae < 5.0  # meta-learner at least matches the good base model
+
+
+def test_synthetic_sales_shape(spark):
+    df = synthetic_sales(spark, start="2015-01-01", end="2015-01-31")
+    assert df.count() == 31 * 18
+    assert set(df.columns) == {"row_id", "date", "country", "store", "product", "num_sold"}
+    assert df.filter(F.col("num_sold") <= 0).count() == 0
+
+
+def test_tps_pipeline_smape_ceiling(spark):
+    metrics = run_tps_pipeline(spark, gbt_iters=20)
+    # noise floor of the synthetic data is ~6.4 SMAPE; reference achieved
+    # 0.736 validation SMAPE on the real (less noisy) competition data
+    assert metrics["smape"] < 10.0, metrics
+    assert metrics["rmse"] > 0
