@@ -1,0 +1,168 @@
+"""Second relational batch: coverage for SURVEY §2 rows not yet declared —
+non-equi range joins, exact percentiles, ntile, map-typed columns, the
+Arrow/pandas-UDF surface, and multimodal plumbing (rows-only)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources import load_table
+from .registry import query
+
+_PRICE_BANDS = [
+    ("budget", 0.0, 933.0),
+    ("mid", 933.0, 966.0),
+    ("premium", 966.0, 1e9),
+]
+_BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _PRICE_BANDS)
+
+
+@query(
+    "q64_range_join",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (VALUES {_BANDS_SQL})
+    SELECT band, COUNT(*) AS n_parts, ROUND(AVG(p_retailprice), 6) AS avg_price
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band ORDER BY band
+    """,
+    description="non-equi (theta/range) join against a broadcast literal dim (SURVEY §2.3 range-join row)",
+)
+def q64_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.round(F.avg("p_retailprice"), 6).alias("avg_price"))
+        .orderBy("band")
+    )
+
+
+@query(
+    "q65_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    description="exact interpolated percentiles (np.median shape, kaggle.py:851; SURVEY §2.4). percentile_approx is the 100TB path; exact here for oracle parity",
+)
+def q65_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q66_ntile_quartiles",
+    oracle="""
+    WITH q AS (
+      SELECT c_mktsegment, c_acctbal,
+             NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer)
+    SELECT c_mktsegment, CAST(quartile AS INTEGER) AS quartile,
+           COUNT(*) AS n_customers, ROUND(AVG(c_acctbal), 6) AS avg_bal
+    FROM q GROUP BY c_mktsegment, quartile ORDER BY c_mktsegment, quartile
+    """,
+    description="ntile ranking window (SURVEY §2.5 ranking row)",
+)
+def q66_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.avg("c_acctbal"), 6).alias("avg_bal"))
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
+@query(
+    "q67_map_column_ops",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(len(json_keys(props))) AS BIGINT) AS total_keys,
+           ROUND(SUM(CASE event_type WHEN 'purchase' THEN 3.0 WHEN 'signup' THEN 2.0
+                     WHEN 'click' THEN 1.0 ELSE 0.5 END * value), 6) AS weighted_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    description="map-typed column ops: from_json to map, map_keys, create_map literal lookup (SURVEY §2.8 map/json row)",
+)
+def q67_map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    props_map = F.from_json("props", T.MapType(T.StringType(), T.DoubleType()))
+    weights = F.create_map(
+        F.lit("purchase"), F.lit(3.0), F.lit("signup"), F.lit(2.0), F.lit("click"), F.lit(1.0)
+    )
+    weight = F.coalesce(F.element_at(weights, F.col("event_type")), F.lit(0.5))
+    return (
+        ev.withColumn("n_keys", F.size(F.map_keys(props_map)))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("n_keys").cast("long")).alias("total_keys"),
+            F.round(F.sum(weight * F.col("value")), 6).alias("weighted_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q68_pandas_udf_parity",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(o_totalprice * (1.0 + 0.1 * (o_orderkey % 7))), 2) AS adjusted_total
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    description="Arrow-vectorized scalar pandas_udf (SURVEY §2.12 escape hatch) computing a deterministic adjustment, oracle-checked against pure SQL",
+)
+def q68_pandas_udf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf(T.DoubleType())
+    def adjust(price: pd.Series, key: pd.Series) -> pd.Series:
+        # exact-in-double arithmetic only (no transcendentals): bit-equal
+        # to the SQL expression in the oracle
+        return price * (1.0 + 0.1 * (key % 7))
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.round(F.sum(adjust("o_totalprice", "o_orderkey")), 2).alias("adjusted_total"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q70_multimodal_features",
+    oracle=None,  # in-memory synthetic media; not expressible over the parquet views
+    description="multimodal plumbing end-to-end: binary media column -> mapInPandas feature extraction -> aggregate (rows-only check; decoders stubbed, north-star multimodal)",
+)
+def q70_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    media = MM.synthetic_media_df(spark, n=96)
+    feats = MM.extract_features(media)
+    return (
+        feats.groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.col("feature").isNotNull().cast("long")).alias("n_decoded"),
+            F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_len_moment"),
+        )
+        .orderBy("mime")
+    )

@@ -22,13 +22,23 @@ from advanced_data_mining_and_big_data_analysis_spark import get_spark
 from advanced_data_mining_and_big_data_analysis_spark.plans import all_queries
 
 HEADLINE = [
+    # relational core
     "q01_pricing_summary",
     "q03_discount_revenue",
     "q05_regional_revenue",
     "q09_order_count_histogram",
     "q10_topk_per_group",
     "q18_small_quantity_revenue",
+    # feature/metric engine
+    "q26_fourier_harmonics",
+    "q32_best_weight",
+    # events / sessionization
     "q21_hourly_events",
+    "q60_sessionization",
+    # LLM-pipeline operators
+    "q40_exact_dedup_stats",
+    "q45_quality_scores",
+    "q50_cosine_topk",
 ]
 
 

@@ -1,0 +1,72 @@
+"""Physical-plan audits: the 100-TB story is in the plan shape, not the
+sf0.001 timings. These assert Catalyst produced the plan we designed for —
+filters pushed to the parquet scan, dims broadcast, top-k as
+TakeOrderedAndProject, no accidental cartesian products."""
+
+from __future__ import annotations
+
+import pytest
+
+from advanced_data_mining_and_big_data_analysis_spark.plans import all_queries
+
+QUERIES = all_queries()
+
+
+def plan_of(name, spark, sf_dir) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    # formatted mode prints full PushedFilters/ReadSchema (toString truncates)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_q01_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of("q01_pricing_summary", spark, sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: quantity yes, partkey no (not referenced)
+    assert "l_quantity" in plan.split("ReadSchema")[1]
+    assert "l_partkey" not in plan.split("ReadSchema")[1]
+
+
+def test_q02_topk_no_global_sort(spark, sf_dir):
+    plan = plan_of("q02_top_orders", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q03_tight_filter_pushdown(spark, sf_dir):
+    plan = plan_of("q03_discount_revenue", spark, sf_dir)
+    assert "GreaterThanOrEqual(l_shipdate" in plan and "LessThan(l_quantity,24.0)" in plan
+
+
+def test_q05_dims_broadcast(spark, sf_dir):
+    plan = plan_of("q05_regional_revenue", spark, sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q41_lsh_join_is_hash_based(spark, sf_dir):
+    plan = plan_of("q41_minhash_neardup", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q50_single_broadcast_pass(spark, sf_dir):
+    plan = plan_of("q50_cosine_topk", spark, sf_dir)
+    # query vector broadcast to the corpus scan; top-k without global sort
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q32_weight_grid_broadcast(spark, sf_dir):
+    plan = plan_of("q32_best_weight", spark, sf_dir)
+    # the weight grid must broadcast; the predictions must NOT shuffle
+    # before the partial aggregate
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q04_top_customers", "q07_semi_join", "q08_anti_join", "q18_small_quantity_revenue"],
+)
+def test_no_cartesian_anywhere(name, spark, sf_dir):
+    assert "CartesianProduct" not in plan_of(name, spark, sf_dir)
