@@ -212,17 +212,24 @@ def q07_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name, COUNT(*) AS n_customers
     FROM customer JOIN nation ON c_nationkey = n_nationkey
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT'
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY n_name ORDER BY n_name
     """,
-    description="left-anti join (NOT EXISTS) + broadcast dim (SURVEY §2.3)",
+    description="left-anti join (NOT EXISTS with filtered subquery) + broadcast dim (SURVEY §2.3)",
 )
 def q08_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    # filtered anti-join side: an unfiltered one matches every customer at
+    # sf>=0.01 (10 orders per customer), which would make the check vacuous
+    recent_urgent = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderdate") >= _ts("2000-01-01"))
+    )
     nation = load_table(spark, sf_dir, "nation")
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(recent_urgent, cust.c_custkey == recent_urgent.o_custkey, "left_anti")
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_customers"))
