@@ -50,6 +50,14 @@ def query(name: str, oracle: str | None = None, description: str = "") -> Callab
 def all_queries() -> dict[str, QueryDef]:
     """Import every plan module (side effect: registration) and return
     the full registry."""
-    from . import dedup_text, features, relational, relational2, sessions, similarity  # noqa: F401
+    from . import (  # noqa: F401
+        dedup_text,
+        features,
+        relational,
+        relational2,
+        relational3,
+        sessions,
+        similarity,
+    )
 
     return dict(sorted(REGISTRY.items()))
