@@ -47,6 +47,41 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def shingle_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Distinct (id, shingle) rows — the relational form of the shingle set.
+
+    Deliberately HOF-free: posexplode(split) + window lead() + concat_ws,
+    all inside whole-stage codegen. The array-lambda formulation
+    (operators/text.py word_shingles) is semantically identical but its
+    interpreted HOF evaluation costs ~50x more CPU per row — fine for
+    per-document features, wrong for the corpus-wide dedup scan.
+
+    Repartitions the raw text by id first with an explicit partition count:
+    a small parquet arrives as one split (serializing all the CPU on one
+    core), and AQE would coalesce a count-less exchange right back on byte
+    volume — the cost here is CPU per row, not bytes.
+    """
+    from pyspark.sql import Window as W
+
+    toks = X.token_rows(docs, id_col, text_col)
+    w = W.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, shingle_n)]
+    return (
+        toks.select(F.col(id_col), *[p.alias(f"_t{j}") for j, p in enumerate(parts)])
+        .filter(F.col(f"_t{shingle_n - 1}").isNotNull())
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", *[F.col(f"_t{j}") for j in range(shingle_n)]).alias("shingle"),
+        )
+        .dropDuplicates([id_col, "shingle"])
+    )
+
+
 def minhash_buckets(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -55,19 +90,14 @@ def minhash_buckets(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, band, bucket) LSH bucket assignments."""
+    """(id, band, bucket) LSH bucket assignments.
+
+    Distributed minhash: shingles as rows, the k salted mins as ordinary
+    partial aggregates (map-side combine → one shuffle on the doc id) —
+    at 100 TB this shuffle-with-combine shape is exactly how signature
+    computation scales across executors."""
     rows = num_hashes // bands
-    # Distributed minhash: explode shingles to rows, take the k salted mins
-    # as ordinary partial aggregates (map-side combine → one shuffle on the
-    # doc id). This beats the per-row array<transform> formulation twice
-    # over: flat expressions stay inside whole-stage codegen (the nested-HOF
-    # version cost ~50s of janino compile alone), and at 100 TB the
-    # shuffle-with-combine shape is exactly how you'd scale signature
-    # computation across executors.
-    exploded = docs.select(
-        F.col(id_col),
-        F.explode(X.word_shingles(X.tokens(text_col), n=shingle_n)).alias("_s"),
-    )
+    exploded = shingle_rows(docs, id_col, text_col, shingle_n).withColumnRenamed("shingle", "_s")
     sig_df = exploded.groupBy(id_col).agg(
         *[
             F.min(F.md5(F.concat(F.col("_s"), F.lit(f"#{i}")))).alias(f"mh{i}")
@@ -114,9 +144,11 @@ def near_dup_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    sh = docs.select(
-        F.col(id_col).alias("_id"), X.word_shingles(X.tokens(text_col), n=shingle_n).alias("_sh")
-    ).repartition(F.col("_id"))
+    sh = (
+        shingle_rows(docs, id_col, text_col, shingle_n)
+        .groupBy(F.col(id_col).alias("_id"))
+        .agg(F.collect_set("shingle").alias("_sh"))
+    )
     pairs = (
         cand.join(sh.select(F.col("_id"), F.col("_sh").alias("sh_a")), F.col("id_a") == F.col("_id"))
         .drop("_id")
@@ -130,11 +162,30 @@ def near_dup_pairs(
     )
 
 
-def simhash_stats(docs: DataFrame, text_col: str = "text", by: str = "lang") -> DataFrame:
-    """Per-group SimHash collision statistics (distinct hashes vs docs)."""
-    sh = X.simhash16(X.tokens(text_col))
+def simhash_stats(
+    docs: DataFrame, text_col: str = "text", by: str = "lang", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-group SimHash collision statistics (distinct hashes vs docs).
+
+    Relational simhash: tokens as rows, md5 once per token, 16 conditional
+    sums + a count in ONE partial aggregate, then the majority-vote bits —
+    identical semantics to operators/text.py simhash16 (which stays as the
+    per-row expression form) at a fraction of the CPU."""
+    toks = X.token_rows(docs, id_col, text_col, extra_cols=(by,)).withColumn(
+        "_h", F.md5(F.col("_tok"))
+    )
+    bit_counts = [
+        F.sum(
+            F.when(F.lit("89abcdef").contains(F.substring(F.col("_h"), j + 1, 1)), 1).otherwise(0)
+        ).alias(f"_c{j}")
+        for j in range(16)
+    ]
+    per_doc = toks.groupBy(id_col, by).agg(F.count(F.lit(1)).alias("_n"), *bit_counts)
+    simhash = F.lit(0).cast("long")
+    for j in range(16):
+        simhash = simhash + F.when(F.col(f"_c{j}") * 2 > F.col("_n"), F.lit(1 << j)).otherwise(0).cast("long")
     return (
-        docs.select(F.col(by), sh.alias("simhash"))
+        per_doc.withColumn("simhash", simhash)
         .groupBy(by)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -11,7 +11,7 @@ simhash | stopword-profile). Each step is independently reusable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Small per-language stopword profiles (public common-word lists) for the
@@ -142,6 +142,64 @@ def token_count_bpe_ish(text: Column | str) -> Column:
     marks each count as one token (regex identical across engines)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.size(F.regexp_extract_all(F.lower(c), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)))
+
+
+# ---------------------------------------------------------------------------
+# Relational-form text ops (DataFrame in/out). The Column-expression ops
+# above are right for per-document features; corpus-wide scans want tokens/
+# grams AS ROWS — flat codegen'd expressions, spread across cores, partial
+# aggregation — because interpreted array-lambda evaluation costs ~50x more
+# CPU per element.
+# ---------------------------------------------------------------------------
+
+
+def _spread(docs: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
+    """Project + hash-repartition by id with an explicit partition count
+    (a small parquet is one split; AQE would coalesce a count-less
+    exchange back on byte volume, but the cost here is CPU per row)."""
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select(*[F.col(c) for c in dict.fromkeys([id_col, *cols])]).repartition(
+        n_parts, F.col(id_col)
+    )
+
+
+def token_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", extra_cols: tuple = ()
+) -> DataFrame:
+    """Tokens as (id, extra..., _pos, _tok) rows, with multiplicity."""
+    spread = _spread(docs, id_col, [*extra_cols, text_col])
+    return spread.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.posexplode(F.split(normalize(text_col), " +")).alias("_pos", "_tok"),
+    ).filter(F.col("_tok") != "")
+
+
+def char_ngram_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    extra_cols: tuple = (),
+    per_doc_distinct: bool = True,
+) -> DataFrame:
+    """Character n-grams as (id, extra..., gram) rows.
+    sequence+explode+substr are all flat codegen expressions."""
+    spread = _spread(docs, id_col, [*extra_cols, text_col])
+    with_s = spread.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], normalize(text_col).alias("_s")
+    ).filter(F.length("_s") >= n)
+    grams = with_s.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.explode(F.sequence(F.lit(1), F.length("_s") - (n - 1))).alias("_i"),
+        F.col("_s"),
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.col("_s").substr(F.col("_i"), F.lit(n)).alias("gram"),
+    )
+    return grams.dropDuplicates([id_col, "gram"]) if per_doc_distinct else grams
 
 
 def quality_features(text: Column | str) -> dict[str, Column]:

@@ -260,9 +260,9 @@ def q46_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q47_char_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    grams = X.char_ngram_rows(docs, "doc_id", "text", n=3, extra_cols=("lang",))
     return (
-        docs.select("lang", F.explode(X.char_ngrams("text", 3)).alias("gram"))
-        .groupBy("lang")
+        grams.groupBy("lang")
         .agg(
             F.countDistinct("gram").alias("n_distinct_trigrams"),
             F.count(F.lit(1)).alias("n_doc_grams"),

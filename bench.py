@@ -37,7 +37,9 @@ HEADLINE = [
     "q60_sessionization",
     # LLM-pipeline operators
     "q40_exact_dedup_stats",
+    "q41_minhash_neardup",
     "q45_quality_scores",
+    "q47_char_ngram_vocab",
     "q50_cosine_topk",
 ]
 
