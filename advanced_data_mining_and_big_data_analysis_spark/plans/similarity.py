@@ -104,3 +104,85 @@ def q53_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.round(F.avg("component"), 6) + 0.0).alias("centroid"))
         .orderBy("label", "dim")
     )
+
+
+@query(
+    "q54_embedding_neardup",
+    oracle=f"""
+    WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    xb AS (SELECT vec_id, v, {_BUCKET} AS bucket FROM x),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_reduce(list_transform(range(1, {_DIMS + 1}), i -> a.v[i] * b.v[i]), (s, t) -> s + t)
+                 / (sqrt(list_reduce(list_transform(range(1, {_DIMS + 1}), i -> a.v[i] * a.v[i]), (s, t) -> s + t))
+                    * sqrt(list_reduce(list_transform(range(1, {_DIMS + 1}), i -> b.v[i] * b.v[i]), (s, t) -> s + t))) AS cos_sim
+          FROM xb a JOIN xb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, ROUND(cos_sim, 6) + 0 AS cos_sim
+    FROM p WHERE cos_sim >= 0.25
+    ORDER BY p.cos_sim DESC, id_a, id_b LIMIT 20
+    """,
+    description="embedding-cosine near-duplicate pairs within sign-LSH buckets (north-star dedup: embedding near-dup; bucket restriction is the quadratic-risk bound)",
+)
+def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = SIM.as_double("embedding")
+    xb = emb.select(F.col("vec_id"), v.alias("v"), SIM.sign_bucket(v, 8).alias("bucket"))
+    a, b = xb.alias("a"), xb.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        SIM.cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+    )
+    return (
+        pairs.filter(F.col("cos_sim") >= 0.25)
+        .orderBy(F.col("cos_sim").desc(), "id_a", "id_b")
+        .limit(20)
+        .select("id_a", "id_b", (F.round("cos_sim", 6) + 0.0).alias("cos_sim"))
+    )
+
+
+@query(
+    "q55_ivf_assignment",
+    oracle="""
+    WITH x AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT label AS c_label, dim, AVG(v[dim]) AS c
+             FROM x CROSS JOIN range(1, 65) r(dim) GROUP BY c_label, dim),
+    dist AS (SELECT x.vec_id, x.label AS true_label, cent.c_label,
+                    SUM((v[r.dim] - c) * (v[r.dim] - c)) AS d2
+             FROM x CROSS JOIN range(1, 65) r(dim)
+             JOIN cent ON cent.dim = r.dim
+             GROUP BY x.vec_id, true_label, cent.c_label),
+    best AS (SELECT vec_id, true_label, c_label,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+             FROM dist)
+    SELECT true_label, c_label AS assigned_label, COUNT(*) AS n
+    FROM best WHERE rn = 1
+    GROUP BY true_label, assigned_label ORDER BY true_label, assigned_label
+    """,
+    description="IVF coarse-quantizer / k-means assignment step: per-label centroids (64 dims), nearest-centroid argmin per vector, confusion counts (north-star similarity scale path)",
+)
+def q55_ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.col("label").alias("true_label"), SIM.as_double("embedding").alias("v")
+    )
+    dims = x.select(
+        "vec_id", "true_label", F.posexplode("v").alias("dim0", "comp")
+    ).withColumn("dim", F.col("dim0") + 1)
+    cent = dims.groupBy(F.col("true_label").alias("c_label"), "dim").agg(F.avg("comp").alias("c"))
+    dist = (
+        dims.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "true_label", "c_label")
+        .agg(F.sum((F.col("comp") - F.col("c")) * (F.col("comp") - F.col("c"))).alias("d2"))
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "c_label")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("true_label", F.col("c_label").alias("assigned_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_label", "assigned_label")
+    )

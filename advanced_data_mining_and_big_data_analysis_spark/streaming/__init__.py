@@ -1,6 +1,7 @@
 from .windows import (
     session_agg,
     sliding_agg,
+    stateful_running_totals,
     stream_from_directory,
     streaming_dedup,
     tumbling_agg,
@@ -10,6 +11,7 @@ from .windows import (
 __all__ = [
     "session_agg",
     "sliding_agg",
+    "stateful_running_totals",
     "stream_from_directory",
     "streaming_dedup",
     "tumbling_agg",

@@ -108,6 +108,38 @@ def streaming_dedup(
     return with_wm.dropDuplicates(keys)
 
 
+def stateful_running_totals(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (SURVEY §2.11):
+    per-key running event count and value sum maintained across
+    micro-batches in the state store. The built-in windows cover time
+    semantics; this is the escape hatch for arbitrary state machines."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+    )
+
+    def update(key_tuple, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({key: [key_tuple[0]], "n_events": [n], "total_value": [total]})
+
+    return events.groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def write_foreach_batch_parquet(
     stream: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
 ):

@@ -93,3 +93,45 @@ def test_streaming_dedup_and_foreach_batch_sink(spark, event_files):
         assert written.count() > 0
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stateful_running_totals_across_microbatches(spark, event_files):
+    """applyInPandasWithState accumulates per-user state across
+    micro-batches; the final emitted totals must equal the batch
+    groupBy totals."""
+    src = ST.stream_from_directory(
+        spark, f"{event_files}/events", SCHEMAS["events"], max_files_per_trigger=1
+    ).filter(F.col("user_id") <= 5)
+    totals = ST.stateful_running_totals(src, key="user_id")
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per key per micro-batch; totals grow
+    # monotonically, so the max per key is the final state
+    got = {
+        r["user_id"]: (r["mx_n"], r["mx_total"])
+        for r in spark.table("t_stateful")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("mx_n"),
+            F.max("total_value").alias("mx_total"),
+        )
+        .collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in spark.read.parquet(f"{event_files}/events")
+        .filter(F.col("user_id") <= 5)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for k in batch:
+        assert got[k][0] == batch[k][0]
+        assert abs(got[k][1] - batch[k][1]) < 1e-6
