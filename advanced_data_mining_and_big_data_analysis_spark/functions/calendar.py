@@ -130,6 +130,46 @@ def with_easter_anchor(df: DataFrame, dt_col: str, spark: SparkSession, years: l
 
 
 # ---------------------------------------------------------------------------
+# Holiday calendar dim (kaggle.py:332-333, 800-803: the `holidays` package
+# materialized as a (country, date, holiday) table, broadcast at join time).
+# Fixed-date rules plus Easter-relative moveable feasts for the three
+# countries the reference models; extend per-country as needed.
+# ---------------------------------------------------------------------------
+
+_FIXED_HOLIDAYS: dict[str, list[tuple[int, int, str]]] = {
+    "Finland": [(1, 1, "New Year"), (5, 1, "May Day"), (12, 6, "Independence Day"),
+                (12, 24, "Christmas Eve"), (12, 25, "Christmas Day"), (12, 26, "Boxing Day")],
+    "Norway": [(1, 1, "New Year"), (5, 1, "Labour Day"), (5, 17, "Constitution Day"),
+               (12, 25, "Christmas Day"), (12, 26, "Boxing Day")],
+    "Sweden": [(1, 1, "New Year"), (5, 1, "May Day"), (6, 6, "National Day"),
+               (12, 24, "Christmas Eve"), (12, 25, "Christmas Day"), (12, 26, "Boxing Day")],
+}
+
+# days relative to Easter Sunday, observed across all three countries
+_EASTER_RELATIVE = [(-2, "Good Friday"), (0, "Easter Sunday"), (1, "Easter Monday"),
+                    (39, "Ascension Day"), (49, "Whit Sunday")]
+
+
+def holiday_rows(years: list[int], countries: list[str] | None = None) -> list[tuple[str, _dt.date, str]]:
+    """Driver-side (country, date, holiday) rows — tiny by construction."""
+    countries = countries or list(_FIXED_HOLIDAYS)
+    rows: list[tuple[str, _dt.date, str]] = []
+    for country in countries:
+        for y in years:
+            for m, d, name in _FIXED_HOLIDAYS[country]:
+                rows.append((country, _dt.date(y, m, d), name))
+            e = easter_date(y)
+            for off, name in _EASTER_RELATIVE:
+                rows.append((country, e + _dt.timedelta(days=off), name))
+    return rows
+
+
+def holiday_dim(spark: SparkSession, years: list[int], countries: list[str] | None = None) -> DataFrame:
+    """Holiday dim table for broadcast joins (SURVEY §2.5 holiday source)."""
+    return spark.createDataFrame(holiday_rows(years, countries), "country string, date date, holiday string")
+
+
+# ---------------------------------------------------------------------------
 # Date-range generation (kaggle.py:472-476 pd.date_range scoring frame)
 # ---------------------------------------------------------------------------
 

@@ -431,3 +431,30 @@ def q38_positional_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+_HOLIDAY_VALUES = ", ".join(
+    f"('{c}', DATE '{d.isoformat()}', '{h}')" for c, d, h in C.holiday_rows(_EASTER_YEARS)
+)
+
+
+@query(
+    "q39_holiday_dim_join",
+    oracle=f"""
+    WITH hd(country, hdate, holiday) AS (VALUES {_HOLIDAY_VALUES})
+    SELECT country, holiday, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders JOIN hd ON CAST(o_orderdate AS DATE) = hdate
+    GROUP BY country, holiday ORDER BY country, holiday
+    """,
+    description="holiday calendar dim (fixed + Easter-relative rules) broadcast-joined to the fact — the holidays-package materialization (kaggle.py:332-333,800-803; SURVEY §2.5)",
+)
+def q39_holiday_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    dim = C.holiday_dim(spark, _EASTER_YEARS)
+    return (
+        orders.join(F.broadcast(dim), F.to_date("o_orderdate") == dim.date)
+        .groupBy("country", "holiday")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy("country", "holiday")
+    )

@@ -80,3 +80,38 @@ def test_tps_pipeline_smape_ceiling(spark):
     # 0.736 validation SMAPE on the real (less noisy) competition data
     assert metrics["smape"] < 10.0, metrics
     assert metrics["rmse"] > 0
+
+
+def test_hybrid_grid_and_blends(spark, linear_data):
+    from pyspark.ml.regression import GBTRegressor
+    from advanced_data_mining_and_big_data_analysis_spark.ml.ensemble import (
+        hybrid_grid,
+        mean_blend,
+        median_blend,
+    )
+
+    grid = hybrid_grid(
+        linear_stages=[
+            LinearRegression(featuresCol="features1"),
+            LinearRegression(featuresCol="features1", regParam=0.1),
+        ],
+        boosted_stages=[
+            LinearRegression(featuresCol="features2"),
+            GBTRegressor(featuresCol="features2", maxIter=3, seed=42),
+        ],
+        label_col="y",
+        log_target=False,
+    )
+    assert len(grid) == 4  # 2 x 2 cartesian
+
+    scored = linear_data
+    pred_cols = []
+    for i, est in enumerate(grid[:3]):
+        model = est.fit(linear_data)
+        scored = model.transform(scored).withColumnRenamed("prediction", f"p{i}")
+        pred_cols.append(f"p{i}")
+
+    blended = median_blend(mean_blend(scored, pred_cols, "mean_pred"), pred_cols, "med_pred")
+    row = blended.select("y", "mean_pred", "med_pred").first()
+    assert abs(row["mean_pred"] - row["y"]) < 5.0
+    assert abs(row["med_pred"] - row["y"]) < 5.0
