@@ -84,3 +84,96 @@ def q71_group_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "q72_correlated_subquery",
+    oracle="""
+    WITH nation_avg AS (SELECT c_nationkey AS nk, AVG(c_acctbal) AS navg
+                        FROM customer GROUP BY c_nationkey)
+    SELECT c_mktsegment, COUNT(*) AS n_above_avg,
+           ROUND(AVG(c_acctbal), 6) AS avg_bal_above
+    FROM customer JOIN nation_avg ON c_nationkey = nk
+    WHERE c_acctbal > navg
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    description="correlated scalar subquery (customers above their nation's average balance) — expressed as its decorrelated join form, the plan Catalyst rewrites to (SURVEY §2.3/§4)",
+)
+def q72_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation_avg = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(F.avg("c_acctbal").alias("navg"))
+    return (
+        cust.join(nation_avg, cust.c_nationkey == nation_avg.nk)
+        .filter(F.col("c_acctbal") > F.col("navg"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_above_avg"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal_above"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q73_exists_late_lineitem",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    description="TPC-H Q4 shape: EXISTS with a cross-table date condition -> left-semi join on a non-trivial predicate (SURVEY §2.3)",
+)
+def q73_exists_late_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q74_trailing_range_window",
+    oracle="""
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                          epoch(CAST(o_orderdate AS DATE)) AS sec,
+                          SUM(o_totalprice) AS rev
+                   FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01'
+                   GROUP BY d, sec)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           ROUND(rev, 2) AS day_revenue,
+           ROUND(SUM(rev) OVER (ORDER BY sec
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS trailing_7d
+    FROM daily ORDER BY day
+    """,
+    description="RANGE-frame window: 7-day trailing revenue over a value-based frame (rangeBetween), vs the row-based frames of q11 (SURVEY §2.5 frames row)",
+)
+def q74_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp")
+    )
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("rev")
+    ).withColumn("sec", F.unix_timestamp(F.col("d").cast("timestamp")))
+    w = W.orderBy("sec").rangeBetween(-604800, 0)
+    return (
+        daily.withColumn("trailing_7d", F.round(F.sum("rev").over(w), 2))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round("rev", 2).alias("day_revenue"),
+            "trailing_7d",
+        )
+        .orderBy("day")
+    )
