@@ -288,7 +288,7 @@ def q10_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q11_running_spend",
     oracle="""
-    SELECT o_custkey, o_orderkey, o_orderdate,
+    SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
            ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
            CAST(DATEDIFF('day',
@@ -313,8 +313,9 @@ def q11_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_prev",
             F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("long"),
         )
-        .select("o_custkey", "o_orderkey", "o_orderdate", "running_spend", "days_since_prev")
-        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("order_date", F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .select("o_custkey", "o_orderkey", "order_date", "running_spend", "days_since_prev")
+        .orderBy("o_custkey", "order_date", "o_orderkey")
     )
 
 
@@ -546,7 +547,8 @@ def q20_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q21_hourly_events",
     oracle="""
-    SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events,
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
            ROUND(SUM(value), 6) AS total_value
     FROM events GROUP BY window_start ORDER BY window_start
     """,
@@ -555,7 +557,9 @@ def q20_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start")
+        )
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
         .orderBy("window_start")
     )

@@ -36,7 +36,9 @@ _GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
              CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM m)
-    SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+    SELECT user_id, session_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
            COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
     FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
     """,
@@ -56,8 +58,8 @@ def q60_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         with_sid.groupBy("user_id", "session_id")
         .agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 6).alias("total_value"),
         )
@@ -72,8 +74,9 @@ def q60_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
       UNION ALL
       SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTES, value FROM events)
-    SELECT ws AS window_start, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
-    FROM b GROUP BY ws ORDER BY ws
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+    FROM b GROUP BY ws ORDER BY window_start
     """,
     description="sliding event-time windows (1h window / 30m slide) — F.window on batch, epoch-aligned pane expansion in SQL (SURVEY §2.11)",
 )
@@ -82,7 +85,11 @@ def q61_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
-        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
         .orderBy("window_start")
     )
 
@@ -94,7 +101,8 @@ def q61_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, ts,
              ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
       FROM events)
-    SELECT event_type, COUNT(*) AS n_first_events, MIN(ts) AS earliest
+    SELECT event_type, COUNT(*) AS n_first_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS earliest
     FROM r WHERE rn = 1 GROUP BY event_type ORDER BY event_type
     """,
     description="keep-first dedup on (user, event_type) — batch twin of dropDuplicatesWithinWatermark (SURVEY §2.11)",
@@ -106,7 +114,10 @@ def q62_first_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_first_events"), F.min("ts").alias("earliest"))
+        .agg(
+            F.count(F.lit(1)).alias("n_first_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("earliest"),
+        )
         .orderBy("event_type")
     )
 

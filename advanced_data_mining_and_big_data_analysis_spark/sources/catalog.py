@@ -127,6 +127,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; catalog has {sorted(SCHEMAS)}")
+    # Pin the session to UTC regardless of who built it: every declared
+    # query's timestamp->date/year arithmetic must match the timezone-naive
+    # DuckDB oracle, and this is a runtime conf (safe to set per call).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
