@@ -24,7 +24,12 @@ from . import text as X
 
 
 def exact_dup_stats(docs: DataFrame, text_col: str = "text", by: str = "source") -> DataFrame:
-    """Per-group exact / fingerprint duplicate statistics."""
+    """Per-group exact / fingerprint duplicate statistics.
+
+    Stays in the per-row expression form deliberately: one tokenize +
+    fingerprint per document is cheap (unlike the per-shingle work in
+    minhash, where the relational form wins), and the expression form
+    needs no extra shuffles."""
     toks = X.tokens(text_col)
     enriched = docs.select(
         F.col(by),
