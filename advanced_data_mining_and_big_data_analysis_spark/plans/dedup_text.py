@@ -269,3 +269,53 @@ def q47_char_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q48_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(list_filter(
+               string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+               x -> x <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, lang, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, lang, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.lang, tf.term,
+             SUM(tf.tf * ln(n.n_docs * 1.0 / df.df)) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+      GROUP BY tf.lang, tf.term),
+    ranked AS (
+      SELECT lang, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tfidf DESC, term) AS rn
+      FROM scored)
+    SELECT lang, CAST(rn AS INTEGER) AS rn, term, ROUND(tfidf, 4) AS tfidf
+    FROM ranked WHERE rn <= 3 ORDER BY lang, rn
+    """,
+    description="TF-IDF top terms per language — relational tf/df/idf over token rows, the oracle-checked twin of the MLlib CountVectorizer+IDF pipeline (north-star text analysis)",
+)
+def q48_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.token_rows(docs, "doc_id", "text", extra_cols=("lang",))
+    tf = toks.groupBy("doc_id", "lang", F.col("_tok").alias("term")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("lang", "term")
+        .agg(F.sum(F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df"))).alias("tfidf"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "rn", "term", F.round("tfidf", 4).alias("tfidf"))
+        .orderBy("lang", "rn")
+    )
