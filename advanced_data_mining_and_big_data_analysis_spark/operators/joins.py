@@ -1,0 +1,51 @@
+"""Skew-mitigation join operators (SURVEY §4, 100 TB notes).
+
+AQE's skew-join splitting handles most skew at runtime; explicit salting
+remains the tool when one key dominates so heavily that even split
+partitions overwhelm a task, or when AQE is unavailable (streaming joins).
+
+``salted_join`` replicates the small side ``salt`` times and scatters the
+big side's hot keys uniformly: big.key joins small.(key, salt_id) on
+(key, salt), where big rows pick a salt from a deterministic hash of
+their row identity — results are identical to the unsalted join, but the
+hot key's rows spread over ``salt`` reducers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Join ``big`` (skewed) with ``small`` on ``key`` using ``salt``-way
+    key scattering.
+
+    ``salt_source``: column whose md5 picks the salt deterministically;
+    defaults to the key itself combined with all of big's columns is not
+    possible generically, so pass a unique-ish column (e.g. a row id) for
+    an even spread — falling back to spark_partition_id which is uneven
+    but correct.
+    """
+    if salt_source:
+        salt_col = (
+            F.conv(F.substring(F.md5(F.col(salt_source).cast("string")), 1, 7), 16, 10)
+            .cast("long") % salt
+        ).cast("int")
+    else:
+        salt_col = (F.spark_partition_id() % salt).cast("int")
+    big_salted = big.withColumn("_salt", salt_col)
+    small_salted = small.crossJoin(
+        F.broadcast(
+            big.sparkSession.range(salt).select(F.col("id").cast("int").alias("_salt"))
+        )
+    )
+    out = big_salted.join(small_salted, [key, "_salt"], how)
+    return out.drop("_salt")

@@ -92,6 +92,75 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.repartition("mime").mapInPandas(per_batch, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """STUB-backed image resize over mapInPandas.
+
+    Real implementation needs an image codec (not in this container); the
+    deterministic fake truncates/tiles the byte payload to width*height
+    bytes so batch shapes, schema, and byte-handling are exercised
+    end-to-end. The Spark-side plumbing (Arrow batches of binary columns,
+    explicit output schema) is exactly what the real decoder drops into.
+    """
+    target = width * height
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bytes = []
+            for content in pdf["content"]:
+                b = bytes(content) if content is not None else b""
+                tiled = (b * (target // max(len(b), 1) + 1))[:target] if b else bytes(target)
+                out_bytes.append(tiled)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "content": out_bytes,
+                }
+            )
+
+    return media.mapInPandas(per_batch, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 16, max_frames: int = 4) -> DataFrame:
+    """STUB-backed video frame sampling: 1→N rows per media item via
+    mapInPandas (a flat-map over Arrow batches). The fake treats each
+    ``every_n_bytes`` slice as a 'frame'; a real decoder would demux the
+    container and decode key frames — same plumbing, same schema."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                for i in range(min(max_frames, max(len(b) // every_n_bytes, 0))):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(per_batch, schema=FRAME_SCHEMA)
+
+
 def synthetic_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic in-memory media fixture (no external files needed)."""
     rows = [

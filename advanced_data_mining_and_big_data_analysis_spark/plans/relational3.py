@@ -330,3 +330,84 @@ def q78_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q80_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    ORDER BY returnflag, linestatus
+    """,
+    description="explicit GROUPING SETS (neither rollup nor cube) via the SQL entry point (SURVEY §2.4)",
+)
+def q80_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY returnflag, linestatus
+        """
+    )
+
+
+@query(
+    "q81_cume_dist",
+    oracle="""
+    WITH r AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS cd,
+             PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS pr
+      FROM customer)
+    SELECT c_mktsegment,
+           COUNT(*) AS n_top_decile,
+           ROUND(MIN(c_acctbal), 2) AS decile_floor,
+           ROUND(AVG(pr), 6) AS avg_pct_rank
+    FROM r WHERE cd >= 0.9
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    description="cume_dist / percent_rank analytic windows (SURVEY §2.5 ranking row)",
+)
+def q81_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return (
+        cust.withColumn("cd", F.cume_dist().over(w))
+        .withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("cd") >= 0.9)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_top_decile"),
+            F.round(F.min("c_acctbal"), 2).alias("decile_floor"),
+            F.round(F.avg("pr"), 6).alias("avg_pct_rank"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q82_approx_aggregates",
+    oracle=None,  # approximate by design: HLL and quantile-sketch results
+    # are engine-specific, so the driver records a rows-only check
+    description="approximate aggregates — approx_count_distinct (HLL) and percentile_approx (quantile sketch): the 100 TB substitutes for q15/q65's exact operators (rows-only; exactness intentionally traded)",
+)
+def q82_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.round(F.percentile_approx("l_extendedprice", 0.5, 1000), 2).alias("approx_p50"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -124,3 +124,34 @@ def test_label_encode_alphabetical(spark):
     df = spark.createDataFrame([("b",), ("a",), ("c",), ("a",)], "k string")
     got = {r["k"]: r["k_code"] for r in S.label_encode(df, "k").collect()}
     assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from advanced_data_mining_and_big_data_analysis_spark.operators.joins import salted_join
+    from advanced_data_mining_and_big_data_analysis_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    plain = orders.join(cust, "custkey").groupBy("c_mktsegment").count()
+    salted = (
+        salted_join(orders, cust, "custkey", salt=4, salt_source="o_orderkey")
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    media = MM.synthetic_media_df(spark, n=8)
+    resized = MM.resize_images(media, width=4, height=4).collect()
+    assert all(len(r["content"]) == 16 for r in resized)
+    assert {r["media_id"] for r in resized} == set(range(8))
+
+    frames = MM.sample_frames(media, every_n_bytes=8, max_frames=3).collect()
+    assert len(frames) > 8  # 1->N flat map
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for idxs in by_media.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # contiguous frame indices
+        assert len(idxs) <= 3
