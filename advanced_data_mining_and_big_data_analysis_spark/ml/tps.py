@@ -119,3 +119,56 @@ def run_tps_pipeline(
     ).collect()[0]
     prepared.unpersist()
     return {"smape": row["smape"], "mae": row["mae"], "rmse": row["rmse"]}
+
+
+def run_tps_ensemble(
+    spark: SparkSession,
+    train_end: str = "2017-12-31",
+    valid_start: str = "2018-01-01",
+    gbt_iters: int = 10,
+    folds: int = 2,
+) -> dict[str, float]:
+    """The reference's full E2 recipe at reduced scale: hybrid grid →
+    OOF stacking with a linear meta-learner → median blend of base
+    predictions as a fallback comparator. Returns SMAPE for both."""
+    from pyspark.ml.regression import GBTRegressor, LinearRegression
+
+    from .ensemble import hybrid_grid, median_blend
+    from .stacking import oof_stack
+
+    data = engineer_features(synthetic_sales(spark))
+    linear_cols = ["sin1", "cos1", "sin2", "cos2", "year", "wd56", "dec_window"]
+    feat1 = build_feature_pipeline(
+        cat_cols=["country", "store", "product"], num_cols=linear_cols,
+        output_col="features1", one_hot=True, scale=False,
+    ).fit(data)
+    feat2 = build_feature_pipeline(
+        cat_cols=["country", "store", "product", "season"],
+        num_cols=["weekday", "wd56", "dec_window", "year"],
+        output_col="features2", one_hot=False, scale=False,
+    ).fit(data)
+    prepared = feat2.transform(feat1.transform(data)).cache()
+    train = prepared.filter(F.col("date") <= F.lit(train_end))
+    valid = prepared.filter(F.col("date") >= F.lit(valid_start))
+
+    grid = hybrid_grid(
+        linear_stages=[
+            LinearRegression(featuresCol="features1", regParam=1e-4),
+            LinearRegression(featuresCol="features1", regParam=0.1, elasticNetParam=0.5),
+        ],
+        boosted_stages=[GBTRegressor(featuresCol="features2", maxIter=gbt_iters, maxDepth=5, seed=42)],
+        label_col="num_sold",
+        log_target=True,
+    )
+    _, scored_valid = oof_stack(
+        train, valid, grid, id_col="row_id", label_col="num_sold", k=folds
+    )
+    from ..functions import metrics as M
+
+    stack_smape = scored_valid.agg(M.smape("num_sold", "prediction").alias("s")).collect()[0]["s"]
+    blended = median_blend(
+        scored_valid.drop("prediction"), [f"_base{i}" for i in range(len(grid))], "prediction"
+    )
+    blend_smape = blended.agg(M.smape("num_sold", "prediction").alias("s")).collect()[0]["s"]
+    prepared.unpersist()
+    return {"stack_smape": stack_smape, "median_blend_smape": blend_smape}

@@ -115,3 +115,12 @@ def test_hybrid_grid_and_blends(spark, linear_data):
     row = blended.select("y", "mean_pred", "med_pred").first()
     assert abs(row["mean_pred"] - row["y"]) < 5.0
     assert abs(row["med_pred"] - row["y"]) < 5.0
+
+
+def test_tps_full_ensemble_recipe(spark):
+    from advanced_data_mining_and_big_data_analysis_spark.ml.tps import run_tps_ensemble
+
+    m = run_tps_ensemble(spark, gbt_iters=10, folds=2)
+    # both ensemble paths must stay near the synthetic noise floor (~6.4)
+    assert m["stack_smape"] < 12.0, m
+    assert m["median_blend_smape"] < 12.0, m
