@@ -3,6 +3,7 @@ from .windows import (
     sliding_agg,
     stateful_running_totals,
     stream_from_directory,
+    stream_stream_join,
     streaming_dedup,
     tumbling_agg,
     write_foreach_batch_parquet,
@@ -13,6 +14,7 @@ __all__ = [
     "sliding_agg",
     "stateful_running_totals",
     "stream_from_directory",
+    "stream_stream_join",
     "streaming_dedup",
     "tumbling_agg",
     "write_foreach_batch_parquet",

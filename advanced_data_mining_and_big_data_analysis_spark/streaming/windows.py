@@ -108,6 +108,35 @@ def streaming_dedup(
     return with_wm.dropDuplicates(keys)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    within: str = "15 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds (SURVEY §2.11).
+
+    Both sides carry watermarks and the join condition bounds right.ts to
+    [left.ts, left.ts + within] — the constraint Structured Streaming
+    needs to age out buffered state on both sides. Returns
+    (key, left ts, right ts, left value, right value).
+    """
+    l = left.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("l_key"), F.col(ts_col).alias("l_ts"), F.col("value").alias("l_value")
+    )
+    r = right.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("r_key"), F.col(ts_col).alias("r_ts"), F.col("value").alias("r_value")
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+    )
+
+
 def stateful_running_totals(events: DataFrame, key: str = "user_id") -> DataFrame:
     """Custom stateful operator via applyInPandasWithState (SURVEY §2.11):
     per-key running event count and value sum maintained across

@@ -135,3 +135,42 @@ def test_stateful_running_totals_across_microbatches(spark, event_files):
     for k in batch:
         assert got[k][0] == batch[k][0]
         assert abs(got[k][1] - batch[k][1]) < 1e-6
+
+
+def test_stream_stream_join_equals_batch_interval_join(spark, event_files):
+    """Two real streams (clicks x purchases per user, 15-minute bound)
+    joined stream-to-stream must match the equivalent batch interval
+    join on the same files."""
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    sl, sr = split(
+        ST.stream_from_directory(spark, f"{event_files}/events", SCHEMAS["events"]).filter(
+            F.col("user_id") <= 20
+        )
+    )
+    joined = ST.stream_stream_join(sl, sr, within="15 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("t_ssj")
+
+    bl, br = split(spark.read.parquet(f"{event_files}/events").filter(F.col("user_id") <= 20))
+    batch = (
+        bl.select(F.col("user_id").alias("l_key"), F.col("ts").alias("l_ts"), F.col("value").alias("l_value"))
+        .join(
+            br.select(F.col("user_id").alias("r_key"), F.col("ts").alias("r_ts"), F.col("value").alias("r_value")),
+            F.expr("l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 15 MINUTES"),
+        )
+    )
+    cols = ["l_key", "l_ts", "r_ts"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+    assert streamed.count() > 0
