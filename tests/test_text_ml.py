@@ -88,3 +88,26 @@ def test_brp_lsh_ann(spark, sf_dir):
     # exact euclidean top-1 among returned (distCol is exact within candidates)
     dists = [r["distCol"] for r in ann.collect()]
     assert dists == sorted(dists)
+
+
+def test_kmeans_ivf_centroids(spark, sf_dir):
+    """MLlib KMeans as the learned IVF coarse quantizer (q55 uses label
+    centroids; this is the trained variant): every vector lands in a
+    cluster, clusters are non-degenerate, assignment is deterministic
+    under a fixed seed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(SIM.as_double("embedding")).alias("features")
+    )
+    km = KMeans(k=8, seed=42, maxIter=5)
+    model = km.fit(emb)
+    assigned = model.transform(emb)
+    sizes = [r["count"] for r in assigned.groupBy("prediction").count().collect()]
+    assert len(sizes) == 8 and sum(sizes) == emb.count()
+    assert min(sizes) > 0
+    again = km.fit(emb).transform(emb)
+    a = sorted((r["vec_id"], r["prediction"]) for r in assigned.collect())
+    b = sorted((r["vec_id"], r["prediction"]) for r in again.collect())
+    assert a == b
