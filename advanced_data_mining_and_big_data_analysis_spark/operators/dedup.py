@@ -10,9 +10,13 @@ Four tiers, cheapest first — the standard web-corpus dedup ladder:
 
 Scale notes: every tier is shuffle-on-short-key. The LSH candidate join is
 the only quadratic-risk step and it is quadratic ONLY within a (band,
-bucket) group — band/row counts are chosen so bucket sizes stay O(dup
-cluster), never O(corpus). At 100 TB you'd additionally salt the largest
-buckets and cap per-bucket candidate fan-out.
+bucket) group. ``near_dup_pairs`` additionally ENFORCES a per-bucket cap:
+bucket members are ranked by a deterministic hash and split into salted
+sub-buckets of at most ``max_bucket_size`` rows, and candidates are
+generated within a (band, bucket, salt) group only — so one
+boilerplate-heavy bucket (the web-corpus adversarial case) costs
+O(n * cap) instead of O(n^2), spread over n/cap tasks. Cross-sub-bucket
+pairs missed in one band get re-chances in the other bands.
 """
 
 from __future__ import annotations
@@ -125,6 +129,29 @@ def minhash_buckets(
     )
 
 
+def salt_buckets(
+    buckets: DataFrame, id_col: str = "doc_id", max_bucket_size: int = 64
+) -> DataFrame:
+    """Split oversized LSH buckets into capped, salted sub-buckets.
+
+    Members of each (band, bucket) are ranked by a deterministic
+    pseudo-random order (md5 of bucket||id — reproducible across engines,
+    uncorrelated with id order) and assigned ``salt = (rank-1) div cap``.
+    Candidate joins then key on (band, bucket, salt): an n-member
+    boilerplate bucket becomes n/cap independent sub-buckets of at most
+    cap members each — per-task work is bounded by cap^2 and the bucket's
+    total cost drops from O(n^2) to O(n*cap). The within-bucket sort is a
+    single sort-within-partition, not a quadratic step."""
+    from pyspark.sql import Window as W
+
+    wb = W.partitionBy("band", "bucket").orderBy(
+        F.md5(F.concat(F.col("bucket"), F.col(id_col).cast("string"))), id_col
+    )
+    return buckets.withColumn(
+        "salt", F.floor((F.row_number().over(wb) - 1) / max_bucket_size).cast("long")
+    )
+
+
 def near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -133,10 +160,19 @@ def near_dup_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 64,
 ) -> DataFrame:
     """Verified near-duplicate pairs: LSH candidates → exact shingle-set
-    Jaccard filter. Returns (id_a, id_b, jaccard)."""
-    buckets = minhash_buckets(docs, id_col, text_col, num_hashes, bands, shingle_n)
+    Jaccard filter. Returns (id_a, id_b, jaccard).
+
+    Candidates are generated within capped salted sub-buckets (see
+    ``salt_buckets``), so an adversarial boilerplate bucket cannot
+    quadratically stall a task at corpus scale."""
+    buckets = salt_buckets(
+        minhash_buckets(docs, id_col, text_col, num_hashes, bands, shingle_n),
+        id_col,
+        max_bucket_size,
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -144,6 +180,7 @@ def near_dup_pairs(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))

@@ -68,17 +68,28 @@ def q40_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dup_stats(docs, "text", "source").orderBy("source")
 
 
-_NEARDUP_ORACLE = f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+def _neardup_oracle(docs_sql: str, cap: int) -> str:
+    """MinHash+LSH near-dup SQL mirroring operators/dedup.py exactly,
+    including the salted per-bucket cap (salt = (rank-1) div cap, rank by
+    md5(bucket || id) — same deterministic order as salt_buckets)."""
+    return f"""
+    WITH docs0 AS ({docs_sql}),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM docs0),
     s AS (SELECT doc_id, {_shingles('toks')} AS sh FROM t),
     s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
     sig AS (SELECT doc_id, {_sig_list('sh')} AS sig FROM s2),
     bands AS (SELECT doc_id, b,
                      md5(array_to_string(list_slice(sig, 4 * b + 1, 4 * b + 4), '|')) AS bucket
               FROM sig CROSS JOIN range(0, 4) r(b)),
+    salted AS (SELECT doc_id, b, bucket,
+                      (ROW_NUMBER() OVER (PARTITION BY b, bucket
+                           ORDER BY md5(bucket || CAST(doc_id AS VARCHAR)), doc_id) - 1)
+                        // {cap} AS salt
+               FROM bands),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM bands a JOIN bands b
-               ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+             FROM salted a JOIN salted b
+               ON a.b = b.b AND a.bucket = b.bucket AND a.salt = b.salt
+                  AND a.doc_id < b.doc_id),
     j AS (SELECT id_a, id_b,
                  len(list_intersect(sa.sh, sb.sh)) * 1.0
                  / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
@@ -91,12 +102,37 @@ _NEARDUP_ORACLE = f"""
 
 @query(
     "q41_minhash_neardup",
-    oracle=_NEARDUP_ORACLE,
-    description="MinHash+LSH near-duplicate pairs (16 hashes, 4 bands) verified by exact shingle Jaccard (north-star dedup tier 4)",
+    oracle=_neardup_oracle("SELECT doc_id, text FROM documents", 64),
+    description="MinHash+LSH near-duplicate pairs (16 hashes, 4 bands, per-bucket cap 64) verified by exact shingle Jaccard (north-star dedup tier 4)",
 )
 def q41_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.near_dup_pairs(docs, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy("id_a", "id_b")
+
+
+_BOILER = "terms of service privacy policy all rights reserved contact us for details"
+
+
+@query(
+    "q83_neardup_skew_capped",
+    oracle=_neardup_oracle(
+        f"""SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN '{_BOILER}' ELSE text END AS text
+            FROM documents WHERE doc_id <= 400""",
+        8,
+    ),
+    description="adversarial-skew LSH dedup: ~1/3 of docs share one boilerplate text (one giant bucket per band); the salted per-bucket cap (8) bounds candidate generation to O(n*cap) — hash-matched against an oracle modeling the identical salting rule",
+)
+def q83_neardup_skew_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 400)
+    planted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_BOILER)).otherwise(F.col("text")),
+    )
+    pairs = D.near_dup_pairs(
+        planted, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.5, max_bucket_size=8
+    )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy("id_a", "id_b")
 
 

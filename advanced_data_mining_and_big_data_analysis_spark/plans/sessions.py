@@ -136,15 +136,44 @@ def q62_first_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events
     FROM r GROUP BY event_type ORDER BY event_type
     """,
-    description="late-data accounting: events >10min behind the running event-time high-watermark (arrival order = event_id). Batch model of watermark drop semantics; the global-order window is parity-only — the streaming path keeps bounded state instead (SURVEY §2.11)",
+    description="late-data accounting: events >10min behind the running event-time high-watermark (arrival order = event_id). Batch model of watermark drop semantics via a chunked two-pass prefix max — every window is partitioned, no single-task global scan (SURVEY §2.11)",
 )
 def q63_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    high_water = F.max("ts").over(w)
+    """Global running max(ts) in event_id order WITHOUT a partition-less
+    window: the classic distributed prefix-scan.
+
+    1. chunk = event_id div CHUNK (arrival order is event_id, so chunks
+       are contiguous arrival ranges);
+    2. running max WITHIN each chunk (window partitioned by chunk —
+       parallel, bounded state);
+    3. per-chunk max -> tiny boundary frame (#chunks rows), prefix max
+       over *previous* chunks there (unpartitioned window, but over the
+       aggregated boundary rows only — #events/CHUNK, never the data);
+    4. broadcast the carry-in back; high_water = greatest(local, carry).
+
+    At 100 TB you size CHUNK so the boundary frame stays in the millions
+    of rows (e.g. 1<<20); the data-side scan stays fully parallel either
+    way. The oracle keeps the plain global-order SQL form.
+    """
+    chunk_rows = 8192  # arrival-range chunk; raise at scale (see docstring)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_chunk", F.floor(F.col("event_id") / chunk_rows)
+    )
+    wc = W.partitionBy("_chunk").orderBy("event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    local_hw = F.max("ts").over(wc)
+    boundary = ev.groupBy("_chunk").agg(F.max("ts").alias("_chunk_max"))
+    w_prev = W.orderBy("_chunk").rowsBetween(W.unboundedPreceding, -1)
+    carry = boundary.select(
+        "_chunk", F.max("_chunk_max").over(w_prev).alias("_carry_hw")
+    )
+    high_water = F.greatest(F.col("_local_hw"), F.col("_carry_hw"))  # greatest skips nulls
     late = F.unix_micros(F.col("ts")) < F.unix_micros(high_water) - 600_000_000
     return (
-        ev.withColumn("late", late)
+        ev.withColumn("_local_hw", local_hw)
+        .join(F.broadcast(carry), "_chunk")
+        .withColumn("late", late)
         .groupBy("event_type")
         .agg(F.sum(F.col("late").cast("long")).alias("n_late"), F.count(F.lit(1)).alias("n_events"))
         .orderBy("event_type")

@@ -93,6 +93,25 @@ def test_near_dup_pairs_planted_duplicate(spark):
     assert all(3 not in pair for pair in pairs)
 
 
+def test_lsh_bucket_cap_enforced(spark):
+    # Adversarial bucket: 60 identical boilerplate docs land in ONE bucket
+    # per band. salt_buckets must split it into sub-buckets of <= cap, and
+    # near_dup_pairs must still recover boilerplate pairs (within-sub-bucket
+    # pairs survive; identical docs collide in all 4 bands so coverage is
+    # dense even with a small cap).
+    boiler = "terms of service privacy policy all rights reserved contact us for details"
+    rows = [(i, boiler) for i in range(60)] + [(100, "a totally unrelated document about gardening tips and compost")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 8
+    salted = D.salt_buckets(D.minhash_buckets(docs), max_bucket_size=cap)
+    sizes = salted.groupBy("band", "bucket", "salt").count().agg(F.max("count")).first()[0]
+    assert sizes <= cap
+    pairs = D.near_dup_pairs(docs, max_bucket_size=cap).collect()
+    assert len(pairs) > 0
+    assert all(p["jaccard"] == pytest.approx(1.0) for p in pairs)
+    assert all(100 not in (p["id_a"], p["id_b"]) for p in pairs)
+
+
 def test_dedup_exact_keeps_lowest_id(spark):
     docs = spark.createDataFrame(
         [(5, "same text"), (2, "same text"), (9, "unique")], "doc_id long, text string"

@@ -70,3 +70,21 @@ def test_q32_weight_grid_broadcast(spark, sf_dir):
 )
 def test_no_cartesian_anywhere(name, spark, sf_dir):
     assert "CartesianProduct" not in plan_of(name, spark, sf_dir)
+
+
+def test_q63_no_global_window_over_events(spark, sf_dir):
+    """The running high-watermark must be a chunked two-pass prefix scan:
+    every window spec that orders by event_id (i.e. runs over the raw
+    events rows) must be partitioned by the chunk key. The only
+    unpartitioned window allowed is the carry-in over the aggregated
+    chunk-boundary frame (orders by _chunk, never sees event rows)."""
+    import re
+
+    plan = plan_of("q63_late_events", spark, sf_dir)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in q63 plan"
+    for spec in specs:
+        if "event_id" in spec:
+            assert "_chunk" in spec.split("event_id")[0], f"unpartitioned window over events: {spec}"
+    # and the carry-in is broadcast back, not shuffled
+    assert "BroadcastHashJoin" in plan
