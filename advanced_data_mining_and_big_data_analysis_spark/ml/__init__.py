@@ -1,11 +1,12 @@
 from .boosted_hybrid import BoostedHybrid, BoostedHybridModel
 from .encoders import build_feature_pipeline
-from .stacking import oof_stack
+from .stacking import StackingModel, oof_stack
 from .tps import run_tps_pipeline, synthetic_sales
 
 __all__ = [
     "BoostedHybrid",
     "BoostedHybridModel",
+    "StackingModel",
     "build_feature_pipeline",
     "oof_stack",
     "run_tps_pipeline",

@@ -9,14 +9,19 @@ regressors via a residual column. The optional log-target wrapper
 reproduces the reference's TransformedTargetRegressor(log1p/expm1)
 (kaggle.py:794-796): fit on log1p(y), invert with expm1 at predict time.
 
-Round-1 scope: in-memory composition (no MLWriter persistence).
+Persistence: ``BoostedHybridModel.save(path)`` writes each fitted stage
+with its native MLWriter plus a meta.json; ``load(spark, path)``
+reassembles — the E2→E3 handoff the reference implies
+(kaggle.py:656-697 trains, 804-859 scores).
 """
 
 from __future__ import annotations
 
 from pyspark.ml import Estimator, Transformer
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import persistence as P
 
 
 class BoostedHybridModel(Transformer):
@@ -45,6 +50,34 @@ class BoostedHybridModel(Transformer):
         raw = F.col(p1) + F.col(p2)
         pred = F.expm1(raw) if self.log_target else raw
         return out.withColumn(self.prediction_col, pred).drop(p1, p2)
+
+    def save(self, path: str) -> None:
+        """Persist both fitted stages + config under ``path`` (any
+        Hadoop-FS URI)."""
+        spark = SparkSession.getActiveSession()
+        P.save_stage(self.fitted_1, f"{path}/stage1")
+        P.save_stage(self.fitted_2, f"{path}/stage2")
+        P.save_meta(
+            spark,
+            path,
+            {
+                "type": "BoostedHybridModel",
+                "stage1": P.stage_meta(self.fitted_1),
+                "stage2": P.stage_meta(self.fitted_2),
+                "prediction_col": self.prediction_col,
+                "log_target": self.log_target,
+            },
+        )
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "BoostedHybridModel":
+        meta = P.load_meta(spark, path)
+        return cls(
+            P.load_stage(spark, meta["stage1"], f"{path}/stage1"),
+            P.load_stage(spark, meta["stage2"], f"{path}/stage2"),
+            prediction_col=meta["prediction_col"],
+            log_target=meta["log_target"],
+        )
 
 
 class BoostedHybrid(Estimator):

@@ -13,12 +13,14 @@ from __future__ import annotations
 from pyspark.ml import Estimator
 from pyspark.ml.regression import LinearRegression
 from pyspark.ml.feature import VectorAssembler
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import persistence as P
 
 
 def fold_of(id_col: str, k: int):
-    """Deterministic fold id: last 7 hex digits of md5(id) mod k."""
+    """Deterministic fold id: first 7 hex digits of md5(id) mod k."""
     return (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10).cast("long") % k
     )
@@ -64,10 +66,59 @@ def oof_stack(
     meta_model = meta.fit(assembler.transform(oof))
     oof_scored = meta_model.transform(assembler.transform(oof))
 
-    # full-data base refits score the test set
-    scored_test = test
-    for i, est in enumerate(base_estimators):
-        model = est.copy().fit(train)
-        scored_test = model.transform(scored_test).withColumnRenamed("prediction", base_cols[i])
-    scored_test = meta_model.transform(assembler.transform(scored_test))
-    return oof_scored, scored_test
+    # full-data base refits, packaged as a persistable fitted stack
+    stack = StackingModel(
+        [est.copy().fit(train) for est in base_estimators],
+        meta_model,
+        base_cols,
+        prediction_col=prediction_col,
+    )
+    return oof_scored, stack.transform(test)
+
+
+class StackingModel:
+    """Fitted stacking ensemble: full-data base models + meta-regressor.
+
+    transform(df) = base model predictions → assembled meta features →
+    meta prediction (column ``prediction_col``). save/load persists every
+    base model and the meta model with their native MLWriters plus a
+    meta.json naming each stage's Python class (ml/persistence.py)."""
+
+    def __init__(self, base_models, meta_model, base_cols, prediction_col: str = "prediction"):
+        self.base_models = base_models
+        self.meta_model = meta_model
+        self.base_cols = list(base_cols)
+        self.prediction_col = prediction_col
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        scored = df
+        for model, col in zip(self.base_models, self.base_cols):
+            scored = model.transform(scored).withColumnRenamed("prediction", col)
+        assembler = VectorAssembler(inputCols=self.base_cols, outputCol="_meta_features")
+        return self.meta_model.transform(assembler.transform(scored))
+
+    def save(self, path: str) -> None:
+        spark = SparkSession.getActiveSession()
+        for i, model in enumerate(self.base_models):
+            P.save_stage(model, f"{path}/base{i}")
+        P.save_stage(self.meta_model, f"{path}/meta_model")
+        P.save_meta(
+            spark,
+            path,
+            {
+                "type": "StackingModel",
+                "bases": [P.stage_meta(m) for m in self.base_models],
+                "meta_model": P.stage_meta(self.meta_model),
+                "base_cols": self.base_cols,
+                "prediction_col": self.prediction_col,
+            },
+        )
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "StackingModel":
+        meta = P.load_meta(spark, path)
+        bases = [
+            P.load_stage(spark, m, f"{path}/base{i}") for i, m in enumerate(meta["bases"])
+        ]
+        meta_model = P.load_stage(spark, meta["meta_model"], f"{path}/meta_model")
+        return cls(bases, meta_model, meta["base_cols"], meta["prediction_col"])

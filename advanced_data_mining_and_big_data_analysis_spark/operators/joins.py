@@ -7,9 +7,14 @@ partitions overwhelm a task, or when AQE is unavailable (streaming joins).
 ``salted_join`` replicates the small side ``salt`` times and scatters the
 big side's hot keys uniformly: big.key joins small.(key, salt_id) on
 (key, salt), where big rows pick a salt from a deterministic hash of
-their row identity — results are identical to the unsalted join, but the
-hot key's rows spread over ``salt`` reducers.
+their row identity — for the supported join types results are identical
+to the unsalted join, and the hot key's rows spread over ``salt``
+reducers. Join types that emit unmatched SMALL-side rows (right/full
+outer) are rejected: the replicated small side would emit each unmatched
+row ``salt`` times.
 """
+
+_SALTED_HOWS = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti"}
 
 from __future__ import annotations
 
@@ -34,6 +39,12 @@ def salted_join(
     an even spread — falling back to spark_partition_id which is uneven
     but correct.
     """
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SALTED_HOWS}:
+        raise ValueError(
+            f"salted_join supports {{inner, left/left_outer, left_semi, left_anti}}; "
+            f"got {how!r} (right/full outer would duplicate unmatched small-side rows "
+            f"{salt}x across the replicas)"
+        )
     if salt_source:
         salt_col = (
             F.conv(F.substring(F.md5(F.col(salt_source).cast("string")), 1, 7), 16, 10)

@@ -156,7 +156,7 @@ def q73_exists_late_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS trailing_7d
     FROM daily ORDER BY day
     """,
-    description="RANGE-frame window: 7-day trailing revenue over a value-based frame (rangeBetween), vs the row-based frames of q11 (SURVEY §2.5 frames row)",
+    description="RANGE-frame window: 7-day trailing revenue over a value-based frame (rangeBetween), vs the row-based frames of q11 (SURVEY §2.5 frames row). The unpartitioned window runs AFTER the per-day aggregate, so its input is bounded by the calendar (one row per day), never the data",
 )
 def q74_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -167,6 +167,9 @@ def q74_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
         F.sum("o_totalprice").alias("rev")
     ).withColumn("sec", F.unix_timestamp(F.col("d").cast("timestamp")))
+    # unpartitioned window is safe here: input is the DAILY rollup
+    # (bounded by the calendar — a few thousand rows at any SF); the
+    # scale path for row-level trailing sums is a range self-join
     w = W.orderBy("sec").rangeBetween(-604800, 0)
     return (
         daily.withColumn("trailing_7d", F.round(F.sum("rev").over(w), 2))

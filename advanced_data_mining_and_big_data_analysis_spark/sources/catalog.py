@@ -133,9 +133,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
+        # Scope the legacy flag to this one read: left set session-wide it
+        # would silently surface OTHER parquets' TIMESTAMP(NANOS) columns
+        # as bigint instead of failing loudly.
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        try:
+            df = spark.read.parquet(path)
+            # force analysis/scan planning while the flag is on
+            dtypes = dict(df.dtypes)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        if dtypes.get("ts") == "bigint":
             # integer division — float division of epoch-nanos (~1.7e18)
             # exceeds double's 2^53 mantissa and lands ~1us off
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

@@ -2,6 +2,7 @@ from .windows import (
     session_agg,
     sliding_agg,
     stateful_running_totals,
+    stateful_session_expiry,
     stream_from_directory,
     stream_stream_join,
     streaming_dedup,
@@ -13,6 +14,7 @@ __all__ = [
     "session_agg",
     "sliding_agg",
     "stateful_running_totals",
+    "stateful_session_expiry",
     "stream_from_directory",
     "stream_stream_join",
     "streaming_dedup",

@@ -115,14 +115,19 @@ def stream_stream_join(
     ts_col: str = "ts",
     watermark: str = "30 minutes",
     within: str = "15 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with event-time bounds (SURVEY §2.11).
+    """Stream-stream join with event-time bounds (SURVEY §2.11).
 
     Both sides carry watermarks and the join condition bounds right.ts to
     [left.ts, left.ts + within] — the constraint Structured Streaming
-    needs to age out buffered state on both sides. Returns
+    needs to age out buffered state on both sides, and (for outer joins)
+    to know when an unmatched buffered row can be emitted null-padded.
+    ``how`` supports inner and left_outer. Returns
     (key, left ts, right ts, left value, right value).
     """
+    if how not in ("inner", "left_outer", "leftOuter"):
+        raise ValueError(f"stream_stream_join supports inner/left_outer, got {how!r}")
     l = left.withWatermark(ts_col, watermark).select(
         F.col(key).alias("l_key"), F.col(ts_col).alias("l_ts"), F.col("value").alias("l_value")
     )
@@ -134,6 +139,7 @@ def stream_stream_join(
         (F.col("l_key") == F.col("r_key"))
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        how,
     )
 
 
@@ -169,14 +175,82 @@ def stateful_running_totals(events: DataFrame, key: str = "user_id") -> DataFram
     )
 
 
+def stateful_session_expiry(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    gap_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Event-time session state machine with explicit state expiry
+    (SURVEY §2.11 stateful timeouts).
+
+    applyInPandasWithState with EventTimeTimeout: each key accumulates
+    (n_events, total_value, max event time); after every batch the
+    timeout is re-armed to max_ts + gap. When the stream's watermark
+    passes that timestamp the state times out — the handler emits ONE
+    closed-session row and removes the state, so state volume stays
+    bounded by the set of live sessions, never the key universe. This is
+    the timeout-driven variant of the built-in session_window (which
+    emits on window close but can't run arbitrary per-session logic)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("closed", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("max_ts_ms", T.LongType()),
+        ]
+    )
+
+    def update(key_tuple, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            n, total, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {key: [key_tuple[0]], "n_events": [n], "total_value": [total], "closed": [True]}
+            )
+            return
+        n, total, max_ts_ms = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max = pdf[ts_col].max()
+            max_ts_ms = max(max_ts_ms, int(batch_max.value // 1_000_000))
+        state.update((n, total, max_ts_ms))
+        state.setTimeoutTimestamp(max_ts_ms + gap_ms)
+        yield pd.DataFrame(
+            {key: [key_tuple[0]], "n_events": [n], "total_value": [total], "closed": [False]}
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def write_foreach_batch_parquet(
     stream: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
 ):
     """foreachBatch parquet sink: each micro-batch lands as an idempotent
-    overwrite partition keyed by batch id. Returns the StreamingQuery."""
+    overwrite of its own ``batch_id=N`` directory — foreachBatch is
+    at-least-once, so a replayed batch must overwrite, not append, for
+    the sink to be exactly-once end to end. Returns the StreamingQuery."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(f"{out_dir}/batch_id={batch_id}")
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     writer = stream.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
     if available_now:

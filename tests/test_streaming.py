@@ -137,6 +137,114 @@ def test_stateful_running_totals_across_microbatches(spark, event_files):
         assert abs(got[k][1] - batch[k][1]) < 1e-6
 
 
+def test_stream_stream_left_outer_join_equals_batch(spark, event_files):
+    """Left-outer stream-stream join: matched rows equal the batch inner
+    join; unmatched left rows whose join window has expired past the
+    final watermark are emitted null-padded, equal to the batch left
+    join restricted to that expired region."""
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    sl, sr = split(
+        ST.stream_from_directory(spark, f"{event_files}/events", SCHEMAS["events"]).filter(
+            F.col("user_id") <= 20
+        )
+    )
+    joined = ST.stream_stream_join(sl, sr, within="15 minutes", how="left_outer")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssj_lo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("t_ssj_lo")
+
+    bl, br = split(spark.read.parquet(f"{event_files}/events").filter(F.col("user_id") <= 20))
+    batch = (
+        bl.select(F.col("user_id").alias("l_key"), F.col("ts").alias("l_ts"), F.col("value").alias("l_value"))
+        .join(
+            br.select(F.col("user_id").alias("r_key"), F.col("ts").alias("r_ts"), F.col("value").alias("r_value")),
+            F.expr("l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 15 MINUTES"),
+            "left_outer",
+        )
+    )
+    cols = ["l_key", "l_ts", "r_ts"]
+    # matched region: identical to the batch inner part
+    assert _rows(streamed.filter("r_ts IS NOT NULL"), cols) == _rows(
+        batch.filter("r_ts IS NOT NULL"), cols
+    )
+    # expired region: nulls are only guaranteed for left rows whose join
+    # window closed before the FINAL watermark = min(side maxes) - delay
+    from datetime import timedelta
+
+    side_max = min(bl.agg(F.max("ts")).first()[0], br.agg(F.max("ts")).first()[0])
+    final_wm = side_max - timedelta(minutes=30)
+    cutoff = F.lit(final_wm - timedelta(minutes=16))  # within bound + 1m margin
+    got_nulls = _rows(streamed.filter(F.col("r_ts").isNull() & (F.col("l_ts") < cutoff)), cols)
+    want_nulls = _rows(batch.filter(F.col("r_ts").isNull() & (F.col("l_ts") < cutoff)), cols)
+    assert got_nulls == want_nulls
+    assert len(got_nulls) > 0  # the fixture must actually exercise null padding
+
+
+def test_stateful_session_expiry_event_time_timeout(spark):
+    """EventTimeTimeout state machine: a key whose last event is gap+delay
+    behind the advanced watermark must emit exactly one closed-session
+    row and lose its state."""
+    import time
+
+    tmp = tempfile.mkdtemp(prefix="stream_timeout_")
+    try:
+        # file A: user 1, three events in a tight burst at T0
+        # file B (later batch): user 2 far in the future — advances the
+        # watermark past user 1's session timeout
+        rows_a = [(1, 1, "click", f"2024-01-01 00:0{m}:00", 1.0) for m in range(3)]
+        rows_b = [(100, 2, "click", "2024-01-02 12:00:00", 2.0)]
+
+        def write(rows, name):
+            spark.createDataFrame(
+                [(e, u, t, ts, v) for (e, u, t, ts, v) in rows],
+                "event_id long, user_id long, event_type string, ts string, value double",
+            ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/src/{name}")
+
+        write(rows_a, "a")
+        time.sleep(1.1)  # file-source batches follow modification time
+        write(rows_b, "b")
+
+        schema = "event_id long, user_id long, event_type string, ts timestamp, value double"
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/src/*")
+        )
+        sessions = ST.stateful_session_expiry(
+            src, key="user_id", watermark="10 minutes", gap_ms=30 * 60 * 1000
+        )
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("t_expiry")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.table("t_expiry").collect()
+        closed = [r for r in out if r["closed"] and r["user_id"] == 1]
+        assert len(closed) == 1, f"expected one closed session for user 1, got {out}"
+        assert closed[0]["n_events"] == 3
+        assert abs(closed[0]["total_value"] - 3.0) < 1e-9
+        # user 2's session is still live at stream end — never closed
+        assert not [r for r in out if r["closed"] and r["user_id"] == 2]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stream_stream_join_equals_batch_interval_join(spark, event_files):
     """Two real streams (clicks x purchases per user, 15-minute bound)
     joined stream-to-stream must match the equivalent batch interval
