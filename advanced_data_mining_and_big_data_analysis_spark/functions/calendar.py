@@ -137,11 +137,13 @@ def with_easter_anchor(df: DataFrame, dt_col: str, spark: SparkSession, years: l
 # ---------------------------------------------------------------------------
 
 _FIXED_HOLIDAYS: dict[str, list[tuple[int, int, str]]] = {
-    "Finland": [(1, 1, "New Year"), (5, 1, "May Day"), (12, 6, "Independence Day"),
+    "Finland": [(1, 1, "New Year"), (1, 6, "Epiphany"), (5, 1, "May Day"),
+                (12, 6, "Independence Day"),
                 (12, 24, "Christmas Eve"), (12, 25, "Christmas Day"), (12, 26, "Boxing Day")],
     "Norway": [(1, 1, "New Year"), (5, 1, "Labour Day"), (5, 17, "Constitution Day"),
                (12, 25, "Christmas Day"), (12, 26, "Boxing Day")],
-    "Sweden": [(1, 1, "New Year"), (5, 1, "May Day"), (6, 6, "National Day"),
+    "Sweden": [(1, 1, "New Year"), (1, 6, "Epiphany"), (5, 1, "May Day"),
+               (6, 6, "National Day"),
                (12, 24, "Christmas Eve"), (12, 25, "Christmas Day"), (12, 26, "Boxing Day")],
 }
 
@@ -149,24 +151,81 @@ _FIXED_HOLIDAYS: dict[str, list[tuple[int, int, str]]] = {
 _EASTER_RELATIVE = [(-2, "Good Friday"), (0, "Easter Sunday"), (1, "Easter Monday"),
                     (39, "Ascension Day"), (49, "Whit Sunday")]
 
+# countries with a Midsummer Eve rule (Friday between Jun 19 and Jun 25)
+_MIDSUMMER_COUNTRIES = ("Finland", "Sweden")
 
-def holiday_rows(years: list[int], countries: list[str] | None = None) -> list[tuple[str, _dt.date, str]]:
-    """Driver-side (country, date, holiday) rows — tiny by construction."""
+
+def midsummer_eve(year: int) -> _dt.date:
+    """Friday between June 19 and 25 — the Finnish/Swedish weekday rule."""
+    d = _dt.date(year, 6, 19)
+    return d + _dt.timedelta(days=(4 - d.weekday()) % 7)
+
+
+def observed_date(d: _dt.date) -> _dt.date | None:
+    """The `holidays`-package ``observed=True`` shift: a fixed-date
+    holiday falling on a weekend ADDS an observed day on the following
+    Monday (Sat +2, Sun +1); weekday holidays add nothing."""
+    if d.weekday() == 5:
+        return d + _dt.timedelta(days=2)
+    if d.weekday() == 6:
+        return d + _dt.timedelta(days=1)
+    return None
+
+
+def fixed_holiday_rows(years: list[int], countries: list[str] | None = None) -> list[tuple[str, _dt.date, str]]:
+    """Fixed-calendar-date rows only (the rows observed-shifting applies to)."""
+    countries = countries or list(_FIXED_HOLIDAYS)
+    return [
+        (country, _dt.date(y, m, d), name)
+        for country in countries
+        for y in years
+        for m, d, name in _FIXED_HOLIDAYS[country]
+    ]
+
+
+def moveable_holiday_rows(years: list[int], countries: list[str] | None = None) -> list[tuple[str, _dt.date, str]]:
+    """Weekday-anchored rows (Easter-relative feasts, Midsummer Eve) —
+    never weekend-shifted because their rules already pin the weekday."""
     countries = countries or list(_FIXED_HOLIDAYS)
     rows: list[tuple[str, _dt.date, str]] = []
     for country in countries:
         for y in years:
-            for m, d, name in _FIXED_HOLIDAYS[country]:
-                rows.append((country, _dt.date(y, m, d), name))
             e = easter_date(y)
             for off, name in _EASTER_RELATIVE:
                 rows.append((country, e + _dt.timedelta(days=off), name))
+            if country in _MIDSUMMER_COUNTRIES:
+                rows.append((country, midsummer_eve(y), "Midsummer Eve"))
     return rows
 
 
-def holiday_dim(spark: SparkSession, years: list[int], countries: list[str] | None = None) -> DataFrame:
+def holiday_rows(
+    years: list[int], countries: list[str] | None = None, observed: bool = False
+) -> list[tuple[str, _dt.date, str]]:
+    """Driver-side (country, date, holiday) rows — tiny by construction.
+
+    ``observed=True`` reproduces ``holidays.CountryHoliday(observed=True)``
+    (reference kaggle.py:332-333): weekend fixed-date holidays gain an
+    extra "<name> (observed)" entry on the following Monday."""
+    fixed = fixed_holiday_rows(years, countries)
+    rows = fixed + moveable_holiday_rows(years, countries)
+    if observed:
+        for country, d, name in fixed:
+            shifted = observed_date(d)
+            if shifted is not None:
+                rows.append((country, shifted, f"{name} (observed)"))
+    return rows
+
+
+def holiday_dim(
+    spark: SparkSession,
+    years: list[int],
+    countries: list[str] | None = None,
+    observed: bool = False,
+) -> DataFrame:
     """Holiday dim table for broadcast joins (SURVEY §2.5 holiday source)."""
-    return spark.createDataFrame(holiday_rows(years, countries), "country string, date date, holiday string")
+    return spark.createDataFrame(
+        holiday_rows(years, countries, observed), "country string, date date, holiday string"
+    )
 
 
 # ---------------------------------------------------------------------------

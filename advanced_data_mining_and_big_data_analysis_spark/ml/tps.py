@@ -130,8 +130,15 @@ def run_tps_ensemble(
 ) -> dict[str, float]:
     """The reference's full E2 recipe at reduced scale: hybrid grid →
     OOF stacking with a linear meta-learner → median blend of base
-    predictions as a fallback comparator. Returns SMAPE for both."""
-    from pyspark.ml.regression import GBTRegressor, LinearRegression
+    predictions as a fallback comparator. Returns SMAPE for both.
+
+    The grid includes an FMRegressor first-stage — the Spark stand-in for
+    the reference's MLPRegressor(hidden=(200,100)) (kaggle.py:731-741):
+    Spark ML has no MLP regressor, and a factorization machine is the
+    closest built-in nonlinear-interaction learner (SURVEY §7 hard-part
+    c). FM trains on the MinMax-SCALED feature vector — SGD on raw
+    year-magnitude features diverges."""
+    from pyspark.ml.regression import FMRegressor, GBTRegressor, LinearRegression
 
     from .ensemble import hybrid_grid, median_blend
     from .stacking import oof_stack
@@ -142,12 +149,16 @@ def run_tps_ensemble(
         cat_cols=["country", "store", "product"], num_cols=linear_cols,
         output_col="features1", one_hot=True, scale=False,
     ).fit(data)
+    feat1s = build_feature_pipeline(
+        cat_cols=["country", "store", "product"], num_cols=linear_cols,
+        output_col="features1s", one_hot=True, scale=True,
+    ).fit(data)
     feat2 = build_feature_pipeline(
         cat_cols=["country", "store", "product", "season"],
         num_cols=["weekday", "wd56", "dec_window", "year"],
         output_col="features2", one_hot=False, scale=False,
     ).fit(data)
-    prepared = feat2.transform(feat1.transform(data)).cache()
+    prepared = feat2.transform(feat1s.transform(feat1.transform(data))).cache()
     train = prepared.filter(F.col("date") <= F.lit(train_end))
     valid = prepared.filter(F.col("date") >= F.lit(valid_start))
 
@@ -155,6 +166,10 @@ def run_tps_ensemble(
         linear_stages=[
             LinearRegression(featuresCol="features1", regParam=1e-4),
             LinearRegression(featuresCol="features1", regParam=0.1, elasticNetParam=0.5),
+            FMRegressor(
+                featuresCol="features1s", factorSize=4, maxIter=50, stepSize=0.05,
+                regParam=1e-4, seed=42,
+            ),
         ],
         boosted_stages=[GBTRegressor(featuresCol="features2", maxIter=gbt_iters, maxDepth=5, seed=42)],
         label_col="num_sold",

@@ -458,3 +458,41 @@ def q39_holiday_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
         .orderBy("country", "holiday")
     )
+
+
+_FIXED_VALUES = ", ".join(
+    f"('{c}', DATE '{d.isoformat()}', '{h}')" for c, d, h in C.fixed_holiday_rows(_EASTER_YEARS)
+)
+_MOVEABLE_VALUES = ", ".join(
+    f"('{c}', DATE '{d.isoformat()}', '{h}')" for c, d, h in C.moveable_holiday_rows(_EASTER_YEARS)
+)
+
+
+@query(
+    "q85_holiday_observed_shift",
+    oracle=f"""
+    WITH fixed(country, hdate, holiday) AS (VALUES {_FIXED_VALUES}),
+    moveable(country, hdate, holiday) AS (VALUES {_MOVEABLE_VALUES}),
+    observed AS (
+      SELECT country,
+             CASE WHEN dayofweek(hdate) = 6 THEN hdate + 2 ELSE hdate + 1 END AS hdate,
+             holiday || ' (observed)' AS holiday
+      FROM fixed WHERE dayofweek(hdate) IN (0, 6)),
+    hd AS (SELECT * FROM fixed UNION ALL SELECT * FROM moveable
+           UNION ALL SELECT * FROM observed)
+    SELECT country, holiday, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders JOIN hd ON CAST(o_orderdate AS DATE) = hdate
+    GROUP BY country, holiday ORDER BY country, holiday
+    """,
+    description="observed-day holiday shifting (holidays-package observed=True parity, kaggle.py:332-333): weekend fixed-date holidays gain a Monday '(observed)' entry; the ORACLE re-derives the shift rule in SQL from the raw fixed dates, so the hash pins the rule itself, not just the dim contents (SURVEY §2.5 holiday source)",
+)
+def q85_holiday_observed_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    dim = C.holiday_dim(spark, _EASTER_YEARS, observed=True)
+    return (
+        orders.join(F.broadcast(dim), F.to_date("o_orderdate") == dim.date)
+        .groupBy("country", "holiday")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy("country", "holiday")
+    )

@@ -414,3 +414,49 @@ def q82_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q84_csv_source_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price,
+           strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_order,
+           strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_order
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    description="CSV source in the oracle gate (SURVEY §2.1): orders mirrored to CSV, read back through the schema'd reader with explicit timestampFormat (the reference's primary source is schema'd CSV, kaggle.py:344-353), aggregated identically to its parquet twin — the oracle runs on the parquet view, so the hash also proves the CSV round-trip is lossless",
+)
+def q84_csv_source_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirrors orders to a CSV copy (tempdir, keyed by SF name) and runs
+    the aggregation over the CSV scan. Explicit schema + timestampFormat,
+    never inferSchema — inference would cost an extra full pass at scale."""
+    import os
+    import tempfile
+
+    from ..sources.catalog import SCHEMAS
+    from ..sources.readers import read_csv
+
+    ts_fmt = "yyyy-MM-dd HH:mm:ss"
+    mirror = os.path.join(
+        tempfile.gettempdir(), "spark_graft_csv_mirror", os.path.basename(sf_dir.rstrip("/")), "orders"
+    )
+    (
+        load_table(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", ts_fmt)
+        .option("timestampNTZFormat", ts_fmt)
+        .csv(mirror)
+    )
+    orders = read_csv(spark, mirror, SCHEMAS["orders"], timestamp_format=ts_fmt)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("first_order"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("last_order"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -28,6 +28,16 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a local SparkSession tuned for the test tiers."""
+    # Executor Python workers unpickle our pandas/mapInPandas UDFs, so the
+    # package root must be importable in THEM, not just the driver —
+    # regardless of the caller's cwd. PYTHONPATH set before JVM start
+    # propagates to local-mode workers; on a real cluster the equivalent
+    # is --py-files / spark.submit.pyFiles with the packaged wheel.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{pypath}" if pypath else pkg_root
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
         shuffle_partitions = max(8, min(2 * cpus, 64))

@@ -39,7 +39,11 @@ def read_csv(
     if date_format:
         reader = reader.option("dateFormat", date_format)
     if timestamp_format:
-        reader = reader.option("timestampFormat", timestamp_format)
+        # NTZ timestamps are driven by a separate option — set both so
+        # the declared format wins regardless of the column's TZ flavor
+        reader = reader.option("timestampFormat", timestamp_format).option(
+            "timestampNTZFormat", timestamp_format
+        )
     return reader.csv(path)
 
 

@@ -44,6 +44,32 @@ HEADLINE = [
 ]
 
 
+def duckdb_timings(sf_dir: str, names: list[str], qs) -> dict[str, float]:
+    """Same-machine DuckDB wall-times for every headline query's oracle
+    SQL on the same parquet — BASELINE.md publishes no reference query
+    numbers, so this is the denominator that makes a 'within 2x' gate
+    computable (VERDICT r1 item 8). DuckDB runs its default
+    multi-threaded config; both engines pay a cold first query (Spark's
+    is amortized by the warmup, DuckDB has no JIT to warm)."""
+    import duckdb
+
+    from advanced_data_mining_and_big_data_analysis_spark.sources import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    out: dict[str, float] = {}
+    for name in names:
+        sql = qs[name].oracle
+        if sql is None:
+            continue
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        out[name] = round(time.time() - t0, 3)
+    con.close()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -63,6 +89,8 @@ def main() -> None:
         timings[name] = dt
         total += dt
 
+    duck = duckdb_timings(sf_dir, names, qs)
+
     print(
         json.dumps(
             {
@@ -70,6 +98,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "duckdb_queries": duck,
+                "duckdb_total": round(sum(duck.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -58,6 +58,24 @@ def test_easter_dates_known_values():
     assert C.easter_date(1997) == dt.date(1997, 3, 30)
 
 
+def test_observed_shift_and_midsummer():
+    import datetime as dt
+
+    # Saturday -> +2 (Monday), Sunday -> +1 (Monday), weekday -> none
+    assert C.observed_date(dt.date(2021, 12, 25)) == dt.date(2021, 12, 27)  # Sat
+    assert C.observed_date(dt.date(2022, 12, 25)) == dt.date(2022, 12, 26)  # Sun
+    assert C.observed_date(dt.date(2023, 12, 25)) is None  # Mon
+    # Midsummer Eve: the Friday in Jun 19-25
+    assert C.midsummer_eve(2021) == dt.date(2021, 6, 25)
+    assert C.midsummer_eve(2024) == dt.date(2024, 6, 21)
+    assert C.midsummer_eve(2021).weekday() == 4
+    # observed rows appear only for weekend fixed holidays
+    rows = C.holiday_rows([2021], ["Norway"], observed=True)
+    names = {h for _, _, h in rows}
+    assert "Christmas Day (observed)" in names  # 2021-12-25 is a Saturday
+    assert "Constitution Day (observed)" not in names  # 2021-05-17 is a Monday
+
+
 def test_season_mapping(spark):
     df = spark.createDataFrame(
         [("2021-01-15",), ("2021-04-15",), ("2021-07-15",), ("2021-10-15",), ("2021-12-15",)],
