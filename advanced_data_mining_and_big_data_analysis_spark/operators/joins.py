@@ -14,12 +14,12 @@ outer) are rejected: the replicated small side would emit each unmatched
 row ``salt`` times.
 """
 
-_SALTED_HOWS = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti"}
-
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_SALTED_HOWS = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti"}
 
 
 def salted_join(

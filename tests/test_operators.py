@@ -111,6 +111,29 @@ def test_near_dup_pairs_planted_duplicate(spark):
     assert all(3 not in pair for pair in pairs)
 
 
+def test_lsh_params_s_curve_brackets_threshold():
+    # For each target threshold, the auto-picked banding's collision
+    # curve must cross 50% inside a +/-0.2 bracket around the target:
+    # clearly-below-threshold pairs are unlikely candidates, clearly-above
+    # pairs are likely.
+    for t in (0.3, 0.5, 0.7, 0.9):
+        bands, rows = D.lsh_params(128, t)
+        assert 1 <= bands * rows <= 128
+        p_lo = D.lsh_collision_probability(max(t - 0.2, 0.02), bands, rows)
+        p_hi = D.lsh_collision_probability(min(t + 0.2, 0.98), bands, rows)
+        assert p_lo < 0.5 < p_hi, (t, bands, rows, p_lo, p_hi)
+        # inflection point lands near the target
+        assert abs((1.0 / bands) ** (1.0 / rows) - t) < 0.1
+    # threshold 0.5, budget 16: picks a banding whose inflection is ~0.5
+    b16, r16 = D.lsh_params(16, 0.5)
+    assert b16 * r16 <= 16
+    assert abs((1.0 / b16) ** (1.0 / r16) - 0.5) < 0.1
+    # curve is monotone increasing in similarity
+    bands, rows = D.lsh_params(64, 0.6)
+    probs = [D.lsh_collision_probability(s / 20, bands, rows) for s in range(1, 20)]
+    assert probs == sorted(probs)
+
+
 def test_lsh_bucket_cap_enforced(spark):
     # Adversarial bucket: 60 identical boilerplate docs land in ONE bucket
     # per band. salt_buckets must split it into sub-buckets of <= cap, and
@@ -144,6 +167,53 @@ def test_cosine_topk_self_similarity(spark):
     got = SIM.topk_cosine(emb, query_id=0, k=3).collect()
     assert got[0]["vec_id"] == 1 and got[0]["cos_sim"] == pytest.approx(1.0)
     assert got[-1]["vec_id"] == 3 and got[-1]["cos_sim"] == pytest.approx(-1.0)
+
+
+def test_multimodal_golden_pin(spark):
+    """Golden-file pin for the deterministic fake decoders (VERDICT r1
+    item 10): the byte-level outputs of extract_features / resize_images /
+    sample_frames on the 6-row fixture are frozen here, so any change to
+    the mapInPandas plumbing (batch shape, truncation rule, frame
+    slicing) that alters bytes is caught even while the real codecs stay
+    stubbed."""
+    media = MM.synthetic_media_df(spark, 6)
+
+    feats = sorted(
+        (r["media_id"], r["mime"], r["n_bytes"], r["feature"])
+        for r in MM.extract_features(media).collect()
+    )
+    assert feats == [
+        (0, "application/octet-stream", 32, None),
+        (1, "image/png", 33, [33.0, 23.0, 39.0, 7.0]),
+        (2, "image/png", 34, [34.0, 30.5, 47.0, 14.0]),
+        (3, "application/octet-stream", 35, None),
+        (4, "image/png", 36, [36.0, 45.5, 63.0, 28.0]),
+        (5, "image/png", 37, [37.0, 53.0, 71.0, 35.0]),
+    ]
+
+    resized = sorted(
+        (r["media_id"], r["width"], r["height"], bytes(r["content"])[:8].hex(), len(r["content"]))
+        for r in MM.resize_images(media, 4, 4).collect()
+    )
+    assert resized == [
+        (0, 4, 4, "0001020304050607", 16),
+        (1, 4, 4, "0708090a0b0c0d0e", 16),
+        (2, 4, 4, "0e0f101112131415", 16),
+        (3, 4, 4, "15161718191a1b1c", 16),
+        (4, 4, 4, "1c1d1e1f20212223", 16),
+        (5, 4, 4, "232425262728292a", 16),
+    ]
+
+    frames = sorted(
+        (r["media_id"], r["frame_idx"], bytes(r["frame"]).hex())
+        for r in MM.sample_frames(media, 16, 2).collect()
+    )
+    assert frames[:2] == [
+        (0, 0, "000102030405060708090a0b0c0d0e0f"),
+        (0, 1, "101112131415161718191a1b1c1d1e1f"),
+    ]
+    assert len(frames) == 12
+    assert frames[-1] == (5, 1, "333435363738393a3b3c3d3e3f404142")
 
 
 def test_multimodal_feature_extraction(spark):
