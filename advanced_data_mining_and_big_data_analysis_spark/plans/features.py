@@ -496,3 +496,76 @@ def q85_holiday_observed_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
         .orderBy("country", "holiday")
     )
+
+
+@query(
+    "q86_periodogram",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS rev
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY d),
+    stats AS (SELECT COUNT(*) AS n, AVG(rev) AS mean, var_pop(rev) AS v FROM daily),
+    idx AS (SELECT rev - mean AS x, ROW_NUMBER() OVER (ORDER BY d) - 1 AS t, n, v
+            FROM daily CROSS JOIN stats),
+    dft AS (
+      SELECT k,
+             SUM(x * cos(2 * pi() * k * t / n)) AS c,
+             SUM(x * sin(2 * pi() * k * t / n)) AS s,
+             FIRST(n) AS n, FIRST(v) AS v
+      FROM idx CROSS JOIN range(1, 11) r(k) GROUP BY k)
+    SELECT k, ROUND(n * 1.0 / k, 2) AS period_steps,
+           ROUND((c * c + s * s) / (n * n * v), 6) AS power_norm
+    FROM dft ORDER BY k
+    """,
+    description="periodogram (SURVEY §2.5): normalized spectral power of the daily revenue series at harmonics 1..10 — the reference's scipy.signal.periodogram diagnostic (kaggle.py:145-176) as a relational DFT: daily rollup (calendar-bounded) x broadcast frequency set, two partial aggregates per frequency, no collect/UDF",
+)
+def q86_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timeseries import periodogram
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    return periodogram(daily, "rev", "d", num_freqs=10)
+
+
+def _mi_oracle_block(col: str, bins: int = 8) -> str:
+    """DuckDB MI for one lineitem column vs l_returnflag — the same
+    equal-width binning + joint/marginal decomposition as
+    ml/feature_select.binned_mutual_information."""
+    return f"""
+    SELECT '{col}' AS feature, ROUND(SUM(term), 6) AS mi_nats FROM (
+      SELECT (c * 1.0 / n) * ln((c * 1.0 * n) / (cb * 1.0 * cl)) AS term FROM (
+        SELECT bin, label, c,
+               SUM(c) OVER () AS n,
+               SUM(c) OVER (PARTITION BY bin) AS cb,
+               SUM(c) OVER (PARTITION BY label) AS cl
+        FROM (
+          SELECT LEAST(CAST(FLOOR(({col} - mn) * {bins} / (mx - mn)) AS INTEGER), {bins - 1}) AS bin,
+                 l_returnflag AS label, COUNT(*) AS c
+          FROM lineitem CROSS JOIN (SELECT MIN({col}) AS mn, MAX({col}) AS mx FROM lineitem)
+          GROUP BY bin, label)))
+    """
+
+
+_MI_COLS = ["l_discount", "l_extendedprice", "l_quantity"]
+
+
+@query(
+    "q87_mi_feature_filter",
+    oracle=" UNION ALL ".join(_mi_oracle_block(c) for c in _MI_COLS)
+    + " ORDER BY feature",
+    description="mutual-information feature filter (SURVEY §2.9, reference MI_THRESHOLD kaggle.py:80): equal-width binned MI between lineitem numerics and l_returnflag — one melt pass, joint counts, windowed marginals over the tiny count frame; ml/feature_select.mi_select applies the threshold",
+)
+def q87_mi_feature_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.feature_select import binned_mutual_information
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return binned_mutual_information(li, _MI_COLS, "l_returnflag", bins=8).orderBy("feature")

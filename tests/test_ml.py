@@ -202,6 +202,39 @@ def test_stacking_save_load_roundtrip(spark, linear_data, tmp_path):
     assert diff == 0.0
 
 
+def test_mi_filter_ranks_dependence(spark):
+    """A feature that determines the label must out-score an independent
+    one, and mi_select must keep only the informative feature."""
+    from advanced_data_mining_and_big_data_analysis_spark.ml.feature_select import (
+        binned_mutual_information,
+        mi_select,
+    )
+
+    rows = [
+        (float(i % 4), float((i * 7 + 3) % 11), "abcd"[i % 4]) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "dep double, indep double, label string")
+    mi = {r["feature"]: r["mi_nats"] for r in binned_mutual_information(df, ["dep", "indep"], "label").collect()}
+    assert mi["dep"] > 1.0  # label is a function of dep: MI = H(label) = ln 4 ~ 1.386
+    assert mi["indep"] < 0.2
+    assert mi_select(df, ["dep", "indep"], "label", threshold=0.5) == ["dep"]
+
+
+def test_periodogram_finds_planted_frequency(spark):
+    """A pure sinusoid at k=5 cycles must put (nearly) all normalized
+    power at k=5."""
+    import math
+
+    from advanced_data_mining_and_big_data_analysis_spark.functions.timeseries import periodogram
+
+    n = 200
+    rows = [(i, math.sin(2 * math.pi * 5 * i / n)) for i in range(n)]
+    df = spark.createDataFrame(rows, "t long, x double")
+    pg = {r["k"]: r["power_norm"] for r in periodogram(df, "x", "t", num_freqs=8).collect()}
+    assert pg[5] > 0.2  # |DFT|^2/(n^2 var) of a pure tone = 1/4 at its bin
+    assert all(v < 0.01 for k, v in pg.items() if k != 5)
+
+
 def test_tps_full_ensemble_recipe(spark):
     from advanced_data_mining_and_big_data_analysis_spark.ml.tps import run_tps_ensemble
 
