@@ -121,10 +121,20 @@ class BoostedHybrid(Estimator):
         m1.setParams(labelCol="_y", predictionCol="_pred1")
         fitted_1 = m1.fit(train)
 
-        with_resid = fitted_1.transform(train).withColumn("_resid", F.col("_y") - F.col("_pred1"))
+        # cache the residual frame: the booster's iterations repeatedly
+        # pull its input, and without this each pass re-runs the stage-1
+        # transform + label arithmetic
+        with_resid = (
+            fitted_1.transform(train)
+            .withColumn("_resid", F.col("_y") - F.col("_pred1"))
+            .cache()
+        )
         m2 = self.model_2.copy()
         m2.setParams(labelCol="_resid", predictionCol="_pred2")
-        fitted_2 = m2.fit(with_resid)
+        try:
+            fitted_2 = m2.fit(with_resid)
+        finally:
+            with_resid.unpersist()
 
         return BoostedHybridModel(
             fitted_1, fitted_2, prediction_col=self.prediction_col, log_target=self.log_target

@@ -35,26 +35,37 @@ def synthetic_sales(
     yearly trend × lognormal noise."""
     dates = pd.date_range(start, end, freq="D")
     rng = np.random.RandomState(seed)
-    rows = []
+    n = len(dates)
+    doy = dates.dayofyear.values
+    wd = dates.weekday.values
+    year = dates.year.values
+    season = 1.0 + 0.3 * np.sin(2 * np.pi * doy / 365.0) + 0.1 * np.cos(4 * np.pi * doy / 365.0)
+    weekend = np.where(wd >= 5, 1.25, 1.0)
+    december = np.where((dates.month.values == 12) & (dates.day.values >= 24), 1.6, 1.0)
+    trend = 1.0 + 0.05 * (year - 2015)
+    parts = []
     row_id = 0
+    # columnar construction (a per-row python loop here costs more than
+    # the whole model fit); rng draw order matches the original row form
     for country, cf in COUNTRIES.items():
         for store, sf_ in STORES.items():
             for product, base in PRODUCTS.items():
-                doy = dates.dayofyear.values
-                wd = dates.weekday.values
-                year = dates.year.values
-                season = 1.0 + 0.3 * np.sin(2 * np.pi * doy / 365.0) + 0.1 * np.cos(
-                    4 * np.pi * doy / 365.0
-                )
-                weekend = np.where(wd >= 5, 1.25, 1.0)
-                december = np.where((dates.month.values == 12) & (dates.day.values >= 24), 1.6, 1.0)
-                trend = 1.0 + 0.05 * (year - 2015)
-                noise = np.exp(rng.normal(0.0, 0.08, len(dates)))
+                noise = np.exp(rng.normal(0.0, 0.08, n))
                 y = base * cf * sf_ * season * weekend * december * trend * noise
-                for d, v in zip(dates, y):
-                    rows.append((row_id, d.date(), country, store, product, float(np.float32(v))))
-                    row_id += 1
-    pdf = pd.DataFrame(rows, columns=["row_id", "date", "country", "store", "product", "num_sold"])
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "row_id": np.arange(row_id, row_id + n, dtype=np.int64),
+                            "date": dates.date,
+                            "country": country,
+                            "store": store,
+                            "product": product,
+                            "num_sold": y.astype(np.float32).astype(np.float64),
+                        }
+                    )
+                )
+                row_id += n
+    pdf = pd.concat(parts, ignore_index=True)
     return spark.createDataFrame(pdf)
 
 
@@ -82,7 +93,9 @@ def run_tps_pipeline(
     gbt_iters: int = 20,
 ) -> dict[str, float]:
     """Fit log-target BoostedHybrid on the time split; return metrics."""
-    data = engineer_features(synthetic_sales(spark))
+    # 26k rows: 8 partitions keep per-iteration task overhead (GBT runs
+    # ~2 jobs/iteration) from dominating the fit at toy scale
+    data = engineer_features(synthetic_sales(spark)).coalesce(8)
 
     linear_cols = ["sin1", "cos1", "sin2", "cos2", "year", "wd56", "dec_window"]
     feat1 = build_feature_pipeline(
@@ -143,7 +156,7 @@ def run_tps_ensemble(
     from .ensemble import hybrid_grid, median_blend
     from .stacking import oof_stack
 
-    data = engineer_features(synthetic_sales(spark))
+    data = engineer_features(synthetic_sales(spark)).coalesce(8)
     linear_cols = ["sin1", "cos1", "sin2", "cos2", "year", "wd56", "dec_window"]
     feat1 = build_feature_pipeline(
         cat_cols=["country", "store", "product"], num_cols=linear_cols,

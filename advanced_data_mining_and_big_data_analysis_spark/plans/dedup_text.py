@@ -234,12 +234,20 @@ def q44_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q45_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     qf = X.quality_features("text")
+    staged = docs.select(
+        "source",
+        qf["n_tokens"].alias("n_tokens"),
+        qf["punct_ratio"].alias("punct_ratio"),
+        qf["avg_token_len"].alias("avg_token_len"),
+    )
     return (
-        docs.select(
+        staged.select(
             "source",
-            X.quality_score("text").alias("score"),
-            qf["punct_ratio"].alias("punct_ratio"),
-            qf["n_tokens"].alias("n_tokens"),
+            X.quality_score_from(
+                F.col("n_tokens"), F.col("punct_ratio"), F.col("avg_token_len")
+            ).alias("score"),
+            "punct_ratio",
+            "n_tokens",
         )
         .groupBy("source")
         .agg(

@@ -5,8 +5,18 @@ Runs the headline declared queries at ``$SPARK_GRAFT_SF_DIR`` (default
     {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is fully materialized via a count-shaped collect (the driver's
-pattern), timed wall-clock. A warmup query amortizes JVM/codegen startup so
-the numbers reflect plan execution, not session boot.
+pattern), timed wall-clock. A warmup query amortizes JVM startup.
+
+Two timings per query:
+- cold: plan build + analysis + codegen + execution — the one-shot cost
+  (its fixed part is a per-plan constant: pennies at 100 TB, dominant at
+  sf<=0.1);
+- warm: a second, freshly-built run of the same query — JIT/codegen
+  caches hot, all stages genuinely re-executed (a same-DataFrame
+  re-collect would silently reuse shuffle files and undercount). This is
+  the number that extrapolates with data volume.
+DuckDB timings on the oracle SQL provide the same-machine denominator
+(DuckDB has no JIT, so its cold ~= warm).
 """
 
 from __future__ import annotations
@@ -41,6 +51,10 @@ HEADLINE = [
     "q45_quality_scores",
     "q47_char_ngram_vocab",
     "q50_cosine_topk",
+    # round-2 additions
+    "q83_neardup_skew_capped",
+    "q86_periodogram",
+    "q87_mi_feature_filter",
 ]
 
 
@@ -81,6 +95,7 @@ def main() -> None:
     qs[names[0]].fn(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     total = 0.0
     for name in names:
         t0 = time.time()
@@ -88,6 +103,9 @@ def main() -> None:
         dt = round(time.time() - t0, 3)
         timings[name] = dt
         total += dt
+        t0 = time.time()
+        qs[name].fn(spark, sf_dir).collect()
+        warm[name] = round(time.time() - t0, 3)
 
     duck = duckdb_timings(sf_dir, names, qs)
 
@@ -98,6 +116,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "warm_queries": warm,
+                "warm_total": round(sum(warm.values()), 3),
                 "duckdb_queries": duck,
                 "duckdb_total": round(sum(duck.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
