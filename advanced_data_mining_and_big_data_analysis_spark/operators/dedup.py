@@ -238,6 +238,48 @@ def near_dup_pairs(
     )
 
 
+def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: (doc_id, cluster)
+    where cluster = min doc_id reachable through the pair graph — the
+    step that turns pairwise near-dup hits into dedup groups.
+
+    Iterative min-label propagation (the GraphX/Pregel cc recipe in
+    DataFrame form): every vertex starts labeled with itself; each round
+    every vertex takes the min of its own and its neighbors' labels;
+    stop at fixpoint. Rounds needed = component diameter — LSH dup
+    clusters are near-cliques (most pairs link directly), so 2-4 rounds
+    in practice; each round is two shuffles on (vertex, label) pairs,
+    fully distributed. The driver-side loop only checks a convergence
+    count per round (an aggregate scalar, not data).
+    """
+    ed = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().cache()
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id")).cache()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(F.col("id"), F.least(F.col("label"), F.col("nmin")).alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("cluster"))
+
+
 def simhash_stats(
     docs: DataFrame, text_col: str = "text", by: str = "lang", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -68,12 +68,11 @@ def q40_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dup_stats(docs, "text", "source").orderBy("source")
 
 
-def _neardup_oracle(docs_sql: str, cap: int) -> str:
-    """MinHash+LSH near-dup SQL mirroring operators/dedup.py exactly,
-    including the salted per-bucket cap (salt = (rank-1) div cap, rank by
-    md5(bucket || id) — same deterministic order as salt_buckets)."""
+def _neardup_ctes(docs_sql: str, cap: int) -> str:
+    """CTE body (no WITH keyword) computing verified near-dup candidates
+    — shared by the pair query and the recursive clustering query."""
     return f"""
-    WITH docs0 AS ({docs_sql}),
+    docs0 AS ({docs_sql}),
     t AS (SELECT doc_id, {_TOKS} AS toks FROM docs0),
     s AS (SELECT doc_id, {_shingles('toks')} AS sh FROM t),
     s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
@@ -94,9 +93,19 @@ def _neardup_oracle(docs_sql: str, cap: int) -> str:
                  len(list_intersect(sa.sh, sb.sh)) * 1.0
                  / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
           FROM cand JOIN s2 sa ON sa.doc_id = cand.id_a
-                    JOIN s2 sb ON sb.doc_id = cand.id_b)
+                    JOIN s2 sb ON sb.doc_id = cand.id_b),
+    verified AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5)
+"""
+
+
+def _neardup_oracle(docs_sql: str, cap: int) -> str:
+    """MinHash+LSH near-dup SQL mirroring operators/dedup.py exactly,
+    including the salted per-bucket cap (salt = (rank-1) div cap, rank by
+    md5(bucket || id) — same deterministic order as salt_buckets)."""
+    return f"""
+    WITH {_neardup_ctes(docs_sql, cap)}
     SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
-    FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+    FROM verified ORDER BY id_a, id_b
 """
 
 
@@ -362,4 +371,34 @@ def q48_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("lang", "rn", "term", F.round("tfidf", 4).alias("tfidf"))
         .orderBy("lang", "rn")
+    )
+
+
+@query(
+    "q88_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_neardup_ctes("SELECT doc_id, text FROM documents", 64)},
+    ed AS (SELECT id_a AS a, id_b AS b FROM verified
+           UNION SELECT id_b, id_a FROM verified),
+    reach(id, label) AS (
+      SELECT DISTINCT a, a FROM ed
+      UNION
+      SELECT ed.a, reach.label FROM ed JOIN reach ON ed.b = reach.id),
+    labels AS (SELECT id, MIN(label) AS cluster FROM reach GROUP BY id),
+    csizes AS (SELECT cluster, COUNT(*) AS cluster_size FROM labels GROUP BY cluster)
+    SELECT cluster_size, COUNT(*) AS n_clusters
+    FROM csizes GROUP BY cluster_size ORDER BY cluster_size
+    """,
+    description="near-duplicate CLUSTERING (dedup-group assignment): connected components over the verified LSH pair graph — iterative distributed min-label propagation on the Spark side (GraphX cc recipe in DataFrame form, rounds = component diameter), recursive CTE on the oracle side; output is the dedup-cluster size histogram",
+)
+def q88_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs(docs, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.5)
+    labels = D.near_dup_clusters(pairs)
+    return (
+        labels.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
     )

@@ -460,3 +460,47 @@ def q84_csv_source_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q89_trailing_range_join",
+    oracle="""
+    WITH daily AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
+                          SUM(o_totalprice) AS rev
+                   FROM orders GROUP BY ck, d),
+    t AS (SELECT a.ck, a.d, ROUND(SUM(b.rev), 2) AS trailing_7d
+          FROM daily a JOIN daily b ON a.ck = b.ck AND b.d BETWEEN a.d - 6 AND a.d
+          GROUP BY a.ck, a.d)
+    SELECT strftime(date_trunc('month', d), '%Y-%m-%d') AS month,
+           COUNT(*) AS n_rows,
+           ROUND(MAX(trailing_7d), 2) AS max_trailing,
+           ROUND(SUM(trailing_7d), 2) AS sum_trailing
+    FROM t GROUP BY month ORDER BY month
+    """,
+    description="row-level 7-day trailing sum as a RANGE SELF-JOIN — the scale path q74's docstring names: equi-join on the entity key (shuffle partitioned by customer, no global window anywhere) + bounded date-range predicate; per-customer daily revenue rolled up monthly (SURVEY §2.5 frames at scale)",
+)
+def q89_trailing_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_custkey").alias("ck"), F.to_date("o_orderdate").alias("d")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    a, b = daily.alias("a"), daily.alias("b")
+    trailing = (
+        a.join(
+            b,
+            (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("b.d") >= F.date_sub(F.col("a.d"), 6))
+            & (F.col("b.d") <= F.col("a.d")),
+        )
+        .groupBy(F.col("a.ck").alias("ck"), F.col("a.d").alias("d"))
+        .agg(F.round(F.sum("b.rev"), 2).alias("trailing_7d"))
+    )
+    return (
+        trailing.groupBy(F.date_format(F.trunc("d", "month"), "yyyy-MM-dd").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.max("trailing_7d"), 2).alias("max_trailing"),
+            F.round(F.sum("trailing_7d"), 2).alias("sum_trailing"),
+        )
+        .orderBy("month")
+    )

@@ -153,6 +153,16 @@ def test_lsh_bucket_cap_enforced(spark):
     assert all(100 not in (p["id_a"], p["id_b"]) for p in pairs)
 
 
+def test_near_dup_clusters_chain_propagation(spark):
+    # chain 1-2-3 (1 and 3 not directly paired) must converge to one
+    # cluster labeled by the min id; disjoint pair 10-11 stays separate
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (10, 11, 0.7)], "id_a long, id_b long, jaccard double"
+    )
+    got = {r["id"]: r["cluster"] for r in D.near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 def test_dedup_exact_keeps_lowest_id(spark):
     docs = spark.createDataFrame(
         [(5, "same text"), (2, "same text"), (9, "unique")], "doc_id long, text string"
