@@ -280,6 +280,22 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels.select(F.col("id"), F.col("label").alias("cluster"))
 
 
+def dedup_survivors(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deduplicated corpus: drop every near-duplicate except its cluster's
+    canonical representative — the final step of the dedup pipeline
+    (pairs -> clusters -> survivors).
+
+    The canonical doc is the min-id member, which is exactly the cluster
+    label ``near_dup_clusters`` converges to, so removal is a single
+    filter on the label frame followed by a left-anti join on the id —
+    one shuffle on the (short) id key; docs that never collided pass
+    through the anti-join untouched.
+    """
+    labels = near_dup_clusters(pairs)
+    removed = labels.filter(F.col("id") != F.col("cluster")).select(F.col("id").alias(id_col))
+    return docs.join(removed, id_col, "left_anti")
+
+
 def simhash_stats(
     docs: DataFrame, text_col: str = "text", by: str = "lang", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -202,6 +202,117 @@ def char_ngram_rows(
     return grams.dropDuplicates([id_col, "gram"]) if per_doc_distinct else grams
 
 
+def word_ngram_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """Word n-grams as (id, extra..., gram) rows WITH multiplicity — the
+    input shape for repetition analysis (Gopher repetition signals need
+    counts, not presence, so no dropDuplicates here)."""
+    spread = _spread(docs, id_col, [*extra_cols, text_col])
+    with_t = spread.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], tokens(text_col).alias("_toks")
+    ).filter(F.size("_toks") >= n)
+    return with_t.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.explode(word_shingles(F.col("_toks"), n=n, distinct=False)).alias("gram"),
+    )
+
+
+def repetition_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """Per-document repetition signals (Gopher-style repetition filters):
+
+    - ``top_ngram_frac``: count of the single most frequent word n-gram
+      over total n-grams (Gopher's 'top n-gram fraction');
+    - ``dup_ngram_frac``: 1 - distinct/total n-grams (fraction of n-gram
+      mass that is repeated occurrences).
+
+    Two partial-aggregate shuffles — (id, gram) then (id) — both on
+    short keys with map-side combine; no arrays survive past the explode,
+    so the per-doc gram multiset never has to fit in one row."""
+    grams = word_ngram_rows(docs, id_col, text_col, n=n, extra_cols=extra_cols)
+    counts = grams.groupBy(id_col, *extra_cols, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.groupBy(id_col, *extra_cols).agg(
+        (F.max("cnt") / F.sum("cnt")).alias("top_ngram_frac"),
+        (F.lit(1.0) - F.count(F.lit(1)) / F.sum("cnt")).alias("dup_ngram_frac"),
+        F.sum("cnt").alias("n_ngrams"),
+    )
+
+
+# PII regexes — identical strings are used in the DuckDB oracles, so the
+# redaction rule itself is hash-pinned. Order matters: emails before URLs
+# is safe here because the URL pattern cannot match a bare local@domain.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+    "url": "https?://[^ ]+",
+    "phone": "555-[0-9]{4}",
+}
+PII_REDACTIONS: dict[str, str] = {"email": "<EMAIL>", "url": "<URL>", "phone": "<PHONE>"}
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (codegen'd regexp_extract_all)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        kind: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact every PII pattern with its placeholder — the pre-training
+    scrub step; chained regexp_replace, one projection, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, PII_REDACTIONS[kind])
+    return c
+
+
+def chunk_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 32,
+    stride: int = 24,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """Overlapping token-window chunks — context-window packing for
+    training-data prep. One row per (doc, chunk): ``chunk_idx`` (1-based),
+    ``chunk_len``, ``chunk_hash`` (md5 of the joined window, pinning
+    content, engine-portable).
+
+    sequence(1, n_tokens, stride) + explode + slice are all flat codegen
+    expressions; the token array exists only within the projection, so
+    the operator is a pure per-row flat-map — no shuffle at all."""
+    if stride < 1 or width < 1:
+        raise ValueError("width and stride must be >= 1")
+    spread = _spread(docs, id_col, [*extra_cols, text_col])
+    with_t = spread.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], tokens(text_col).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    starts = with_t.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.col("_toks"),
+        F.explode(F.sequence(F.lit(1), F.size("_toks"), F.lit(stride))).alias("_start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start"), width)
+    return starts.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        ((F.col("_start") - 1) / stride + 1).cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("chunk_len"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
 def quality_features(text: Column | str) -> dict[str, Column]:
     """Quality-scoring features (length / punctuation / stopword ratios).
 

@@ -374,17 +374,23 @@ def q48_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q88_neardup_clusters",
-    oracle=f"""
-    WITH RECURSIVE {_neardup_ctes("SELECT doc_id, text FROM documents", 64)},
+def _cluster_ctes(docs_sql: str, cap: int) -> str:
+    """CTE body through ``labels`` (id, cluster) — the recursive-CTE twin
+    of ``near_dup_clusters``; shared by q88 (histogram) and q90 (survivors)."""
+    return f"""{_neardup_ctes(docs_sql, cap)},
     ed AS (SELECT id_a AS a, id_b AS b FROM verified
            UNION SELECT id_b, id_a FROM verified),
     reach(id, label) AS (
       SELECT DISTINCT a, a FROM ed
       UNION
       SELECT ed.a, reach.label FROM ed JOIN reach ON ed.b = reach.id),
-    labels AS (SELECT id, MIN(label) AS cluster FROM reach GROUP BY id),
+    labels AS (SELECT id, MIN(label) AS cluster FROM reach GROUP BY id)"""
+
+
+@query(
+    "q88_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_cluster_ctes("SELECT doc_id, text FROM documents", 64)},
     csizes AS (SELECT cluster, COUNT(*) AS cluster_size FROM labels GROUP BY cluster)
     SELECT cluster_size, COUNT(*) AS n_clusters
     FROM csizes GROUP BY cluster_size ORDER BY cluster_size
@@ -401,4 +407,37 @@ def q88_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster_size")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .orderBy("cluster_size")
+    )
+
+
+@query(
+    "q90_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_cluster_ctes("SELECT doc_id, text FROM documents", 64)},
+    removed AS (SELECT id FROM labels WHERE id <> cluster)
+    SELECT d.source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN r.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN r.id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+           ROUND(SUM(CASE WHEN r.id IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS pct_kept
+    FROM documents d LEFT JOIN removed r ON d.doc_id = r.id
+    GROUP BY d.source ORDER BY d.source
+    """,
+    description="dedup SURVIVOR selection — the last step of the pipeline (pairs -> clusters -> deduped corpus): every near-dup cluster keeps only its canonical min-id member via a left-anti join on the label frame; per-source kept/removed accounting",
+)
+def q90_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs(docs, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.5)
+    kept = D.dedup_survivors(docs, pairs)
+    total = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept_n = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        total.join(kept_n, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_docs") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+            F.round(F.coalesce("n_kept", F.lit(0)) / F.col("n_docs"), 6).alias("pct_kept"),
+        )
+        .orderBy("source")
     )

@@ -1,0 +1,250 @@
+"""Training-data pipeline declared queries: PII scrubbing, repetition
+filters, data-mixture sampling, context-window chunking.
+
+These are the corpus-preparation steps downstream of dedup (q40-q43,
+q88, q90) and quality scoring (q45) in an LLM data pipeline: redact,
+drop repetitive docs, mix sources to target proportions, and pack
+documents into fixed token windows. Every op is pure Column-expression /
+relational Spark with a DuckDB oracle re-deriving the identical rule, so
+the driver hash pins the rule itself (regex, hash threshold, window
+arithmetic), not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as X
+from ..sources import load_table
+from .dedup_text import _TOKS
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# q91 — PII redaction. The synthetic corpus has no organic PII, so the
+# query PLANTS a deterministic payload on every 5th doc (mirrored in the
+# oracle) and then proves the scrub: per-kind match counts before, zero
+# residual matches after.
+# ---------------------------------------------------------------------------
+
+_PII_TAIL = "@example.com or call 555-0122 visit https://example.com/a"
+
+
+def _pii_len_sql(col: str, kind: str) -> str:
+    return f"len(regexp_extract_all({col}, '{X.PII_PATTERNS[kind]}'))"
+
+
+_SCRUBBED = (
+    "regexp_replace(regexp_replace(regexp_replace(text,"
+    f" '{X.PII_PATTERNS['email']}', '<EMAIL>', 'g'),"
+    f" '{X.PII_PATTERNS['url']}', '<URL>', 'g'),"
+    f" '{X.PII_PATTERNS['phone']}', '<PHONE>', 'g')"
+)
+
+
+@query(
+    "q91_pii_scrub",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '{_PII_TAIL}'
+                       || CAST(doc_id AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents),
+    m AS (
+      SELECT source,
+             {_pii_len_sql('text', 'email')} AS n_email,
+             {_pii_len_sql('text', 'url')} AS n_url,
+             {_pii_len_sql('text', 'phone')} AS n_phone,
+             {_pii_len_sql(_SCRUBBED, 'email')} + {_pii_len_sql(_SCRUBBED, 'url')}
+               + {_pii_len_sql(_SCRUBBED, 'phone')} AS n_residual
+      FROM planted)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_email + n_url + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_with_pii,
+           CAST(SUM(n_email) AS BIGINT) AS total_emails,
+           CAST(SUM(n_url) AS BIGINT) AS total_urls,
+           CAST(SUM(n_phone) AS BIGINT) AS total_phones,
+           CAST(SUM(n_residual) AS BIGINT) AS residual_matches
+    FROM m GROUP BY source ORDER BY source
+    """,
+    description="PII redaction (pre-training scrub): plant a deterministic email/phone/URL payload on every 5th doc, count per-kind matches, scrub via chained regexp_replace, and prove zero residual matches — the regex rules themselves are hash-pinned by the oracle",
+)
+def q91_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit(_PII_TAIL),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    before = X.pii_counts("text")
+    after = X.pii_counts(X.scrub_pii("text"))
+    m = planted.select(
+        "source",
+        before["email"].alias("n_email"),
+        before["url"].alias("n_url"),
+        before["phone"].alias("n_phone"),
+        (after["email"] + after["url"] + after["phone"]).alias("n_residual"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(((F.col("n_email") + F.col("n_url") + F.col("n_phone")) > 0).cast("long")).alias(
+                "n_docs_with_pii"
+            ),
+            F.sum("n_email").cast("long").alias("total_emails"),
+            F.sum("n_url").cast("long").alias("total_urls"),
+            F.sum("n_phone").cast("long").alias("total_phones"),
+            F.sum("n_residual").cast("long").alias("residual_matches"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q92 — Gopher repetition signals.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q92_repetition_signals",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    bg AS (SELECT doc_id, lang,
+                  unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+           FROM t WHERE len(toks) >= 2),
+    c AS (SELECT doc_id, lang, gram, COUNT(*) AS cnt FROM bg GROUP BY doc_id, lang, gram),
+    d AS (SELECT doc_id, lang,
+                 MAX(cnt) * 1.0 / SUM(cnt) AS top_ngram_frac,
+                 1.0 - COUNT(*) * 1.0 / SUM(cnt) AS dup_ngram_frac
+          FROM c GROUP BY doc_id, lang)
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(top_ngram_frac), 6) AS avg_top_bigram_frac,
+           ROUND(AVG(dup_ngram_frac), 6) AS avg_dup_bigram_frac,
+           CAST(SUM(CASE WHEN top_ngram_frac > 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+    description="Gopher-style repetition filter signals: per-doc top-bigram fraction and duplicate-bigram fraction (counts via gram-as-rows partial aggregates, no per-doc multiset in memory), rolled up per language with a 0.06 repetition flag threshold",
+)
+def q92_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rep = X.repetition_features(docs, n=2, extra_cols=("lang",))
+    return (
+        rep.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("top_ngram_frac"), 6).alias("avg_top_bigram_frac"),
+            F.round(F.avg("dup_ngram_frac"), 6).alias("avg_dup_bigram_frac"),
+            F.sum((F.col("top_ngram_frac") > 0.06).cast("long")).alias("n_flagged"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q93 — deterministic data-mixture sampling. Target doc counts per source;
+# rate = min(1, target/available) derived FROM the data; selection is a
+# hash-threshold Bernoulli (first 6 md5 hex chars < rate threshold) so the
+# same doc is always kept or dropped regardless of cluster size or epoch.
+# ---------------------------------------------------------------------------
+
+_MIX_SPEC: list[tuple[str, int]] = [("src1", 5), ("src2", 15), ("src3", 1_000_000)]
+
+
+@query(
+    "q93_mixture_sample",
+    oracle=f"""
+    WITH spec AS (SELECT * FROM (VALUES {", ".join(f"('{s}', {t})" for s, t in _MIX_SPEC)})
+                  s(source, n_target)),
+    avail AS (SELECT source, COUNT(*) AS n_available FROM documents GROUP BY source),
+    r AS (SELECT spec.source, n_target, n_available,
+                 LEAST(1.0, n_target * 1.0 / n_available) AS rate
+          FROM spec JOIN avail USING (source)),
+    sel AS (SELECT d.source, COUNT(*) AS n_selected
+            FROM documents d JOIN r ON d.source = r.source
+            WHERE r.rate >= 1.0
+               OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+                  < lower(lpad(hex(CAST(floor(r.rate * 16777216) AS BIGINT)), 6, '0'))
+            GROUP BY d.source)
+    SELECT r.source, n_available, CAST(n_target AS BIGINT) AS n_target,
+           COALESCE(n_selected, 0) AS n_selected, ROUND(rate, 6) AS sample_rate
+    FROM r LEFT JOIN sel ON r.source = sel.source ORDER BY r.source
+    """,
+    description="training-data mixture sampling: per-source target doc counts -> self-derived keep rates (min(1, target/available), broadcast back to the fact) -> deterministic hash-threshold Bernoulli selection (md5 prefix vs hex threshold), epoch- and partitioning-stable; covers undersample, heavy sample, and keep-all branches",
+)
+def q93_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    targets = spark.createDataFrame(_MIX_SPEC, "source string, n_target long")
+    avail = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_available"))
+    rates = avail.join(F.broadcast(targets), "source").withColumn(
+        "rate", F.least(F.lit(1.0), F.col("n_target") / F.col("n_available"))
+    )
+    thresh = F.lower(
+        F.lpad(F.hex(F.floor(F.col("rate") * 16777216).cast("long")), 6, "0")
+    )
+    selected = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(
+            (F.col("rate") >= 1.0)
+            | (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6) < thresh)
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_selected"))
+    )
+    return (
+        rates.join(selected, "source", "left")
+        .select(
+            "source",
+            "n_available",
+            "n_target",
+            F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
+            F.round("rate", 6).alias("sample_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q94 — context-window chunking (sequence packing prep).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q94_chunk_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    st AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 24)) AS start
+           FROM t WHERE len(toks) > 0),
+    c AS (SELECT CAST((start - 1) // 24 + 1 AS INTEGER) AS chunk_idx,
+                 len(list_slice(toks, start, start + 31)) AS chunk_len,
+                 md5(array_to_string(list_slice(toks, start, start + 31), ' ')) AS chunk_hash
+          FROM st)
+    SELECT chunk_idx, COUNT(*) AS n_chunks,
+           COUNT(DISTINCT chunk_hash) AS n_distinct_chunks,
+           ROUND(AVG(chunk_len), 4) AS avg_chunk_len
+    FROM c GROUP BY chunk_idx ORDER BY chunk_idx
+    """,
+    description="context-window chunking for training-data prep: overlapping 32-token windows at stride 24 via sequence+explode+slice (pure per-row flat-map, zero shuffles before the final rollup); chunk content is pinned by md5 so the oracle verifies the exact window arithmetic",
+)
+def q94_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = X.chunk_rows(docs, width=32, stride=24)
+    return (
+        chunks.groupBy("chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("chunk_hash").alias("n_distinct_chunks"),
+            F.round(F.avg("chunk_len"), 4).alias("avg_chunk_len"),
+        )
+        .orderBy("chunk_idx")
+    )

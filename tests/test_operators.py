@@ -163,6 +163,55 @@ def test_near_dup_clusters_chain_propagation(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_dedup_survivors_keep_canonical(spark):
+    # clusters {1,2,3} (chain) and {10,11}; survivors = min-id member + untouched docs
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 10, 11)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (10, 11, 0.7)], "id_a long, id_b long, jaccard double"
+    )
+    kept = sorted(r["doc_id"] for r in D.dedup_survivors(docs, pairs).collect())
+    assert kept == [1, 4, 10]
+
+
+def test_scrub_pii_removes_every_pattern(spark):
+    df = spark.createDataFrame(
+        [("mail me at jo.doe+x@sub.example.org or call 555-0199, see https://a.b/c?d=e end",)],
+        "text string",
+    )
+    row = df.select(
+        X.scrub_pii("text").alias("s"),
+        *[v.alias(k) for k, v in X.pii_counts("text").items()],
+    ).collect()[0]
+    assert row["email"] == 1 and row["url"] == 1 and row["phone"] == 1
+    assert row["s"] == "mail me at <EMAIL> or call <PHONE>, see <URL> end"
+    residual = df.select(
+        sum(X.pii_counts(X.scrub_pii("text")).values()).alias("n")
+    ).collect()[0]["n"]
+    assert residual == 0
+
+
+def test_chunk_rows_window_arithmetic(spark):
+    # 50 tokens, width 32 stride 24 -> starts 1,25,49 -> lens 32,26,2
+    text = " ".join(f"w{i}" for i in range(50))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_idx"], r["chunk_len"]) for r in X.chunk_rows(df, width=32, stride=24).collect()
+    )
+    assert rows == [(1, 32), (2, 26), (3, 2)]
+
+
+def test_repetition_features_crafted_doc(spark):
+    # "a b a b a b": bigrams = [a b, b a, a b, b a, a b] -> top 3/5, dup 1-2/5
+    df = spark.createDataFrame([(1, "a b a b a b"), (2, "x y z")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in X.repetition_features(df).collect()}
+    assert got[1]["top_ngram_frac"] == pytest.approx(0.6)
+    assert got[1]["dup_ngram_frac"] == pytest.approx(0.6)
+    assert got[2]["top_ngram_frac"] == pytest.approx(0.5)
+    assert got[2]["dup_ngram_frac"] == pytest.approx(0.0)
+
+
 def test_dedup_exact_keeps_lowest_id(spark):
     docs = spark.createDataFrame(
         [(5, "same text"), (2, "same text"), (9, "unique")], "doc_id long, text string"
