@@ -69,6 +69,36 @@ def synthetic_sales(
     return spark.createDataFrame(pdf)
 
 
+def scale_out(df: DataFrame, replicas: int) -> DataFrame:
+    """Scale the synthetic table by ``replicas`` DISTRIBUTED-side: cross
+    join with a broadcast replica dim and perturb the target with a
+    deterministic md5-derived jitter per (row, replica) — the driver
+    never materializes the scaled frame, so the same code path generates
+    the 100x bench input that a cluster would. row_id stays unique."""
+    if replicas <= 1:
+        return df
+    spark = df.sparkSession
+    rep = F.broadcast(spark.range(replicas).withColumnRenamed("id", "_replica"))
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("row_id").cast("string"), F.lit("#"), F.col("_replica"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 16777216.0
+    )
+    return (
+        df.crossJoin(rep)
+        .withColumn("num_sold", F.col("num_sold") * (0.95 + 0.1 * frac))
+        .withColumn("row_id", F.col("row_id") * replicas + F.col("_replica"))
+        .drop("_replica")
+    )
+
+
 def engineer_features(df: DataFrame) -> DataFrame:
     """The reference's feature block (kaggle.py:193-331) via functions/calendar."""
     parts = C.calendar_parts("date")
@@ -91,11 +121,20 @@ def run_tps_pipeline(
     train_end: str = "2017-12-31",
     valid_start: str = "2018-01-01",
     gbt_iters: int = 20,
+    replicas: int = 1,
 ) -> dict[str, float]:
-    """Fit log-target BoostedHybrid on the time split; return metrics."""
+    """Fit log-target BoostedHybrid on the time split; return metrics.
+    ``replicas`` scales the training table distributed-side (bench knob)."""
+    raw = scale_out(synthetic_sales(spark), replicas)
     # 26k rows: 8 partitions keep per-iteration task overhead (GBT runs
-    # ~2 jobs/iteration) from dominating the fit at toy scale
-    data = engineer_features(synthetic_sales(spark)).coalesce(8)
+    # ~2 jobs/iteration) from dominating the fit at toy scale; at bench
+    # scale, spread across the full parallelism instead
+    data = engineer_features(raw)
+    data = (
+        data.coalesce(8)
+        if replicas <= 1
+        else data.repartition(spark.sparkContext.defaultParallelism)
+    )
 
     linear_cols = ["sin1", "cos1", "sin2", "cos2", "year", "wd56", "dec_window"]
     feat1 = build_feature_pipeline(

@@ -215,6 +215,57 @@ def q93_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q95 — unigram language-model scoring: the relational analog of the
+# CCNet/C4 perplexity filter. The LM is trained ON the corpus itself
+# (token -> corpus probability), each doc scored by mean negative log
+# probability; outliers (high NLL = statistically unusual token mix) are
+# flagged. Both the "training" and scoring are two shuffles on the token
+# key — no model object, the LM IS a DataFrame.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q95_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source, unnest({_TOKS}) AS tok FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    n AS (SELECT COUNT(*) AS total FROM tok),
+    d AS (SELECT doc_id, source, -SUM(ln(cnt * 1.0 / total)) / COUNT(*) AS nll
+          FROM tok JOIN vocab USING (tok) CROSS JOIN n GROUP BY doc_id, source)
+    SELECT source, COUNT(*) AS n_docs,
+           ROUND(AVG(nll), 6) AS avg_nll,
+           ROUND(MAX(nll), 6) AS max_nll,
+           CAST(SUM(CASE WHEN nll > 3.42 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM d GROUP BY source ORDER BY source
+    """,
+    description="unigram LM scoring (relational CCNet/C4 perplexity-filter analog): corpus token probabilities as a DataFrame 'model', per-doc mean negative log-likelihood via a token-key join, per-source rollup with an outlier flag at NLL > 3.42 (~p90)",
+)
+def q95_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = X.token_rows(docs, "doc_id", "text", extra_cols=("source",)).select(
+        "doc_id", "source", F.col("_tok").alias("tok")
+    )
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    n = tok.agg(F.count(F.lit(1)).alias("total"))
+    d = (
+        tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id", "source")
+        .agg((-F.sum(F.log(F.col("cnt") * 1.0 / F.col("total"))) / F.count(F.lit(1))).alias("nll"))
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+            F.round(F.max("nll"), 6).alias("max_nll"),
+            F.sum((F.col("nll") > 3.42).cast("long")).alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q94 — context-window chunking (sequence packing prep).
 # ---------------------------------------------------------------------------
 

@@ -188,6 +188,108 @@ def q55_ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_assign(spark: SparkSession, sf_dir: str):
+    """Shared IVF plumbing: (assign, dims, cent) frames — per-vector
+    nearest-centroid cluster, exploded dimensions, per-label centroids."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select("vec_id", SIM.as_double("embedding").alias("v"), F.col("label"))
+    dims = x.select("vec_id", F.posexplode("v").alias("dim0", "comp")).withColumn(
+        "dim", F.col("dim0") + 1
+    )
+    cent = (
+        x.select(F.col("label").alias("c_label"), F.posexplode("v").alias("dim0", "comp"))
+        .withColumn("dim", F.col("dim0") + 1)
+        .groupBy("c_label", "dim")
+        .agg(F.avg("comp").alias("c"))
+    )
+    dist = (
+        dims.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "c_label")
+        .agg(F.sum((F.col("comp") - F.col("c")) * (F.col("comp") - F.col("c"))).alias("d2"))
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "c_label")
+    assign = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("cluster"))
+        .join(x.select("vec_id", "v"), "vec_id")
+    )
+    return assign, dims, cent
+
+
+@query(
+    "q96_ivf_multiprobe",
+    oracle=f"""
+    WITH x AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT label AS c_label, dim, AVG(v[dim]) AS c
+             FROM x CROSS JOIN range(1, 65) r(dim) GROUP BY c_label, dim),
+    dist AS (SELECT x.vec_id, cent.c_label,
+                    SUM((v[r.dim] - c) * (v[r.dim] - c)) AS d2
+             FROM x CROSS JOIN range(1, 65) r(dim)
+             JOIN cent ON cent.dim = r.dim
+             GROUP BY x.vec_id, cent.c_label),
+    best AS (SELECT vec_id, c_label AS cluster,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+             FROM dist),
+    assign AS (SELECT x.vec_id, x.v, best.cluster
+               FROM x JOIN best ON best.vec_id = x.vec_id AND best.rn = 1),
+    qv AS (SELECT v AS q FROM x WHERE vec_id = 0),
+    probes AS (SELECT c_label AS cluster,
+                      ROW_NUMBER() OVER (ORDER BY d2, c_label) AS probe_rank
+               FROM dist WHERE vec_id = 0 QUALIFY probe_rank <= 2),
+    scored AS (
+      SELECT a.vec_id, a.cluster, p.probe_rank,
+             {_DOT_VQ.replace("v[i]", "a.v[i]")} /
+             ({_NORM_V.replace("v[i]", "a.v[i]")} * {_NORM_Q}) AS cos_sim
+      FROM assign a JOIN probes p ON a.cluster = p.cluster CROSS JOIN qv
+      WHERE a.vec_id <> 0)
+    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+           CAST(probe_rank AS INTEGER) AS probe_rank,
+           ROUND(cos_sim, 6) + 0 AS cos_sim
+    FROM scored ORDER BY scored.cos_sim DESC, vec_id LIMIT 5
+    """,
+    description="multi-probe IVF ANN (nprobe=2): clusters ranked by query-to-centroid distance, the 2 nearest probed, cosine top-k over the union — the recall-vs-cost knob of the coarse quantizer (q56 is nprobe=1); probe cost is bounded by nprobe/k_clusters of the corpus",
+)
+def q96_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    assign, dims, cent = _ivf_assign(spark, sf_dir)
+    qdist = (
+        dims.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(cent), "dim")
+        .groupBy("c_label")
+        .agg(F.sum((F.col("comp") - F.col("c")) * (F.col("comp") - F.col("c"))).alias("d2"))
+    )
+    # global window over the centroid frame only — bounded by k_clusters
+    probes = (
+        qdist.withColumn("probe_rank", F.row_number().over(W.orderBy("d2", "c_label")))
+        .filter(F.col("probe_rank") <= 2)
+        .select(F.col("c_label").alias("cluster"), "probe_rank")
+    )
+    qv = assign.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    return (
+        assign.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), "cluster")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "cluster",
+            "probe_rank",
+            SIM.cosine(F.col("v"), F.col("q")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(5)
+        .select(
+            "vec_id",
+            "cluster",
+            "probe_rank",
+            (F.round("cos_sim", 6) + 0.0).alias("cos_sim"),
+        )
+    )
+
+
 @query(
     "q56_ivf_topk",
     oracle=f"""
@@ -217,31 +319,7 @@ def q55_ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="IVF ANN end-to-end: nearest-centroid assignment (q55) + cosine top-k restricted to the query vector's cluster — the coarse-quantizer search path at scale",
 )
 def q56_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    x = emb.select("vec_id", SIM.as_double("embedding").alias("v"), F.col("label"))
-    dims = x.select("vec_id", F.posexplode("v").alias("dim0", "comp")).withColumn(
-        "dim", F.col("dim0") + 1
-    )
-    cent = (
-        x.select(F.col("label").alias("c_label"), F.posexplode("v").alias("dim0", "comp"))
-        .withColumn("dim", F.col("dim0") + 1)
-        .groupBy("c_label", "dim")
-        .agg(F.avg("comp").alias("c"))
-    )
-    dist = (
-        dims.join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "c_label")
-        .agg(F.sum((F.col("comp") - F.col("c")) * (F.col("comp") - F.col("c"))).alias("d2"))
-    )
-    w = W.partitionBy("vec_id").orderBy("d2", "c_label")
-    assign = (
-        dist.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("c_label").alias("cluster"))
-        .join(x.select("vec_id", "v"), "vec_id")
-    )
+    assign, _, _ = _ivf_assign(spark, sf_dir)
     qv = assign.filter(F.col("vec_id") == 0).select(
         F.col("v").alias("q"), F.col("cluster").alias("q_cluster")
     )

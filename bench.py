@@ -55,6 +55,10 @@ HEADLINE = [
     "q83_neardup_skew_capped",
     "q86_periodogram",
     "q87_mi_feature_filter",
+    # training-data pipeline ops
+    "q92_repetition_signals",
+    "q94_chunk_stats",
+    "q95_unigram_logprob",
 ]
 
 
