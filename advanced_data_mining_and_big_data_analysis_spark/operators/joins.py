@@ -60,3 +60,61 @@ def salted_join(
     )
     out = big_salted.join(small_salted, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """As-of join (left): for every left row, attach the payload of the
+    most recent right row with ``right_ts <= left_ts`` for the same key;
+    nulls where no right row precedes. The temporal-join primitive Spark
+    SQL lacks (DuckDB/kdb ASOF JOIN, pandas merge_asof).
+
+    Shape: union the two sides (right rows sort BEFORE left rows on ts
+    ties, so an equal-timestamp right row is visible) and run one
+    last-non-null window per key — a single shuffle on the key, linear
+    scan per partition. This deliberately avoids the range-join form
+    (left x right ON key AND rt <= lt + max-per-left), which explodes
+    quadratically per key before its aggregate; the window form's cost
+    is sort + scan regardless of how many right rows precede each left
+    row. Skewed keys shard like any window (salt the key upstream if one
+    entity dominates).
+
+    Right payload columns must not collide with left column names
+    (select/rename the right side first).
+    """
+    from pyspark.sql import Window as W
+
+    vcols = [c for c in right.columns if c not in (on, right_ts)]
+    clash = set(vcols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right payload columns collide with left: {sorted(clash)}")
+    l2 = left.withColumn("_t", F.col(left_ts)).withColumn("_side", F.lit(1))
+    r2 = (
+        right.withColumn("_t", F.col(right_ts))
+        .drop(right_ts)
+        .withColumn("_side", F.lit(0))
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    w = (
+        W.partitionBy(on)
+        .orderBy("_t", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"_asof_{c}")
+            for c in vcols
+        ],
+    )
+    out = filled.filter(F.col("_side") == 1).drop("_side", "_t", *vcols)
+    for c in vcols:
+        out = out.withColumnRenamed(f"_asof_{c}", c)
+    return out

@@ -59,6 +59,7 @@ def all_queries() -> dict[str, QueryDef]:
         relational3,
         sessions,
         similarity,
+        temporal,
     )
 
     return dict(sorted(REGISTRY.items()))

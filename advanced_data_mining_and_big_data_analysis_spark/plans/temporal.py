@@ -1,0 +1,120 @@
+"""Temporal / mutation declared queries: CDC upsert apply and as-of join.
+
+Two operator families every warehouse-shaped pipeline needs and the
+DataFrame API lacks as primitives: MERGE-style incremental maintenance
+(q97, ``operators/cdc.py``) and the temporal as-of join (q98,
+``operators/joins.py:asof_join``). The DuckDB oracles use a recursive
+latest-wins window and the native ASOF JOIN respectively, so the hash
+pins the exact merge/as-of semantics, not a lookalike.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cdc import apply_cdc
+from ..operators.joins import asof_join
+from ..sources import load_table
+from .registry import query
+
+_INS_OFFSET = 10_000_000_000
+
+
+@query(
+    "q97_cdc_upsert",
+    oracle=f"""
+    WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp
+                  FROM orders),
+    ch AS (
+      SELECT k, 'U' AS op, 1 AS seq, st, tp * 1.1 AS tp FROM base WHERE k % 10 = 0
+      UNION ALL SELECT k, 'U', 2, st, tp * 1.2 FROM base WHERE k % 30 = 0
+      UNION ALL SELECT k, 'D', 3, NULL, NULL FROM base WHERE k % 17 = 3
+      UNION ALL SELECT k + {_INS_OFFSET}, 'I', 1, 'N', 999.99 FROM base WHERE k % 23 = 5),
+    latest AS (SELECT * FROM ch
+               QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) = 1),
+    applied AS (
+      SELECT b.k, b.st, b.tp FROM base b LEFT JOIN latest l ON b.k = l.k
+      WHERE l.k IS NULL
+      UNION ALL
+      SELECT k, st, tp FROM latest WHERE op <> 'D')
+    SELECT st AS o_orderstatus, COUNT(*) AS n_rows,
+           ROUND(SUM(tp), 2) AS sum_totalprice
+    FROM applied GROUP BY st ORDER BY st
+    """,
+    description="CDC upsert apply (Delta-MERGE semantics on plain DataFrames): a synthesized I/U/D change feed with conflicting per-key sequences — latest-wins ranking over the feed, anti-join drop, union upserts; exercises update-then-delete and double-update conflicts (operators/cdc.py)",
+)
+def q97_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    k = F.col("k")
+    changes = (
+        base.filter(k % 10 == 0)
+        .select("k", F.lit("U").alias("op"), F.lit(1).alias("seq"), "st", (F.col("tp") * 1.1).alias("tp"))
+        .unionByName(
+            base.filter(k % 30 == 0).select(
+                "k", F.lit("U").alias("op"), F.lit(2).alias("seq"), "st", (F.col("tp") * 1.2).alias("tp")
+            )
+        )
+        .unionByName(
+            base.filter(k % 17 == 3).select(
+                "k",
+                F.lit("D").alias("op"),
+                F.lit(3).alias("seq"),
+                F.lit(None).cast("string").alias("st"),
+                F.lit(None).cast("double").alias("tp"),
+            )
+        )
+        .unionByName(
+            base.filter(k % 23 == 5).select(
+                (k + _INS_OFFSET).alias("k"),
+                F.lit("I").alias("op"),
+                F.lit(1).alias("seq"),
+                F.lit("N").alias("st"),
+                F.lit(999.99).alias("tp"),
+            )
+        )
+    )
+    applied = apply_cdc(base, changes, key="k", op_col="op", seq_col="seq")
+    return (
+        applied.groupBy(F.col("st").alias("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("tp"), 2).alias("sum_totalprice"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q98_asof_join",
+    oracle="""
+    WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+    views AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+    SELECT c.user_id % 10 AS cohort, COUNT(*) AS n_clicks,
+           COUNT(v.value) AS n_matched,
+           ROUND(SUM(COALESCE(v.value, 0)), 2) AS sum_asof_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    GROUP BY cohort ORDER BY cohort
+    """,
+    description="as-of join (temporal join primitive Spark lacks; DuckDB native ASOF JOIN as the oracle): every click joined to the user's most recent view at-or-before it — implemented as union + one last-non-null window per key (single shuffle, linear scan; deliberately NOT the quadratic range-join form), per-cohort rollup",
+)
+def q98_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    views = events.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    joined = asof_join(clicks, views, on="user_id")
+    return (
+        joined.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.count("value").alias("n_matched"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("sum_asof_value"),
+        )
+        .orderBy("cohort")
+    )
