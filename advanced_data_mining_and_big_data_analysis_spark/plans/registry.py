@@ -59,6 +59,7 @@ def all_queries() -> dict[str, QueryDef]:
         relational3,
         sessions,
         similarity,
+        sources_ext,
         temporal,
     )
 

@@ -47,6 +47,28 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """JSON-lines scan with an explicit schema (same no-inference rule as
+    ``read_csv``). With ``corrupt_col``, reads PERMISSIVE: malformed
+    lines land whole in that string column instead of failing the job —
+    the production posture for web-scraped JSONL, where one broken line
+    must not kill a 100 TB scan."""
+    if corrupt_col:
+        schema = T.StructType([*schema.fields, T.StructField(corrupt_col, T.StringType())])
+        return (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+            .json(path)
+        )
+    return spark.read.schema(schema).json(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
