@@ -7,6 +7,7 @@ from .windows import (
     stream_stream_join,
     streaming_dedup,
     tumbling_agg,
+    write_cdc_snapshot,
     write_foreach_batch_parquet,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "stream_stream_join",
     "streaming_dedup",
     "tumbling_agg",
+    "write_cdc_snapshot",
     "write_foreach_batch_parquet",
 ]

@@ -256,3 +256,46 @@ def write_foreach_batch_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_cdc_snapshot(
+    changes: DataFrame,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    available_now: bool = True,
+):
+    """Streaming incremental table maintenance: a CDC change stream is
+    applied micro-batch by micro-batch to a parquet snapshot via
+    ``operators.cdc.apply_cdc`` — the streaming MERGE loop (read
+    snapshot, apply batch, atomically swap). Latest-wins inside each
+    batch; across batches, arrival order IS the sequence order (the
+    stream's contract). The swap (write tmp, rename) keeps readers from
+    seeing a half-written snapshot; on a real cluster the same slot is a
+    Delta/Iceberg MERGE with snapshot isolation. Returns the query.
+    """
+    import os
+    import shutil
+
+    from ..operators.cdc import apply_cdc
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base_cols = [c for c in batch_df.columns if c not in (op_col, seq_col)]
+        if os.path.exists(snapshot_dir):
+            base = spark.read.parquet(snapshot_dir).select(*base_cols)
+        else:
+            base = batch_df.select(*base_cols).limit(0)
+        applied = apply_cdc(base, batch_df, key=key, op_col=op_col, seq_col=seq_col)
+        tmp = f"{snapshot_dir}.tmp-{batch_id}"
+        applied.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(snapshot_dir):
+            shutil.rmtree(snapshot_dir)
+        os.rename(tmp, snapshot_dir)
+
+    writer = changes.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

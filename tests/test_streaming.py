@@ -282,3 +282,45 @@ def test_stream_stream_join_equals_batch_interval_join(spark, event_files):
     cols = ["l_key", "l_ts", "r_ts"]
     assert _rows(streamed, cols) == _rows(batch, cols)
     assert streamed.count() > 0
+
+
+def test_streaming_cdc_snapshot_maintenance(spark):
+    """The streaming MERGE loop: two CDC micro-batches applied in order to
+    a parquet snapshot must yield exactly the sequential batch apply —
+    including a cross-batch update-then-delete and a delete-then-reinsert."""
+    import pyspark.sql.types as T
+
+    from advanced_data_mining_and_big_data_analysis_spark.operators.cdc import apply_cdc
+
+    tmp = tempfile.mkdtemp(prefix="cdc_stream_")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("payload", T.StringType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    batch1 = [(1, "a1", "I", 1), (2, "b1", "I", 2), (3, "c1", "I", 3)]
+    batch2 = [(2, None, "D", 4), (3, "c2", "U", 5), (4, "d1", "I", 6), (1, None, "D", 7), (1, "a2", "I", 8)]
+    # one file per micro-batch, lexicographic names fix arrival order
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(f"{tmp}/feed/b=0")
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(f"{tmp}/feed/b=1")
+
+    feed = ST.stream_from_directory(
+        spark, f"{tmp}/feed/b=*", schema, max_files_per_trigger=1
+    )
+    q = ST.write_cdc_snapshot(
+        feed, f"{tmp}/snapshot", f"{tmp}/ckpt", key="k", op_col="op", seq_col="seq"
+    )
+    q.awaitTermination(120)
+
+    got = {r["k"]: r["payload"] for r in spark.read.parquet(f"{tmp}/snapshot").collect()}
+    # sequential truth: batch1 then batch2 through the same operator
+    base0 = spark.createDataFrame([], "k long, payload string")
+    b1 = spark.createDataFrame(batch1, schema)
+    b2 = spark.createDataFrame(batch2, schema)
+    want_df = apply_cdc(apply_cdc(base0, b1, key="k"), b2, key="k")
+    want = {r["k"]: r["payload"] for r in want_df.collect()}
+    assert got == want == {1: "a2", 3: "c2", 4: "d1"}
+    shutil.rmtree(tmp, ignore_errors=True)
