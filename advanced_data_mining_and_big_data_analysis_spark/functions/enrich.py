@@ -58,3 +58,31 @@ def add_pseudo_labels(
         .drop("_pl")
     )
     return train.unionByName(labeled_test.select(*train.columns))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "row_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row draws u in (0,1) from a hash of its id and
+    ranks by ln(u)/w — the k largest keys are a correct weight-
+    proportional sample. One TakeOrdered pass, no per-group state, and
+    the hash-derived u makes the sample reproducible across engines,
+    epochs, and cluster sizes (the same property q93's mixture sampler
+    uses). The log form avoids u**(1/w) underflow for large weights.
+
+    Adds ``_skey`` (the ranking key) to the output for auditability.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10).cast("double")
+        + 1.0
+    ) / 16777217.0  # (0, 1]: +1 shift keeps ln() finite at the hash floor
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn("_skey", key)
+        .orderBy(F.col("_skey").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -266,6 +266,35 @@ def q95_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q103 — deterministic weighted sampling (Efraimidis-Spirakis A-ES).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q103_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 1.0)
+                / 16777217.0) / n_chars AS _skey
+      FROM documents),
+    top AS (SELECT * FROM keyed ORDER BY _skey DESC, doc_id LIMIT 20)
+    SELECT doc_id, source, n_chars, ROUND(_skey * 1000, 6) AS skey_x1000
+    FROM top ORDER BY doc_id
+    """,
+    description="deterministic weighted sampling without replacement (Efraimidis-Spirakis A-ES): rank by ln(hash-u)/weight, take the k largest — weight-proportional, reproducible across engines/epochs/cluster sizes, one TakeOrdered pass; the oracle re-derives the identical key so membership AND key values are pinned",
+)
+def q103_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.enrich import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = weighted_sample(docs, weight_col="n_chars", k=20, id_col="doc_id")
+    return top.select(
+        "doc_id", "source", "n_chars", F.round(F.col("_skey") * 1000, 6).alias("skey_x1000")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # q94 — context-window chunking (sequence packing prep).
 # ---------------------------------------------------------------------------
 

@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import (  # noqa: F401
         dedup_text,
         features,
+        graph,
         pipeline_ops,
         relational,
         relational2,

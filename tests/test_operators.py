@@ -212,6 +212,18 @@ def test_repetition_features_crafted_doc(spark):
     assert got[2]["dup_ngram_frac"] == pytest.approx(0.0)
 
 
+def test_weighted_sample_deterministic_and_weight_dominant(spark):
+    from advanced_data_mining_and_big_data_analysis_spark.functions.enrich import weighted_sample
+
+    rows = [(i, 10.0) for i in range(1, 201)] + [(999, 1e9)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    s1 = sorted(r["doc_id"] for r in weighted_sample(df, "w", 10, id_col="doc_id").collect())
+    s2 = sorted(r["doc_id"] for r in weighted_sample(df, "w", 10, id_col="doc_id").collect())
+    assert s1 == s2 and len(s1) == 10
+    # a weight 8 orders of magnitude above the rest is essentially certain
+    assert 999 in s1
+
+
 def test_asof_join_tie_and_no_match(spark):
     from advanced_data_mining_and_big_data_analysis_spark.operators.joins import asof_join
 
