@@ -78,8 +78,10 @@ def weighted_sample(
     """
     u = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10).cast("double")
-        + 1.0
-    ) / 16777217.0  # (0, 1]: +1 shift keeps ln() finite at the hash floor
+        + 0.5
+    ) / 16777216.0  # strictly interior (0,1): u=0 would make ln() -inf,
+    # u=1 would make the key 0 = the global max, letting a 1-in-16M hash
+    # collision win the sample regardless of weight
     key = F.log(u) / F.col(weight_col)
     return (
         df.withColumn("_skey", key)

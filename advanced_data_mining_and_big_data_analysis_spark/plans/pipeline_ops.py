@@ -275,8 +275,8 @@ def q95_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH keyed AS (
       SELECT doc_id, source, n_chars,
-             ln((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 1.0)
-                / 16777217.0) / n_chars AS _skey
+             ln((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5)
+                / 16777216.0) / n_chars AS _skey
       FROM documents),
     top AS (SELECT * FROM keyed ORDER BY _skey DESC, doc_id LIMIT 20)
     SELECT doc_id, source, n_chars, ROUND(_skey * 1000, 6) AS skey_x1000
