@@ -1,0 +1,95 @@
+"""End-to-end LLM training-corpus pipeline: the north-star operators
+composed the way a data-curation run actually chains them.
+
+    python examples/corpus_pipeline.py [sf_dir] [output_dir]
+
+stage 1  quality gate      — drop low-quality docs (length/punct/word-len)
+stage 2  repetition gate   — drop docs with top-bigram fraction > 0.06
+stage 3  near-dup dedup    — MinHash+LSH pairs -> connected components ->
+                             keep each cluster's canonical member
+stage 4  PII scrub         — redact emails/URLs/phones in survivors
+stage 5  mixture sample    — deterministic per-source hash sampling
+stage 6  chunking          — 32-token windows, stride 24
+stage 7  partitioned parquet sink (by lang) + one-line run report
+
+Every stage is a pure DataFrame transform from the operator library, so
+the whole pipeline is ONE lazy plan per action and scales with the
+cluster — nothing here collects to the driver except the final counters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from advanced_data_mining_and_big_data_analysis_spark import get_spark
+from advanced_data_mining_and_big_data_analysis_spark.operators import dedup as D
+from advanced_data_mining_and_big_data_analysis_spark.operators import text as X
+from advanced_data_mining_and_big_data_analysis_spark.sources import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="corpus_out_")
+    spark = get_spark("corpus-pipeline")
+    t0 = time.monotonic()
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_raw = docs.count()
+
+    # 1. quality gate
+    qf = X.quality_features("text")
+    staged = docs.select(
+        "*",
+        qf["n_tokens"].alias("_nt"),
+        qf["punct_ratio"].alias("_pr"),
+        qf["avg_token_len"].alias("_atl"),
+    )
+    quality = staged.filter(
+        X.quality_score_from(F.col("_nt"), F.col("_pr"), F.col("_atl")) >= 2.0 / 3.0
+    ).drop("_nt", "_pr", "_atl")
+
+    # 2. repetition gate
+    rep = X.repetition_features(quality, n=2)
+    keep_ids = rep.filter(F.col("top_ngram_frac") <= 0.06).select("doc_id")
+    clean = quality.join(keep_ids, "doc_id", "left_semi")
+
+    # 3. near-dup dedup (pairs -> clusters -> canonical survivors)
+    pairs = D.near_dup_pairs(clean, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.5)
+    survivors = D.dedup_survivors(clean, pairs)
+
+    # 4. PII scrub
+    scrubbed = survivors.withColumn("text", X.scrub_pii("text"))
+
+    # 5. deterministic mixture sample (keep ~80% of every source)
+    frac_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6)
+    sampled = scrubbed.filter(frac_hex < F.lit("cccccc"))
+
+    # 6. chunking
+    chunks = X.chunk_rows(sampled, width=32, stride=24, extra_cols=("lang", "source"))
+
+    # 7. sink, partitioned for downstream pruning
+    chunks.write.mode("overwrite").partitionBy("lang").parquet(f"{out_dir}/chunks")
+
+    report = {
+        "sf_dir": sf_dir,
+        "n_raw_docs": n_raw,
+        "n_after_quality": clean.count(),
+        "n_after_dedup": survivors.count(),
+        "n_after_sample": sampled.count(),
+        "n_chunks": spark.read.parquet(f"{out_dir}/chunks").count(),
+        "out": f"{out_dir}/chunks",
+        "wall_sec": round(time.monotonic() - t0, 2),
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
