@@ -253,7 +253,10 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     count per round (an aggregate scalar, not data).
     """
     ed = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    edges = ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().cache()
+    # no distinct on the doubled edge list: duplicate edges are harmless
+    # under min-aggregation, and dropping the dedup saves a full shuffle
+    # of the pair set (the largest frame in the loop)
+    edges = ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b"))).cache()
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id")).cache()
     for _ in range(max_iters):
         neighbor_min = (
