@@ -184,7 +184,17 @@ _MIX_SPEC: list[tuple[str, int]] = [("src1", 5), ("src2", 15), ("src3", 1_000_00
 )
 def q93_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    targets = spark.createDataFrame(_MIX_SPEC, "source string, n_target long")
+    # literal dim as a plan-only inline table (no Python->RDD conversion job)
+    targets = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("source"), F.lit(t).cast("long").alias("n_target"))
+                    for s, t in _MIX_SPEC
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.*")
     avail = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_available"))
     rates = avail.join(F.broadcast(targets), "source").withColumn(
         "rate", F.least(F.lit(1.0), F.col("n_target") / F.col("n_available"))
