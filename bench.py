@@ -59,6 +59,9 @@ HEADLINE = [
     "q92_repetition_signals",
     "q94_chunk_stats",
     "q95_unigram_logprob",
+    # temporal / iterative
+    "q98_asof_join",
+    "q102_pagerank_transitions",
 ]
 
 
