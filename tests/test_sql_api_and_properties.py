@@ -94,3 +94,79 @@ def test_geometric_round_property(spark, vals):
         for x in vals
     ]
     assert got == exp
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized (fixed-seed) as-of join vs the pandas merge_asof oracle:
+    same keys, duplicate timestamps on both sides, unmatched lefts."""
+    import pandas as pd
+
+    from advanced_data_mining_and_big_data_analysis_spark.operators.joins import asof_join
+
+    rng = np.random.RandomState(7)
+    n_l, n_r = 400, 300
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 12, n_l),
+            "ts": rng.randint(0, 1000, n_l).astype("int64"),
+            "lid": np.arange(n_l, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 12, n_r),
+            "ts": rng.randint(0, 1000, n_r).astype("int64"),
+            "v": rng.rand(n_r).round(6),
+        }
+    )
+    # merge_asof requires sort; ties within (k, ts) on the right are
+    # resolved by taking the LAST row — make the value unique per (k, ts)
+    # so tie order cannot differ between engines
+    right = right.groupby(["k", "ts"], as_index=False).agg(v=("v", "max"))
+    got_df = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="k",
+        left_ts="ts",
+        right_ts="ts",
+    )
+    got = {r["lid"]: r["v"] for r in got_df.collect()}
+    want_df = pd.merge_asof(
+        left.sort_values(["ts", "lid"]),
+        right.sort_values("ts"),
+        on="ts",
+        by="k",
+        direction="backward",
+    )
+    want = {int(r.lid): (None if pd.isna(r.v) else round(float(r.v), 6)) for r in want_df.itertuples()}
+    assert len(got) == n_l
+    assert got == want
+
+
+def test_apply_cdc_sequential_equals_batched(spark):
+    """Applying a change feed in two sequential halves equals applying it
+    in one batch (seq respected), on randomized fixed-seed data."""
+    import pandas as pd
+
+    from advanced_data_mining_and_big_data_analysis_spark.operators.cdc import apply_cdc
+
+    rng = np.random.RandomState(11)
+    base = pd.DataFrame({"k": np.arange(50, dtype="int64"), "val": rng.rand(50).round(6)})
+    ops = rng.choice(["U", "D", "I"], 80)
+    keys = rng.randint(0, 70, 80)
+    changes = pd.DataFrame(
+        {
+            "k": keys.astype("int64"),
+            "val": rng.rand(80).round(6),
+            "op": ops,
+            "seq": np.arange(80, dtype="int64"),
+        }
+    )
+    sb = spark.createDataFrame(base)
+    c1 = spark.createDataFrame(changes.iloc[:40])
+    c2 = spark.createDataFrame(changes.iloc[40:])
+    call = spark.createDataFrame(changes)
+    seq_result = apply_cdc(apply_cdc(sb, c1, key="k"), c2, key="k")
+    bat_result = apply_cdc(sb, call, key="k")
+    to_map = lambda df: {r["k"]: r["val"] for r in df.collect()}  # noqa: E731
+    assert to_map(seq_result) == to_map(bat_result)
