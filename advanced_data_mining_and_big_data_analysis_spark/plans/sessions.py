@@ -178,3 +178,66 @@ def q63_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("late").cast("long")).alias("n_late"), F.count(F.lit(1)).alias("n_events"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q104_session_funnel",
+    oracle=f"""
+    WITH l AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    m AS (
+      SELECT user_id, ts, event_type, event_id,
+             CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > {_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM l),
+    s AS (
+      SELECT user_id, ts, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM m),
+    g AS (
+      SELECT user_id, sess,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MAX(CASE WHEN event_type = 'click' THEN ts END) AS last_click
+      FROM s GROUP BY user_id, sess)
+    SELECT user_id % 10 AS cohort, COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_view,
+           CAST(SUM(CASE WHEN last_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_click,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL AND last_click IS NOT NULL
+                          AND first_view <= last_click THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel
+    FROM g GROUP BY cohort ORDER BY cohort
+    """,
+    description="sessionized funnel analysis: gap-sessions (q60's rule) x ordered-event conversion — a session converts when a 'view' precedes (or ties) a 'click' inside it, tested as min(view ts) <= max(click ts); per-cohort session/conversion counts (composition of sessionization + conditional aggregation)",
+)
+def q104_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > _GAP_US), 1
+    ).otherwise(0)
+    with_sid = ev.withColumn(
+        "sess", F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    g = with_sid.groupBy("user_id", "sess").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("last_click"),
+    )
+    return (
+        g.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.col("first_view").isNotNull().cast("long")).alias("n_with_view"),
+            F.sum(F.col("last_click").isNotNull().cast("long")).alias("n_with_click"),
+            F.sum(
+                (
+                    F.col("first_view").isNotNull()
+                    & F.col("last_click").isNotNull()
+                    & (F.col("first_view") <= F.col("last_click"))
+                ).cast("long")
+            ).alias("n_funnel"),
+        )
+        .orderBy("cohort")
+    )
