@@ -74,8 +74,14 @@ def weighted_sample(
     epochs, and cluster sizes (the same property q93's mixture sampler
     uses). The log form avoids u**(1/w) underflow for large weights.
 
+    A-ES requires strictly positive weights: w=0 makes ln(u)/w -inf/NaN
+    and w<0 flips the key positive (such rows would always win). Rows
+    with non-positive or null weight carry zero probability mass, so
+    they are filtered out before keying rather than silently ranked.
+
     Adds ``_skey`` (the ranking key) to the output for auditability.
     """
+    df = df.filter(F.col(weight_col) > 0)
     u = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10).cast("double")
         + 0.5

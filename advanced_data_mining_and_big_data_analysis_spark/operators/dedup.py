@@ -258,6 +258,7 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     # of the pair set (the largest frame in the loop)
     edges = ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b"))).cache()
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id")).cache()
+    changed = 0
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.b == labels.id)
@@ -280,6 +281,15 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # Returning partial labels would silently drop docs to a
+        # non-canonical representative downstream (dedup_survivors);
+        # a component with diameter > max_iters must be surfaced.
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters — rounds "
+            "needed equals the largest component's diameter"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster"))
 
 

@@ -86,6 +86,14 @@ def asof_join(
 
     Right payload columns must not collide with left column names
     (select/rename the right side first).
+
+    Tie rule: when multiple right rows share the same (key, ts), the one
+    with the greatest payload tuple (vcols compared left-to-right, nulls
+    first) wins — the window orderBy includes the payload columns as a
+    final tie-breaker, so the fill is deterministic regardless of
+    partitioning (pandas merge_asof picks the last row in input order;
+    input order is not a distributed concept, so the payload tuple is
+    the engine-independent analogue).
     """
     from pyspark.sql import Window as W
 
@@ -102,19 +110,17 @@ def asof_join(
     u = l2.unionByName(r2, allowMissingColumns=True)
     w = (
         W.partitionBy(on)
-        .orderBy("_t", "_side")
+        .orderBy("_t", "_side", *vcols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    filled = u.select(
-        "*",
-        *[
-            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"_asof_{c}")
-            for c in vcols
-        ],
-    )
+    # Fill ONE struct of the entire right row (non-null exactly when the
+    # row is a right row), not per-column last-non-null: per-column fills
+    # could stitch values from different right rows when payloads contain
+    # nulls, whereas the matched row's own nulls must pass through (the
+    # merge_asof/ASOF JOIN contract — attach the whole row).
+    payload = F.when(F.col("_side") == 0, F.struct(*[F.col(c) for c in vcols]))
+    filled = u.select("*", F.last(payload, ignorenulls=True).over(w).alias("_asof"))
     out = filled.filter(F.col("_side") == 1).drop("_side", "_t", *vcols)
     for c in vcols:
-        out = out.withColumnRenamed(f"_asof_{c}", c)
-    return out
+        out = out.withColumn(c, F.col(f"_asof.{c}"))
+    return out.drop("_asof")

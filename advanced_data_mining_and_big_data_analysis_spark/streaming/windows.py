@@ -284,6 +284,19 @@ def write_cdc_snapshot(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         base_cols = [c for c in batch_df.columns if c not in (op_col, seq_col)]
+        # Crash recovery: if the snapshot is missing but an .old-* copy
+        # exists, a previous swap died between its two renames — restore
+        # the aside copy as the base instead of rebuilding from empty
+        # (which would silently drop every row not in this batch).
+        if not os.path.exists(snapshot_dir):
+            import glob as _glob
+
+            olds = sorted(
+                _glob.glob(f"{snapshot_dir}.old-*"),
+                key=lambda p: int(p.rsplit("-", 1)[-1]),
+            )
+            if olds:
+                os.rename(olds[-1], snapshot_dir)
         if os.path.exists(snapshot_dir):
             base = spark.read.parquet(snapshot_dir).select(*base_cols)
         else:
@@ -291,9 +304,21 @@ def write_cdc_snapshot(
         applied = apply_cdc(base, batch_df, key=key, op_col=op_col, seq_col=seq_col)
         tmp = f"{snapshot_dir}.tmp-{batch_id}"
         applied.write.mode("overwrite").parquet(tmp)
+        # Swap order matters for crash safety: move the old snapshot
+        # ASIDE (rename, atomic) before renaming tmp into place, and
+        # delete the aside copy only last. A rmtree-then-rename swap has
+        # a window where the only full copy is gone. Replaying a batch
+        # whose swap completed is safe: apply_cdc is idempotent
+        # (latest-wins upserts + deletes), so re-applying the same
+        # changes to the already-applied snapshot is a no-op.
+        old = f"{snapshot_dir}.old-{batch_id}"
+        if os.path.exists(old):
+            shutil.rmtree(old)  # leftover aside copy from a prior crash
         if os.path.exists(snapshot_dir):
-            shutil.rmtree(snapshot_dir)
+            os.rename(snapshot_dir, old)
         os.rename(tmp, snapshot_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     writer = changes.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
     if available_now:

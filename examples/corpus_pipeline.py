@@ -56,10 +56,13 @@ def main() -> None:
         X.quality_score_from(F.col("_nt"), F.col("_pr"), F.col("_atl")) >= 2.0 / 3.0
     ).drop("_nt", "_pr", "_atl")
 
-    # 2. repetition gate
+    # 2. repetition gate — drop only docs the scorer POSITIVELY flagged.
+    # repetition_features emits no row for docs with < n tokens, so a
+    # semi-join on passing ids would silently delete un-scoreable docs;
+    # the anti-join on flagged ids lets them pass through instead.
     rep = X.repetition_features(quality, n=2)
-    keep_ids = rep.filter(F.col("top_ngram_frac") <= 0.06).select("doc_id")
-    clean = quality.join(keep_ids, "doc_id", "left_semi")
+    flagged_ids = rep.filter(F.col("top_ngram_frac") > 0.06).select("doc_id")
+    clean = quality.join(flagged_ids, "doc_id", "left_anti")
 
     # 3. near-dup dedup (pairs -> clusters -> canonical survivors)
     pairs = D.near_dup_pairs(clean, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.5)

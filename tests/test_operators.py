@@ -396,3 +396,43 @@ def test_multimodal_resize_and_frame_sample(spark):
     for idxs in by_media.values():
         assert sorted(idxs) == list(range(len(idxs)))  # contiguous frame indices
         assert len(idxs) <= 3
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    # ADVICE r2: w=0 gives ln(u)/0 = ±inf and w<0 flips the key positive
+    # (always winning); such rows carry zero probability mass and must be
+    # filtered, never sampled.
+    from advanced_data_mining_and_big_data_analysis_spark.functions.enrich import weighted_sample
+
+    rows = [(i, 1.0) for i in range(1, 21)] + [(100, 0.0), (101, -5.0), (102, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = sorted(r["doc_id"] for r in weighted_sample(df, "w", 25, id_col="doc_id").collect())
+    assert got == list(range(1, 21))  # only the 20 positive-weight rows
+
+
+def test_asof_join_right_tie_deterministic_and_atomic(spark):
+    from advanced_data_mining_and_big_data_analysis_spark.operators.joins import asof_join
+
+    # three right rows tie at (k=1, ts=10): the greatest payload tuple
+    # wins, and ALL payload columns come from that single row — its own
+    # null passes through instead of being backfilled from a losing row.
+    left = spark.createDataFrame([(1, 10, "a")], "k long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0, "x"), (1, 10, 3.0, None), (1, 10, 2.0, "y")],
+        "k long, ts long, v double, note string",
+    )
+    for _ in range(3):  # stable across repeated plans/partitionings
+        row = asof_join(left, right, on="k", left_ts="ts").collect()[0]
+        assert row["v"] == 3.0 and row["note"] is None
+
+
+def test_near_dup_clusters_nonconvergence_raises(spark):
+    # a 6-chain has diameter 5; 2 rounds cannot reach fixpoint and the
+    # operator must surface that instead of returning partial labels
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 0.9) for i in range(1, 6)], "id_a long, id_b long, jaccard double"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.near_dup_clusters(pairs, max_iters=2)
+    got = {r["id"]: r["cluster"] for r in D.near_dup_clusters(pairs, max_iters=10).collect()}
+    assert set(got.values()) == {1}

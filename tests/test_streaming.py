@@ -324,3 +324,46 @@ def test_streaming_cdc_snapshot_maintenance(spark):
     want = {r["k"]: r["payload"] for r in want_df.collect()}
     assert got == want == {1: "a2", 3: "c2", 4: "d1"}
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_cdc_snapshot_crash_recovery(spark):
+    """ADVICE r2: a crash between the swap's two renames leaves the only
+    full snapshot in `.old-{batch}`. The next batch must restore it as
+    its base — not rebuild from empty, which would drop every row absent
+    from that batch's change feed."""
+    import os
+
+    import pyspark.sql.types as T
+
+    from advanced_data_mining_and_big_data_analysis_spark.operators.cdc import apply_cdc
+
+    tmp = tempfile.mkdtemp(prefix="cdc_crash_")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("payload", T.StringType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    batch1 = [(1, "a1", "I", 1), (2, "b1", "I", 2), (3, "c1", "I", 3)]
+    batch2 = [(4, "d1", "I", 4), (2, None, "D", 5)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(f"{tmp}/feed/b=0")
+    feed = ST.stream_from_directory(spark, f"{tmp}/feed/b=*", schema, max_files_per_trigger=1)
+    ST.write_cdc_snapshot(
+        feed, f"{tmp}/snapshot", f"{tmp}/ckpt", key="k", op_col="op", seq_col="seq"
+    ).awaitTermination(120)
+
+    # simulate the crash window: snapshot moved aside, nothing in place
+    os.rename(f"{tmp}/snapshot", f"{tmp}/snapshot.old-0")
+
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(f"{tmp}/feed/b=1")
+    feed2 = ST.stream_from_directory(spark, f"{tmp}/feed/b=*", schema, max_files_per_trigger=1)
+    ST.write_cdc_snapshot(
+        feed2, f"{tmp}/snapshot", f"{tmp}/ckpt", key="k", op_col="op", seq_col="seq"
+    ).awaitTermination(120)
+
+    got = {r["k"]: r["payload"] for r in spark.read.parquet(f"{tmp}/snapshot").collect()}
+    assert got == {1: "a1", 3: "c1", 4: "d1"}  # rows 1,3 survived the crash
+    assert not os.path.exists(f"{tmp}/snapshot.old-0")  # aside copy cleaned up
+    shutil.rmtree(tmp, ignore_errors=True)
