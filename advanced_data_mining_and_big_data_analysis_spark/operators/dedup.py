@@ -238,6 +238,76 @@ def near_dup_pairs(
     )
 
 
+def incremental_dup_ids(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Ids of NEW docs that near-duplicate something already in the
+    corpus — the per-increment dedup primitive: each crawl increment is
+    deduped against the curated corpus by probing its LSH buckets, so
+    ingesting N new docs costs O(N) signature work plus bucket-local
+    joins instead of re-running global dedup over the full corpus.
+
+    The corpus side of each (band, bucket) is capped at
+    ``max_bucket_size`` members chosen by the same deterministic
+    md5-rank used by ``salt_buckets`` — a boilerplate bucket therefore
+    bounds per-task join cost at new_members x cap. (Unlike the
+    self-join case, cross-side salting would split matching pairs into
+    different sub-buckets, so capping-with-rank is the right guard
+    here; the rank rule is engine-reproducible for oracle parity.)
+
+    Returns a one-column DataFrame of distinct flagged new-doc ids.
+    """
+    from pyspark.sql import Window as W
+
+    nb = minhash_buckets(new_docs, id_col, text_col, num_hashes, bands, shingle_n)
+    cb_all = minhash_buckets(corpus_docs, id_col, text_col, num_hashes, bands, shingle_n)
+    wb = W.partitionBy("band", "bucket").orderBy(
+        F.md5(F.concat(F.col("bucket"), F.col(id_col).cast("string"))), id_col
+    )
+    cb = (
+        cb_all.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") <= max_bucket_size)
+        .drop("_rn")
+    )
+    cand = (
+        nb.alias("n")
+        .join(
+            cb.alias("c"),
+            (F.col("n.band") == F.col("c.band")) & (F.col("n.bucket") == F.col("c.bucket")),
+        )
+        .select(F.col(f"n.{id_col}").alias("nid"), F.col(f"c.{id_col}").alias("cid"))
+        .distinct()
+    )
+    sh_new = (
+        shingle_rows(new_docs, id_col, text_col, shingle_n)
+        .groupBy(F.col(id_col).alias("_id"))
+        .agg(F.collect_set("shingle").alias("sh_n"))
+    )
+    sh_corp = (
+        shingle_rows(corpus_docs, id_col, text_col, shingle_n)
+        .groupBy(F.col(id_col).alias("_id"))
+        .agg(F.collect_set("shingle").alias("sh_c"))
+    )
+    jac = F.size(F.array_intersect("sh_n", "sh_c")) / F.size(F.array_union("sh_n", "sh_c"))
+    return (
+        cand.join(sh_new, cand.nid == sh_new._id)
+        .drop("_id")
+        .join(sh_corp, F.col("cid") == sh_corp._id)
+        .drop("_id")
+        .filter(jac >= jaccard_threshold)
+        .select(F.col("nid").alias(id_col))
+        .distinct()
+    )
+
+
 def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Connected components over near-duplicate pairs: (doc_id, cluster)
     where cluster = min doc_id reachable through the pair graph — the

@@ -1,0 +1,278 @@
+"""Round-3 training-data pipeline queries: benchmark decontamination,
+deterministic hash splits, winsorization, incremental corpus dedup.
+
+These extend the corpus-prep family (q91-q95, q103) with the remaining
+steps a production pre-training pipeline runs between raw corpus and
+tokenizer: scrub eval-benchmark contamination out of the training set,
+carve reproducible train/valid/test splits, clip outlier lengths, and
+dedup each NEW crawl increment against the already-curated corpus
+(rather than re-running global dedup over 100 TB per increment).
+
+Every rule is mirrored exactly in a DuckDB oracle so the driver hash
+pins the semantics (n-gram arithmetic, hash-bucket boundaries, quantile
+interpolation, LSH banding), not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..sources import load_table
+from .dedup_text import _shingles, _sig_list, _TOKS
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# q105 — benchmark decontamination. src0 plays the held-out benchmark;
+# every training doc is scored by the fraction of its distinct 3-gram
+# shingles that appear anywhere in the benchmark (the n-gram-overlap
+# decontamination rule used for pre-training corpora, shrunk from the
+# usual 13-grams to 3-grams so the synthetic corpus produces signal).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q105_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, source, {_shingles('toks')} AS sh FROM t),
+    ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE source = 'src0'),
+    tr AS (SELECT doc_id, source, sh FROM s WHERE source <> 'src0'),
+    gr AS (SELECT doc_id, unnest(sh) AS g FROM tr),
+    p AS (SELECT doc_id, COUNT(*) AS total,
+                 SUM(CASE WHEN g IN (SELECT g FROM ev) THEN 1 ELSE 0 END) AS hits
+          FROM gr GROUP BY doc_id),
+    d AS (SELECT tr.source,
+                 COALESCE(p.hits * 1.0 / p.total, 0.0) AS frac
+          FROM tr LEFT JOIN p ON tr.doc_id = p.doc_id)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN frac >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           ROUND(AVG(frac), 6) AS avg_contamination,
+           ROUND(MAX(frac), 6) AS max_contamination
+    FROM d GROUP BY source ORDER BY source
+    """,
+    description="benchmark decontamination: score every training doc by the fraction of its distinct 3-gram shingles appearing in the held-out benchmark set (src0), flag docs >= 0.2 — benchmark gram set is broadcast (it is small by construction), training grams stream through one hash aggregate, so the scan scales linearly at corpus size",
+)
+def q105_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ev_docs = docs.filter(F.col("source") == "src0")
+    tr_docs = docs.filter(F.col("source") != "src0")
+    # distinct benchmark grams: small by construction (the benchmark is
+    # human-curated, ~thousands of docs even when the corpus is 100 TB)
+    # -> broadcast to every executor, no shuffle of the training side
+    # beyond its own per-doc aggregate.
+    ev_grams = (
+        D.shingle_rows(ev_docs, shingle_n=3)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    tr_grams = D.shingle_rows(tr_docs, shingle_n=3)
+    per_doc = (
+        tr_grams.join(F.broadcast(ev_grams), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hits"),
+        )
+        .select("doc_id", (F.col("hits") / F.col("total")).alias("frac"))
+    )
+    scored = tr_docs.select("doc_id", "source").join(per_doc, "doc_id", "left").select(
+        "source", F.coalesce(F.col("frac"), F.lit(0.0)).alias("frac")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("frac") >= 0.2).cast("long")).alias("n_flagged"),
+            F.round(F.avg("frac"), 6).alias("avg_contamination"),
+            F.round(F.max("frac"), 6).alias("max_contamination"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q106 — deterministic hash-based train/valid/test split. Membership is
+# a pure function of the stable doc id (md5 bucket 0-99: 80/10/10), so
+# the split is reproducible across engines, re-runs, and re-shards, and
+# adding new data never moves an old doc between splits — the property
+# random-split pipelines lose the moment data is re-read.
+# ---------------------------------------------------------------------------
+
+_BUCKET_SQL = "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100"
+
+
+@query(
+    "q106_hash_split",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, source, n_chars, {_BUCKET_SQL} AS bucket FROM documents),
+    s AS (SELECT CASE WHEN bucket < 80 THEN 'train'
+                      WHEN bucket < 90 THEN 'valid'
+                      ELSE 'test' END AS split, source, n_chars FROM b)
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM s GROUP BY split ORDER BY split
+    """,
+    description="deterministic hash split (md5-bucket 80/10/10 train/valid/test): membership is a pure function of the doc id — reproducible across engines and re-shards, stable under corpus growth; pure Column expressions, one partial aggregate, zero joins",
+)
+def q106_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    ) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train")).when(bucket < 90, F.lit("valid")).otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q107 — per-group winsorization (outlier clipping to the p05/p95 of each
+# source). Two passes: exact interpolated percentiles per group (a tiny
+# aggregate — one row per source), broadcast back onto the fact scan,
+# clip, re-aggregate. The quantile interpolation rule itself is pinned by
+# the oracle (Spark percentile() and DuckDB quantile_cont share the
+# linear-interpolation definition).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q107_winsorize",
+    oracle="""
+    WITH q AS (SELECT source,
+                      quantile_cont(n_chars, 0.05) AS p05,
+                      quantile_cont(n_chars, 0.95) AS p95
+               FROM documents GROUP BY source),
+    c AS (SELECT d.source, d.n_chars, q.p05, q.p95,
+                 LEAST(GREATEST(d.n_chars * 1.0, q.p05), q.p95) AS clipped
+          FROM documents d JOIN q ON d.source = q.source)
+    SELECT source, COUNT(*) AS n_docs,
+           ROUND(ANY_VALUE(p05), 6) AS p05,
+           ROUND(ANY_VALUE(p95), 6) AS p95,
+           ROUND(AVG(n_chars), 6) AS mean_raw,
+           ROUND(AVG(clipped), 6) AS mean_winsorized,
+           CAST(SUM(CASE WHEN n_chars * 1.0 < p05 OR n_chars * 1.0 > p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM c GROUP BY source ORDER BY source
+    """,
+    description="per-source winsorization: exact linear-interpolated p05/p95 per group (one tiny agg row per source, broadcast back), clip the length column, report raw vs winsorized means and clip counts — the standard outlier-robust length normalization before mixture weighting",
+)
+def q107_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("p05"),
+        F.percentile("n_chars", F.lit(0.95)).alias("p95"),
+    )
+    nc = F.col("n_chars").cast("double")
+    clipped = F.least(F.greatest(nc, F.col("p05")), F.col("p95"))
+    return (
+        docs.join(F.broadcast(stats), "source")
+        .select(
+            "source",
+            "n_chars",
+            F.col("p05"),
+            F.col("p95"),
+            clipped.alias("clipped"),
+            ((nc < F.col("p05")) | (nc > F.col("p95"))).cast("long").alias("_clip"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.first("p05"), 6).alias("p05"),
+            F.round(F.first("p95"), 6).alias("p95"),
+            F.round(F.avg("n_chars"), 6).alias("mean_raw"),
+            F.round(F.avg("clipped"), 6).alias("mean_winsorized"),
+            F.sum("_clip").alias("n_clipped"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q108 — incremental dedup: a NEW crawl increment (doc_id % 7 = 0) is
+# deduped AGAINST the existing curated corpus without re-running global
+# dedup — new docs' LSH buckets probe the corpus's buckets, exact
+# Jaccard verifies, and only verified-novel docs enter. Near-dups are
+# PLANTED (a shared boilerplate text on a deterministic id rule) so the
+# cross-side match path is exercised and pinned, not vacuously green.
+# ---------------------------------------------------------------------------
+
+_BOILER2 = "subscribe to our newsletter for weekly updates and exclusive offers today"
+_PLANT = f"CASE WHEN doc_id % 70 = 0 OR doc_id % 9 = 1 THEN '{_BOILER2}' ELSE text END"
+
+
+@query(
+    "q108_incremental_dedup",
+    oracle=f"""
+    WITH docs0 AS (SELECT doc_id, source, {_PLANT} AS text FROM documents),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM docs0),
+    s AS (SELECT doc_id, {_shingles('toks')} AS sh FROM t),
+    s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+    sig AS (SELECT doc_id, {_sig_list('sh')} AS sig FROM s2),
+    bands AS (SELECT doc_id, b,
+                     md5(array_to_string(list_slice(sig, 4 * b + 1, 4 * b + 4), '|')) AS bucket
+              FROM sig CROSS JOIN range(0, 4) r(b)),
+    nb AS (SELECT doc_id, b, bucket FROM bands WHERE doc_id % 7 = 0),
+    cb0 AS (SELECT doc_id, b, bucket,
+                   ROW_NUMBER() OVER (PARTITION BY b, bucket
+                        ORDER BY md5(bucket || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM bands WHERE doc_id % 7 <> 0),
+    cb AS (SELECT doc_id, b, bucket FROM cb0 WHERE rn <= 64),
+    cand AS (SELECT DISTINCT nb.doc_id AS nid, cb.doc_id AS cid
+             FROM nb JOIN cb ON nb.b = cb.b AND nb.bucket = cb.bucket),
+    j AS (SELECT nid, len(list_intersect(sa.sh, sb.sh)) * 1.0
+                      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+          FROM cand JOIN s2 sa ON sa.doc_id = cand.nid
+                    JOIN s2 sb ON sb.doc_id = cand.cid),
+    dup AS (SELECT DISTINCT nid FROM j WHERE jaccard >= 0.5),
+    nd AS (SELECT doc_id, source FROM docs0 WHERE doc_id % 7 = 0)
+    SELECT source, COUNT(*) AS n_new,
+           CAST(SUM(CASE WHEN doc_id IN (SELECT nid FROM dup) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST(SUM(CASE WHEN doc_id IN (SELECT nid FROM dup) THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_kept
+    FROM nd GROUP BY source ORDER BY source
+    """,
+    description="incremental corpus dedup: new-increment docs probe the existing corpus's LSH buckets (corpus side capped at 64/bucket by the deterministic salt rank — bounded task cost even against a boilerplate bucket), exact shingle Jaccard >= 0.5 verifies; planted boilerplate dups prove the cross-side match path — the per-increment shape that avoids re-running global dedup over the full corpus",
+)
+def q108_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when((F.col("doc_id") % 70 == 0) | (F.col("doc_id") % 9 == 1), F.lit(_BOILER2)).otherwise(
+            F.col("text")
+        ),
+    )
+    is_new = F.col("doc_id") % 7 == 0
+    flagged = D.incremental_dup_ids(
+        docs.filter(is_new),
+        docs.filter(~is_new),
+        num_hashes=16,
+        bands=4,
+        shingle_n=3,
+        jaccard_threshold=0.5,
+        max_bucket_size=64,
+    ).withColumn("_dup", F.lit(1))
+    return (
+        docs.filter(is_new)
+        .select("doc_id", "source")
+        .join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup"),
+            F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )

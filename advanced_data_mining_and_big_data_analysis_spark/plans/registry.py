@@ -55,6 +55,7 @@ def all_queries() -> dict[str, QueryDef]:
         features,
         graph,
         pipeline_ops,
+        pipeline_ops2,
         relational,
         relational2,
         relational3,

@@ -436,3 +436,23 @@ def test_near_dup_clusters_nonconvergence_raises(spark):
         D.near_dup_clusters(pairs, max_iters=2)
     got = {r["id"]: r["cluster"] for r in D.near_dup_clusters(pairs, max_iters=10).collect()}
     assert set(got.values()) == {1}
+
+
+def test_incremental_dup_ids_cross_side_only(spark):
+    # new doc 1 duplicates corpus doc 100 (shared long text); new docs 2
+    # and 3 duplicate EACH OTHER but nothing in the corpus — incremental
+    # dedup must flag only the cross-side hit.
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    other = "completely different words about spark shuffles joins and aggregate pushdown"
+    new = spark.createDataFrame(
+        [(1, base), (2, other), (3, other)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "unrelated corpus text with many unique tokens here")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in D.incremental_dup_ids(new, corpus, jaccard_threshold=0.5).collect()
+    )
+    assert got == [1]
