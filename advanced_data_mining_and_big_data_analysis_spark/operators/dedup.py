@@ -95,34 +95,40 @@ def shingle_rows(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct (id, shingle) rows — the relational form of the shingle set.
+    """(id, shingle) rows — the relational form of the shingle set.
 
-    Deliberately HOF-free: posexplode(split) + window lead() + concat_ws,
-    all inside whole-stage codegen. The array-lambda formulation
+    Deliberately HOF-free AND shuffle-free: the token array is zipped
+    with its own 1..n-1 offset slices (arrays_zip pads the shorter
+    slices with null; the null tail is filtered after explode), so
+    shingle generation is a pure per-row flat-map inside one
+    whole-stage-codegen span. The array-lambda formulation
     (operators/text.py word_shingles) is semantically identical but its
-    interpreted HOF evaluation costs ~50x more CPU per row — fine for
-    per-document features, wrong for the corpus-wide dedup scan.
+    interpreted HOF evaluation costs ~50x more CPU per row, and the
+    earlier window-lead() formulation paid a full shuffle+sort on the
+    id just to pair adjacent tokens.
+
+    The per-doc DISTINCT is also shuffle-free: all of a document's
+    shingles derive from its single input row, so ``array_distinct`` on
+    the zipped struct array BEFORE the explode is exactly per-document
+    dedup (struct equality == shingle-string equality; tokens cannot
+    contain the join space). This both avoids a (id, shingle) exchange
+    and shrinks the rows flowing into downstream per-shingle hashing —
+    on repetitive corpora the k-minhash md5 work drops by the dup
+    factor. ``distinct=False`` keeps multiplicity for counting
+    consumers.
 
     Repartitions the raw text by id first with an explicit partition count:
     a small parquet arrives as one split (serializing all the CPU on one
     core), and AQE would coalesce a count-less exchange right back on byte
     volume — the cost here is CPU per row, not bytes.
     """
-    from pyspark.sql import Window as W
-
-    toks = X.token_rows(docs, id_col, text_col)
-    w = W.partitionBy(id_col).orderBy("_pos")
-    parts = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, shingle_n)]
-    return (
-        toks.select(F.col(id_col), *[p.alias(f"_t{j}") for j, p in enumerate(parts)])
-        .filter(F.col(f"_t{shingle_n - 1}").isNotNull())
-        .select(
-            F.col(id_col),
-            F.concat_ws(" ", *[F.col(f"_t{j}") for j in range(shingle_n)]).alias("shingle"),
-        )
-        .dropDuplicates([id_col, "shingle"])
+    spread = X._spread(docs, id_col, [text_col])
+    with_t = spread.select(
+        F.col(id_col), F.split(F.trim(X.normalize(text_col)), " +").alias("_toks")
     )
+    return X.zip_ngram_rows(with_t, "_toks", shingle_n, "shingle", [id_col], " ", distinct)
 
 
 def minhash_buckets(

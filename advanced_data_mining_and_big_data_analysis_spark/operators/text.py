@@ -154,13 +154,18 @@ def token_count_bpe_ish(text: Column | str) -> Column:
 
 
 def _spread(docs: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
-    """Project + hash-repartition by id with an explicit partition count
-    (a small parquet is one split; AQE would coalesce a count-less
-    exchange back on byte volume, but the cost here is CPU per row)."""
+    """Project, and hash-repartition by id ONLY when the input arrives
+    under-partitioned (a small parquet is one split, serializing the
+    per-row CPU on one core; AQE would coalesce a count-less exchange
+    right back on byte volume, but the cost here is CPU per row, not
+    bytes). At cluster scale the scan already has >= parallelism splits
+    and the guard makes this a pure projection — re-shuffling raw text
+    just to spread CPU would be a 100-TB-sized exchange for nothing."""
+    proj = docs.select(*[F.col(c) for c in dict.fromkeys([id_col, *cols])])
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.select(*[F.col(c) for c in dict.fromkeys([id_col, *cols])]).repartition(
-        n_parts, F.col(id_col)
-    )
+    if docs.rdd.getNumPartitions() >= n_parts:
+        return proj
+    return proj.repartition(n_parts, F.col(id_col))
 
 
 def token_rows(
@@ -175,6 +180,54 @@ def token_rows(
     ).filter(F.col("_tok") != "")
 
 
+def zip_ngram_rows(
+    with_arr: DataFrame,
+    arr_col: str,
+    n: int,
+    out_col: str,
+    keep_cols: list[str],
+    sep: str,
+    distinct: bool,
+) -> DataFrame:
+    """n-gram flat-map over an array column — shuffle-free and HOF-free.
+
+    The array is zipped with its own 1..n-1 offset slices; arrays_zip
+    pads the shorter slices with null, and the padded tail is filtered
+    after the explode. Everything (slice, arrays_zip, array_distinct,
+    explode, concat_ws) is a flat codegen expression, so n-gram
+    generation costs one whole-stage-codegen pass with NO exchange —
+    unlike window-lead (shuffle+sort per id) or transform/HOF
+    (interpreted, ~50x CPU) formulations.
+
+    ``distinct=True`` applies array_distinct to the zipped structs
+    BEFORE the explode: all of a row's n-grams come from that one row,
+    so per-row struct dedup IS per-document gram dedup (struct equality
+    == gram equality; elements cannot contain the separator) — the
+    usual dropDuplicates exchange disappears entirely, and downstream
+    per-gram work shrinks by the repetition factor.
+
+    The exploded rows carry only the n gram elements plus keep_cols —
+    the source array/string does NOT ride along (a doc-length string
+    repeated per gram row is the hidden cost of substr-style n-gram
+    plans)."""
+    arrs = [F.col(arr_col).alias("g0")] + [
+        F.slice(F.col(arr_col), j + 1, F.greatest(F.size(arr_col) - j, F.lit(0))).alias(f"g{j}")
+        for j in range(1, n)
+    ]
+    zipped = F.arrays_zip(*arrs)
+    if distinct:
+        zipped = F.array_distinct(zipped)
+    last = f"g{n - 1}"
+    return (
+        with_arr.select(*[F.col(c) for c in keep_cols], F.explode(zipped).alias("_z"))
+        .filter(F.col(f"_z.{last}").isNotNull() & (F.col(f"_z.{last}") != ""))
+        .select(
+            *[F.col(c) for c in keep_cols],
+            F.concat_ws(sep, *[F.col(f"_z.g{j}") for j in range(n)]).alias(out_col),
+        )
+    )
+
+
 def char_ngram_rows(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -183,23 +236,17 @@ def char_ngram_rows(
     extra_cols: tuple = (),
     per_doc_distinct: bool = True,
 ) -> DataFrame:
-    """Character n-grams as (id, extra..., gram) rows.
-    sequence+explode+substr are all flat codegen expressions."""
+    """Character n-grams as (id, extra..., gram) rows via the zip
+    flat-map (see zip_ngram_rows) over the character array."""
     spread = _spread(docs, id_col, [*extra_cols, text_col])
-    with_s = spread.select(
-        F.col(id_col), *[F.col(c) for c in extra_cols], normalize(text_col).alias("_s")
-    ).filter(F.length("_s") >= n)
-    grams = with_s.select(
+    with_c = spread.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
-        F.explode(F.sequence(F.lit(1), F.length("_s") - (n - 1))).alias("_i"),
-        F.col("_s"),
-    ).select(
-        F.col(id_col),
-        *[F.col(c) for c in extra_cols],
-        F.col("_s").substr(F.col("_i"), F.lit(n)).alias("gram"),
+        F.split(normalize(text_col), "").alias("_chars"),
     )
-    return grams.dropDuplicates([id_col, "gram"]) if per_doc_distinct else grams
+    return zip_ngram_rows(
+        with_c, "_chars", n, "gram", [id_col, *extra_cols], "", per_doc_distinct
+    )
 
 
 def word_ngram_rows(
@@ -211,16 +258,14 @@ def word_ngram_rows(
 ) -> DataFrame:
     """Word n-grams as (id, extra..., gram) rows WITH multiplicity — the
     input shape for repetition analysis (Gopher repetition signals need
-    counts, not presence, so no dropDuplicates here)."""
+    counts, not presence, so distinct=False)."""
     spread = _spread(docs, id_col, [*extra_cols, text_col])
     with_t = spread.select(
-        F.col(id_col), *[F.col(c) for c in extra_cols], tokens(text_col).alias("_toks")
-    ).filter(F.size("_toks") >= n)
-    return with_t.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
-        F.explode(word_shingles(F.col("_toks"), n=n, distinct=False)).alias("gram"),
-    )
+        F.split(F.trim(normalize(text_col)), " +").alias("_toks"),
+    ).filter(F.size("_toks") >= n)
+    return zip_ngram_rows(with_t, "_toks", n, "gram", [id_col, *extra_cols], " ", False)
 
 
 def repetition_features(

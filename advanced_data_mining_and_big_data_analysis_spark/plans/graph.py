@@ -64,6 +64,10 @@ def q102_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
         .alias("next_et"),
     )
+    # The aggregated edge list is referenced by every unrolled iteration,
+    # but no cache is needed: the iteration subtrees are identical, so
+    # Spark's ReusedExchange computes the events scan + per-user window
+    # once and shares it (visible in .explain as ReusedExchange nodes).
     e = (
         seq.filter(F.col("next_et").isNotNull())
         .groupBy(F.col("event_type").alias("src"), F.col("next_et").alias("dst"))

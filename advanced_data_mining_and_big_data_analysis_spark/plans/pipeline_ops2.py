@@ -276,3 +276,136 @@ def q108_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q109 — distributed sequence packing. Docs are dealt into shards by a
+# deterministic hash, ordered pseudo-randomly within each shard, and
+# greedily packed into fixed token contexts by a shard-local running
+# sum: pack = (shard, floor(prefix_tokens / C)). The window is
+# PARTITIONED by shard — the global-cumsum formulation would funnel the
+# whole corpus through one task (the q63 anti-pattern); per-shard
+# packing is exactly how multi-worker training data gets packed in
+# practice (each worker packs its own shard).
+# ---------------------------------------------------------------------------
+
+_CTX = 4096
+_N_SHARDS = 8
+_TOK_EST = "GREATEST(1, CAST(CEIL(n_chars / 4.0) AS BIGINT))"
+_SHARD_SQL = "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)) AS BIGINT) % 8"
+_ORD_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 4, 8)"
+
+
+@query(
+    "q109_sequence_packing",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK_EST} AS tok, {_SHARD_SQL} AS shard,
+                      {_ORD_SQL} AS ord
+               FROM documents),
+    c AS (SELECT shard, tok,
+                 SUM(tok) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t),
+    p AS (SELECT shard, tok, (cum - tok) // {_CTX} AS pack FROM c),
+    s AS (SELECT shard, pack, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tokens
+          FROM p GROUP BY shard, pack)
+    SELECT shard, COUNT(*) AS n_packs, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(tokens) / {_CTX}, 6) AS mean_fill
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+    description=f"distributed sequence packing: hash-shard the corpus ({_N_SHARDS} shards), pseudo-random order within shard, shard-local prefix-sum assigns each doc to a {_CTX}-token pack — the window is partitioned by shard (never a global single-task cumsum), matching how per-worker packing runs at scale",
+)
+def q109_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.greatest(F.lit(1), F.ceil(F.col("n_chars") / 4.0).cast("long"))
+    shard = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3), 16, 10).cast(
+        "long"
+    ) % _N_SHARDS
+    ordc = F.substring(F.md5(F.col("doc_id").cast("string")), 4, 8)
+    t = docs.select(
+        "doc_id", tok.alias("tok"), shard.alias("shard"), ordc.alias("ord")
+    )
+    w = W.partitionBy("shard").orderBy("ord", "doc_id").rowsBetween(W.unboundedPreceding, 0)
+    packed = t.select(
+        "shard", "tok", (((F.sum("tok").over(w)) - F.col("tok")) / _CTX).cast("long").alias("pack")
+    )
+    per_pack = packed.groupBy("shard", "pack").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("tokens")
+    )
+    return (
+        per_pack.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("tokens").alias("total_tokens"),
+            F.round(F.avg("tokens") / _CTX, 6).alias("mean_fill"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q110 — token-budget mixture planning: given target mixture weights per
+# source (a literal spec, as in q93) and a total token budget, compute
+# each source's available tokens, its target allocation, and the epoch
+# factor (allocation / available — >1 means the source must be
+# oversampled). The planning twin of q93's mixture SAMPLER: one tiny
+# aggregate per source joined to an inline dim, no data movement beyond
+# the per-source agg.
+# ---------------------------------------------------------------------------
+
+_BUDGET = 1_000_000
+_MIX = [("src0", 3.0), ("src1", 2.0)]  # named upweights; every other source 1.0
+
+
+def _mix_weight_sql() -> str:
+    cases = " ".join(f"WHEN source = '{s}' THEN {w}" for s, w in _MIX)
+    return f"CASE {cases} ELSE 1.0 END"
+
+
+@query(
+    "q110_token_budget",
+    oracle=f"""
+    WITH avail AS (
+      SELECT source, CAST(SUM({_TOK_EST}) AS BIGINT) AS available_tokens,
+             {_mix_weight_sql()} AS weight
+      FROM documents GROUP BY source),
+    tot AS (SELECT SUM(weight) AS wsum FROM avail)
+    SELECT source, available_tokens, ROUND(weight, 6) AS weight,
+           CAST(FLOOR({_BUDGET} * weight / (SELECT wsum FROM tot)) AS BIGINT)
+             AS target_tokens,
+           ROUND({_BUDGET} * weight / (SELECT wsum FROM tot) / available_tokens, 6)
+             AS epochs
+    FROM avail ORDER BY source
+    """,
+    description="token-budget mixture planning: per-source available tokens (one partial agg), target allocation from literal mixture weights, and the oversampling epoch factor — the planning twin of the q93 mixture sampler; inline literal dim, zero extra shuffles",
+)
+def q110_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.greatest(F.lit(1), F.ceil(F.col("n_chars") / 4.0).cast("long"))
+    weight = F.when(F.col("source") == _MIX[0][0], F.lit(_MIX[0][1])).when(
+        F.col("source") == _MIX[1][0], F.lit(_MIX[1][1])
+    ).otherwise(F.lit(1.0))
+    avail = docs.groupBy("source").agg(
+        F.sum(tok).alias("available_tokens"), F.first(weight).alias("weight")
+    )
+    # unpartitioned window over the per-source frame: bounded by source
+    # cardinality (one row per source), so the single task is benign
+    wsum = F.sum("weight").over(W.partitionBy())
+    alloc = F.lit(_BUDGET) * F.col("weight") / F.col("_wsum")
+    return (
+        avail.withColumn("_wsum", wsum)
+        .select(
+            "source",
+            "available_tokens",
+            F.round("weight", 6).alias("weight"),
+            F.floor(alloc).cast("long").alias("target_tokens"),
+            F.round(alloc / F.col("available_tokens"), 6).alias("epochs"),
+        )
+        .orderBy("source")
+    )

@@ -332,3 +332,61 @@ def q56_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select("vec_id", "cluster", (F.round("cos_sim", 6) + 0.0).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q111 — int8 scalar quantization of the embedding column with a
+# reconstruction-error audit: per-vector (min, max) from array_min/max
+# (no shuffle), elements exploded relationally (codegen, no HOF in the
+# hot path), quantized to 0..255 levels via floor(x + 0.5) (identical
+# half-rule in both engines), reconstructed, and squared error
+# aggregated per label. The storage shape every large ANN index uses —
+# 4x smaller vectors — with the error it introduces measured, not
+# assumed.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q111_embedding_quantization",
+    oracle="""
+    WITH x AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    st AS (SELECT vec_id, label, v, list_min(v) AS mn,
+                  (list_max(v) - list_min(v)) / 255.0 AS scale
+           FROM x),
+    e AS (SELECT vec_id, label, mn, scale, unnest(v) AS val FROM st),
+    r AS (SELECT vec_id, label, val,
+                 CASE WHEN scale = 0 THEN mn
+                      ELSE mn + FLOOR((val - mn) / scale + 0.5) * scale END AS recon
+          FROM e)
+    SELECT label, COUNT(DISTINCT vec_id) AS n_vectors,
+           ROUND(AVG((val - recon) * (val - recon)) * 1e6, 6) AS mse_x1e6,
+           ROUND(MAX(ABS(val - recon)) * 1e3, 6) AS max_abs_err_x1e3
+    FROM r GROUP BY label ORDER BY label
+    """,
+    description="int8 scalar quantization of embeddings + reconstruction-error audit per label: per-vector min/scale via array_min/array_max (zero shuffles), relational explode for the element math (codegen, no HOFs), floor(x+0.5) half-rule pinned identically in both engines — the 4x-compression storage path for a 100 TB ANN index with its error measured",
+)
+def q111_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = SIM.as_double("embedding")
+    st = emb.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        F.array_min(v).alias("mn"),
+        ((F.array_max(v) - F.array_min(v)) / 255.0).alias("scale"),
+    )
+    e = st.select("vec_id", "label", "mn", "scale", F.explode("v").alias("val"))
+    recon = F.when(F.col("scale") == 0, F.col("mn")).otherwise(
+        F.col("mn") + F.floor((F.col("val") - F.col("mn")) / F.col("scale") + 0.5) * F.col("scale")
+    )
+    r = e.select("vec_id", "label", "val", recon.alias("recon"))
+    err = F.col("val") - F.col("recon")
+    return (
+        r.groupBy("label")
+        .agg(
+            F.countDistinct("vec_id").alias("n_vectors"),
+            F.round(F.avg(err * err) * 1e6, 6).alias("mse_x1e6"),
+            F.round(F.max(F.abs(err)) * 1e3, 6).alias("max_abs_err_x1e3"),
+        )
+        .orderBy("label")
+    )

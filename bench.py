@@ -59,6 +59,10 @@ HEADLINE = [
     "q92_repetition_signals",
     "q94_chunk_stats",
     "q95_unigram_logprob",
+    # round-3 additions
+    "q105_decontaminate",
+    "q108_incremental_dedup",
+    "q109_sequence_packing",
     # temporal / iterative
     "q98_asof_join",
     "q102_pagerank_transitions",
