@@ -8,6 +8,7 @@ from .windows import (
     streaming_dedup,
     tumbling_agg,
     write_cdc_snapshot,
+    write_dedup_ingest,
     write_foreach_batch_parquet,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "streaming_dedup",
     "tumbling_agg",
     "write_cdc_snapshot",
+    "write_dedup_ingest",
     "write_foreach_batch_parquet",
 ]

@@ -324,3 +324,68 @@ def write_cdc_snapshot(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_dedup_ingest(
+    new_docs: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """Streaming curated-corpus ingest: each micro-batch of candidate
+    documents is deduped (a) against the corpus accumulated so far via
+    ``operators.dedup.incremental_dup_ids`` (LSH bucket probe + exact
+    Jaccard), then (b) within the batch itself (pairs -> connected
+    components -> canonical min-id survivor); only verified-novel
+    survivors are APPENDED to the corpus parquet. The corpus therefore
+    grows monotonically and stays near-dup-free without ever re-running
+    global dedup — the streaming form of the q108 increment shape, and
+    the ingestion loop a continuously-crawled 100-TB corpus actually
+    runs (per-batch cost is O(batch) signatures + bucket-local joins
+    against the corpus index).
+
+    Appends are idempotent per batch only if the stream replays whole
+    batches (Structured Streaming's contract with file sinks is
+    exactly-once via the checkpoint; a foreachBatch parquet append is
+    at-least-once on crash mid-batch — a real deployment would MERGE on
+    id into Delta/Iceberg instead, same slot).
+
+    Returns the streaming query.
+    """
+    import os
+
+    from ..operators.dedup import dedup_survivors, incremental_dup_ids, near_dup_pairs
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.select(id_col, text_col, *(
+            c for c in batch_df.columns if c not in (id_col, text_col)
+        ))
+        # (b) batch-internal dedup first: canonical min-id survivor per
+        # near-dup cluster inside the increment
+        pairs = near_dup_pairs(
+            batch_df, id_col, text_col, jaccard_threshold=jaccard_threshold
+        )
+        survivors = dedup_survivors(batch_df, pairs, id_col=id_col)
+        # (a) then dedup the survivors against the accumulated corpus
+        if os.path.exists(corpus_dir):
+            corpus = spark.read.parquet(corpus_dir)
+            flagged = incremental_dup_ids(
+                survivors,
+                corpus,
+                id_col=id_col,
+                text_col=text_col,
+                jaccard_threshold=jaccard_threshold,
+            )
+            survivors = survivors.join(flagged, id_col, "left_anti")
+        survivors.write.mode("append").parquet(corpus_dir)
+
+    writer = new_docs.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -7,10 +7,12 @@ stage 1  quality gate      — drop low-quality docs (length/punct/word-len)
 stage 2  repetition gate   — drop docs with top-bigram fraction > 0.06
 stage 3  near-dup dedup    — MinHash+LSH pairs -> connected components ->
                              keep each cluster's canonical member
-stage 4  PII scrub         — redact emails/URLs/phones in survivors
-stage 5  mixture sample    — deterministic per-source hash sampling
-stage 6  chunking          — 32-token windows, stride 24
-stage 7  partitioned parquet sink (by lang) + one-line run report
+stage 4  decontamination   — drop docs overlapping the benchmark set
+                             (broadcast benchmark gram set, >= 20% rule)
+stage 5  PII scrub         — redact emails/URLs/phones in survivors
+stage 6  mixture sample    — deterministic per-source hash sampling
+stage 7  chunking          — 32-token windows, stride 24
+stage 8  partitioned parquet sink (by lang) + one-line run report
 
 Every stage is a pure DataFrame transform from the operator library, so
 the whole pipeline is ONE lazy plan per action and scales with the
@@ -68,17 +70,37 @@ def main() -> None:
     pairs = D.near_dup_pairs(clean, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.5)
     survivors = D.dedup_survivors(clean, pairs)
 
-    # 4. PII scrub
-    scrubbed = survivors.withColumn("text", X.scrub_pii("text"))
+    # 4. benchmark decontamination: drop docs sharing >= 20% of their
+    # distinct 3-gram shingles with the held-out benchmark set (src0
+    # plays the benchmark here); the benchmark gram set is broadcast
+    ev_grams = (
+        D.shingle_rows(survivors.filter(F.col("source") == "src0"), shingle_n=3)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    tr = survivors.filter(F.col("source") != "src0")
+    contaminated = (
+        D.shingle_rows(tr, shingle_n=3)
+        .join(F.broadcast(ev_grams), "shingle", "left")
+        .groupBy("doc_id")
+        .agg((F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1))).alias("_frac"))
+        .filter(F.col("_frac") >= 0.2)
+        .select("doc_id")
+    )
+    decontaminated = tr.join(contaminated, "doc_id", "left_anti")
 
-    # 5. deterministic mixture sample (keep ~80% of every source)
+    # 5. PII scrub
+    scrubbed = decontaminated.withColumn("text", X.scrub_pii("text"))
+
+    # 6. deterministic mixture sample (keep ~80% of every source)
     frac_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6)
     sampled = scrubbed.filter(frac_hex < F.lit("cccccc"))
 
-    # 6. chunking
+    # 7. chunking
     chunks = X.chunk_rows(sampled, width=32, stride=24, extra_cols=("lang", "source"))
 
-    # 7. sink, partitioned for downstream pruning
+    # 8. sink, partitioned for downstream pruning
     chunks.write.mode("overwrite").partitionBy("lang").parquet(f"{out_dir}/chunks")
 
     report = {
@@ -86,6 +108,7 @@ def main() -> None:
         "n_raw_docs": n_raw,
         "n_after_quality": clean.count(),
         "n_after_dedup": survivors.count(),
+        "n_after_decontam": decontaminated.count(),
         "n_after_sample": sampled.count(),
         "n_chunks": spark.read.parquet(f"{out_dir}/chunks").count(),
         "out": f"{out_dir}/chunks",

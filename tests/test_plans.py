@@ -122,3 +122,68 @@ def test_q63_no_global_window_over_events(spark, sf_dir):
             assert "_chunk" in spec.split("event_id")[0], f"unpartitioned window over events: {spec}"
     # and the carry-in is broadcast back, not shuffled
     assert "BroadcastHashJoin" in plan
+
+
+def test_q105_benchmark_grams_broadcast(spark, sf_dir):
+    """Decontamination must broadcast the benchmark gram set to the
+    training-gram scan — the training side (the 100-TB side) must not
+    shuffle to meet the benchmark dim."""
+    plan = plan_of("q105_decontaminate", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q106_split_is_one_aggregate(spark, sf_dir):
+    """The hash split is a pure Column expression + one aggregate: any
+    join in the plan means split membership got materialized as data."""
+    plan = plan_of("q106_hash_split", spark, sf_dir)
+    assert "Join" not in plan
+
+
+def test_q107_group_stats_broadcast(spark, sf_dir):
+    """Winsorization: the per-group percentile frame (one row per source)
+    must broadcast back onto the fact scan."""
+    plan = plan_of("q107_winsorize", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q108_incremental_dedup_hash_joins_only(spark, sf_dir):
+    """The bucket-probe and shingle-set joins must be hash/merge joins —
+    a nested loop over either corpus would be the quadratic failure the
+    LSH structure exists to avoid."""
+    plan = plan_of("q108_incremental_dedup", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q109_packing_window_is_sharded(spark, sf_dir):
+    """Sequence packing must never run a global-order window over the
+    corpus: every window spec in the plan must carry a partition key
+    (the q63 anti-pattern guard, applied to packing)."""
+    import re
+
+    plan = plan_of("q109_sequence_packing", spark, sf_dir)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected a window spec in q109 plan"
+    for spec in specs:
+        # spec args: partition cols..., order col ASC/DESC..., frame;
+        # an unpartitioned window starts directly with the order column
+        assert "shard" in spec.split(",")[0], f"unpartitioned window: {spec}"
+
+
+def test_zip_ngrams_single_codegen_no_exchange(spark):
+    """The n-gram flat-map itself (pre-aggregation) must be exchange-free
+    whole-stage codegen: slice+zip+distinct+explode never shuffle."""
+    from pyspark.sql import functions as F
+
+    from advanced_data_mining_and_big_data_analysis_spark.operators import text as X
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with_t = df.select(
+        "doc_id", F.split(F.trim(X.normalize("text")), " +").alias("_toks")
+    )
+    out = X.zip_ngram_rows(with_t, "_toks", 3, "gram", ["doc_id"], " ", True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Generate explode(array_distinct(arrays_zip" in plan

@@ -170,3 +170,40 @@ def test_apply_cdc_sequential_equals_batched(spark):
     bat_result = apply_cdc(sb, call, key="k")
     to_map = lambda df: {r["k"]: r["val"] for r in df.collect()}  # noqa: E731
     assert to_map(seq_result) == to_map(bat_result)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab 1.!", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_zip_ngram_rows_matches_python_reference(spark, texts, n):
+    """Property: the zip/slice/array_distinct n-gram flat-map equals the
+    obvious Python reference (normalize, split, sliding window, per-doc
+    dedup) on arbitrary text including punctuation, repeated runs of
+    separators, and empty/short docs."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from advanced_data_mining_and_big_data_analysis_spark.operators import text as X
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with_t = df.select(
+        "doc_id", F.split(F.trim(X.normalize("text")), " +").alias("_toks")
+    )
+    got = {
+        (r["doc_id"], r["gram"])
+        for r in X.zip_ngram_rows(with_t, "_toks", n, "gram", ["doc_id"], " ", True).collect()
+    }
+    want = set()
+    for i, t in rows:
+        toks = [w for w in _re.sub(r"[^a-z0-9 ]", " ", t.lower()).split() if w]
+        for j in range(len(toks) - n + 1):
+            want.add((i, " ".join(toks[j : j + n])))
+    assert got == want

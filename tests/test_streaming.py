@@ -367,3 +367,36 @@ def test_streaming_cdc_snapshot_crash_recovery(spark):
     assert got == {1: "a1", 3: "c1", 4: "d1"}  # rows 1,3 survived the crash
     assert not os.path.exists(f"{tmp}/snapshot.old-0")  # aside copy cleaned up
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_dedup_ingest_grows_curated_corpus(spark):
+    """Streaming corpus ingest: batch 1 contains an internal near-dup
+    pair (min-id survivor wins); batch 2 re-submits a near-copy of an
+    already-ingested doc (dropped against the corpus) plus a novel doc
+    (kept). The accumulated corpus must equal the sequential batch
+    application of the same operators."""
+    import os
+
+    import pyspark.sql.types as T
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank at dawn"
+    novel1 = "spark shuffles partition data across executors during wide transformations"
+    novel2 = "completely unrelated second text about window functions and watermarks"
+    tmp = tempfile.mkdtemp(prefix="dedup_ingest_")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    batch1 = [(1, base), (2, base + " extra"), (3, novel1)]  # 1~2 near-dups
+    batch2 = [(10, base), (11, novel2)]  # 10 dups corpus doc 1; 11 novel
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(f"{tmp}/feed/b=0")
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(f"{tmp}/feed/b=1")
+
+    feed = ST.stream_from_directory(spark, f"{tmp}/feed/b=*", schema, max_files_per_trigger=1)
+    q = ST.write_dedup_ingest(
+        feed, f"{tmp}/corpus", f"{tmp}/ckpt", jaccard_threshold=0.5
+    )
+    q.awaitTermination(180)
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(f"{tmp}/corpus").collect())
+    assert got == [1, 3, 11]
+    shutil.rmtree(tmp, ignore_errors=True)
