@@ -207,9 +207,38 @@ def near_dup_pairs(
 
     Candidates are generated within capped salted sub-buckets (see
     ``salt_buckets``), so an adversarial boilerplate bucket cannot
-    quadratically stall a task at corpus scale."""
+    quadratically stall a task at corpus scale.
+
+    The minhash mins and the exact shingle SET come out of ONE grouped
+    aggregate over one shingle scan: the bucket path and the verify path
+    both hang off the same exchange, so Catalyst's ReusedExchange runs
+    the text scan + shingle flat-map once, not twice (visible in the
+    plan: one Exchange hashpartitioning(doc_id) feeding both subtrees).
+    """
+    rows = num_hashes // bands
+    exploded = shingle_rows(docs, id_col, text_col, shingle_n).withColumnRenamed("shingle", "_s")
+    base = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.col("_s"), F.lit(f"#{i}")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ],
+        F.collect_set("_s").alias("_sh"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
     buckets = salt_buckets(
-        minhash_buckets(docs, id_col, text_col, num_hashes, bands, shingle_n),
+        base.select(id_col, F.explode(band_structs).alias("bb")).select(
+            id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        ),
         id_col,
         max_bucket_size,
     )
@@ -226,11 +255,7 @@ def near_dup_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    sh = (
-        shingle_rows(docs, id_col, text_col, shingle_n)
-        .groupBy(F.col(id_col).alias("_id"))
-        .agg(F.collect_set("shingle").alias("_sh"))
-    )
+    sh = base.select(F.col(id_col).alias("_id"), F.col("_sh"))
     pairs = (
         cand.join(sh.select(F.col("_id"), F.col("_sh").alias("sh_a")), F.col("id_a") == F.col("_id"))
         .drop("_id")
