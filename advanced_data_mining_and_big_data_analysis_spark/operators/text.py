@@ -404,3 +404,39 @@ def quality_score(text: Column | str) -> Column:
     projection in wide scans (smaller analysis tree)."""
     q = quality_features(text)
     return quality_score_from(q["n_tokens"], q["punct_ratio"], q["avg_token_len"])
+
+
+def pack_assignments(
+    docs: DataFrame,
+    token_col: str,
+    id_col: str = "doc_id",
+    context_len: int = 4096,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Assign every document to a training pack: (id, shard, pack, tok).
+
+    Greedy sequential packing by a shard-local running token sum — the
+    doc lands in the pack where its first token falls (pack =
+    prefix_sum // context_len). Sharding comes from an md5 hash of the
+    id and the within-shard order from the next md5 chars, so the
+    assignment is deterministic across engines/cluster sizes, and the
+    prefix-sum window is PARTITIONED by shard — the corpus never
+    funnels through a single-task global cumsum. Each shard is one
+    worker's pack stream, exactly how multi-worker loaders consume
+    packed data."""
+    from pyspark.sql import Window as W
+
+    shard = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 3), 16, 10).cast(
+        "long"
+    ) % n_shards
+    ordc = F.substring(F.md5(F.col(id_col).cast("string")), 4, 8)
+    t = docs.select(
+        F.col(id_col), F.col(token_col).alias("tok"), shard.alias("shard"), ordc.alias("_ord")
+    )
+    w = W.partitionBy("shard").orderBy("_ord", id_col).rowsBetween(W.unboundedPreceding, 0)
+    return t.select(
+        id_col,
+        "shard",
+        (((F.sum("tok").over(w)) - F.col("tok")) / context_len).cast("long").alias("pack"),
+        "tok",
+    )

@@ -317,20 +317,15 @@ _ORD_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 4, 8)"
     description=f"distributed sequence packing: hash-shard the corpus ({_N_SHARDS} shards), pseudo-random order within shard, shard-local prefix-sum assigns each doc to a {_CTX}-token pack — the window is partitioned by shard (never a global single-task cumsum), matching how per-worker packing runs at scale",
 )
 def q109_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from ..operators.text import pack_assignments
 
     docs = load_table(spark, sf_dir, "documents")
     tok = F.greatest(F.lit(1), F.ceil(F.col("n_chars") / 4.0).cast("long"))
-    shard = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3), 16, 10).cast(
-        "long"
-    ) % _N_SHARDS
-    ordc = F.substring(F.md5(F.col("doc_id").cast("string")), 4, 8)
-    t = docs.select(
-        "doc_id", tok.alias("tok"), shard.alias("shard"), ordc.alias("ord")
-    )
-    w = W.partitionBy("shard").orderBy("ord", "doc_id").rowsBetween(W.unboundedPreceding, 0)
-    packed = t.select(
-        "shard", "tok", (((F.sum("tok").over(w)) - F.col("tok")) / _CTX).cast("long").alias("pack")
+    packed = pack_assignments(
+        docs.select("doc_id", tok.alias("_tok")),
+        token_col="_tok",
+        context_len=_CTX,
+        n_shards=_N_SHARDS,
     )
     per_pack = packed.groupBy("shard", "pack").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("tokens")
@@ -408,4 +403,61 @@ def q110_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(alloc / F.col("available_tokens"), 6).alias("epochs"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q112 — weekly cohort retention over the events stream: users are
+# cohorted by their first active ISO week; each (cohort, week-offset)
+# cell counts distinct still-active users and its retention fraction.
+# The classic product-analytics rollup, all shuffle-on-short-key: a
+# (user, week) distinct, a per-user min, one hash join back, and a tiny
+# cohort-size dim broadcast onto the cell frame.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q112_cohort_retention",
+    oracle="""
+    WITH w AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+    c AS (SELECT user_id, MIN(wk) AS cohort FROM w GROUP BY user_id),
+    sz AS (SELECT cohort, COUNT(*) AS cohort_size FROM c GROUP BY cohort),
+    a AS (SELECT c.cohort,
+                 CAST(date_diff('day', c.cohort, w.wk) // 7 AS BIGINT) AS week_offset,
+                 COUNT(DISTINCT w.user_id) AS active_users
+          FROM w JOIN c ON w.user_id = c.user_id
+          GROUP BY c.cohort, week_offset)
+    SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort_week, a.week_offset,
+           a.active_users, sz.cohort_size,
+           ROUND(a.active_users * 1.0 / sz.cohort_size, 6) AS retention
+    FROM a JOIN sz ON a.cohort = sz.cohort
+    ORDER BY cohort_week, week_offset
+    """,
+    description="weekly cohort retention: first-active-week cohorts x week-offset activity with retention fractions — distinct (user, week) rollup, per-user min, one hash join back, cohort-size dim broadcast; every shuffle keys on a short column, no global window",
+)
+def q112_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = events.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    c = w.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    sz = c.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    a = (
+        w.join(c, "user_id")
+        .select(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7).cast("long").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    return (
+        a.join(F.broadcast(sz), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "active_users",
+            "cohort_size",
+            F.round(F.col("active_users") / F.col("cohort_size"), 6).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
     )

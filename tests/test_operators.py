@@ -492,3 +492,25 @@ def test_quantized_search_recall(spark, sf_dir):
         .collect()[0]["m"]
     )
     assert worst <= 0.0, f"reconstruction exceeded scale/2 by {worst}"
+
+
+def test_pack_assignments_invariants(spark):
+    """Packing invariants: every doc assigned exactly once; within a
+    shard, pack ids are contiguous from 0 and each pack's token total
+    stays under context_len + its last doc's overflow (a doc lands in
+    the pack where its FIRST token falls)."""
+    rows = [(i, 1 + (i * 37) % 900) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, tok long")
+    out = X.pack_assignments(docs, "tok", context_len=1000, n_shards=4).collect()
+    assert len(out) == 200 and len({r["doc_id"] for r in out}) == 200
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, rs in by_shard.items():
+        packs = sorted({r["pack"] for r in rs})
+        assert packs == list(range(len(packs))), f"non-contiguous packs in shard {shard}"
+        for p in packs:
+            tokens = [r["tok"] for r in rs if r["pack"] == p]
+            # all but the overflowing last doc fit inside the context
+            assert sum(tokens) - max(tokens) < 1000
