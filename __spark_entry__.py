@@ -28,11 +28,39 @@ def entry(spark: SparkSession) -> DataFrame:
     return qd.fn(spark, "/root/testdata/sf0.001")
 
 
+# The driver hash-verifies only sorted(queries())[:50]. With 107 real
+# queries, the q52–q99 block has never received a driver CORRECTNESS row
+# (q1xx names sort before q38_..q99_ and fill the window). Per VERDICT r3
+# item 1, expose that block under aliases that sort FIRST ("a<nn>_" < "q")
+# for one round, so every family gets a driver-dated green hash row.
+# tools/check_oracle.py runs the full de-aliased registry regardless, and
+# CORRECTNESS_LOCAL_r5.json records the all-queries result per round.
+_ALIAS_BLOCK = ("q52", "q99")  # inclusive numeric range to alias in
+
+
+def _alias(name: str) -> str | None:
+    """q52_ann_bucketed_topk -> a52_ann_bucketed_topk (sorts before 'q')."""
+    num = name[1:].split("_", 1)[0]
+    if num.isdigit() and int(_ALIAS_BLOCK[0][1:]) <= int(num) <= int(_ALIAS_BLOCK[1][1:]):
+        return "a" + name[1:]
+    return None
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: qd.fn for name, qd in all_queries().items()}
+    """One entry per implemented operator from SURVEY.md §2 (plus window aliases)."""
+    out = {name: qd.fn for name, qd in all_queries().items()}
+    for name, qd in all_queries().items():
+        a = _alias(name)
+        if a is not None:
+            out[a] = qd.fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query; omitted => rows-only check."""
-    return {name: qd.oracle for name, qd in all_queries().items() if qd.oracle is not None}
+    out = {name: qd.oracle for name, qd in all_queries().items() if qd.oracle is not None}
+    for name, qd in all_queries().items():
+        a = _alias(name)
+        if a is not None and qd.oracle is not None:
+            out[a] = qd.oracle
+    return out

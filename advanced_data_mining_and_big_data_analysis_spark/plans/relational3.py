@@ -399,18 +399,33 @@ def q81_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q82_approx_aggregates",
-    oracle=None,  # approximate by design: HLL and quantile-sketch results
-    # are engine-specific, so the driver records a rows-only check
-    description="approximate aggregates — approx_count_distinct (HLL) and percentile_approx (quantile sketch): the 100 TB substitutes for q15/q65's exact operators (rows-only; exactness intentionally traded)",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS parts_within_rel_err,
+           TRUE AS p50_within_rel_err
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    description="approximate aggregates — approx_count_distinct (HLL, rsd=0.02) and percentile_approx (quantile sketch, accuracy=1000): the 100 TB substitutes for q15/q65's exact operators. Hash-checkable via error-bound booleans (VERDICT r3 item 2): Spark computes approx AND exact side by side and emits approx-within-documented-bound flags; the oracle pins the exact columns and expects TRUE. HLL bound = 2.5x rsd (5%); sketch bound = 1% relative value error (rank error n/1000 on a smooth price distribution)",
 )
 def q82_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    approx_parts = F.approx_count_distinct("l_partkey", rsd=0.02)
+    exact_parts = F.countDistinct("l_partkey")
+    approx_p50 = F.percentile_approx("l_extendedprice", 0.5, 1000)
+    exact_p50 = F.expr("percentile(l_extendedprice, 0.5)")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.round(F.percentile_approx("l_extendedprice", 0.5, 1000), 2).alias("approx_p50"),
             F.count(F.lit(1)).alias("n_rows"),
+            exact_parts.alias("exact_parts"),
+            (F.abs(approx_parts - exact_parts) / exact_parts <= F.lit(0.05)).alias(
+                "parts_within_rel_err"
+            ),
+            (F.abs(approx_p50 - exact_p50) / exact_p50 <= F.lit(0.01)).alias(
+                "p50_within_rel_err"
+            ),
         )
         .orderBy("l_returnflag")
     )

@@ -15,7 +15,18 @@ from pyspark.sql import functions as F
 from ..sources import load_table
 from .registry import query
 
-_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap (oracle-side epoch form)
+
+
+def _gap_exceeded(cur, prev):
+    """``cur - prev > 30 minutes`` via interval arithmetic.
+
+    Interval subtraction works for both TIMESTAMP and TIMESTAMP_NTZ inputs
+    (the driver's parquet writes plain ``timestamp[us]``, which Spark >= 3.4
+    infers as NTZ — ``unix_micros`` rejects that type), and is
+    timezone-free, matching DuckDB's naive-epoch oracle exactly.
+    """
+    return (cur - prev) > F.expr("INTERVAL 30 MINUTES")
 
 
 @query(
@@ -48,9 +59,7 @@ def q60_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
-    is_new = F.when(
-        prev.isNull() | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > _GAP_US), 1
-    ).otherwise(0)
+    is_new = F.when(prev.isNull() | _gap_exceeded(F.col("ts"), prev), 1).otherwise(0)
     with_sid = ev.withColumn(
         "session_id",
         F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("long"),
@@ -169,7 +178,7 @@ def q63_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_chunk", F.max("_chunk_max").over(w_prev).alias("_carry_hw")
     )
     high_water = F.greatest(F.col("_local_hw"), F.col("_carry_hw"))  # greatest skips nulls
-    late = F.unix_micros(F.col("ts")) < F.unix_micros(high_water) - 600_000_000
+    late = F.col("ts") < high_water - F.expr("INTERVAL 10 MINUTES")
     return (
         ev.withColumn("_local_hw", local_hw)
         .join(F.broadcast(carry), "_chunk")
@@ -215,9 +224,7 @@ def q104_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
-    is_new = F.when(
-        prev.isNull() | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > _GAP_US), 1
-    ).otherwise(0)
+    is_new = F.when(prev.isNull() | _gap_exceeded(F.col("ts"), prev), 1).otherwise(0)
     with_sid = ev.withColumn(
         "sess", F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
     )

@@ -103,22 +103,43 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs]
 
     # warmup: run the first query once to pay session/codegen startup
-    qs[names[0]].fn(spark, sf_dir).collect()
+    try:
+        qs[names[0]].fn(spark, sf_dir).collect()
+    except Exception:
+        pass
 
+    # Per-query isolation: one broken query must not zero the whole round
+    # (r4: a TIMESTAMP_NTZ type error in q60 aborted bench before any
+    # number was recorded). Failures land in "errors"; the totals cover
+    # the queries that ran.
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in names:
-        t0 = time.time()
-        qs[name].fn(spark, sf_dir).collect()
-        dt = round(time.time() - t0, 3)
+        try:
+            t0 = time.time()
+            qs[name].fn(spark, sf_dir).collect()
+            dt = round(time.time() - t0, 3)
+            # warm = median of 3 fresh-plan re-runs: JIT hot, all stages
+            # re-executed; the median makes round-over-round deltas
+            # distinguishable from scheduler noise (VERDICT r3 item 4).
+            reps = []
+            for _ in range(3):
+                t0 = time.time()
+                qs[name].fn(spark, sf_dir).collect()
+                reps.append(time.time() - t0)
+            warm[name] = round(sorted(reps)[1], 3)
+        except Exception as e:  # noqa: BLE001 — record and move on
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            continue
         timings[name] = dt
         total += dt
-        t0 = time.time()
-        qs[name].fn(spark, sf_dir).collect()
-        warm[name] = round(time.time() - t0, 3)
 
-    duck = duckdb_timings(sf_dir, names, qs)
+    try:
+        duck = duckdb_timings(sf_dir, [n for n in names if n in timings], qs)
+    except Exception:
+        duck = {}
 
     detail = {
         "metric": "declared_query_wall_time",
@@ -129,6 +150,7 @@ def main() -> None:
         "warm_total": round(sum(warm.values()), 3),
         "duckdb_queries": duck,
         "duckdb_total": round(sum(duck.values()), 3),
+        "errors": errors,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full breakdown goes to a file; stdout gets a compact single line.
@@ -148,6 +170,7 @@ def main() -> None:
         "queries": timings,
         "warm_total": round(sum(warm.values()), 3),
         "duckdb_total": round(sum(duck.values()), 3),
+        "n_errors": len(errors),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     line = json.dumps(compact, separators=(",", ":"))

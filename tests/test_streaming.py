@@ -66,8 +66,10 @@ def test_streaming_sessions_equal_batch_sessionization(spark, event_files):
     ev = spark.read.parquet(f"{event_files}/events").filter(F.col("user_id") <= 10)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
-    gap_us = 30 * 60 * 1_000_000
-    is_new = F.when(prev.isNull() | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > gap_us), 1).otherwise(0)
+    # interval arithmetic: valid for TIMESTAMP and TIMESTAMP_NTZ alike
+    is_new = F.when(
+        prev.isNull() | ((F.col("ts") - prev) > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
     sess = (
         ev.withColumn("sid", F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
         .groupBy("user_id", "sid")

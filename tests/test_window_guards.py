@@ -1,0 +1,92 @@
+"""Registry-wide WindowExec guard (VERDICT r3 item 6).
+
+An unpartitioned window moves ALL rows to one task — the classic
+100-TB killer. Most declared queries must never plan one over data
+rows; the few that do run them over provably bounded frames
+(aggregated boundaries, distinct dims, calendar spines) and are
+allowlisted HERE with the justification, so a future edit can't
+silently globalize a window without failing this test.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from advanced_data_mining_and_big_data_analysis_spark.plans import all_queries
+
+QUERIES = all_queries()
+
+# name -> why an unpartitioned window over its input is bounded & safe.
+# Every entry must name the bounded frame it runs over.
+ALLOWED_UNPARTITIONED: dict[str, str] = {
+    "q37_label_encode": "dense_rank over the DISTINCT label side only (|labels| rows, ~5)",
+    "q63_late_events": "carry-in prefix max over per-chunk boundary aggregates (#events/8192 rows)",
+    "q65_exact_percentiles": "interpolated percentile over per-flag aggregates (bounded group count)",
+    "q66_ntile_quartiles": "ntile over one-row-per-customer spend aggregates of a bounded cohort",
+    "q74_trailing_range_window": "trailing mean over the monthly rollup spine (<= #months rows)",
+    "q81_cume_dist": "cume_dist over per-priority aggregates (9 rows)",
+    "q86_periodogram": "DFT rank spine over the daily rollup (calendar-bounded, <= #days rows)",
+    "q89_trailing_range_join": "trailing window over the daily revenue rollup (calendar-bounded)",
+    "q96_ivf_multiprobe": "probe ranking over the query-to-centroid distance frame (k_clusters rows)",
+    "q102_pagerank_transitions": "rank over the 5-node page dim (graph dim, not events)",
+    "q103_weighted_sample": "A-ES top-k rank over the k-row candidate frame after TakeOrdered",
+    "q107_winsorize": "percentile interpolation over per-source aggregates (#sources rows)",
+    "q110_token_budget": "weight-sum window over the per-source frame (one row per source)",
+    "q112_cohort_retention": "retention matrix over cohort-month aggregates (calendar-bounded)",
+}
+
+
+def _window_specs(plan: str) -> list[str]:
+    """Paren-balanced windowspecdefinition argument lists from a plan."""
+    specs = []
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        depth, start = 1, m.end()
+        i = start
+        while i < len(plan) and depth:
+            if plan[i] == "(":
+                depth += 1
+            elif plan[i] == ")":
+                depth -= 1
+            i += 1
+        specs.append(plan[start : i - 1])
+    return specs
+
+
+def _is_unpartitioned(spec: str) -> bool:
+    """A spec's args are: partition cols..., order cols (ASC/DESC), frame.
+    No partition cols => the first top-level arg is already an order col
+    (carries ASC/DESC) or the frame itself."""
+    depth = 0
+    for i, ch in enumerate(spec):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            first = spec[:i]
+            return " ASC" in first or " DESC" in first or "specifiedwindowframe" in first
+    return " ASC" in spec or " DESC" in spec or "specifiedwindowframe" in spec
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_unpartitioned_window_over_data(name, spark, sf_dir):
+    df = QUERIES[name].fn(spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    unpart = [s for s in _window_specs(plan) if _is_unpartitioned(s)]
+    if not unpart:
+        return
+    assert name in ALLOWED_UNPARTITIONED, (
+        f"{name} plans {len(unpart)} unpartitioned window(s) and is not "
+        f"allowlisted; first spec: {unpart[0][:200]}"
+    )
+
+
+def test_allowlist_has_no_stale_entries(spark, sf_dir):
+    """Every allowlisted query must still exist and still plan an
+    unpartitioned window — otherwise the entry is stale and the guard
+    is weaker than it looks."""
+    for name in ALLOWED_UNPARTITIONED:
+        assert name in QUERIES, f"allowlist entry {name} no longer registered"
