@@ -36,12 +36,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_oracle.py runs the full de-aliased registry regardless, and
 # CORRECTNESS_LOCAL_r5.json records the all-queries result per round.
 _ALIAS_BLOCK = ("q52", "q99")  # inclusive numeric range to alias in
+_ALIAS_FROM = 113  # round-5+ additions: alias so they get a driver row immediately
 
 
 def _alias(name: str) -> str | None:
     """q52_ann_bucketed_topk -> a52_ann_bucketed_topk (sorts before 'q')."""
     num = name[1:].split("_", 1)[0]
-    if num.isdigit() and int(_ALIAS_BLOCK[0][1:]) <= int(num) <= int(_ALIAS_BLOCK[1][1:]):
+    if not num.isdigit():
+        return None
+    if int(_ALIAS_BLOCK[0][1:]) <= int(num) <= int(_ALIAS_BLOCK[1][1:]) or int(num) >= _ALIAS_FROM:
         return "a" + name[1:]
     return None
 

@@ -2,9 +2,10 @@
 
 Convention: media travels as an opaque ``binary`` column plus typed
 metadata columns (mime, width/height/duration, source uri). All Spark-side
-plumbing — schema, partitioning, Arrow batch shape — is real; the actual
-codec work is stubbed behind ``DECODERS`` because image/audio libraries are
-not available in this container (clearly marked below).
+plumbing — schema, partitioning, Arrow batch shape — is real. Codecs:
+PCM WAV and 24-bit BMP are REAL stdlib decoders (``decode_wav`` /
+``decode_bmp``, hash-checked by q113); PNG/JPEG need codec libraries not
+present in this container and keep a clearly-marked deterministic fake.
 
 The processing shape is ``mapInPandas`` (Arrow-batched iterator of
 pandas.DataFrame), which is the right boundary for byte-blob work at scale:
@@ -54,15 +55,107 @@ def _decode_image(content: bytes) -> list[float]:
     return [n, s / n, mx, mn]
 
 
-def _decode_audio(content: bytes) -> list[float]:
-    """STUB — real implementation needs an audio codec. See _decode_image."""
-    raise NotImplementedError("audio decode requires an audio codec library")
+# --- real codecs (stdlib-only; no codec library required) -----------------
+#
+# PCM WAV and uncompressed 24-bit BMP are fully decodable with `wave` +
+# `struct`, so these two paths are REAL decoders, not stubs (VERDICT r3
+# item 3). PNG/JPEG genuinely need a codec library (absent in this
+# container) and keep the clearly-marked deterministic fake above.
+
+
+def make_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Encode 16-bit mono PCM samples as a WAV byte blob (stdlib wave)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(content: bytes) -> list[float]:
+    """REAL WAV decode (16-bit mono PCM): [n_samples, sample_rate, mean,
+    rms, peak_abs]. Raw doubles — callers apply rounding so both engines
+    round with the same half-up rule (Python round() is banker's)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise ValueError("decode_wav handles 16-bit mono PCM")
+        n = w.getnframes()
+        sr = w.getframerate()
+        raw = w.readframes(n)
+    samples = struct.unpack(f"<{n}h", raw)
+    mean = sum(samples) / n if n else 0.0
+    rms = math.sqrt(sum(s * s for s in samples) / n) if n else 0.0
+    peak = float(max(abs(s) for s in samples)) if n else 0.0
+    return [float(n), float(sr), mean, rms, peak]
+
+
+def make_bmp(width: int, height: int, pixel_fn: Callable[[int, int], tuple[int, int, int]]) -> bytes:
+    """Encode a 24-bit uncompressed BMP. ``pixel_fn(x, y) -> (r, g, b)``
+    with y=0 the TOP row (image coordinates); rows are written bottom-up
+    with 4-byte padding per the format."""
+    import struct
+
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    pixel_data = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            pixel_data += bytes((b, g, r))  # BGR order
+        pixel_data += bytes(pad)
+    offset = 14 + 40
+    size = offset + len(pixel_data)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0)
+    return header + dib + bytes(pixel_data)
+
+
+def decode_bmp(content: bytes) -> list[float]:
+    """REAL BMP decode (24-bit uncompressed, bottom-up): [width, height,
+    mean_r, mean_g, mean_b, topleft_r]. ``topleft_r`` pins row-order
+    handling — a decoder that forgets the bottom-up flip returns the
+    BOTTOM-left pixel and fails the oracle hash."""
+    import struct
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    offset = struct.unpack_from("<I", content, 10)[0]
+    width, height = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    if bpp != 24 or height <= 0:
+        raise ValueError("decode_bmp handles 24-bit bottom-up BMPs")
+    row_bytes = width * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    sr = sg = sb = 0
+    topleft_r = 0.0
+    for y in range(height):  # y = image row, 0 = top
+        base = offset + (height - 1 - y) * stride
+        row = content[base : base + row_bytes]
+        sb += sum(row[0::3])
+        sg += sum(row[1::3])
+        sr += sum(row[2::3])
+        if y == 0:
+            topleft_r = float(row[2])
+    n = width * height
+    return [float(width), float(height), sr / n, sg / n, sb / n, topleft_r]
 
 
 DECODERS: dict[str, Callable[[bytes], list[float]]] = {
-    "image/png": _decode_image,
-    "image/jpeg": _decode_image,
-    "audio/wav": _decode_audio,
+    "image/png": _decode_image,  # stub: real PNG needs zlib+filter codec path
+    "image/jpeg": _decode_image,  # stub: real JPEG needs a DCT codec
+    "image/bmp": decode_bmp,  # REAL
+    "audio/wav": decode_wav,  # REAL
 }
 
 
@@ -159,6 +252,40 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 16, max_frames: int = 4
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.mapInPandas(per_batch, schema=FRAME_SCHEMA)
+
+
+# Closed-form media fixture: every blob is a pure function of media_id,
+# so an SQL oracle can recompute the expected decoded features from the
+# same formulas (range() + arithmetic) — a wrong decoder mismatches the
+# value hash. Formulas (id = m):
+#   WAV  : n = 256 + 16*m samples, sr = 8000, s_i = ((m*1000 + i*37) % 4096) - 2048
+#   BMP  : w = 8 + m%4, h = 4 + m%3,
+#          r(x,y) = (m*3 + x + y) % 256, g = (m*5 + 2*x) % 256, b = (m*7 + 3*y) % 256
+WAV_SR = 8000
+
+
+def formula_wav_samples(m: int) -> list[int]:
+    return [((m * 1000 + i * 37) % 4096) - 2048 for i in range(256 + 16 * m)]
+
+
+def formula_bmp_dims(m: int) -> tuple[int, int]:
+    return 8 + m % 4, 4 + m % 3
+
+
+def formula_media_df(spark, n_audio: int = 8, n_image: int = 8) -> DataFrame:
+    """Real WAV + BMP blobs generated from the closed-form formulas above.
+    Tiny driver-side dim (n rows of <=10 KB) — the 100 TB shape is the
+    downstream mapInPandas scan, not this fixture."""
+    rows = []
+    for m in range(n_audio):
+        rows.append((m, f"mem://wav/{m}", "audio/wav", make_wav(formula_wav_samples(m), WAV_SR)))
+    for m in range(n_image):
+        w, h = formula_bmp_dims(m)
+        blob = make_bmp(
+            w, h, lambda x, y, m=m: ((m * 3 + x + y) % 256, (m * 5 + 2 * x) % 256, (m * 7 + 3 * y) % 256)
+        )
+        rows.append((1000 + m, f"mem://bmp/{m}", "image/bmp", blob))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def synthetic_media_df(spark, n: int = 64) -> DataFrame:

@@ -150,7 +150,7 @@ def q68_pandas_udf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q70_multimodal_features",
     oracle=None,  # in-memory synthetic media; not expressible over the parquet views
-    description="multimodal plumbing end-to-end: binary media column -> mapInPandas feature extraction -> aggregate (rows-only check; decoders stubbed, north-star multimodal)",
+    description="multimodal plumbing end-to-end: binary media column -> mapInPandas feature extraction -> aggregate (rows-only check over the mixed-mime fixture; q113 is the hash-checked REAL-decode twin)",
 )
 def q70_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as MM
@@ -166,3 +166,66 @@ def q70_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mime")
     )
+
+
+_N_WAV, _N_BMP = 8, 8
+
+
+@query(
+    "q113_multimodal_decode",
+    oracle=f"""
+    WITH am AS (SELECT m FROM range(0, {_N_WAV}) t(m)),
+    samp AS (
+      SELECT am.m, ((am.m*1000 + r.i*37) % 4096) - 2048 AS s
+      FROM am, range(0, 256 + 16*{_N_WAV - 1}) r(i)
+      WHERE r.i < 256 + 16*am.m),
+    audio AS (
+      SELECT m AS media_id, 'audio' AS kind, COUNT(*) AS n_units,
+             ROUND(AVG(s), 6) AS f1,
+             ROUND(SQRT(AVG(CAST(s AS DOUBLE)*s)), 6) AS f2,
+             CAST(MAX(ABS(s)) AS DOUBLE) AS f3,
+             CAST({{sr}} AS DOUBLE) AS f4
+      FROM samp GROUP BY m),
+    im AS (SELECT m, 8 + m % 4 AS w, 4 + m % 3 AS h FROM range(0, {_N_BMP}) t(m)),
+    px AS (
+      SELECT im.m, im.w, im.h,
+             (im.m*3 + x.i + y.i) % 256 AS r,
+             (im.m*5 + 2*x.i) % 256 AS g,
+             (im.m*7 + 3*y.i) % 256 AS b
+      FROM im, range(0, 11) x(i), range(0, 6) y(i)
+      WHERE x.i < im.w AND y.i < im.h),
+    image AS (
+      SELECT 1000 + m AS media_id, 'image' AS kind, COUNT(*) AS n_units,
+             ROUND(AVG(r), 6) AS f1, ROUND(AVG(g), 6) AS f2, ROUND(AVG(b), 6) AS f3,
+             CAST((m*3) % 256 AS DOUBLE) AS f4
+      FROM px GROUP BY m)
+    SELECT media_id, kind, n_units, f1, f2, f3, f4
+    FROM (SELECT * FROM audio UNION ALL SELECT * FROM image)
+    ORDER BY media_id
+    """.format(sr=8000),
+    description="REAL multimodal decode, hash-checked (VERDICT r3 item 3): stdlib WAV (16-bit PCM) and BMP (24-bit bottom-up, padded rows) codecs run inside the mapInPandas feature extractor over closed-form blobs; the oracle recomputes expected features (sample mean/rms/peak, per-channel pixel means, top-left pixel) from the generating formulas — a wrong decoder, wrong row-order flip, or wrong padding skips the hash",
+)
+def q113_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    feats = MM.extract_features(MM.formula_media_df(spark, _N_WAV, _N_BMP))
+    el = F.element_at
+    audio = feats.filter(F.col("mime") == "audio/wav").select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        el("feature", 1).cast("long").alias("n_units"),
+        F.round(el("feature", 3), 6).alias("f1"),
+        F.round(el("feature", 4), 6).alias("f2"),
+        el("feature", 5).alias("f3"),
+        el("feature", 2).alias("f4"),
+    )
+    image = feats.filter(F.col("mime") == "image/bmp").select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        (el("feature", 1) * el("feature", 2)).cast("long").alias("n_units"),
+        F.round(el("feature", 3), 6).alias("f1"),
+        F.round(el("feature", 4), 6).alias("f2"),
+        F.round(el("feature", 5), 6).alias("f3"),
+        el("feature", 6).alias("f4"),
+    )
+    return audio.unionAll(image).orderBy("media_id")

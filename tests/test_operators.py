@@ -303,6 +303,31 @@ def test_cosine_topk_self_similarity(spark):
     assert got[-1]["vec_id"] == 3 and got[-1]["cos_sim"] == pytest.approx(-1.0)
 
 
+def test_wav_codec_roundtrip():
+    """REAL WAV path: encode known 16-bit PCM, decode, expect exact stats."""
+    samples = [0, 100, -100, 2047, -2048, 37]
+    blob = MM.make_wav(samples, sample_rate=8000)
+    n, sr, mean, rms, peak = MM.decode_wav(blob)
+    assert (n, sr, peak) == (6.0, 8000.0, 2048.0)
+    assert mean == pytest.approx(sum(samples) / 6)
+    assert rms == pytest.approx((sum(s * s for s in samples) / 6) ** 0.5)
+
+
+def test_bmp_codec_roundtrip_padding_and_roworder():
+    """REAL BMP path: every padding case (w*3 % 4 in {0,1,2,3}) and the
+    bottom-up flip — topleft_r must be the IMAGE top-left, not the first
+    stored row."""
+    for w in (8, 9, 10, 11):
+        blob = MM.make_bmp(w, 3, lambda x, y: ((x + 10 * y) % 256, x, y))
+        gw, gh, mr, mg, mb, topleft_r = MM.decode_bmp(blob)
+        assert (gw, gh) == (w, 3)
+        exp_r = sum((x + 10 * y) % 256 for x in range(w) for y in range(3)) / (3 * w)
+        assert mr == pytest.approx(exp_r)
+        assert mg == pytest.approx(sum(range(w)) / w)
+        assert mb == pytest.approx(1.0)  # mean of y in {0,1,2}
+        assert topleft_r == 0.0  # pixel (0,0) in image coords: x+10*y = 0
+
+
 def test_multimodal_golden_pin(spark):
     """Golden-file pin for the deterministic fake decoders (VERDICT r1
     item 10): the byte-level outputs of extract_features / resize_images /
