@@ -339,6 +339,57 @@ def incremental_dup_ids(
     )
 
 
+def bloom_positions(col, m_bits: int, k: int) -> list:
+    """The k Bloom bit positions of a string column, as Columns.
+
+    md5-derived (``md5(value || '@bf' || j)`` hex prefix mod m — the
+    ``@bf`` salt keeps the keyspace disjoint from the minhash seeds
+    ``#i``) so every engine — and the DuckDB oracle — computes identical
+    positions; Spark's internal BloomFilter (bloom_filter_agg) is not
+    exposed in PySpark, and an engine-portable hash is what makes the
+    filter hash-checkable anyway."""
+    return [
+        F.conv(F.substring(F.md5(F.concat(col, F.lit(f"@bf{j}"))), 1, 8), 16, 10).cast("long")
+        % m_bits
+        for j in range(k)
+    ]
+
+
+def bloom_bitset(grams: DataFrame, col: str = "shingle", m_bits: int = 16384, k: int = 3) -> DataFrame:
+    """Build the Bloom bit set of a gram column: the distinct bit
+    positions hit by any gram — at most ``m_bits`` rows regardless of
+    gram count, which is the point: a benchmark too big to broadcast as
+    raw strings still broadcasts as its bit set (m bits).
+
+    FPR ~= (1 - e^(-k*n/m))^k for n distinct grams; size m so k*n/m
+    stays well under 1 (documented per call site)."""
+    pos = bloom_positions(F.col(col), m_bits, k)
+    return (
+        grams.select(F.explode(F.array(*pos)).alias("pos"))
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+
+
+def bloom_candidates(
+    grams: DataFrame, bitset: DataFrame, col: str = "shingle", m_bits: int = 16384, k: int = 3
+) -> DataFrame:
+    """Keep only grams whose k positions are ALL set (Bloom maybe-members).
+
+    One explode to (row, pos), one broadcast join against the bit set,
+    one count-back: the probe side streams, never shuffles on content.
+    False positives survive (by design) — callers needing exactness run
+    an exact verify on the (already tiny) candidate set."""
+    pos = bloom_positions(F.col(col), m_bits, k)
+    probed = (
+        grams.withColumn("_pos", F.explode(F.array(*pos)))
+        .join(F.broadcast(bitset), F.col("_pos") == bitset.pos, "left")
+        .groupBy(*grams.columns)
+        .agg(F.sum(F.coalesce(F.col("_set"), F.lit(0))).alias("_hits"))
+    )
+    return probed.filter(F.col("_hits") == k).drop("_hits")
+
+
 def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Connected components over near-duplicate pairs: (doc_id, cluster)
     where cluster = min doc_id reachable through the pair graph — the

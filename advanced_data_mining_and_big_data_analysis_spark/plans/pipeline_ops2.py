@@ -461,3 +461,100 @@ def q112_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# q115 — Bloom-filter decontamination (VERDICT r3 item 8): q105's rule for
+# benchmark gram sets too big to broadcast as strings. The benchmark
+# collapses to its Bloom BIT SET (<= m rows no matter how many grams),
+# which always broadcasts; training grams probe the bit set and only the
+# tiny maybe-member candidate set is verified exactly, so the final
+# flagged-docs rule stays EXACTLY q105's (Bloom has no false negatives).
+# m=16384, k=3, n=|benchmark grams|~1.4k at sf0.01 -> theoretical FPR
+# (1-e^(-kn/m))^k ~= 1%, and the query MEASURES it per source.
+# ---------------------------------------------------------------------------
+
+_BF_M, _BF_K = 16384, 3
+
+
+def _bf_pos_sql(g: str, j: str) -> str:
+    return (
+        f"CAST(CONCAT('0x', substr(md5({g} || '@bf' || CAST({j} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" % {_BF_M}"
+    )
+
+
+@query(
+    "q115_decontaminate_bloom",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, source, {_shingles('toks')} AS sh FROM t),
+    ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE source = 'src0'),
+    bl AS (SELECT DISTINCT {_bf_pos_sql('g', 'r.j')} AS pos
+           FROM ev CROSS JOIN range(0, {_BF_K}) r(j)),
+    gr AS (SELECT doc_id, source, unnest(sh) AS g FROM s WHERE source <> 'src0'),
+    pr AS (SELECT doc_id, source, g,
+                  SUM(CASE WHEN {_bf_pos_sql('g', 'r.j')} IN (SELECT pos FROM bl)
+                           THEN 1 ELSE 0 END) AS h
+           FROM gr CROSS JOIN range(0, {_BF_K}) r(j)
+           GROUP BY doc_id, source, g),
+    ver AS (SELECT doc_id, source,
+                   CASE WHEN g IN (SELECT g FROM ev) THEN 1 ELSE 0 END AS true_hit
+            FROM pr WHERE h = {_BF_K}),
+    tot AS (SELECT doc_id, COUNT(*) AS total FROM gr GROUP BY doc_id),
+    doc AS (SELECT gr0.doc_id, gr0.source, tot.total,
+                   COALESCE(v.n_cand, 0) AS n_cand, COALESCE(v.hits, 0) AS hits
+            FROM (SELECT DISTINCT doc_id, source FROM gr) gr0
+            JOIN tot ON tot.doc_id = gr0.doc_id
+            LEFT JOIN (SELECT doc_id, COUNT(*) AS n_cand, SUM(true_hit) AS hits
+                       FROM ver GROUP BY doc_id) v ON v.doc_id = gr0.doc_id)
+    SELECT source,
+           CAST(SUM(total) AS BIGINT) AS n_grams,
+           CAST(SUM(n_cand) AS BIGINT) AS n_candidates,
+           CAST(SUM(n_cand - hits) AS BIGINT) AS n_false_pos,
+           ROUND(SUM(n_cand - hits) * 1.0 / SUM(total - hits), 6) AS measured_fpr,
+           CAST(SUM(CASE WHEN hits * 1.0 / total >= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged
+    FROM doc GROUP BY source ORDER BY source
+    """,
+    description="Bloom-filter decontamination: benchmark grams collapse to a broadcastable m-bit position set (engine-portable md5 k-hash Bloom, m=16384 k=3, FPR ~1% theoretical and measured per source); training grams probe the bit set, only maybe-members get the exact verify join, and the flagged-doc rule is EXACTLY q105's (no false negatives) — the scale path when the benchmark outgrows a string broadcast",
+)
+def q115_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ev_docs = docs.filter(F.col("source") == "src0")
+    tr_docs = docs.filter(F.col("source") != "src0")
+    ev_grams = D.shingle_rows(ev_docs, shingle_n=3).select("shingle").distinct()
+    bitset = D.bloom_bitset(ev_grams, "shingle", _BF_M, _BF_K)
+    tr_grams = D.shingle_rows(tr_docs, shingle_n=3)
+    cand = D.bloom_candidates(tr_grams, bitset, "shingle", _BF_M, _BF_K)
+    ver = cand.join(
+        F.broadcast(ev_grams.withColumn("_hit", F.lit(1))), "shingle", "left"
+    ).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hits"),
+    )
+    tot = tr_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("total"))
+    doc = (
+        tr_docs.select("doc_id", "source")
+        .join(tot, "doc_id")
+        .join(ver, "doc_id", "left")
+        .select(
+            "source",
+            "total",
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+        )
+    )
+    return (
+        doc.groupBy("source")
+        .agg(
+            F.sum("total").alias("n_grams"),
+            F.sum("n_cand").alias("n_candidates"),
+            F.sum(F.col("n_cand") - F.col("hits")).alias("n_false_pos"),
+            F.round(
+                F.sum(F.col("n_cand") - F.col("hits")) / F.sum(F.col("total") - F.col("hits")), 6
+            ).alias("measured_fpr"),
+            F.sum((F.col("hits") / F.col("total") >= 0.2).cast("long")).alias("n_flagged"),
+        )
+        .orderBy("source")
+    )

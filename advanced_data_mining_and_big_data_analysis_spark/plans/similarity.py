@@ -189,12 +189,18 @@ def q55_ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_assign(spark: SparkSession, sf_dir: str):
-    """Shared IVF plumbing: (assign, dims, cent) frames — per-vector
-    nearest-centroid cluster, exploded dimensions, per-label centroids."""
-    from pyspark.sql import Window as W
-
+    """Shared IVF plumbing over the embeddings table: see _ivf_assign_frames."""
     emb = load_table(spark, sf_dir, "embeddings")
     x = emb.select("vec_id", SIM.as_double("embedding").alias("v"), F.col("label"))
+    return _ivf_assign_frames(x)
+
+
+def _ivf_assign_frames(x: DataFrame):
+    """Shared IVF plumbing: (assign, dims, cent) frames — per-vector
+    nearest-centroid cluster, exploded dimensions, per-label centroids.
+    ``x`` must carry (vec_id, v: array<double>, label)."""
+    from pyspark.sql import Window as W
+
     dims = x.select("vec_id", F.posexplode("v").alias("dim0", "comp")).withColumn(
         "dim", F.col("dim0") + 1
     )
@@ -389,4 +395,82 @@ def q111_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(F.abs(err)) * 1e3, 6).alias("max_abs_err_x1e3"),
         )
         .orderBy("label")
+    )
+
+
+_SD_PLANT = 10  # planted near-dups: vec_id < 10 rescaled by 1.01 (cos == 1)
+_SD_THR = 0.999
+
+_PAIR_COS = (
+    f"list_reduce(list_transform(range(1, {_DIMS + 1}), i -> a.v[i] * b.v[i]), (s, t) -> s + t)"
+    f" / (sqrt(list_reduce(list_transform(range(1, {_DIMS + 1}), i -> a.v[i] * a.v[i]), (s, t) -> s + t))"
+    f" * sqrt(list_reduce(list_transform(range(1, {_DIMS + 1}), i -> b.v[i] * b.v[i]), (s, t) -> s + t)))"
+)
+
+
+@query(
+    "q114_semdedup",
+    oracle=f"""
+    WITH RECURSIVE x AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, label,
+             list_transform(CAST(embedding AS DOUBLE[]), e -> e * 1.01)
+      FROM embeddings WHERE vec_id < {_SD_PLANT}),
+    cent AS (SELECT label AS c_label, dim, AVG(v[dim]) AS c
+             FROM x CROSS JOIN range(1, {_DIMS + 1}) r(dim) GROUP BY c_label, dim),
+    dist AS (SELECT x.vec_id, cent.c_label,
+                    SUM((v[r.dim] - c) * (v[r.dim] - c)) AS d2
+             FROM x CROSS JOIN range(1, {_DIMS + 1}) r(dim)
+             JOIN cent ON cent.dim = r.dim
+             GROUP BY x.vec_id, cent.c_label),
+    best AS (SELECT vec_id, c_label AS cluster,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+             FROM dist),
+    assign AS (SELECT x.vec_id, x.v, best.cluster
+               FROM x JOIN best ON best.vec_id = x.vec_id AND best.rn = 1),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM assign a JOIN assign b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE {_PAIR_COS} >= {_SD_THR}),
+    ed AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+    reach(id, lab) AS (
+      SELECT DISTINCT a, a FROM ed
+      UNION
+      SELECT ed.a, reach.lab FROM ed JOIN reach ON ed.b = reach.id),
+    labels AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id)
+    SELECT id AS removed_id, cluster AS kept_id
+    FROM labels WHERE id <> cluster ORDER BY removed_id
+    """,
+    description="SemDeDup-style embedding-space dedup (VERDICT r3 item 7): IVF/k-means cluster assignment -> WITHIN-cluster cosine pairs at an epsilon-ball threshold -> connected components -> drop all but the canonical member. Planted fixture: vec_id<10 re-appear rescaled x1.01 (cosine exactly 1) and must be removed in favor of their originals. Never all-pairs: the pair join is cluster-local; at 100 TB pick k_clusters ~ N/target_cluster_size so the within-cluster quadratic stays bounded (and the salted per-bucket cap of operators/dedup.py:172 is the drop-in guard for skewed clusters)",
+)
+def q114_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", SIM.as_double("embedding").alias("v"), "label")
+    planted = base.filter(F.col("vec_id") < _SD_PLANT).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("v", lambda e: e * F.lit(1.01)).alias("v"),
+        "label",
+    )
+    assign, _, _ = _ivf_assign_frames(base.unionAll(planted))
+    a, b = assign.alias("a"), assign.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            SIM.cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _SD_THR)
+    )
+    labels = D.near_dup_clusters(pairs)
+    return (
+        labels.filter(F.col("id") != F.col("cluster"))
+        .select(F.col("id").alias("removed_id"), F.col("cluster").alias("kept_id"))
+        .orderBy("removed_id")
     )

@@ -303,6 +303,24 @@ def test_cosine_topk_self_similarity(spark):
     assert got[-1]["vec_id"] == 3 and got[-1]["cos_sim"] == pytest.approx(-1.0)
 
 
+def test_bloom_filter_no_false_negatives(spark):
+    """Every true member must survive the Bloom probe (q115's exactness
+    rests on this), and the false-positive rate must stay near theory."""
+    from advanced_data_mining_and_big_data_analysis_spark.operators import dedup as D
+
+    members = spark.createDataFrame([(f"gram-{i}",) for i in range(500)], "shingle string")
+    probes = spark.createDataFrame(
+        [(f"gram-{i}",) for i in range(500)] + [(f"other-{i}",) for i in range(2000)],
+        "shingle string",
+    )
+    bitset = D.bloom_bitset(members, "shingle", m_bits=16384, k=3)
+    kept = {r["shingle"] for r in D.bloom_candidates(probes, bitset, "shingle", 16384, 3).collect()}
+    assert all(f"gram-{i}" in kept for i in range(500))  # no false negatives
+    fp = sum(1 for s in kept if s.startswith("other-"))
+    # theoretical FPR at n=500, m=16384, k=3 is ~0.06%; allow 10x slack
+    assert fp / 2000 < 0.006, f"false-positive rate {fp / 2000} way above theory"
+
+
 def test_wav_codec_roundtrip():
     """REAL WAV path: encode known 16-bit PCM, decode, expect exact stats."""
     samples = [0, 100, -100, 2047, -2048, 37]
