@@ -361,18 +361,24 @@ def chunk_rows(
 def quality_features(text: Column | str) -> dict[str, Column]:
     """Quality-scoring features (length / punctuation / stopword ratios).
 
-    Deliberately HOF-free on the hot path: token count and summed token
-    length are recovered from the normalized string with codegen'd
-    split/regexp_replace instead of interpreted array lambdas —
-    identical values (tokens are the ' +'-split of the trimmed
-    normalization, so their summed length is the alnum char count),
-    ~4x cheaper per row on a corpus scan."""
+    Deliberately HOF-free on the hot path, and down to ONE regex replace
+    + ONE regex count per row (r5 rewrite; was 3 regexp_replace passes +
+    an array-materializing split):
+    - norm = normalize(c) maps punct -> ' ' and preserves alnum chars, so
+      token_chars = length(translate(norm, ' ', '')) (translate is a
+      non-regex byte map);
+    - [a-z0-9 ]-count of the original = token_chars + literal-space
+      count of the original (again a translate+length);
+    - token count = number of maximal alnum runs in norm =
+      regexp_count(norm, '[a-z0-9]+') — no array ever allocated.
+    Values are integer-identical to the oracle's formulation."""
     c = F.col(text) if isinstance(text, str) else text
-    trimmed = F.trim(normalize(c))
-    n_tok = F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, " +")))
+    norm = normalize(c)
+    n_tok = F.regexp_count(norm, F.lit("[a-z0-9]+"))
     n_char = F.length(c)
-    n_alnum_space = F.length(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""))
-    token_chars = F.length(F.regexp_replace(F.lower(c), "[^a-z0-9]", ""))
+    token_chars = F.length(F.translate(norm, " ", ""))
+    spaces_orig = n_char - F.length(F.translate(c, " ", ""))
+    n_alnum_space = token_chars + spaces_orig
     en_ratio = F.when(
         n_tok > 0, stopword_hits(tokens(c), STOPWORDS["en"]) / n_tok
     ).otherwise(F.lit(0.0))
@@ -383,6 +389,50 @@ def quality_features(text: Column | str) -> dict[str, Column]:
         "avg_token_len": F.when(n_tok > 0, token_chars / n_tok).otherwise(F.lit(0.0)),
         "stopword_ratio": en_ratio,
     }
+
+
+def quality_features_staged(
+    docs: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ("source",)
+) -> DataFrame:
+    """quality_features as STAGED projections: each expensive intermediate
+    (the normalized string, the token count) is materialized as a column
+    in its own select, so it is evaluated exactly ONCE per row.
+
+    The dict form inlines ``norm`` into every sibling feature column and
+    ``n_tok`` into two CASE branches — codegen subexpression elimination
+    does not hoist across conditional branches, so the single-projection
+    plan evaluates the regex ~7x per row. Staged projections survive
+    CollapseProject (Catalyst refuses to duplicate non-cheap expressions),
+    leaving exactly one regexp_replace + one regexp_count in the plan —
+    tests/test_plans.py asserts this shape for q45."""
+    c = F.col(text_col)
+    s1 = docs.select(
+        *keep,
+        F.length(c).alias("n_chars"),
+        (F.length(c) - F.length(F.translate(c, " ", ""))).alias("_spaces"),
+        normalize(c).alias("_norm"),
+    )
+    s2 = s1.select(
+        *keep,
+        "n_chars",
+        "_spaces",
+        F.regexp_count("_norm", F.lit("[a-z0-9]+")).alias("n_tokens"),
+        F.length(F.translate("_norm", " ", "")).alias("_token_chars"),
+    )
+    return s2.select(
+        *keep,
+        "n_chars",
+        "n_tokens",
+        F.when(
+            F.col("n_chars") > 0,
+            (F.col("n_chars") - (F.col("_token_chars") + F.col("_spaces"))) / F.col("n_chars"),
+        )
+        .otherwise(0.0)
+        .alias("punct_ratio"),
+        F.when(F.col("n_tokens") > 0, F.col("_token_chars") / F.col("n_tokens"))
+        .otherwise(0.0)
+        .alias("avg_token_len"),
+    )
 
 
 def quality_score_from(n_tokens: Column, punct_ratio: Column, avg_token_len: Column) -> Column:

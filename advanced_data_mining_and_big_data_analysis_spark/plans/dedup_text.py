@@ -242,13 +242,7 @@ def q44_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q45_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    qf = X.quality_features("text")
-    staged = docs.select(
-        "source",
-        qf["n_tokens"].alias("n_tokens"),
-        qf["punct_ratio"].alias("punct_ratio"),
-        qf["avg_token_len"].alias("avg_token_len"),
-    )
+    staged = X.quality_features_staged(docs, "text", keep=("source",))
     return (
         staged.select(
             "source",

@@ -106,6 +106,16 @@ def test_q95_scalar_total_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_q45_single_regex_evaluation(spark, sf_dir):
+    """Quality features must evaluate the normalization regex exactly once
+    per row: the staged-projection form keeps one regexp_replace and one
+    regexp_count (compiled to regexp_extract_all) in the whole plan — the
+    single-projection dict form inlines them ~7x (r5 fix)."""
+    plan = plan_of("q45_quality_scores", spark, sf_dir)
+    assert plan.count("regexp_replace") == 1, "normalization regex duplicated in plan"
+    assert plan.count("regexp_extract_all") <= 1, "token-count regex duplicated in plan"
+
+
 def test_q63_no_global_window_over_events(spark, sf_dir):
     """The running high-watermark must be a chunked two-pass prefix scan:
     every window spec that orders by event_id (i.e. runs over the raw
