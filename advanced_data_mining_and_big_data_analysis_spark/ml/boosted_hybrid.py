@@ -113,12 +113,24 @@ class BoostedHybrid(Estimator):
             self.log_target,
         )
 
+    @staticmethod
+    def _set_cols(est, label: str, pred: str) -> None:
+        """Set label/prediction columns across estimator conventions:
+        Spark ML built-ins take camelCase (labelCol); xgboost.spark takes
+        snake_case (label_col) — supporting both lets the hybrid grid
+        accept external boosted stages (ensemble.external_boosted_stages)
+        without wrappers."""
+        try:
+            est.setParams(labelCol=label, predictionCol=pred)
+        except TypeError:
+            est.setParams(label_col=label, prediction_col=pred)
+
     def _fit(self, df: DataFrame) -> BoostedHybridModel:
         y = F.log1p(F.col(self.label_col)) if self.log_target else F.col(self.label_col)
         train = df.withColumn("_y", y)
 
         m1 = self.model_1.copy()
-        m1.setParams(labelCol="_y", predictionCol="_pred1")
+        self._set_cols(m1, "_y", "_pred1")
         fitted_1 = m1.fit(train)
 
         # cache the residual frame: the booster's iterations repeatedly
@@ -130,7 +142,7 @@ class BoostedHybrid(Estimator):
             .cache()
         )
         m2 = self.model_2.copy()
-        m2.setParams(labelCol="_resid", predictionCol="_pred2")
+        self._set_cols(m2, "_resid", "_pred2")
         try:
             fitted_2 = m2.fit(with_resid)
         finally:

@@ -35,6 +35,41 @@ def hybrid_grid(
     ]
 
 
+def external_boosted_stages(features_col: str = "features2", seed: int = 42) -> list[Estimator]:
+    """Distributed equivalents of the reference's boosted residual stages
+    (kaggle.py:720-767: XGBRegressor / LGBMRegressor / CatBoostRegressor),
+    wired when their Spark packages are importable.
+
+    This container ships neither xgboost nor synapse.ml, so the hybrid
+    grid substitutes GBTRegressor (documented deviation, SURVEY §7c) and
+    this returns [] here; on a cluster with the libs installed the grid
+    picks them up automatically and closes the parity gap. CatBoost has
+    no Spark estimator — its slot stays with GBTRegressor everywhere."""
+    stages: list[Estimator] = []
+    try:
+        from xgboost.spark import SparkXGBRegressor  # noqa: PLC0415
+
+        stages.append(
+            SparkXGBRegressor(
+                features_col=features_col,
+                max_depth=5,
+                n_estimators=100,
+                random_state=seed,
+            )
+        )
+    except ImportError:
+        pass
+    try:
+        from synapse.ml.lightgbm import LightGBMRegressor  # noqa: PLC0415
+
+        stages.append(
+            LightGBMRegressor(featuresCol=features_col, numIterations=100, seed=seed)
+        )
+    except ImportError:
+        pass
+    return stages
+
+
 def _preds_array(pred_cols: list[str]) -> Column:
     return F.array(*[F.col(c).cast("double") for c in pred_cols])
 

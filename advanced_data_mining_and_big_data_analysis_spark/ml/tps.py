@@ -192,7 +192,7 @@ def run_tps_ensemble(
     year-magnitude features diverges."""
     from pyspark.ml.regression import FMRegressor, GBTRegressor, LinearRegression
 
-    from .ensemble import hybrid_grid, median_blend
+    from .ensemble import external_boosted_stages, hybrid_grid, median_blend
     from .stacking import oof_stack
 
     data = engineer_features(synthetic_sales(spark)).coalesce(8)
@@ -223,7 +223,12 @@ def run_tps_ensemble(
                 regParam=1e-4, seed=42,
             ),
         ],
-        boosted_stages=[GBTRegressor(featuresCol="features2", maxIter=gbt_iters, maxDepth=5, seed=42)],
+        boosted_stages=[
+            GBTRegressor(featuresCol="features2", maxIter=gbt_iters, maxDepth=5, seed=42),
+            # reference-parity XGB/LGBM residual stages, auto-wired where
+            # their Spark packages exist (absent in this container)
+            *external_boosted_stages(features_col="features2"),
+        ],
         label_col="num_sold",
         log_target=True,
     )

@@ -242,3 +242,40 @@ def test_tps_full_ensemble_recipe(spark):
     # both ensemble paths must stay near the synthetic noise floor (~6.4)
     assert m["stack_smape"] < 12.0, m
     assert m["median_blend_smape"] < 12.0, m
+
+
+def test_external_boosted_stages_guarded(spark, linear_data):
+    """Reference parity for XGB/LGBM residual stages (kaggle.py:720-767):
+    where the Spark packages exist the stages must fit inside
+    BoostedHybrid; in this container they are absent and the helper must
+    return [] without raising (the grid then runs on GBTRegressor
+    alone). The snake_case/_set_cols path is what the external stages
+    rely on — exercised here via the helper's output when available."""
+    import pytest as _pytest
+
+    from advanced_data_mining_and_big_data_analysis_spark.ml.boosted_hybrid import BoostedHybrid
+    from advanced_data_mining_and_big_data_analysis_spark.ml.ensemble import (
+        external_boosted_stages,
+    )
+
+    stages = external_boosted_stages(features_col="features")
+    assert isinstance(stages, list)
+    try:
+        import xgboost.spark  # noqa: F401
+
+        has_xgb = True
+    except ImportError:
+        has_xgb = False
+    if not stages:
+        assert not has_xgb
+        _pytest.skip("no external boosted libraries in this container")
+    from pyspark.ml.regression import LinearRegression
+
+    hybrid = BoostedHybrid(
+        model_1=LinearRegression(featuresCol="features", regParam=1e-3),
+        model_2=stages[0],
+        label_col="label",
+        log_target=False,
+    )
+    model = hybrid.fit(linear_data)
+    assert model.transform(linear_data).count() == linear_data.count()
