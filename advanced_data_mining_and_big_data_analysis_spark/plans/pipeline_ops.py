@@ -257,8 +257,17 @@ def q95_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     n = tok.agg(F.count(F.lit(1)).alias("total"))
+    # broadcast the vocab (VERDICT r3 scale note): the token key is
+    # Zipf-skewed, so a shuffle join would move EVERY corpus token row on
+    # a skewed key; the vocab itself is Heaps-law sublinear (|V| ~ N^0.5,
+    # and map-side-combined before it ever shuffles), so broadcasting it
+    # keeps the corpus side shuffle-free until the well-distributed
+    # per-doc aggregate. For adversarial token namespaces that outgrow a
+    # broadcast, cap the vocab at top-K + an OOV smoothing bucket (the
+    # standard CCNet/C4 config) or fall back to the salted join
+    # (operators/joins.py:salted_join).
     d = (
-        tok.join(vocab, "tok")
+        tok.join(F.broadcast(vocab), "tok")
         .crossJoin(F.broadcast(n))
         .groupBy("doc_id", "source")
         .agg((-F.sum(F.log(F.col("cnt") * 1.0 / F.col("total"))) / F.count(F.lit(1))).alias("nll"))

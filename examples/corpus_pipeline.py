@@ -46,17 +46,15 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n_raw = docs.count()
 
-    # 1. quality gate
-    qf = X.quality_features("text")
-    staged = docs.select(
-        "*",
-        qf["n_tokens"].alias("_nt"),
-        qf["punct_ratio"].alias("_pr"),
-        qf["avg_token_len"].alias("_atl"),
-    )
-    quality = staged.filter(
-        X.quality_score_from(F.col("_nt"), F.col("_pr"), F.col("_atl")) >= 2.0 / 3.0
-    ).drop("_nt", "_pr", "_atl")
+    # 1. quality gate (staged projections: each regex evaluated once)
+    feats = X.quality_features_staged(docs, "text", keep=("doc_id",))
+    passing = feats.filter(
+        X.quality_score_from(
+            F.col("n_tokens"), F.col("punct_ratio"), F.col("avg_token_len")
+        )
+        >= 2.0 / 3.0
+    ).select("doc_id")
+    quality = docs.join(passing, "doc_id", "left_semi")
 
     # 2. repetition gate — drop only docs the scorer POSITIVELY flagged.
     # repetition_features emits no row for docs with < n tokens, so a
@@ -70,22 +68,30 @@ def main() -> None:
     pairs = D.near_dup_pairs(clean, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.5)
     survivors = D.dedup_survivors(clean, pairs)
 
-    # 4. benchmark decontamination: drop docs sharing >= 20% of their
-    # distinct 3-gram shingles with the held-out benchmark set (src0
-    # plays the benchmark here); the benchmark gram set is broadcast
+    # 4. benchmark decontamination via the Bloom path (q115 shape): the
+    # benchmark (src0 here) collapses to its broadcastable bit set; only
+    # Bloom maybe-members get the exact verify join, so the rule is
+    # exactly the broadcast-gram rule (no false negatives) at any
+    # benchmark size. Drop docs sharing >= 20% of their distinct 3-gram
+    # shingles with the benchmark.
     ev_grams = (
         D.shingle_rows(survivors.filter(F.col("source") == "src0"), shingle_n=3)
         .select("shingle")
         .distinct()
-        .withColumn("_hit", F.lit(1))
     )
+    bitset = D.bloom_bitset(ev_grams, "shingle", m_bits=16384, k=3)
     tr = survivors.filter(F.col("source") != "src0")
-    contaminated = (
-        D.shingle_rows(tr, shingle_n=3)
-        .join(F.broadcast(ev_grams), "shingle", "left")
+    tr_grams = D.shingle_rows(tr, shingle_n=3)
+    cand_hits = (
+        D.bloom_candidates(tr_grams, bitset, "shingle", 16384, 3)
+        .join(F.broadcast(ev_grams.withColumn("_hit", F.lit(1))), "shingle", "left")
         .groupBy("doc_id")
-        .agg((F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1))).alias("_frac"))
-        .filter(F.col("_frac") >= 0.2)
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_hits"))
+    )
+    totals = tr_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_total"))
+    contaminated = (
+        totals.join(cand_hits, "doc_id", "left")
+        .filter(F.coalesce(F.col("_hits"), F.lit(0)) / F.col("_total") >= 0.2)
         .select("doc_id")
     )
     decontaminated = tr.join(contaminated, "doc_id", "left_anti")
