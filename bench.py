@@ -66,6 +66,10 @@ HEADLINE = [
     # temporal / iterative
     "q98_asof_join",
     "q102_pagerank_transitions",
+    # round-5 additions
+    "q113_multimodal_decode",
+    "q114_semdedup",
+    "q115_decontaminate_bloom",
 ]
 
 
