@@ -347,3 +347,66 @@ def q94_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chunk_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# q116 — cross-document duplicated-passage detection: the RefinedWeb /
+# CCNet sub-document dedup step. Whole-doc dedup (q40/q41) misses
+# boilerplate passages shared between otherwise-distinct documents;
+# here every non-overlapping 8-token window is content-hashed and a
+# passage is flagged when it appears in >= 2 DISTINCT docs. Two
+# shuffles on the passage-hash key (count + mark-back), both map-side
+# combined — the canonical shape at corpus scale; the flagged-hash set
+# is bounded by the volume of actually-duplicated content.
+# ---------------------------------------------------------------------------
+
+_PSG_W = 8  # non-overlapping passage window (width == stride)
+
+
+@query(
+    "q116_duplicated_passages",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    st AS (SELECT doc_id, source, toks,
+                  unnest(range(1, len(toks) + 1, {_PSG_W})) AS start
+           FROM t WHERE len(toks) > 0),
+    c AS (SELECT doc_id, source,
+                 md5(array_to_string(list_slice(toks, start, start + {_PSG_W - 1}), ' ')) AS h
+          FROM st),
+    d AS (SELECT h FROM c GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    f AS (SELECT source, doc_id,
+                 CASE WHEN h IN (SELECT h FROM d) THEN 1 ELSE 0 END AS is_dup
+          FROM c)
+    SELECT source, COUNT(*) AS n_passages,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup_passages,
+           ROUND(SUM(is_dup) * 1.0 / COUNT(*), 6) AS dup_frac,
+           COUNT(DISTINCT CASE WHEN is_dup = 1 THEN doc_id END) AS n_docs_affected
+    FROM f GROUP BY source ORDER BY source
+    """,
+    description="cross-document duplicated-passage detection (RefinedWeb/CCNet sub-document dedup): non-overlapping 8-token windows content-hashed via the q94 chunker; a passage is duplicated when its hash spans >= 2 distinct docs; per-source passage counts, duplicated fraction, and affected-doc counts — catches shared boilerplate that whole-doc dedup (q40/q41) cannot see",
+)
+def q116_duplicated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pas = X.chunk_rows(docs, width=_PSG_W, stride=_PSG_W, extra_cols=("source",))
+    dup = (
+        pas.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("_ndocs"))
+        .filter(F.col("_ndocs") >= 2)
+        .select("chunk_hash")
+        .withColumn("_dup", F.lit(1))
+    )
+    marked = pas.join(dup, "chunk_hash", "left").select(
+        "source", "doc_id", F.coalesce(F.col("_dup"), F.lit(0)).alias("is_dup")
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum("is_dup").alias("n_dup_passages"),
+            F.round(F.sum("is_dup") / F.count(F.lit(1)), 6).alias("dup_frac"),
+            F.countDistinct(F.when(F.col("is_dup") == 1, F.col("doc_id"))).alias(
+                "n_docs_affected"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -70,6 +70,7 @@ HEADLINE = [
     "q113_multimodal_decode",
     "q114_semdedup",
     "q115_decontaminate_bloom",
+    "q116_duplicated_passages",
 ]
 
 
