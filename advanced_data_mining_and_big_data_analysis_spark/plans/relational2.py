@@ -149,8 +149,19 @@ def q68_pandas_udf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q70_multimodal_features",
-    oracle=None,  # in-memory synthetic media; not expressible over the parquet views
-    description="multimodal plumbing end-to-end: binary media column -> mapInPandas feature extraction -> aggregate (rows-only check over the mixed-mime fixture; q113 is the hash-checked REAL-decode twin)",
+    oracle="""
+    WITH m AS (
+      SELECT i,
+             CASE WHEN i % 3 <> 0 THEN 'image/png' ELSE 'application/octet-stream' END AS mime,
+             32 + (i % 16) AS n
+      FROM range(0, 96) t(i))
+    SELECT mime, COUNT(*) AS n_media,
+           CAST(SUM(CASE WHEN mime = 'image/png' THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+           ROUND(AVG(CASE WHEN mime = 'image/png' THEN CAST(n AS DOUBLE) END), 6)
+             AS avg_len_moment
+    FROM m GROUP BY mime ORDER BY mime
+    """,
+    description="multimodal plumbing end-to-end: binary media column -> mapInPandas feature extraction -> aggregate over the mixed-mime fixture (unknown mimes keep a null feature for coverage audit). Hash-checked since r5: the fixture blobs are closed-form in media_id, so the oracle recomputes the expected byte-length moment and decode counts from the generating formulas; q113 is the REAL-decode twin",
 )
 def q70_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as MM
