@@ -179,17 +179,19 @@ def run_tps_ensemble(
     valid_start: str = "2018-01-01",
     gbt_iters: int = 10,
     folds: int = 2,
+    include_mlp: bool = False,
 ) -> dict[str, float]:
     """The reference's full E2 recipe at reduced scale: hybrid grid →
     OOF stacking with a linear meta-learner → median blend of base
     predictions as a fallback comparator. Returns SMAPE for both.
 
-    The grid includes an FMRegressor first-stage — the Spark stand-in for
+    The grid includes an FMRegressor first-stage — the fast stand-in for
     the reference's MLPRegressor(hidden=(200,100)) (kaggle.py:731-741):
-    Spark ML has no MLP regressor, and a factorization machine is the
-    closest built-in nonlinear-interaction learner (SURVEY §7 hard-part
-    c). FM trains on the MinMax-SCALED feature vector — SGD on raw
-    year-magnitude features diverges."""
+    Spark ML has no built-in MLP regressor. ``include_mlp=True`` swaps in
+    the REAL thing (ml/mlp.py, distributed full-batch GD, deterministic)
+    on the same MinMax-scaled vector; it is opt-in because each fit costs
+    maxIter Spark jobs, which matters in the OOF k-fold loop at toy
+    scale (at cluster scale the per-job overhead amortizes)."""
     from pyspark.ml.regression import FMRegressor, GBTRegressor, LinearRegression
 
     from .ensemble import external_boosted_stages, hybrid_grid, median_blend
@@ -214,15 +216,22 @@ def run_tps_ensemble(
     train = prepared.filter(F.col("date") <= F.lit(train_end))
     valid = prepared.filter(F.col("date") >= F.lit(valid_start))
 
+    linear_stages = [
+        LinearRegression(featuresCol="features1", regParam=1e-4),
+        LinearRegression(featuresCol="features1", regParam=0.1, elasticNetParam=0.5),
+        FMRegressor(
+            featuresCol="features1s", factorSize=4, maxIter=50, stepSize=0.05,
+            regParam=1e-4, seed=42,
+        ),
+    ]
+    if include_mlp:
+        from .mlp import MLPRegressor
+
+        linear_stages.append(
+            MLPRegressor(featuresCol="features1s", hidden=(32, 16), maxIter=60, stepSize=0.1)
+        )
     grid = hybrid_grid(
-        linear_stages=[
-            LinearRegression(featuresCol="features1", regParam=1e-4),
-            LinearRegression(featuresCol="features1", regParam=0.1, elasticNetParam=0.5),
-            FMRegressor(
-                featuresCol="features1s", factorSize=4, maxIter=50, stepSize=0.05,
-                regParam=1e-4, seed=42,
-            ),
-        ],
+        linear_stages=linear_stages,
         boosted_stages=[
             GBTRegressor(featuresCol="features2", maxIter=gbt_iters, maxDepth=5, seed=42),
             # reference-parity XGB/LGBM residual stages, auto-wired where

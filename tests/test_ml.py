@@ -279,3 +279,57 @@ def test_external_boosted_stages_guarded(spark, linear_data):
     )
     model = hybrid.fit(linear_data)
     assert model.transform(linear_data).count() == linear_data.count()
+
+
+def test_mlp_regressor_learns_nonlinear(spark):
+    """Distributed MLP regressor (the reference's MLPRegressor slot,
+    kaggle.py:731-741): must fit y = |x| - a shape NO linear model can -
+    deterministically (same seed => identical predictions), with
+    map-side-summed gradients."""
+    import numpy as np
+
+    from advanced_data_mining_and_big_data_analysis_spark.ml.mlp import MLPRegressor
+
+    rows = [([x / 50.0], abs(x / 50.0)) for x in range(-100, 101)]
+    df = spark.createDataFrame(rows, "features array<double>, label double").repartition(4)
+    model = MLPRegressor(hidden=(16,), maxIter=100, stepSize=0.5, seed=7).fit(df)
+    scored = model.transform(df).select("label", "prediction").toPandas()
+    mse = float(np.mean((scored["label"] - scored["prediction"]) ** 2))
+    var = float(np.var(scored["label"]))
+    # linear least squares on a symmetric grid cannot beat predicting the
+    # mean of |x| (R^2 = 0); the MLP must actually bend
+    r2 = 1 - mse / var
+    assert r2 > 0.9, f"expected nonlinear fit, got R^2={r2}"
+
+    # determinism: two short fits must produce bit-identical weights
+    # (weight comparison, not toPandas order which is partition-dependent)
+    short = [
+        MLPRegressor(hidden=(16,), maxIter=10, stepSize=0.5, seed=7).fit(df).params
+        for _ in range(2)
+    ]
+    for a, b in zip(*short):
+        assert np.array_equal(a, b)
+
+
+def test_mlp_in_boosted_hybrid_with_vector_features(spark):
+    """The MLP must drop into BoostedHybrid exactly where the reference
+    put its MLPRegressor (hybrid residual grid): VectorUDT features from
+    an assembler, setParams(labelCol=...) protocol, log-target path."""
+    from pyspark.ml.feature import VectorAssembler
+
+    from advanced_data_mining_and_big_data_analysis_spark.ml.boosted_hybrid import BoostedHybrid
+    from advanced_data_mining_and_big_data_analysis_spark.ml.mlp import MLPRegressor
+    from pyspark.ml.regression import GBTRegressor
+
+    rows = [(float(i % 7), float(i % 5), 10.0 + (i % 7) + 2.0 * (i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, "a double, b double, y double")
+    assembled = VectorAssembler(inputCols=["a", "b"], outputCol="f").transform(df)
+    hybrid = BoostedHybrid(
+        model_1=MLPRegressor(featuresCol="f", hidden=(8,), maxIter=20, stepSize=0.1),
+        model_2=GBTRegressor(featuresCol="f", maxIter=3, maxDepth=2, seed=1),
+        label_col="y",
+        log_target=True,
+    )
+    scored = hybrid.fit(assembled).transform(assembled)
+    assert scored.filter(scored.prediction.isNull()).count() == 0
+    assert scored.count() == 200
