@@ -121,6 +121,34 @@ class MLPRegressorModel:
             return mapping[key]
         raise KeyError(key)
 
+    def save(self, path: str) -> None:
+        """Composite persistence convention (ml/persistence.py): weights +
+        config as one JSON through the Hadoop FS API (hdfs/s3a/file alike).
+        Network-sized, not data-sized — JSON is fine."""
+        import json
+
+        from pyspark.sql import SparkSession
+
+        from .persistence import write_text_file
+
+        spark = SparkSession.getActiveSession()
+        payload = {
+            "features_col": self.features_col,
+            "prediction_col": self.prediction_col,
+            "weights": [p.tolist() for p in self.params],
+        }
+        write_text_file(spark, f"{path}/mlp.json", json.dumps(payload))
+
+    @classmethod
+    def load(cls, spark, path: str) -> "MLPRegressorModel":
+        import json
+
+        from .persistence import read_text_file
+
+        payload = json.loads(read_text_file(spark, f"{path}/mlp.json"))
+        params = [np.asarray(w) for w in payload["weights"]]
+        return cls(params, payload["features_col"], payload["prediction_col"])
+
     def transform(self, df: DataFrame) -> DataFrame:
         params = self.params  # closure -> shipped with the task, not per-row
 

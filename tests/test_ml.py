@@ -333,3 +333,46 @@ def test_mlp_in_boosted_hybrid_with_vector_features(spark):
     scored = hybrid.fit(assembled).transform(assembled)
     assert scored.filter(scored.prediction.isNull()).count() == 0
     assert scored.count() == 200
+
+
+def test_mlp_save_load_roundtrip(spark, tmp_path):
+    """MLPRegressorModel persists through the composite convention
+    (save(path) / load(spark, path)) with bit-identical predictions,
+    including nested inside a saved BoostedHybridModel."""
+    import numpy as np
+
+    from advanced_data_mining_and_big_data_analysis_spark.ml import BoostedHybridModel
+    from advanced_data_mining_and_big_data_analysis_spark.ml.boosted_hybrid import BoostedHybrid
+    from advanced_data_mining_and_big_data_analysis_spark.ml.mlp import (
+        MLPRegressor,
+        MLPRegressorModel,
+    )
+
+    rows = [([x / 25.0], abs(x / 25.0)) for x in range(-50, 51)]
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+    model = MLPRegressor(hidden=(8,), maxIter=15, stepSize=0.3, seed=3).fit(df)
+    path = str(tmp_path / "mlp")
+    model.save(path)
+    loaded = MLPRegressorModel.load(spark, path)
+    for a, b in zip(model.params, loaded.params):
+        assert np.array_equal(a, b)
+
+    # nested: BoostedHybrid with an MLP stage 1 must round-trip too
+    from pyspark.ml.regression import GBTRegressor
+    from pyspark.ml.feature import VectorAssembler
+
+    d2 = VectorAssembler(inputCols=["a"], outputCol="f").transform(
+        spark.createDataFrame([(float(i % 9), 5.0 + (i % 9)) for i in range(90)], "a double, y double")
+    )
+    hy = BoostedHybrid(
+        model_1=MLPRegressor(featuresCol="f", hidden=(4,), maxIter=10, stepSize=0.1),
+        model_2=GBTRegressor(featuresCol="f", maxIter=2, maxDepth=2, seed=1),
+        label_col="y",
+        log_target=False,
+    ).fit(d2)
+    hpath = str(tmp_path / "hybrid_mlp")
+    hy.save(hpath)
+    re = BoostedHybridModel.load(spark, hpath)
+    p0 = hy.transform(d2).agg(F.sum("prediction")).first()[0]
+    p1 = re.transform(d2).agg(F.sum("prediction")).first()[0]
+    assert p0 == p1
