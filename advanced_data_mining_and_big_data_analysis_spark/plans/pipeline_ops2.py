@@ -558,3 +558,66 @@ def q115_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q117 — mergeable-sketch cardinality (Apache DataSketches HLL via
+# hll_sketch_agg / hll_union_agg). The 100 TB pattern q82's
+# approx_count_distinct cannot express: per-shard sketches are
+# materialized ONCE, and any rollup (here: global over sources) is a
+# sketch MERGE — no second scan of the data. Hash-checked the q82 way:
+# exact distincts pinned in both engines, the sketch estimates asserted
+# within the documented HLL error (lgK=12 -> ~1.6% standard error; 5%
+# bound = ~3 sigma) as booleans the oracle expects TRUE.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q117_mergeable_sketches",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, source, unnest({_shingles('toks')}) AS g FROM t),
+    per AS (SELECT source AS scope, COUNT(DISTINCT g) AS exact_distinct FROM s GROUP BY source),
+    tot AS (SELECT 'ALL' AS scope, COUNT(DISTINCT g) AS exact_distinct FROM s)
+    SELECT scope, exact_distinct, TRUE AS within_rel_err
+    FROM (SELECT * FROM per UNION ALL SELECT * FROM tot)
+    ORDER BY scope
+    """,
+    description="mergeable-sketch cardinality (DataSketches HLL, lgK=12): per-source shingle sketches built in ONE scan, global cardinality from hll_union_agg of the per-source sketches (a merge, not a rescan) - the re-aggregatable form q82's approx_count_distinct lacks; exact distincts pinned in both engines, estimates asserted within a 5% (~3 sigma) error bound as oracle-expected TRUE booleans",
+)
+def q117_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    # carry `source` through the shingle flat-map (keep_cols) — joining
+    # raw gram rows back to docs would shuffle the full gram stream
+    with_t = docs.select(
+        "doc_id", "source", F.split(F.trim(X.normalize("text")), " +").alias("_toks")
+    )
+    grams = X.zip_ngram_rows(with_t, "_toks", 3, "shingle", ["doc_id", "source"], " ", True)
+    per = grams.groupBy(F.col("source").alias("scope")).agg(
+        F.hll_sketch_agg("shingle").alias("_sk"),
+        F.countDistinct("shingle").alias("exact_distinct"),
+    )
+    per_out = per.select(
+        "scope",
+        "exact_distinct",
+        (
+            F.abs(F.hll_sketch_estimate("_sk") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= F.lit(0.05)
+        ).alias("within_rel_err"),
+    )
+    # global = MERGE of the per-source sketches (never rescans the grams);
+    # the exact side is an independent full distinct for the bound check
+    exact_all = grams.agg(F.countDistinct("shingle").alias("exact_distinct"))
+    merged = per.agg(F.hll_sketch_estimate(F.hll_union_agg(F.col("_sk"))).alias("_est"))
+    all_out = merged.crossJoin(exact_all).select(
+        F.lit("ALL").alias("scope"),
+        "exact_distinct",
+        (
+            F.abs(F.col("_est") - F.col("exact_distinct")) / F.col("exact_distinct")
+            <= F.lit(0.05)
+        ).alias("within_rel_err"),
+    )
+    return per_out.unionAll(all_out).orderBy("scope")
