@@ -119,10 +119,24 @@ class BoostedHybrid(Estimator):
         Spark ML built-ins take camelCase (labelCol); xgboost.spark takes
         snake_case (label_col) — supporting both lets the hybrid grid
         accept external boosted stages (ensemble.external_boosted_stages)
-        without wrappers."""
+        without wrappers. Convention is detected via hasParam when the
+        estimator exposes it (xgboost.spark's kwargs-based setParams
+        raises ValueError, not TypeError, for unknown params in some
+        versions — exception-type dispatch alone is not reliable)."""
+        has_param = getattr(est, "hasParam", None)
+        if callable(has_param):
+            try:
+                if has_param("labelCol"):
+                    est.setParams(labelCol=label, predictionCol=pred)
+                    return
+                if has_param("label_col"):
+                    est.setParams(label_col=label, prediction_col=pred)
+                    return
+            except Exception:
+                pass  # fall through to exception-dispatch below
         try:
             est.setParams(labelCol=label, predictionCol=pred)
-        except TypeError:
+        except (TypeError, ValueError):
             est.setParams(label_col=label, prediction_col=pred)
 
     def _fit(self, df: DataFrame) -> BoostedHybridModel:

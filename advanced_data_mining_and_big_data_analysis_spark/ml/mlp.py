@@ -121,17 +121,26 @@ class MLPRegressorModel:
             return mapping[key]
         raise KeyError(key)
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, spark=None) -> None:
         """Composite persistence convention (ml/persistence.py): weights +
         config as one JSON through the Hadoop FS API (hdfs/s3a/file alike).
-        Network-sized, not data-sized — JSON is fine."""
+        Network-sized, not data-sized — JSON is fine.
+
+        ``spark`` mirrors ``load``'s explicit session argument; when
+        omitted, the active session is used and its absence is a clear
+        error instead of an AttributeError deep in the FS write."""
         import json
 
         from pyspark.sql import SparkSession
 
         from .persistence import write_text_file
 
-        spark = SparkSession.getActiveSession()
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "MLPRegressorModel.save: no active SparkSession; pass one "
+                "explicitly via save(path, spark)"
+            )
         payload = {
             "features_col": self.features_col,
             "prediction_col": self.prediction_col,

@@ -376,18 +376,26 @@ def bloom_candidates(
 ) -> DataFrame:
     """Keep only grams whose k positions are ALL set (Bloom maybe-members).
 
-    One explode to (row, pos), one broadcast join against the bit set,
-    one count-back: the probe side streams, never shuffles on content.
-    False positives survive (by design) — callers needing exactness run
-    an exact verify on the (already tiny) candidate set."""
+    Probes the DISTINCT gram values (explode to (gram, pos), broadcast
+    join against the bit set, all-k-positions-set check) and semi-joins
+    the maybe-members back, so input rows keep their multiplicity and a
+    duplicated gram can never false-negative (a sum-based _hits == k
+    filter would reject a true member appearing c times, since its
+    merged group accumulates c*k hits). False positives survive (by
+    design) — callers needing exactness run an exact verify on the
+    (already tiny) candidate set."""
     pos = bloom_positions(F.col(col), m_bits, k)
-    probed = (
-        grams.withColumn("_pos", F.explode(F.array(*pos)))
+    maybe = (
+        grams.select(col)
+        .distinct()
+        .withColumn("_pos", F.explode(F.array(*pos)))
         .join(F.broadcast(bitset), F.col("_pos") == bitset.pos, "left")
-        .groupBy(*grams.columns)
-        .agg(F.sum(F.coalesce(F.col("_set"), F.lit(0))).alias("_hits"))
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("_set"), F.lit(0))).alias("_all_set"))
+        .filter(F.col("_all_set") == 1)
+        .select(col)
     )
-    return probed.filter(F.col("_hits") == k).drop("_hits")
+    return grams.join(maybe, on=col, how="leftsemi")
 
 
 def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:

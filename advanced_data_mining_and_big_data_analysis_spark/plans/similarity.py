@@ -149,7 +149,7 @@ def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent AS (SELECT label AS c_label, dim, AVG(v[dim]) AS c
              FROM x CROSS JOIN range(1, 65) r(dim) GROUP BY c_label, dim),
     dist AS (SELECT x.vec_id, x.label AS true_label, cent.c_label,
-                    SUM((v[r.dim] - c) * (v[r.dim] - c)) AS d2
+                    ROUND(SUM((v[r.dim] - c) * (v[r.dim] - c)), 9) AS d2
              FROM x CROSS JOIN range(1, 65) r(dim)
              JOIN cent ON cent.dim = r.dim
              GROUP BY x.vec_id, true_label, cent.c_label),
@@ -176,7 +176,7 @@ def q55_ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = (
         dims.join(F.broadcast(cent), "dim")
         .groupBy("vec_id", "true_label", "c_label")
-        .agg(F.sum((F.col("comp") - F.col("c")) * (F.col("comp") - F.col("c"))).alias("d2"))
+        .agg(F.round(F.sum((F.col("comp") - F.col("c")) * (F.col("comp") - F.col("c"))), 9).alias("d2"))
     )
     w = W.partitionBy("vec_id").orderBy("d2", "c_label")
     return (
@@ -213,7 +213,7 @@ def _ivf_assign_frames(x: DataFrame):
     dist = (
         dims.join(F.broadcast(cent), "dim")
         .groupBy("vec_id", "c_label")
-        .agg(F.sum((F.col("comp") - F.col("c")) * (F.col("comp") - F.col("c"))).alias("d2"))
+        .agg(F.round(F.sum((F.col("comp") - F.col("c")) * (F.col("comp") - F.col("c"))), 9).alias("d2"))
     )
     w = W.partitionBy("vec_id").orderBy("d2", "c_label")
     assign = (
@@ -232,7 +232,7 @@ def _ivf_assign_frames(x: DataFrame):
     cent AS (SELECT label AS c_label, dim, AVG(v[dim]) AS c
              FROM x CROSS JOIN range(1, 65) r(dim) GROUP BY c_label, dim),
     dist AS (SELECT x.vec_id, cent.c_label,
-                    SUM((v[r.dim] - c) * (v[r.dim] - c)) AS d2
+                    ROUND(SUM((v[r.dim] - c) * (v[r.dim] - c)), 9) AS d2
              FROM x CROSS JOIN range(1, 65) r(dim)
              JOIN cent ON cent.dim = r.dim
              GROUP BY x.vec_id, cent.c_label),
@@ -266,7 +266,7 @@ def q96_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims.filter(F.col("vec_id") == 0)
         .join(F.broadcast(cent), "dim")
         .groupBy("c_label")
-        .agg(F.sum((F.col("comp") - F.col("c")) * (F.col("comp") - F.col("c"))).alias("d2"))
+        .agg(F.round(F.sum((F.col("comp") - F.col("c")) * (F.col("comp") - F.col("c"))), 9).alias("d2"))
     )
     # global window over the centroid frame only — bounded by k_clusters
     probes = (
@@ -303,7 +303,7 @@ def q96_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent AS (SELECT label AS c_label, dim, AVG(v[dim]) AS c
              FROM x CROSS JOIN range(1, 65) r(dim) GROUP BY c_label, dim),
     dist AS (SELECT x.vec_id, cent.c_label,
-                    SUM((v[r.dim] - c) * (v[r.dim] - c)) AS d2
+                    ROUND(SUM((v[r.dim] - c) * (v[r.dim] - c)), 9) AS d2
              FROM x CROSS JOIN range(1, 65) r(dim)
              JOIN cent ON cent.dim = r.dim
              GROUP BY x.vec_id, cent.c_label),
@@ -420,7 +420,7 @@ _PAIR_COS = (
     cent AS (SELECT label AS c_label, dim, AVG(v[dim]) AS c
              FROM x CROSS JOIN range(1, {_DIMS + 1}) r(dim) GROUP BY c_label, dim),
     dist AS (SELECT x.vec_id, cent.c_label,
-                    SUM((v[r.dim] - c) * (v[r.dim] - c)) AS d2
+                    ROUND(SUM((v[r.dim] - c) * (v[r.dim] - c)), 9) AS d2
              FROM x CROSS JOIN range(1, {_DIMS + 1}) r(dim)
              JOIN cent ON cent.dim = r.dim
              GROUP BY x.vec_id, cent.c_label),
@@ -432,7 +432,7 @@ _PAIR_COS = (
     p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
           FROM assign a JOIN assign b
             ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-          WHERE {_PAIR_COS} >= {_SD_THR}),
+          WHERE ROUND({_PAIR_COS}, 9) >= {_SD_THR}),
     ed AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
     reach(id, lab) AS (
       SELECT DISTINCT a, a FROM ed
@@ -466,7 +466,7 @@ def q114_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("id_b"),
             SIM.cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= _SD_THR)
+        .filter(F.round(F.col("cos_sim"), 9) >= _SD_THR)
     )
     labels = D.near_dup_clusters(pairs)
     return (

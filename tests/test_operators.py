@@ -321,6 +321,22 @@ def test_bloom_filter_no_false_negatives(spark):
     assert fp / 2000 < 0.006, f"false-positive rate {fp / 2000} way above theory"
 
 
+def test_bloom_candidates_multiplicity_safe(spark):
+    """ADVICE r5: a true member appearing c>1 times must (a) survive the
+    probe — the old sum-based _hits == k filter rejected it — and (b)
+    keep all c copies in the output (counting consumers pass
+    shingle_rows(distinct=False))."""
+    from advanced_data_mining_and_big_data_analysis_spark.operators import dedup as D
+
+    members = spark.createDataFrame([("dup-gram",), ("solo-gram",)], "shingle string")
+    probes = spark.createDataFrame(
+        [("dup-gram",)] * 3 + [("solo-gram",)] + [("absent-gram",)] * 2, "shingle string"
+    )
+    bitset = D.bloom_bitset(members, "shingle", m_bits=16384, k=3)
+    kept = [r["shingle"] for r in D.bloom_candidates(probes, bitset, "shingle", 16384, 3).collect()]
+    assert sorted(kept) == ["dup-gram", "dup-gram", "dup-gram", "solo-gram"]
+
+
 def test_wav_codec_roundtrip():
     """REAL WAV path: encode known 16-bit PCM, decode, expect exact stats."""
     samples = [0, 100, -100, 2047, -2048, 37]
