@@ -96,6 +96,9 @@ def shingle_rows(
     text_col: str = "text",
     shingle_n: int = 3,
     distinct: bool = True,
+    extra_cols: tuple = (),
+    hashed: bool = False,
+    spread: bool = True,
 ) -> DataFrame:
     """(id, shingle) rows — the relational form of the shingle set.
 
@@ -123,12 +126,28 @@ def shingle_rows(
     a small parquet arrives as one split (serializing all the CPU on one
     core), and AQE would coalesce a count-less exchange right back on byte
     volume — the cost here is CPU per row, not bytes.
+
+    ``extra_cols`` ride along per gram row (e.g. a partition/source tag,
+    saving a join-back to the doc frame); ``hashed=True`` emits xxhash64
+    gram identities instead of gram strings (see zip_ngram_rows) — no
+    per-gram string materialization, 8-byte downstream keys;
+    ``spread=False`` skips the under-partitioned-input repartition for
+    KNOWN-small inputs (a benchmark/eval set), where the exchange stage
+    costs more than the single-split CPU it would parallelize.
     """
-    spread = X._spread(docs, id_col, [text_col])
-    with_t = spread.select(
-        F.col(id_col), F.split(F.trim(X.normalize(text_col)), " +").alias("_toks")
+    base = (
+        X._spread(docs, id_col, [*extra_cols, text_col])
+        if spread
+        else docs.select(*[F.col(c) for c in dict.fromkeys([id_col, *extra_cols, text_col])])
     )
-    return X.zip_ngram_rows(with_t, "_toks", shingle_n, "shingle", [id_col], " ", distinct)
+    with_t = base.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.split(F.trim(X.normalize(text_col)), " +").alias("_toks"),
+    )
+    return X.zip_ngram_rows(
+        with_t, "_toks", shingle_n, "shingle", [id_col, *extra_cols], " ", distinct, hashed
+    )
 
 
 def minhash_buckets(
@@ -342,12 +361,25 @@ def incremental_dup_ids(
 def bloom_positions(col, m_bits: int, k: int) -> list:
     """The k Bloom bit positions of a string column, as Columns.
 
-    md5-derived (``md5(value || '@bf' || j)`` hex prefix mod m — the
+    md5-derived so every engine — and the DuckDB oracle — computes
+    identical positions; Spark's internal BloomFilter (bloom_filter_agg)
+    is not exposed in PySpark, and an engine-portable hash is what makes
+    the filter hash-checkable anyway.
+
+    For k <= 4 all positions are carved from ONE digest (8 hex chars
+    each from md5(value) — 32 bits per position, independent under the
+    random-oracle model), so the dominant per-gram cost is a single md5
+    instead of k salted ones (r5 ran 3 digests per gram; this was the
+    largest constant factor in the decontamination stack). k > 4 falls
+    back to salted per-j digests (``md5(value || '@bf' || j)``; the
     ``@bf`` salt keeps the keyspace disjoint from the minhash seeds
-    ``#i``) so every engine — and the DuckDB oracle — computes identical
-    positions; Spark's internal BloomFilter (bloom_filter_agg) is not
-    exposed in PySpark, and an engine-portable hash is what makes the
-    filter hash-checkable anyway."""
+    ``#i``)."""
+    if k <= 4:
+        digest = F.md5(col)
+        return [
+            F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10).cast("long") % m_bits
+            for j in range(k)
+        ]
     return [
         F.conv(F.substring(F.md5(F.concat(col, F.lit(f"@bf{j}"))), 1, 8), 16, 10).cast("long")
         % m_bits
@@ -369,6 +401,43 @@ def bloom_bitset(grams: DataFrame, col: str = "shingle", m_bits: int = 16384, k:
         .distinct()
         .withColumn("_set", F.lit(1))
     )
+
+
+def bloom_bits(bitset: DataFrame, m_bits: int = 16384) -> list[int]:
+    """Pack a bloom_bitset frame into ``m_bits / 64`` long words.
+
+    Collects the position frame — bounded by the CONSTANT m_bits (16384
+    bits = at most 16384 rows = a 2 KiB bitmap), never by data size, the
+    same driver-side build Spark's own bloom_filter_agg/might_contain
+    does. The words parameterize :func:`bloom_maybe`'s literal array, so
+    the probe side needs no explode, no join, and no aggregate at all."""
+    words = [0] * ((m_bits + 63) // 64)
+    for r in bitset.select("pos").collect():
+        p = int(r["pos"])
+        words[p >> 6] |= 1 << (p & 63)
+    # Spark long literals are signed; wrap to two's complement
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_maybe(col, bits: list[int], m_bits: int = 16384, k: int = 3):
+    """Boolean Column: all k Bloom positions of ``col`` are set in the
+    packed bitmap ``bits`` (from :func:`bloom_bits`).
+
+    A pure projection — ``element_at`` into a 256-long array literal plus
+    ``getbit`` per position — so membership probing rides inside the
+    scan's whole-stage-codegen span: zero extra stages versus the
+    DataFrame-shaped :func:`bloom_candidates` (explode + broadcast join
+    + aggregate), which remains for when even a driver round-trip is
+    unwanted. All k substring positions reuse one md5 via codegen
+    subexpression elimination."""
+    # one expr() call instead of 256 lit() py4j round-trips — plan-build
+    # time is part of every fresh run's latency
+    arr = F.expr("array(" + ",".join(f"{w}L" for w in bits) + ")")
+    cond = F.lit(True)
+    for p in bloom_positions(col, m_bits, k):
+        word = F.element_at(arr, (p / F.lit(64)).cast("int") + F.lit(1))
+        cond = cond & (F.getbit(word, p % F.lit(64)) == 1)
+    return cond
 
 
 def bloom_candidates(

@@ -153,17 +153,41 @@ def token_count_bpe_ish(text: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def _spread(docs: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
+# Per-split byte thresholds below which an under-partitioned text input
+# is processed in place rather than repartitioned: the exchange stage
+# only pays for itself when the single-split CPU it parallelizes
+# exceeds the stage's fixed cost, and that break-even point depends on
+# the consumer's CPU rate per byte. Cheap flat-maps (tokenize + xxhash:
+# ~100 MB/s/core) need a big split to justify the shuffle; digest-bound
+# paths (an md5 or more per gram: ~2-5 MB/s/core) repay it almost
+# immediately.
+SPREAD_CHEAP_CPU = 32 * 1024 * 1024
+SPREAD_DIGEST_CPU = 256 * 1024
+
+
+def _spread(
+    docs: DataFrame, id_col: str, cols: list[str], min_split_bytes: int = SPREAD_DIGEST_CPU
+) -> DataFrame:
     """Project, and hash-repartition by id ONLY when the input arrives
     under-partitioned (a small parquet is one split, serializing the
     per-row CPU on one core; AQE would coalesce a count-less exchange
     right back on byte volume, but the cost here is CPU per row, not
-    bytes). At cluster scale the scan already has >= parallelism splits
-    and the guard makes this a pure projection — re-shuffling raw text
-    just to spread CPU would be a 100-TB-sized exchange for nothing."""
+    bytes) AND carries enough bytes per split for the parallel CPU to
+    repay the exchange stage (``min_split_bytes``, calibrated to the
+    consumer's CPU rate — see the module constants). At cluster scale
+    the scan already has >= parallelism splits and the guard makes this
+    a pure projection — re-shuffling raw text just to spread CPU would
+    be a 100-TB-sized exchange for nothing."""
     proj = docs.select(*[F.col(c) for c in dict.fromkeys([id_col, *cols])])
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() >= n_parts:
+    in_parts = docs.rdd.getNumPartitions()
+    if in_parts >= n_parts:
+        return proj
+    try:
+        size = int(str(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        size = min_split_bytes * n_parts  # unknown -> assume big, spread
+    if size / max(in_parts, 1) < min_split_bytes:
         return proj
     return proj.repartition(n_parts, F.col(id_col))
 
@@ -172,7 +196,7 @@ def token_rows(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", extra_cols: tuple = ()
 ) -> DataFrame:
     """Tokens as (id, extra..., _pos, _tok) rows, with multiplicity."""
-    spread = _spread(docs, id_col, [*extra_cols, text_col])
+    spread = _spread(docs, id_col, [*extra_cols, text_col], SPREAD_CHEAP_CPU)
     return spread.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
@@ -188,6 +212,7 @@ def zip_ngram_rows(
     keep_cols: list[str],
     sep: str,
     distinct: bool,
+    hashed: bool = False,
 ) -> DataFrame:
     """n-gram flat-map over an array column — shuffle-free and HOF-free.
 
@@ -209,7 +234,14 @@ def zip_ngram_rows(
     The exploded rows carry only the n gram elements plus keep_cols —
     the source array/string does NOT ride along (a doc-length string
     repeated per gram row is the hidden cost of substr-style n-gram
-    plans)."""
+    plans).
+
+    ``hashed=True`` emits ``xxhash64`` of the gram STRUCT instead of the
+    joined string: the gram text is never materialized, and downstream
+    join/groupBy keys are 8-byte longs. Struct identity == gram identity
+    (xxhash64 folds fields with framing; elements cannot contain the
+    separator), collisions ~n^2/2^65. Use when the consumer needs gram
+    IDENTITY (joins, distinct counts), not gram TEXT."""
     arrs = [F.col(arr_col).alias("g0")] + [
         F.slice(F.col(arr_col), j + 1, F.greatest(F.size(arr_col) - j, F.lit(0))).alias(f"g{j}")
         for j in range(1, n)
@@ -218,13 +250,15 @@ def zip_ngram_rows(
     if distinct:
         zipped = F.array_distinct(zipped)
     last = f"g{n - 1}"
+    gram = (
+        F.xxhash64(F.col("_z"))
+        if hashed
+        else F.concat_ws(sep, *[F.col(f"_z.g{j}") for j in range(n)])
+    )
     return (
         with_arr.select(*[F.col(c) for c in keep_cols], F.explode(zipped).alias("_z"))
         .filter(F.col(f"_z.{last}").isNotNull() & (F.col(f"_z.{last}") != ""))
-        .select(
-            *[F.col(c) for c in keep_cols],
-            F.concat_ws(sep, *[F.col(f"_z.g{j}") for j in range(n)]).alias(out_col),
-        )
+        .select(*[F.col(c) for c in keep_cols], gram.alias(out_col))
     )
 
 
@@ -330,15 +364,23 @@ def chunk_rows(
 ) -> DataFrame:
     """Overlapping token-window chunks — context-window packing for
     training-data prep. One row per (doc, chunk): ``chunk_idx`` (1-based),
-    ``chunk_len``, ``chunk_hash`` (md5 of the joined window, pinning
-    content, engine-portable).
+    ``chunk_len``, ``chunk_hash`` (64-bit xxhash64 of the token window).
+
+    ``chunk_hash`` hashes the slice ARRAY directly (xxhash64 folds array
+    elements with length framing, so no separator ambiguity): the window
+    string is never materialized and no cryptographic digest runs per
+    chunk — r5's md5(concat_ws) was the dominant cost of q94/q116 —
+    and downstream groupBy/join keys are 8-byte longs instead of 32-char
+    hex strings. Collision odds are ~n^2/2^65: negligible below
+    trillions of chunks. Oracles verify content identity against the
+    raw window string, so cross-engine hash parity is not required.
 
     sequence(1, n_tokens, stride) + explode + slice are all flat codegen
     expressions; the token array exists only within the projection, so
     the operator is a pure per-row flat-map — no shuffle at all."""
     if stride < 1 or width < 1:
         raise ValueError("width and stride must be >= 1")
-    spread = _spread(docs, id_col, [*extra_cols, text_col])
+    spread = _spread(docs, id_col, [*extra_cols, text_col], SPREAD_CHEAP_CPU)
     with_t = spread.select(
         F.col(id_col), *[F.col(c) for c in extra_cols], tokens(text_col).alias("_toks")
     ).filter(F.size("_toks") > 0)
@@ -354,7 +396,7 @@ def chunk_rows(
         *[F.col(c) for c in extra_cols],
         ((F.col("_start") - 1) / stride + 1).cast("int").alias("chunk_idx"),
         F.size(chunk).alias("chunk_len"),
-        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        F.xxhash64(chunk).alias("chunk_hash"),
     )
 
 

@@ -333,7 +333,7 @@ def q103_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG(chunk_len), 4) AS avg_chunk_len
     FROM c GROUP BY chunk_idx ORDER BY chunk_idx
     """,
-    description="context-window chunking for training-data prep: overlapping 32-token windows at stride 24 via sequence+explode+slice (pure per-row flat-map, zero shuffles before the final rollup); chunk content is pinned by md5 so the oracle verifies the exact window arithmetic",
+    description="context-window chunking for training-data prep: overlapping 32-token windows at stride 24 via sequence+explode+slice (pure per-row flat-map, zero shuffles before the final rollup); chunk distinctness is counted on a 64-bit xxhash of the window array (no per-chunk digest or window string materialized; the oracle re-derives distinctness from md5 of the raw window string, pinning the window arithmetic)",
 )
 def q94_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -353,8 +353,9 @@ def q94_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q116 — cross-document duplicated-passage detection: the RefinedWeb /
 # CCNet sub-document dedup step. Whole-doc dedup (q40/q41) misses
 # boilerplate passages shared between otherwise-distinct documents;
-# here every non-overlapping 8-token window is content-hashed and a
-# passage is flagged when it appears in >= 2 DISTINCT docs. Two
+# here every non-overlapping 8-token window is content-hashed (64-bit
+# xxhash64 of the window array — 8-byte shuffle keys, no digest cost)
+# and a passage is flagged when it appears in >= 2 DISTINCT docs. Two
 # shuffles on the passage-hash key (count + mark-back), both map-side
 # combined — the canonical shape at corpus scale; the flagged-hash set
 # is bounded by the volume of actually-duplicated content.
@@ -387,7 +388,16 @@ _PSG_W = 8  # non-overlapping passage window (width == stride)
 )
 def q116_duplicated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pas = X.chunk_rows(docs, width=_PSG_W, stride=_PSG_W, extra_cols=("source",))
+    # ONE explicit shuffle on the passage hash, shared by both branches:
+    # the count aggregate AND the mark-back join each require chunk_hash
+    # clustering, so hash-partitioning the passage frame once lets the
+    # planner run both exchange-free on top of a ReusedExchange — r5's
+    # shape shuffled the passage frame twice (groupBy + join) and
+    # re-ran the chunk flat-map for each. The repartition count comes
+    # from spark.sql.shuffle.partitions and AQE may coalesce it.
+    pas = X.chunk_rows(docs, width=_PSG_W, stride=_PSG_W, extra_cols=("source",)).repartition(
+        F.col("chunk_hash")
+    )
     dup = (
         pas.groupBy("chunk_hash")
         .agg(F.countDistinct("doc_id").alias("_ndocs"))

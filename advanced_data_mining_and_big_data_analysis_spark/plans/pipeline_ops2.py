@@ -52,7 +52,7 @@ from .registry import query
            ROUND(MAX(frac), 6) AS max_contamination
     FROM d GROUP BY source ORDER BY source
     """,
-    description="benchmark decontamination: score every training doc by the fraction of its distinct 3-gram shingles appearing in the held-out benchmark set (src0), flag docs >= 0.2 — benchmark gram set is broadcast (it is small by construction), training grams stream through one hash aggregate, so the scan scales linearly at corpus size",
+    description="benchmark decontamination: score every training doc by the fraction of its distinct 3-gram shingles appearing in the held-out benchmark set (src0), flag docs >= 0.2 — benchmark gram set is broadcast (it is small by construction); grams are xxhash64 IDENTITIES, never materialized strings (the oracle re-derives membership from the raw gram text), and 'source' rides the gram rows so the corpus is scanned once: gram pass -> per-(doc,source) aggregate -> per-source rollup, with zero-gram docs folded back from a column-pruned per-source count frame instead of a corpus-sized join",
 )
 def q105_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -61,33 +61,44 @@ def q105_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct benchmark grams: small by construction (the benchmark is
     # human-curated, ~thousands of docs even when the corpus is 100 TB)
     # -> broadcast to every executor, no shuffle of the training side
-    # beyond its own per-doc aggregate.
+    # beyond its own per-doc aggregate. Hashed gram identities: 8-byte
+    # broadcast keys, no per-gram string ever built on either side.
     ev_grams = (
-        D.shingle_rows(ev_docs, shingle_n=3)
+        D.shingle_rows(ev_docs, shingle_n=3, hashed=True, spread=False)
         .select("shingle")
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    tr_grams = D.shingle_rows(tr_docs, shingle_n=3)
+    tr_grams = D.shingle_rows(tr_docs, shingle_n=3, extra_cols=("source",), hashed=True)
     per_doc = (
         tr_grams.join(F.broadcast(ev_grams), "shingle", "left")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).alias("total"),
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hits"),
         )
-        .select("doc_id", (F.col("hits") / F.col("total")).alias("frac"))
+        .select("source", (F.col("hits") / F.col("total")).alias("frac"))
     )
-    scored = tr_docs.select("doc_id", "source").join(per_doc, "doc_id", "left").select(
-        "source", F.coalesce(F.col("frac"), F.lit(0.0)).alias("frac")
+    stats = per_doc.groupBy("source").agg(
+        F.sum((F.col("frac") >= 0.2).cast("long")).alias("_flagged"),
+        F.sum("frac").alias("_sum_frac"),
+        F.max("frac").alias("_max_frac"),
     )
+    # zero-gram docs contribute frac = 0 (never flagged, cap the max at
+    # >= 0, dilute the average): fold them in via the per-source doc
+    # count — a column-pruned aggregate — instead of left-joining the
+    # corpus-sized doc frame against the gram aggregate.
+    counts = tr_docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        scored.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum((F.col("frac") >= 0.2).cast("long")).alias("n_flagged"),
-            F.round(F.avg("frac"), 6).alias("avg_contamination"),
-            F.round(F.max("frac"), 6).alias("max_contamination"),
+        counts.join(stats, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("_flagged"), F.lit(0)).alias("n_flagged"),
+            F.round(F.coalesce(F.col("_sum_frac"), F.lit(0.0)) / F.col("n_docs"), 6).alias(
+                "avg_contamination"
+            ),
+            F.round(F.coalesce(F.col("_max_frac"), F.lit(0.0)), 6).alias("max_contamination"),
         )
         .orderBy("source")
     )
@@ -478,10 +489,11 @@ _BF_M, _BF_K = 16384, 3
 
 
 def _bf_pos_sql(g: str, j: str) -> str:
-    return (
-        f"CAST(CONCAT('0x', substr(md5({g} || '@bf' || CAST({j} AS VARCHAR)), 1, 8)) AS BIGINT)"
-        f" % {_BF_M}"
-    )
+    """Mirror of operators/dedup.py bloom_positions for k <= 4: position
+    j is 8 hex chars carved from the SINGLE md5 digest of the gram (one
+    digest per gram, not k salted ones — that was the dominant per-gram
+    cost of the r5 decontamination stack)."""
+    return f"CAST(CONCAT('0x', substr(md5({g}), 1 + 8 * {j}, 8)) AS BIGINT) % {_BF_M}"
 
 
 @query(
@@ -517,36 +529,39 @@ def _bf_pos_sql(g: str, j: str) -> str:
              AS n_flagged
     FROM doc GROUP BY source ORDER BY source
     """,
-    description="Bloom-filter decontamination: benchmark grams collapse to a broadcastable m-bit position set (engine-portable md5 k-hash Bloom, m=16384 k=3, FPR ~1% theoretical and measured per source); training grams probe the bit set, only maybe-members get the exact verify join, and the flagged-doc rule is EXACTLY q105's (no false negatives) — the scale path when the benchmark outgrows a string broadcast",
+    description="Bloom-filter decontamination: benchmark grams collapse to a 2-KiB packed bitmap (engine-portable md5 Bloom — k=3 positions carved from ONE digest per gram, m=16384; FPR ~1% theoretical and measured per source); the training side probes the bitmap as a pure projection (array-literal getbit inside the scan's codegen span — no explode, no probe join, no probe aggregate), the exact verify rides the same single gram pass, and the flagged-doc rule is EXACTLY q105's (no false negatives) — the scale path when the benchmark outgrows a string broadcast: the bitmap stays 2 KiB at any benchmark size, and only FPR-bounded candidates would need the shuffle-join verify when even the verify set outgrows a broadcast",
 )
 def q115_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ev_docs = docs.filter(F.col("source") == "src0")
     tr_docs = docs.filter(F.col("source") != "src0")
-    ev_grams = D.shingle_rows(ev_docs, shingle_n=3).select("shingle").distinct()
-    bitset = D.bloom_bitset(ev_grams, "shingle", _BF_M, _BF_K)
-    tr_grams = D.shingle_rows(tr_docs, shingle_n=3)
-    cand = D.bloom_candidates(tr_grams, bitset, "shingle", _BF_M, _BF_K)
-    ver = cand.join(
-        F.broadcast(ev_grams.withColumn("_hit", F.lit(1))), "shingle", "left"
-    ).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_cand"),
-        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hits"),
+    # benchmark side is small by construction -> no spread exchange; the
+    # bitset build also skips the gram-level distinct (duplicate grams
+    # map to duplicate POSITIONS, and the position-distinct inside
+    # bloom_bitset subsumes gram dedup), so the whole bitmap job is
+    # scan -> flat-map -> one distinct aggregate -> 2 KiB collect.
+    ev_sh = D.shingle_rows(ev_docs, shingle_n=3, spread=False)
+    ev_grams = ev_sh.select("shingle").distinct()
+    # m_bits is a CONSTANT: the packed bitmap is 2 KiB regardless of
+    # benchmark size — built once on the (small) benchmark side, then
+    # probed as a literal. One corpus scan total on the training side:
+    # gram flat-map -> bitmap probe column -> broadcast exact-verify ->
+    # one (doc, source) aggregate -> per-source rollup.
+    bits = D.bloom_bits(D.bloom_bitset(ev_sh, "shingle", _BF_M, _BF_K), _BF_M)
+    probed = D.shingle_rows(tr_docs, shingle_n=3, extra_cols=("source",)).withColumn(
+        "_maybe", D.bloom_maybe(F.col("shingle"), bits, _BF_M, _BF_K).cast("long")
     )
-    tot = tr_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("total"))
-    doc = (
-        tr_docs.select("doc_id", "source")
-        .join(tot, "doc_id")
-        .join(ver, "doc_id", "left")
-        .select(
-            "source",
-            "total",
-            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
-            F.coalesce("hits", F.lit(0)).alias("hits"),
+    per_doc = (
+        probed.join(F.broadcast(ev_grams.withColumn("_hit", F.lit(1))), "shingle", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum("_maybe").alias("n_cand"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hits"),
         )
     )
     return (
-        doc.groupBy("source")
+        per_doc.groupBy("source")
         .agg(
             F.sum("total").alias("n_grams"),
             F.sum("n_cand").alias("n_candidates"),
