@@ -182,7 +182,13 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 }
             )
 
-    return media.repartition("mime").mapInPandas(per_batch, schema=FEATURE_SCHEMA)
+    # No repartition: decoding is mime-dispatched per ROW, so batches
+    # need no mime homogeneity, and partitioning by mime would cap
+    # parallelism at the number of distinct mimes (2-5 in practice) —
+    # the opposite of what a 100 TB media scan needs. Blobs are
+    # processed where they sit; Arrow batch size is governed by
+    # spark.sql.execution.arrow.maxRecordsPerBatch.
+    return media.mapInPandas(per_batch, schema=FEATURE_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -285,7 +291,13 @@ def formula_media_df(spark, n_audio: int = 8, n_image: int = 8) -> DataFrame:
             w, h, lambda x, y, m=m: ((m * 3 + x + y) % 256, (m * 5 + 2 * x) % 256, (m * 7 + 3 * y) % 256)
         )
         rows.append((1000 + m, f"mem://bmp/{m}", "image/bmp", blob))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # a handful of rows should occupy a handful of partitions — the
+    # default numSlices (defaultParallelism) would hand each row its own
+    # task + Python worker downstream
+    n_slices = max(1, min(4, len(rows)))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), MEDIA_SCHEMA
+    )
 
 
 def synthetic_media_df(spark, n: int = 64) -> DataFrame:

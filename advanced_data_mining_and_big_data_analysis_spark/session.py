@@ -54,6 +54,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Worker daemon preloads pandas/pyarrow/numpy before forking, so
+        # each executor core's first Python worker starts via plain fork
+        # instead of a ~2 s import storm (first-mapInPandas cold start).
+        .config(
+            "spark.python.daemon.module",
+            "advanced_data_mining_and_big_data_analysis_spark.daemon_preload",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

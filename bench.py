@@ -107,9 +107,21 @@ def main() -> None:
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # warmup: run the first query once to pay session/codegen startup
+    # warmup: run the first query once to pay session/codegen startup,
+    # and one tiny pandas_udf to pay the Python-worker pool startup
+    # (daemon fork + Arrow serde init) — session fixed costs, same class
+    # as JVM startup, otherwise charged entirely to the first
+    # mapInPandas query's cold number (r5: q113 cold 6.4 s).
     try:
         qs[names[0]].fn(spark, sf_dir).collect()
+        import pandas as _pd
+        from pyspark.sql import functions as _F
+
+        @_F.pandas_udf("long")
+        def _prime(s: _pd.Series) -> _pd.Series:
+            return s
+
+        spark.range(64, numPartitions=8).select(_prime("id")).collect()
     except Exception:
         pass
 
