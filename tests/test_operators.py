@@ -362,6 +362,34 @@ def test_bmp_codec_roundtrip_padding_and_roworder():
         assert topleft_r == 0.0  # pixel (0,0) in image coords: x+10*y = 0
 
 
+def test_png_codec_roundtrip_all_filters():
+    """REAL PNG path: the encoder assigns filter type y % 5, so any image
+    with h >= 5 exercises all five scanline filters (None, Sub, Up,
+    Average, Paeth) — a broken reconstruction of ANY filter shifts a
+    channel mean. Width varies so the left-neighbor edge case (i < bpp)
+    is hit on every filter too."""
+    for w, h in ((5, 5), (6, 7), (9, 6)):
+        fn = lambda x, y: ((7 * x + 3 * y) % 256, (x * y) % 256, (251 * x) % 256)  # noqa: E731
+        gw, gh, mr, mg, mb, topleft_r = MM.decode_png(MM.make_png(w, h, fn))
+        n = w * h
+        assert (gw, gh) == (w, h)
+        assert mr == pytest.approx(sum((7 * x + 3 * y) % 256 for x in range(w) for y in range(h)) / n)
+        assert mg == pytest.approx(sum((x * y) % 256 for x in range(w) for y in range(h)) / n)
+        assert mb == pytest.approx(sum((251 * x) % 256 for x in range(w) for y in range(h)) / n)
+        assert topleft_r == 0.0
+
+
+def test_png_codec_rejects_corruption():
+    """CRC tamper and non-PNG bytes must raise, not decode garbage."""
+    blob = MM.make_png(5, 5, lambda x, y: (x, y, 0))
+    bad = bytearray(blob)
+    bad[-20] ^= 0x5A  # somewhere inside IDAT payload/CRC region
+    with pytest.raises(ValueError):
+        MM.decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        MM.decode_png(b"NOTAPNG" + blob)
+
+
 def test_multimodal_golden_pin(spark):
     """Golden-file pin for the deterministic fake decoders (VERDICT r1
     item 10): the byte-level outputs of extract_features / resize_images /
@@ -377,11 +405,11 @@ def test_multimodal_golden_pin(spark):
     )
     assert feats == [
         (0, "application/octet-stream", 32, None),
-        (1, "image/png", 33, [33.0, 23.0, 39.0, 7.0]),
-        (2, "image/png", 34, [34.0, 30.5, 47.0, 14.0]),
+        (1, "image/jpeg", 33, [33.0, 23.0, 39.0, 7.0]),
+        (2, "image/jpeg", 34, [34.0, 30.5, 47.0, 14.0]),
         (3, "application/octet-stream", 35, None),
-        (4, "image/png", 36, [36.0, 45.5, 63.0, 28.0]),
-        (5, "image/png", 37, [37.0, 53.0, 71.0, 35.0]),
+        (4, "image/jpeg", 36, [36.0, 45.5, 63.0, 28.0]),
+        (5, "image/jpeg", 37, [37.0, 53.0, 71.0, 35.0]),
     ]
 
     resized = sorted(
