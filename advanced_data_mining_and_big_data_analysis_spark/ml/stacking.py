@@ -2,6 +2,9 @@
 
 sklearn's StackingRegressor = K-fold OOF predictions per base estimator →
 meta-regressor on the OOF matrix → base estimators refit on full data.
+The reference's meta-regressor is RidgeCV() — ridge with its penalty
+selected by CV over sklearn's default alpha grid — mirrored here as a
+CrossValidator regParam grid over an L2-only LinearRegression.
 Spark has no built-in; this is the hand-rolled fold bookkeeping SURVEY §7
 budgets for. Folds are assigned by a deterministic hash of a row id —
 stable across partitionings (seeded rand() is partition-sensitive; a
@@ -17,6 +20,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import persistence as P
+
+# sklearn RidgeCV's default alpha grid (kaggle.py:791 stacks with
+# RidgeCV() = RidgeCV(alphas=(0.1, 1.0, 10.0))).
+RIDGE_ALPHAS = (0.1, 1.0, 10.0)
 
 
 def fold_of(id_col: str, k: int):
@@ -58,13 +65,42 @@ def oof_stack(
     for part in oof_parts[1:]:
         oof = oof.unionByName(part)
 
-    # meta learner on the OOF matrix
+    # meta learner on the OOF matrix: ridge with a CV-selected penalty,
+    # mirroring the reference's RidgeCV() meta-regressor (kaggle.py:791,
+    # sklearn default alphas 0.1/1.0/10.0 selected by CV). sklearn's
+    # ridge objective is ||y-Xw||^2 + alpha*||w||^2 while Spark's is the
+    # per-row mean 1/(2n)*SSE + regParam*penalty, so alpha maps to
+    # regParam = alpha/n — the grid below selects over the SAME
+    # three-candidate model family the reference does.
     assembler = VectorAssembler(inputCols=base_cols, outputCol="_meta_features")
+    assembled = assembler.transform(oof).cache()
+    n_rows = assembled.count()
     meta = LinearRegression(
-        featuresCol="_meta_features", labelCol=label_col, predictionCol=prediction_col
+        featuresCol="_meta_features",
+        labelCol=label_col,
+        predictionCol=prediction_col,
+        elasticNetParam=0.0,  # pure L2 = ridge
     )
-    meta_model = meta.fit(assembler.transform(oof))
-    oof_scored = meta_model.transform(assembler.transform(oof))
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    grid = (
+        ParamGridBuilder()
+        .addGrid(meta.regParam, [a / max(n_rows, 1) for a in RIDGE_ALPHAS])
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=meta,
+        estimatorParamMaps=grid,
+        evaluator=RegressionEvaluator(
+            labelCol=label_col, predictionCol=prediction_col, metricName="rmse"
+        ),
+        numFolds=3,
+        seed=7,  # deterministic fold split; sklearn's default is LOO-GCV,
+        # infeasible distributed — 3-fold CV selects on the same criterion
+    )
+    meta_model = cv.fit(assembled).bestModel
+    oof_scored = meta_model.transform(assembled)
 
     # full-data base refits, packaged as a persistable fitted stack
     stack = StackingModel(
