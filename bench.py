@@ -103,6 +103,18 @@ def duckdb_timings(sf_dir: str, names: list[str], qs) -> dict[str, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # schema tripwire BEFORE anything runs: the driver regenerates
+    # testdata between rounds and a type drift once zeroed a whole
+    # round's bench (r4, TIMESTAMP_NTZ). Drift warns loudly on stderr
+    # but never aborts.
+    try:
+        from tools.check_schemas import check as _check_schemas
+
+        _check_schemas(sf_dir)
+    except Exception:
+        pass
+
     spark = get_spark("bench")
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]

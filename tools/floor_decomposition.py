@@ -41,6 +41,13 @@ WEAK = [
     "q86_periodogram",
     "q109_sequence_packing",
     "q26_fourier_harmonics",
+    # round-5 headline additions (VERDICT r5 item 3: every headline
+    # query gets the same floor/slope evidence)
+    "q113_multimodal_decode",
+    "q114_semdedup",
+    "q115_decontaminate_bloom",
+    "q116_duplicated_passages",
+    "q117_mergeable_sketches",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
