@@ -442,9 +442,12 @@ _PAIR_COS = (
     SELECT id AS removed_id, cluster AS kept_id
     FROM labels WHERE id <> cluster ORDER BY removed_id
     """,
-    description="SemDeDup-style embedding-space dedup (VERDICT r3 item 7): IVF/k-means cluster assignment -> WITHIN-cluster cosine pairs at an epsilon-ball threshold -> connected components -> drop all but the canonical member. Planted fixture: vec_id<10 re-appear rescaled x1.01 (cosine exactly 1) and must be removed in favor of their originals. Never all-pairs: the pair join is cluster-local; at 100 TB pick k_clusters ~ N/target_cluster_size so the within-cluster quadratic stays bounded (and the salted per-bucket cap of operators/dedup.py:172 is the drop-in guard for skewed clusters)",
+    description="SemDeDup-style embedding-space dedup (VERDICT r3 item 7): IVF/k-means cluster assignment -> WITHIN-cluster cosine pairs at an epsilon-ball threshold -> connected components -> drop all but the canonical member. Planted fixture: vec_id<10 re-appear rescaled x1.01 (cosine exactly 1) and must be removed in favor of their originals. Never all-pairs: pair generation is a CLUSTER-LOCAL blocked matmul (applyInPandas per cluster, normalized X @ X.T, emit only above-threshold id pairs) — the canonical SemDeDup execution; the r5 self-join + per-pair interpreted HOF cosine cost 64 interpreted evals per pair and was the single most expensive headline plan. Decision parity with the SQL oracle via round(cos, 9) on both engines. At 100 TB pick k_clusters ~ N/target_cluster_size so the per-cluster matrix stays memory-bounded (and the salted per-bucket cap of operators/dedup.py:172 is the drop-in guard for skewed clusters)",
 )
 def q114_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     from ..operators import dedup as D
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -455,19 +458,27 @@ def q114_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
     )
     assign, _, _ = _ivf_assign_frames(base.unionAll(planted))
-    a, b = assign.alias("a"), assign.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+    thr = _SD_THR
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one dense matmul per cluster: n x 64 -> n x n cosines. Memory
+        # is bounded by the cluster size the IVF step was tuned for;
+        # float64 throughout so round(cos, 9) agrees with the SQL
+        # oracle's double arithmetic.
+        ids = pdf["vec_id"].to_numpy()
+        x = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0.0] = 1.0
+        cos = (x @ x.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = np.round(cos[iu, ju], 9) >= thr
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)}
         )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            SIM.cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
-        )
-        .filter(F.round(F.col("cos_sim"), 9) >= _SD_THR)
-    )
+
+    pairs = assign.groupBy("cluster").applyInPandas(cluster_pairs, "id_a long, id_b long")
     labels = D.near_dup_clusters(pairs)
     return (
         labels.filter(F.col("id") != F.col("cluster"))
