@@ -480,13 +480,25 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     in practice; each round is two shuffles on (vertex, label) pairs,
     fully distributed. The driver-side loop only checks a convergence
     count per round (an aggregate scalar, not data).
+
+    Each round's labels are localCheckpoint-ed (not just cached): the
+    returned frame's lineage would otherwise chain every round's joins
+    — the classic iterative-DataFrame trap where plan analysis cost and
+    failure-recovery depth grow per iteration (GraphX checkpoints for
+    exactly this reason; q114's pre-fix plan string carried 800+
+    exchange nodes).
     """
     ed = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     # no distinct on the doubled edge list: duplicate edges are harmless
     # under min-aggregation, and dropping the dedup saves a full shuffle
     # of the pair set (the largest frame in the loop)
-    edges = ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b"))).cache()
-    labels = edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id")).cache()
+    edges = ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
     changed = 0
     for _ in range(max_iters):
         neighbor_min = (
@@ -497,7 +509,7 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(F.col("id"), F.least(F.col("label"), F.col("nmin")).alias("label"))
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -505,11 +517,9 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     if changed != 0:
         # Returning partial labels would silently drop docs to a
         # non-canonical representative downstream (dedup_survivors);

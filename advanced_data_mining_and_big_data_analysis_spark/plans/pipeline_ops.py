@@ -388,25 +388,22 @@ _PSG_W = 8  # non-overlapping passage window (width == stride)
 )
 def q116_duplicated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # ONE explicit shuffle on the passage hash, shared by both branches:
-    # the count aggregate AND the mark-back join each require chunk_hash
-    # clustering, so hash-partitioning the passage frame once lets the
-    # planner run both exchange-free on top of a ReusedExchange — r5's
-    # shape shuffled the passage frame twice (groupBy + join) and
-    # re-ran the chunk flat-map for each. The repartition count comes
-    # from spark.sql.shuffle.partitions and AQE may coalesce it.
-    pas = X.chunk_rows(docs, width=_PSG_W, stride=_PSG_W, extra_cols=("source",)).repartition(
-        F.col("chunk_hash")
-    )
-    dup = (
-        pas.groupBy("chunk_hash")
-        .agg(F.countDistinct("doc_id").alias("_ndocs"))
-        .filter(F.col("_ndocs") >= 2)
-        .select("chunk_hash")
-        .withColumn("_dup", F.lit(1))
-    )
-    marked = pas.join(dup, "chunk_hash", "left").select(
-        "source", "doc_id", F.coalesce(F.col("_dup"), F.lit(0)).alias("is_dup")
+    from pyspark.sql import Window as W
+
+    # ONE shuffle on the passage hash and NO join: a passage spans >= 2
+    # distinct docs iff min(doc_id) != max(doc_id) within its hash
+    # partition, so the duplicate flag is a pair of bounded window
+    # aggregates over the single chunk_hash exchange. r5's shape
+    # shuffled the passage frame twice (count aggregate + mark-back
+    # join) and re-ran the chunk flat-map for each branch; min/max are
+    # constant-memory per group (unlike a collect_set), so the window
+    # is skew-safe at corpus scale.
+    pas = X.chunk_rows(docs, width=_PSG_W, stride=_PSG_W, extra_cols=("source",))
+    w = W.partitionBy("chunk_hash")
+    marked = pas.select(
+        "source",
+        "doc_id",
+        (F.min("doc_id").over(w) != F.max("doc_id").over(w)).cast("int").alias("is_dup"),
     )
     return (
         marked.groupBy("source")

@@ -197,3 +197,35 @@ def test_zip_ngrams_single_codegen_no_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Generate explode(array_distinct(arrays_zip" in plan
+
+
+def test_q115_bloom_probe_is_pure_projection(spark, sf_dir):
+    """Round-6 bitmap Bloom: the probe must ride inside the scan's
+    projection (array-literal getbit), with NO explode of bit positions
+    and NO probe-side join/aggregate — the only Generates are the two
+    shingle flat-maps (training + benchmark side)."""
+    plan = plan_of("q115_decontaminate_bloom", spark, sf_dir)
+    assert "getbit" in plan
+    assert plan.count("Generate (") == 2
+
+
+def test_q116_passages_single_shuffle_no_join(spark, sf_dir):
+    """Round-6 shape: the duplicate-passage flag is min!=max window
+    aggregates over ONE chunk_hash exchange — no mark-back join, and
+    the chunk flat-map runs exactly once (r5 ran it per branch)."""
+    plan = plan_of("q116_duplicated_passages", spark, sf_dir)
+    assert plan.count("Generate (") == 1
+    assert "Join" not in plan
+    assert plan.count("Window (") == 1
+    assert "hashpartitioning(chunk_hash" in plan
+
+
+def test_q114_lineage_truncated_by_checkpoints(spark, sf_dir):
+    """near_dup_clusters localCheckpoints each round, so the returned
+    frame's plan must NOT chain the per-iteration joins (pre-fix the
+    static plan string carried 800+ Exchange nodes). The cluster-local
+    matmul evidence is the checkpointed RDD scan feeding a near-empty
+    final plan."""
+    plan = plan_of("q114_semdedup", spark, sf_dir)
+    assert plan.count("Exchange (") <= 3
+    assert "ExistingRDD" in plan
