@@ -298,7 +298,7 @@ DECODERS: dict[str, Callable[[bytes], list[float]]] = {
 }
 
 
-def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over a media table.
 
     Unknown mimes produce a null feature (kept, so downstream can audit

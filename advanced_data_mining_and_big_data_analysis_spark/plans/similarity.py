@@ -485,3 +485,99 @@ def q114_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("removed_id"), F.col("cluster").alias("kept_id"))
         .orderBy("removed_id")
     )
+
+
+_BA_NQ = 10  # query batch size (vec_id < 10); corpus = the rest
+_BA_K = 3  # neighbors per query
+_BA_NPROBE = 2  # clusters probed per query
+
+
+@query(
+    "q118_batch_ann_join",
+    oracle=f"""
+    WITH x AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT * FROM x WHERE vec_id >= {_BA_NQ}),
+    cent AS (SELECT label AS c_label, dim, AVG(v[dim]) AS ctr
+             FROM c CROSS JOIN range(1, {_DIMS + 1}) r(dim) GROUP BY c_label, dim),
+    dist AS (SELECT c.vec_id, cent.c_label,
+                    ROUND(SUM((v[r.dim] - ctr) * (v[r.dim] - ctr)), 9) AS d2
+             FROM c CROSS JOIN range(1, {_DIMS + 1}) r(dim)
+             JOIN cent ON cent.dim = r.dim
+             GROUP BY c.vec_id, cent.c_label),
+    best AS (SELECT vec_id, c_label AS cluster,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+             FROM dist),
+    assign AS (SELECT c.vec_id, c.v, best.cluster
+               FROM c JOIN best ON best.vec_id = c.vec_id AND best.rn = 1),
+    qv AS (SELECT vec_id AS qid, v AS q FROM x WHERE vec_id < {_BA_NQ}),
+    qdist AS (SELECT qv.qid, cent.c_label,
+                     ROUND(SUM((q[r.dim] - ctr) * (q[r.dim] - ctr)), 9) AS d2
+              FROM qv CROSS JOIN range(1, {_DIMS + 1}) r(dim)
+              JOIN cent ON cent.dim = r.dim
+              GROUP BY qv.qid, cent.c_label),
+    probes AS (SELECT qid, c_label AS cluster,
+                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, c_label) AS pr
+               FROM qdist QUALIFY pr <= {_BA_NPROBE}),
+    scored AS (
+      SELECT qv.qid, a.vec_id,
+             {_DOT_VQ.replace("v[i]", "a.v[i]")} /
+             ({_NORM_V.replace("v[i]", "a.v[i]")} * {_NORM_Q}) AS cos_sim
+      FROM assign a JOIN probes p ON a.cluster = p.cluster
+      JOIN qv ON qv.qid = p.qid),
+    ranked AS (
+      SELECT qid, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY ROUND(cos_sim, 9) DESC, vec_id) AS rank
+      FROM scored QUALIFY rank <= {_BA_K})
+    SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id,
+           ROUND(cos_sim, 6) + 0 AS cos_sim
+    FROM ranked ORDER BY qid, rank
+    """,
+    description="batched ANN retrieval JOIN: a batch of query vectors (broadcast dim) against the IVF-indexed corpus — per query, rank clusters by query-to-centroid distance, probe the nprobe=2 nearest, cosine-score only the probed clusters' members, per-query top-k via a qid-partitioned window. The retrieval-join shape an LLM-data pipeline uses for similarity decontamination / RAG indexing at corpus scale: cost is batch x nprobe/k_clusters of the corpus, never batch x corpus; the query batch and probe map ride as broadcasts so the corpus side is scanned once with zero data-sized shuffles before the bounded per-query top-k. Decision quantities (d2, cosine rank order) rounded to 9 dp on both engines",
+)
+def q118_batch_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select("vec_id", SIM.as_double("embedding").alias("v"), "label")
+    corpus = x.filter(F.col("vec_id") >= _BA_NQ)
+    qv = x.filter(F.col("vec_id") < _BA_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("q")
+    )
+    assign, _, cent = _ivf_assign_frames(corpus)
+    qdims = qv.select("qid", F.posexplode("q").alias("dim0", "comp")).withColumn(
+        "dim", F.col("dim0") + 1
+    )
+    qdist = (
+        qdims.join(F.broadcast(cent), "dim")
+        .groupBy("qid", "c_label")
+        .agg(
+            F.round(
+                F.sum((F.col("comp") - F.col("c")) * (F.col("comp") - F.col("c"))), 9
+            ).alias("d2")
+        )
+    )
+    # per-query probe map: batch x k_clusters rows, broadcast-sized
+    probes = (
+        qdist.withColumn(
+            "pr", F.row_number().over(W.partitionBy("qid").orderBy("d2", "c_label"))
+        )
+        .filter(F.col("pr") <= _BA_NPROBE)
+        .select("qid", F.col("c_label").alias("cluster"))
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "cluster")
+        .join(F.broadcast(qv), "qid")
+        .select("qid", "vec_id", SIM.cosine(F.col("v"), F.col("q")).alias("cos_sim"))
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.round("cos_sim", 9).desc(), "vec_id")
+            ),
+        )
+        .filter(F.col("rank") <= _BA_K)
+        .select("qid", "rank", "vec_id", (F.round("cos_sim", 6) + 0.0).alias("cos_sim"))
+        .orderBy("qid", "rank")
+    )

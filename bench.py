@@ -71,6 +71,8 @@ HEADLINE = [
     "q114_semdedup",
     "q115_decontaminate_bloom",
     "q116_duplicated_passages",
+    # round-6 addition
+    "q118_batch_ann_join",
 ]
 
 

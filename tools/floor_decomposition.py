@@ -48,6 +48,7 @@ WEAK = [
     "q115_decontaminate_bloom",
     "q116_duplicated_passages",
     "q117_mergeable_sketches",
+    "q118_batch_ann_join",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
