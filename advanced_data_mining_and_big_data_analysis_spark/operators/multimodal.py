@@ -3,10 +3,14 @@
 Convention: media travels as an opaque ``binary`` column plus typed
 metadata columns (mime, width/height/duration, source uri). All Spark-side
 plumbing — schema, partitioning, Arrow batch shape — is real. Codecs:
-PCM WAV, 24-bit BMP, and 8-bit truecolor PNG are REAL stdlib decoders
-(``decode_wav`` / ``decode_bmp`` / ``decode_png``, hash-checked by q113);
-JPEG needs a DCT codec library not present in this container and keeps a
-clearly-marked deterministic fake.
+PCM WAV, 24-bit BMP, 8-bit truecolor PNG, AND baseline grayscale JPEG
+are REAL decoders (``decode_wav`` / ``decode_bmp`` / ``decode_png`` /
+``jpeg.decode_jpeg_gray`` — the JPEG codec is a from-scratch ITU T.81
+baseline implementation in ``operators/jpeg.py``; hash-checked by
+q113/q124). ``application/x-moments`` is a synthetic opaque-payload
+mime whose "decoder" is cheap byte statistics — it exists to exercise
+the mixed known/unknown-mime dispatch path (q70), not to stand in for
+a real format.
 
 The processing shape is ``mapInPandas`` (Arrow-batched iterator of
 pandas.DataFrame), which is the right boundary for byte-blob work at scale:
@@ -43,11 +47,11 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _decode_image(content: bytes) -> list[float]:
-    """STUB (JPEG only) — a real implementation needs a DCT codec
-    (PIL/opencv), not present in this container. Deterministic fake: 4
-    moments of the raw bytes, so the pipeline shape is testable
-    end-to-end. PNG/BMP/WAV have REAL decoders below."""
+def byte_moments(content: bytes) -> list[float]:
+    """Feature extractor for the synthetic ``application/x-moments``
+    mime: 4 moments of the raw bytes. Exercises the mixed-mime dispatch
+    path (q70) with a decoder that cannot fail — every REAL format
+    (WAV/BMP/PNG/JPEG) has an actual codec below / in jpeg.py."""
     if not content:
         return [0.0, 0.0, 0.0, 0.0]
     n = float(len(content))
@@ -60,11 +64,11 @@ def _decode_image(content: bytes) -> list[float]:
 # --- real codecs (stdlib-only; no codec library required) -----------------
 #
 # PCM WAV and uncompressed 24-bit BMP are fully decodable with `wave` +
-# `struct` (VERDICT r3 item 3), and 8-bit truecolor PNG with `zlib` +
-# per-scanline filter reconstruction (VERDICT r5 item 5), so these three
-# paths are REAL decoders, not stubs. JPEG genuinely needs a DCT codec
-# (absent in this container) and keeps the clearly-marked deterministic
-# fake above.
+# `struct` (VERDICT r3 item 3), 8-bit truecolor PNG with `zlib` +
+# per-scanline filter reconstruction (VERDICT r5 item 5), and baseline
+# grayscale JPEG with the from-scratch T.81 codec in jpeg.py (round 6).
+# All four media paths are REAL decoders; no stub mimes remain in
+# DECODERS.
 
 
 def make_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
@@ -290,11 +294,18 @@ def decode_png(content: bytes) -> list[float]:
     return [float(width), float(height), sr / n, sg / n, sb / n, topleft_r]
 
 
+def _decode_jpeg(content: bytes) -> list[float]:
+    from . import jpeg
+
+    return jpeg.decode_jpeg_gray(content)
+
+
 DECODERS: dict[str, Callable[[bytes], list[float]]] = {
     "image/png": decode_png,  # REAL (stdlib zlib + filter reconstruction)
-    "image/jpeg": _decode_image,  # stub: real JPEG needs a DCT codec
+    "image/jpeg": _decode_jpeg,  # REAL (from-scratch T.81 baseline, jpeg.py)
     "image/bmp": decode_bmp,  # REAL
     "audio/wav": decode_wav,  # REAL
+    "application/x-moments": byte_moments,  # synthetic opaque-payload mime
 }
 
 
@@ -423,7 +434,17 @@ def formula_png_dims(m: int) -> tuple[int, int]:
     return 6 + m % 5, 5 + m % 4
 
 
-def formula_media_df(spark, n_audio: int = 8, n_image: int = 8, n_png: int = 0) -> DataFrame:
+def formula_jpeg_pixel(m: int, x: int, y: int) -> int:
+    """Per-8x8-block constant gray value, even offset from 128 — the
+    construction that survives baseline JPEG bit-exactly (DC-only DCT,
+    Annex-K DC quant step 16 divides 8*(v-128)), so a closed-form
+    oracle can recompute decoded statistics. The lossy AC path is
+    verified by error-bound tests in tests/test_round6_ops.py."""
+    bx, by = x // 8, y // 8
+    return 128 + 2 * (((m * 7 + bx * 3 + by * 5) % 50) - 25)
+
+
+def formula_media_df(spark, n_audio: int = 8, n_image: int = 8, n_png: int = 0, n_jpeg: int = 0) -> DataFrame:
     """Real WAV + BMP + PNG blobs generated from the closed-form formulas
     above. Tiny driver-side dim (n rows of <=10 KB) — the 100 TB shape is
     the downstream mapInPandas scan, not this fixture."""
@@ -442,6 +463,11 @@ def formula_media_df(spark, n_audio: int = 8, n_image: int = 8, n_png: int = 0) 
             ),
         )
         rows.append((2000 + m, f"mem://png/{m}", "image/png", png))
+    for m in range(n_jpeg):
+        from . import jpeg
+
+        blob = jpeg.make_jpeg_gray(16, 16, lambda x, y, m=m: formula_jpeg_pixel(m, x, y))
+        rows.append((3000 + m, f"mem://jpeg/{m}", "image/jpeg", blob))
     for m in range(n_image):
         w, h = formula_bmp_dims(m)
         blob = make_bmp(
@@ -463,7 +489,7 @@ def synthetic_media_df(spark, n: int = 64) -> DataFrame:
         (
             i,
             f"mem://media/{i}",
-            "image/jpeg" if i % 3 else "application/octet-stream",
+            "application/x-moments" if i % 3 else "application/octet-stream",
             bytes([(i * 7 + j) % 256 for j in range(32 + i % 16)]),
         )
         for i in range(n)

@@ -532,3 +532,146 @@ def pack_assignments(
         (((F.sum("tok").over(w)) - F.col("tok")) / context_len).cast("long").alias("pack"),
         "tok",
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (distributed pair counting).
+#
+# Classic BPE (Sennrich et al. 2016) trains on the WORD-FREQUENCY
+# table, not the raw corpus: one corpus scan produces (word, count),
+# and every merge iteration runs over that vocabulary-sized frame.
+# That is exactly the scale-safe shape — at 100 TB the corpus scan is
+# the only big job; the iteration loop touches a few hundred thousand
+# vocab rows. Reference analog: the tokenizer step upstream of any
+# training corpus (absent in kaggle.py, which consumes tabular data;
+# this is north-star extension surface like q93/q109/q110).
+# ---------------------------------------------------------------------------
+
+
+def char_symbols(word: Column | str) -> Column:
+    """array<string> of single characters of `word` (no end-of-word
+    marker — documented deviation from Sennrich's '</w>' variant; the
+    merge semantics are otherwise identical)."""
+    w = F.col(word) if isinstance(word, str) else word
+    return F.transform(F.sequence(F.lit(1), F.length(w)), lambda i: F.substring(w, i, 1))
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, wcount) — the single corpus-sized scan BPE training needs."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wcount"))
+    )
+
+
+def bpe_pair_counts(vocab: DataFrame, syms_col: str = "syms", weight_col: str = "wcount") -> DataFrame:
+    """Weighted adjacent-pair counts over symbol arrays: (a, b, pair_count).
+
+    The per-iteration workload of BPE training. Pairs explode from the
+    vocabulary frame (not the corpus) and collapse through a map-side-
+    combined aggregate, so the shuffle is pair-vocabulary-sized.
+    """
+    s = F.col(syms_col)
+    pairs = vocab.select(
+        F.col(weight_col),
+        F.explode(
+            # sequence(1, 0) DESCENDS in Spark — guard single-symbol rows
+            F.when(
+                F.size(s) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(s) - 1),
+                    lambda i: F.struct(
+                        F.element_at(s, i).alias("a"), F.element_at(s, i + 1).alias("b")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("_p"),
+    )
+    return (
+        pairs.groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        .agg(F.sum(weight_col).alias("pair_count"))
+    )
+
+
+def bpe_merge_pair(vocab: DataFrame, a: str, b: str, syms_col: str = "syms") -> DataFrame:
+    """Apply one merge (a,b) -> a||b greedily left-to-right inside every
+    symbol array — a single aggregate() fold, no UDF. A freshly merged
+    symbol does not immediately re-merge (standard single-pass BPE
+    semantics: 'aaa' with pair (a,a) becomes [aa, a])."""
+    merged = F.lit(a + b)
+
+    # Fold equivalence to the classic skip-2 scan: a freshly merged
+    # element is a||b, and a||b != a (b is non-empty), so the
+    # acc[-1] == a test can never re-consume a just-merged symbol.
+    def step(acc: Column, x: Column) -> Column:
+        return F.when(
+            # try_element_at: NULL (-> false) on the empty accumulator
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return vocab.withColumn(
+        syms_col,
+        F.aggregate(F.col(syms_col), F.array().cast("array<string>"), step),
+    )
+
+
+def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text") -> list[tuple[str, str]]:
+    """Learn `n_merges` BPE merges. One corpus scan (word_counts), then
+    an iteration loop over the vocabulary frame: count pairs, pick the
+    most frequent (ties broken by (a, b) lexicographic — deterministic),
+    rewrite the symbol arrays. The vocab frame is localCheckpointed
+    each round to truncate the iterative lineage (the q114/CC lesson).
+
+    Returns the ordered merge list; only one scalar row is collected
+    per iteration.
+    """
+    vocab = word_counts(docs, text_col).withColumn("syms", char_symbols("word"))
+    vocab = vocab.select("wcount", "syms").localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            bpe_pair_counts(vocab)
+            .orderBy(F.desc("pair_count"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        vocab = bpe_merge_pair(vocab, a, b).localCheckpoint()
+    return merges
+
+
+def bpe_train_reference(word_count_pairs: list[tuple[str, int]], n_merges: int) -> list[tuple[str, str]]:
+    """Pure-python BPE trainer (test oracle for bpe_train): identical
+    greedy left-to-right merge and (count desc, pair asc) tie-break."""
+    vocab: list[tuple[list[str], int]] = [(list(w), c) for w, c in word_count_pairs]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        new_vocab = []
+        for syms, c in vocab:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab.append((out, c))
+        vocab = new_vocab
+    return merges

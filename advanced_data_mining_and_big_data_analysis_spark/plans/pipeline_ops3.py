@@ -1,0 +1,519 @@
+"""Round-6 training-data pipeline queries: mergeable frequency
+sketches, product quantization, tokenizer training, classifier
+inference, and storage-layout clustering.
+
+These extend the sketch/similarity/corpus families (q82, q111, q114,
+q117) with the remaining shapes a 100 TB curation stack runs:
+
+- q119: count-min-sketch heavy hitters — the frequency twin of q117's
+  HLL cardinality. Per-shard sketch tables are built in ONE scan and
+  any rollup is a linear MERGE (bucket counts add); the no-undercount
+  guarantee and merge-exactness are deterministic properties the
+  oracle pins as expected-TRUE booleans, alongside exact counts pinned
+  in both engines (reference analog: value-frequency scans such as
+  ``np.unique`` / ``value_counts``, kaggle.py:804-806, re-expressed as
+  a re-aggregatable sketch for shard-parallel corpora).
+- q120: product-quantization codebook assignment + reconstruction
+  audit — the PQ step real ANN services run between q111's flat int8
+  quantization and q114's IVF clustering.
+- q121: distributed BPE pair counting (the per-iteration scan of
+  tokenizer training; the merge loop itself is
+  ``operators.text.bpe_train`` and is pytest-verified against a pure
+  python reference).
+- q122: hashed-feature linear classifier inference (fastText-style
+  quality scoring with a broadcast weight table).
+- q123: z-order layout clustering (bit interleaving for multi-column
+  data skipping).
+
+Scale notes (100 TB):
+- q119 scans the corpus once; sketch state is O(depth*width) per shard
+  regardless of data size. The exact-count pass exists only to VERIFY
+  the sketch locally; production rollups read the sketch tables alone.
+- q120's codeword assignment is a broadcast nested-loop over k=16
+  codewords per subspace — no shuffle of the embedding table at all.
+- q121 shuffles (pair, count) — vocabulary-sized, with map-side
+  combine — never token-stream-sized rows past the partial aggregate.
+- q122 is a broadcast hash join of a vocabulary-hash-sized weight
+  table against the token stream; one shuffle on doc_id to re-assemble
+  scores.
+- q123 is pure column math + a range partition on the z-value — the
+  exact write path ``df.repartitionByRange(zval).sortWithinPartitions``
+  would use for layout optimization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .dedup_text import _TOKS
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# q119 — count-min-sketch heavy hitters.
+#
+# Sketch layout: depth d=4 hash rows x width w=256 buckets, kept as a
+# DataFrame of (source, depth, bucket, cnt). Hashing is native
+# xxhash64(depth, token) mod w — no strings materialized, no UDF. The
+# global sketch is the per-source tables MERGED by bucket addition
+# (exactly how shard sketches combine on a cluster: counts are linear).
+#
+# The driver-hashable contract (q117 pattern): exact counts for the
+# top-20 tokens are pinned in both engines; two deterministic CMS
+# properties ride along as expected-TRUE booleans:
+#   no_undercount — min over depth rows of the merged sketch >= exact
+#     count (CMS never undercounts: every occurrence lands in the
+#     probed bucket);
+#   merge_exact — estimates from the merged per-source sketches equal
+#     estimates from a sketch built directly over the whole corpus
+#     (long addition is exact, so shard-merge loses nothing).
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+def _cms_bucket(tok: Column, depth: int) -> Column:
+    """Bucket of `tok` in hash row `depth`: native 64-bit hash, no string concat."""
+    return F.pmod(F.xxhash64(F.lit(depth), tok), F.lit(_CMS_WIDTH))
+
+
+def cms_table(toks: DataFrame, tok_col: str, shard_cols: list[str]) -> DataFrame:
+    """Count-min sketch as a DataFrame: (shard_cols..., depth, bucket, cnt).
+
+    One scan of the token stream; the explode multiplies rows by depth
+    (4) before the partial aggregate, so the shuffle carries at most
+    shards * depth * width rows after map-side combine. Merging shards
+    = groupBy(depth, bucket).sum(cnt).
+    """
+    hashed = toks.select(
+        *shard_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("depth"), _cms_bucket(F.col(tok_col), j).alias("bucket"))
+                    for j in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("_db"),
+    )
+    return hashed.groupBy(*shard_cols, "_db.depth", "_db.bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, candidates: DataFrame, tok_col: str) -> DataFrame:
+    """Point-query `candidates[tok_col]` against a merged sketch.
+
+    Candidates are expected to be tiny (top-k heavy-hitter checks), so
+    the probe is a broadcast join of their depth*k (depth,bucket) pairs
+    against the width-bounded sketch table.
+    """
+    probes = candidates.select(
+        tok_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("depth"), _cms_bucket(F.col(tok_col), j).alias("bucket"))
+                    for j in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("_db"),
+    ).select(tok_col, "_db.depth", "_db.bucket")
+    return (
+        sketch.join(F.broadcast(probes), ["depth", "bucket"])
+        .groupBy(tok_col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+@query(
+    "q119_cms_heavy_hitters",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    w AS (SELECT unnest(toks) AS token FROM t),
+    c AS (SELECT token, COUNT(*) AS exact_count FROM w GROUP BY token),
+    top AS (SELECT token, exact_count FROM c ORDER BY exact_count DESC, token LIMIT 20)
+    SELECT token, CAST(exact_count AS BIGINT) AS exact_count,
+           TRUE AS no_undercount, TRUE AS merge_exact
+    FROM top ORDER BY exact_count DESC, token
+    """,
+    description="count-min-sketch heavy hitters (d=4, w=256): per-source sketch tables built in ONE corpus scan with native xxhash64 bucketing, global sketch = linear MERGE of the per-source tables (the re-aggregatable form a 1000-shard frequency rollup needs); top-20 exact token counts pinned in both engines, with the CMS no-undercount guarantee (merged-sketch min-over-depth >= exact) and shard-merge exactness (merged estimates == direct-build estimates) asserted as oracle-expected TRUE booleans",
+)
+def q119_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(X.tokens("text")).alias("token"))
+
+    # Per-source sketches (one scan) and the two global variants:
+    # merged-from-shards vs built-direct. Both are width-bounded frames.
+    per_source = cms_table(toks, "token", ["source"])
+    merged = per_source.groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt"))
+    direct = cms_table(toks, "token", [])
+
+    # Exact heavy hitters (verification denominator; at production scale
+    # this pass is what the sketch REPLACES).
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "token")
+        .limit(20)
+    )
+
+    est_m = cms_estimate(merged, top.select("token"), "token")
+    est_d = cms_estimate(direct, top.select("token"), "token").withColumnRenamed(
+        "cms_est", "cms_est_direct"
+    )
+    return (
+        top.join(F.broadcast(est_m), "token")
+        .join(F.broadcast(est_d), "token")
+        .select(
+            "token",
+            "exact_count",
+            (F.col("cms_est") >= F.col("exact_count")).alias("no_undercount"),
+            (F.col("cms_est") == F.col("cms_est_direct")).alias("merge_exact"),
+        )
+        .orderBy(F.desc("exact_count"), "token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q120 — product quantization: split the 64-dim embedding into m=4
+# subspaces of 16 dims, assign each subvector to its nearest of k=8
+# codewords, and audit the reconstruction error PQ would pay at ADC
+# time. The codebook is deterministic for oracle parity — the 8
+# lowest-vec_id vectors (production would train per-subspace KMeans;
+# the assignment/audit plan is identical either way, the codebook is
+# just an input). Distances are rounded to 9 dp BEFORE every argmin on
+# both engines (float-tie rule, ADVICE r5), ties broken by lowest
+# code_id via min(struct(d2, code_id)).
+#
+# Scale shape: the codebook is k rows — broadcast — so assignment is a
+# broadcast nested-loop producing N*k rows that collapse back to N via
+# a map-side-combined min aggregate; the embedding table itself is
+# never shuffled at full width.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_SUB = 16  # dims per subspace
+_PQ_K = 8  # codewords per subspace
+
+
+def _pq_d2_sql(j: int) -> str:
+    lo = j * _PQ_SUB + 1
+    return (
+        f"round(list_reduce(list_transform(range({lo}, {lo + _PQ_SUB}), "
+        f"i -> (e.v[i] - cb.cv[i]) * (e.v[i] - cb.cv[i])), (a, b) -> a + b), 9)"
+    )
+
+
+@query(
+    "q120_product_quantization",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cb AS (SELECT vec_id AS code_id, v AS cv FROM e WHERE vec_id < {_PQ_K}),
+    pairs AS (SELECT e.vec_id, e.label, cb.code_id,
+                     {', '.join(f'{_pq_d2_sql(j)} AS d{j}' for j in range(_PQ_M))}
+              FROM e CROSS JOIN cb),
+    mins AS (SELECT vec_id, label,
+                    {', '.join(f'MIN(d{j}) AS m{j}' for j in range(_PQ_M))}
+             FROM pairs GROUP BY vec_id, label),
+    assign AS (SELECT p.vec_id, m.label,
+                      {', '.join(f'm.m{j} AS m{j}' for j in range(_PQ_M))},
+                      MIN(CASE WHEN p.d0 = m.m0 THEN p.code_id END) AS c0,
+                      MIN(CASE WHEN p.d3 = m.m3 THEN p.code_id END) AS c3
+               FROM pairs p JOIN mins m ON p.vec_id = m.vec_id
+               GROUP BY p.vec_id, m.label, {', '.join(f'm.m{j}' for j in range(_PQ_M))})
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(m0 + m1 + m2 + m3), 6) AS avg_err2,
+           {', '.join(f'ROUND(AVG(m{j}), 6) AS err_s{j}' for j in range(_PQ_M))},
+           CAST(COUNT(DISTINCT c0) AS BIGINT) AS codes_used_s0,
+           CAST(COUNT(DISTINCT c3) AS BIGINT) AS codes_used_s3
+    FROM assign GROUP BY label ORDER BY label
+    """,
+    description="product quantization (m=4 subspaces x 16 dims, k=8 codewords): deterministic low-vec_id codebook broadcast against the corpus, per-subspace nearest-codeword assignment (9-dp-rounded distances, lowest-code_id tie-break via min(struct)), per-label reconstruction-error audit + codeword-usage counts — the PQ step between q111's flat int8 quantization and q114's IVF coarse clustering; N*k expansion collapses map-side, the embedding table is never shuffled at full width",
+)
+def q120_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    codebook = emb.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code_id"), F.col("v").alias("cv")
+    )
+
+    def d2(j: int) -> Column:
+        sub_v = F.slice(F.col("v"), j * _PQ_SUB + 1, _PQ_SUB)
+        sub_c = F.slice(F.col("cv"), j * _PQ_SUB + 1, _PQ_SUB)
+        return F.round(
+            F.aggregate(
+                F.zip_with(sub_v, sub_c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        )
+
+    pairs = emb.crossJoin(F.broadcast(codebook)).select(
+        "vec_id",
+        "label",
+        *[F.struct(d2(j).alias("d2"), F.col("code_id").alias("code")).alias(f"s{j}") for j in range(_PQ_M)],
+    )
+    assign = pairs.groupBy("vec_id", "label").agg(
+        *[F.min(f"s{j}").alias(f"a{j}") for j in range(_PQ_M)]
+    )
+    return (
+        assign.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg(sum(F.col(f"a{j}.d2") for j in range(_PQ_M))), 6).alias("avg_err2"),
+            *[F.round(F.avg(F.col(f"a{j}.d2")), 6).alias(f"err_s{j}") for j in range(_PQ_M)],
+            F.countDistinct("a0.code").alias("codes_used_s0"),
+            F.countDistinct("a3.code").alias("codes_used_s3"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q121 — distributed BPE pair counting: the per-iteration scan of
+# tokenizer training, run over the WORD-FREQUENCY table (the classic
+# Sennrich formulation — one corpus scan builds (word, count); every
+# merge iteration is vocabulary-sized, which is what makes BPE
+# trainable over a 100 TB corpus at all). This query pins round 0:
+# weighted adjacent character-pair counts, top-20 by (count desc, pair
+# asc). The full iterative trainer is operators.text.bpe_train
+# (argmax + greedy left-to-right merge fold, localCheckpointed per
+# round), pytest-verified against a pure-python reference.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q121_bpe_pair_counts",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    w AS (SELECT unnest(toks) AS word FROM t),
+    wc AS (SELECT word, COUNT(*) AS wcount FROM w GROUP BY word),
+    i AS (SELECT word, wcount, unnest(range(1, len(word))) AS pos FROM wc),
+    p AS (SELECT substr(word, CAST(pos AS INT), 1) AS a,
+                 substr(word, CAST(pos AS INT) + 1, 1) AS b, wcount
+          FROM i)
+    SELECT a, b, CAST(SUM(wcount) AS BIGINT) AS pair_count
+    FROM p GROUP BY a, b
+    ORDER BY pair_count DESC, a, b LIMIT 20
+    """,
+    description="BPE tokenizer training, round-0 pair scan: corpus -> word-frequency table (the ONLY corpus-sized job) -> weighted adjacent char-pair counts over the vocabulary frame, top-20 by (count desc, pair asc) — the per-iteration workload of Sennrich-style BPE; the full merge loop (argmax pair -> greedy left-to-right aggregate() fold rewrite -> localCheckpoint) is operators.text.bpe_train, pytest-verified against a pure-python reference trainer",
+)
+def q121_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = X.word_counts(docs).withColumn("syms", X.char_symbols("word"))
+    return (
+        X.bpe_pair_counts(vocab)
+        .orderBy(F.desc("pair_count"), "a", "b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q122 — hashed-feature linear classifier inference (fastText-style
+# quality scoring): tokens hash into 1024 feature buckets (md5-prefix,
+# the engine-portable q106 idiom), a 1024-row weight table is broadcast
+# against the token stream, per-doc score = sigmoid(mean bucket
+# weight), rolled up per source with a keep-rate at threshold 0.5.
+#
+# The weight table here is a FIXED deterministic function of the bucket
+# (so DuckDB can rebuild it exactly); a trained classifier just swaps
+# in learned values — the inference plan (broadcast join, two map-side-
+# combined aggregates) is identical. Weights are dyadic rationals
+# (n/16), so partial-sum order cannot perturb the score sum and the
+# >= 0.5 keep decision (equivalent to sum >= 0) is exact on both
+# engines. Zero-token docs fold back per-source (the q105 pattern), at
+# sigmoid(0) = 0.5 exactly.
+# ---------------------------------------------------------------------------
+
+_CLS_BUCKETS = 1024
+
+
+@query(
+    "q122_classifier_scoring",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    w AS (SELECT doc_id, source, unnest(toks) AS token FROM t),
+    h AS (SELECT doc_id, source,
+                 CAST(CONCAT('0x', substr(md5(token), 1, 4)) AS BIGINT) % {_CLS_BUCKETS} AS bucket
+          FROM w),
+    wt AS (SELECT CAST(range AS BIGINT) AS bucket,
+                  ((range % 41) - 20) / 16.0 AS wgt
+           FROM range({_CLS_BUCKETS})),
+    p AS (SELECT doc_id, ANY_VALUE(source) AS source, SUM(wgt) AS s, COUNT(*) AS n
+          FROM h JOIN wt USING (bucket) GROUP BY doc_id),
+    sc AS (SELECT source, 1.0 / (1.0 + exp(-(s / n))) AS score FROM p),
+    tot AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    agg AS (SELECT source, COUNT(*) AS n_scored, SUM(score) AS sum_score,
+                   SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS n_kept
+            FROM sc GROUP BY source)
+    SELECT tot.source, CAST(tot.n_docs AS BIGINT) AS n_docs,
+           ROUND((COALESCE(agg.sum_score, 0) + 0.5 * (tot.n_docs - COALESCE(agg.n_scored, 0)))
+                 / tot.n_docs, 6) AS avg_score,
+           CAST(COALESCE(agg.n_kept, 0) + (tot.n_docs - COALESCE(agg.n_scored, 0)) AS BIGINT)
+               AS n_kept
+    FROM tot LEFT JOIN agg USING (source) ORDER BY source
+    """,
+    description="hashed-feature linear classifier inference (fastText shape): md5-prefix feature hashing into 1024 buckets, broadcast weight-table join against the token stream, per-doc sigmoid(mean weight) score, per-source keep-rate at 0.5 — weights are dyadic rationals so partial-sum order cannot flip the keep decision; zero-token docs fold back from a column-pruned per-source count (q105 pattern), never a corpus-wide row join; a trained model swaps in learned weights with the identical plan",
+)
+def q122_classifier_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.explode(X.tokens("text")).alias("token"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("long") % _CLS_BUCKETS
+    )
+    weights = spark.range(_CLS_BUCKETS).select(
+        F.col("id").alias("bucket"), (((F.col("id") % 41) - 20) / 16.0).alias("wgt")
+    )
+    per_doc = (
+        toks.select("doc_id", "source", bucket.alias("bucket"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.sum("wgt").alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    scored = per_doc.select(
+        "source", (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("s") / F.col("n"))))).alias("score")
+    )
+    agg = scored.groupBy("source").agg(
+        F.count("*").alias("n_scored"),
+        F.sum("score").alias("sum_score"),
+        F.sum((F.col("score") >= 0.5).cast("long")).alias("n_kept"),
+    )
+    tot = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        tot.join(agg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.round(
+                (
+                    F.coalesce(F.col("sum_score"), F.lit(0.0))
+                    + 0.5 * (F.col("n_docs") - F.coalesce(F.col("n_scored"), F.lit(0)))
+                )
+                / F.col("n_docs"),
+                6,
+            ).alias("avg_score"),
+            (
+                F.coalesce(F.col("n_kept"), F.lit(0))
+                + (F.col("n_docs") - F.coalesce(F.col("n_scored"), F.lit(0)))
+            ).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q123 — z-order layout clustering for multi-column data skipping (the
+# Delta/Iceberg OPTIMIZE ZORDER BY primitive): interleave the bits of
+# (l_partkey, l_suppkey) into a 32-bit z-value, bucket rows into 64
+# fixed-width z-ranges (the "files"), and report each file's per-column
+# min/max footprint — the statistics a scan planner prunes on. Under a
+# z-order layout BOTH columns' footprints stay narrow per file, which
+# is the whole point vs single-column sort (narrow on one, full-range
+# on the other).
+#
+# The production write is `df.repartitionByRange(64, zval)
+# .sortWithinPartitions(zval).write...`; the query keeps deterministic
+# fixed-width buckets (range-partition boundaries are sampled, hence
+# non-reproducible across engines) so DuckDB can mirror the math
+# bit-for-bit. Pure column arithmetic — one map-side-combined
+# aggregate, no joins, no UDFs, and the skipping ratio column proves
+# the effect: avg fraction of the key domain a file's footprint spans.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+_Z_FILES = 64
+
+
+def _z_terms(xe: str, ye: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({xe} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ye} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_value(x: Column, y: Column, bits: int = _Z_BITS) -> Column:
+    """Bit-interleaved (Morton) z-value of two non-negative int columns."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+@query(
+    "q123_zorder_layout",
+    oracle=f"""
+    WITH k AS (SELECT CAST(l_partkey AS BIGINT) AS xr, CAST(l_suppkey AS BIGINT) AS yr
+               FROM lineitem),
+    b AS (SELECT MIN(xr) AS xmn, MAX(xr) AS xmx, MIN(yr) AS ymn, MAX(yr) AS ymx FROM k),
+    n AS (SELECT CASE WHEN xmx = xmn THEN 0
+                      ELSE CAST(floor(1.0 * (xr - xmn) * 65535 / (xmx - xmn)) AS BIGINT) END AS x,
+                 CASE WHEN ymx = ymn THEN 0
+                      ELSE CAST(floor(1.0 * (yr - ymn) * 65535 / (ymx - ymn)) AS BIGINT) END AS y
+          FROM k CROSS JOIN b),
+    z AS (SELECT x, y, {_z_terms('x', 'y')} AS zval FROM n),
+    f AS (SELECT zval >> {32 - 6} AS file_id, x, y FROM z)
+    SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(x) AS pk_min, MAX(x) AS pk_max,
+           MIN(y) AS sk_min, MAX(y) AS sk_max,
+           ROUND(((MAX(x) - MIN(x)) + (MAX(y) - MIN(y))) / (2.0 * 65535.0), 6) AS span_frac
+    FROM f GROUP BY file_id ORDER BY file_id
+    """,
+    description="z-order (Morton) layout clustering over (l_partkey, l_suppkey): 16-bit interleave to a 32-bit z-value, 64 fixed-width z-range 'files', per-file min/max footprints + span fraction — the multi-column data-skipping statistic OPTIMIZE ZORDER BY exists to minimize; production write path is repartitionByRange(zval).sortWithinPartitions(zval) (boundaries sampled, hence the oracle pins the deterministic fixed-width variant); pure bit-arithmetic columns, one map-side-combined aggregate, zero joins/UDFs",
+)
+def q123_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("long").alias("xr"), F.col("l_suppkey").cast("long").alias("yr")
+    )
+    # Min-max normalize each key to the 16-bit z-domain (exact integer
+    # products well inside double precision, so floor() is engine-stable).
+    # The bounds aggregate is one scalar row, broadcast into the scan.
+    bounds = li.agg(
+        F.min("xr").alias("xmn"),
+        F.max("xr").alias("xmx"),
+        F.min("yr").alias("ymn"),
+        F.max("yr").alias("ymx"),
+    )
+
+    def norm(raw: str, mn: str, mx: str) -> Column:
+        return (
+            F.when(F.col(mx) == F.col(mn), F.lit(0))
+            .otherwise(
+                F.floor(1.0 * (F.col(raw) - F.col(mn)) * 65535 / (F.col(mx) - F.col(mn)))
+            )
+            .cast("long")
+        )
+
+    scaled = li.crossJoin(F.broadcast(bounds)).select(
+        norm("xr", "xmn", "xmx").alias("x"), norm("yr", "ymn", "ymx").alias("y")
+    )
+    z = scaled.withColumn("zval", zorder_value(F.col("x"), F.col("y")))
+    f = z.select(F.shiftright(F.col("zval"), 32 - 6).alias("file_id"), "x", "y")
+    return (
+        f.groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").alias("pk_min"),
+            F.max("x").alias("pk_max"),
+            F.min("y").alias("sk_min"),
+            F.max("y").alias("sk_max"),
+            F.round(
+                ((F.max("x") - F.min("x")) + (F.max("y") - F.min("y"))) / (2.0 * 65535.0), 6
+            ).alias("span_frac"),
+        )
+        .orderBy("file_id")
+    )

@@ -56,6 +56,7 @@ def all_queries() -> dict[str, QueryDef]:
         graph,
         pipeline_ops,
         pipeline_ops2,
+        pipeline_ops3,
         relational,
         relational2,
         relational3,

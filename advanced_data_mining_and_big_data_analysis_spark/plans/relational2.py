@@ -152,12 +152,12 @@ def q68_pandas_udf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT i,
-             CASE WHEN i % 3 <> 0 THEN 'image/jpeg' ELSE 'application/octet-stream' END AS mime,
+             CASE WHEN i % 3 <> 0 THEN 'application/x-moments' ELSE 'application/octet-stream' END AS mime,
              32 + (i % 16) AS n
       FROM range(0, 96) t(i))
     SELECT mime, COUNT(*) AS n_media,
-           CAST(SUM(CASE WHEN mime = 'image/jpeg' THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
-           ROUND(AVG(CASE WHEN mime = 'image/jpeg' THEN CAST(n AS DOUBLE) END), 6)
+           CAST(SUM(CASE WHEN mime = 'application/x-moments' THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+           ROUND(AVG(CASE WHEN mime = 'application/x-moments' THEN CAST(n AS DOUBLE) END), 6)
              AS avg_len_moment
     FROM m GROUP BY mime ORDER BY mime
     """,
@@ -258,3 +258,41 @@ def q113_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     image = image_branch("image/bmp", "image")
     png = image_branch("image/png", "png")
     return audio.unionAll(image).unionAll(png).orderBy("media_id")
+
+
+_N_JPEG = 8
+
+
+@query(
+    "q124_jpeg_decode",
+    oracle=f"""
+    WITH jm AS (SELECT m FROM range(0, {_N_JPEG}) t(m)),
+    blocks AS (
+      SELECT jm.m, 128 + 2*(((jm.m*7 + bx.i*3 + by.i*5) % 50) - 25) AS v,
+             bx.i AS bx, by.i AS by
+      FROM jm, range(0, 2) bx(i), range(0, 2) by(i))
+    SELECT 3000 + m AS media_id, 'jpeg' AS kind, CAST(256 AS BIGINT) AS n_units,
+           ROUND(AVG(v), 6) AS mean_gray,
+           CAST(MIN(CASE WHEN bx = 0 AND by = 0 THEN v END) AS DOUBLE) AS topleft
+    FROM blocks GROUP BY m ORDER BY media_id
+    """,
+    description="REAL baseline JPEG decode, hash-checked (closes the last multimodal stub): the from-scratch T.81 grayscale codec (operators/jpeg.py — forward/inverse DCT, Annex-K quantization, zigzag, DC prediction, run-length + canonical Huffman, 0xFF stuffing) runs inside the mapInPandas extractor over fixture JPEGs whose 8x8-constant even-offset blocks survive the codec bit-exactly (DC-only DCT, quant step divides the coefficient), so the oracle recomputes decoded mean/top-left from the generating formula; the lossy AC path is pinned by error-bound pytest cases",
+)
+def q124_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    feats = MM.extract_features(
+        MM.formula_media_df(spark, n_audio=0, n_image=0, n_png=0, n_jpeg=_N_JPEG)
+    )
+    el = F.element_at
+    return (
+        feats.filter(F.col("mime") == "image/jpeg")
+        .select(
+            "media_id",
+            F.lit("jpeg").alias("kind"),
+            (el("feature", 1) * el("feature", 2)).cast("long").alias("n_units"),
+            F.round(el("feature", 3), 6).alias("mean_gray"),
+            el("feature", 6).alias("topleft"),
+        )
+        .orderBy("media_id")
+    )

@@ -395,8 +395,8 @@ def test_multimodal_golden_pin(spark):
     item 10): the byte-level outputs of extract_features / resize_images /
     sample_frames on the 6-row fixture are frozen here, so any change to
     the mapInPandas plumbing (batch shape, truncation rule, frame
-    slicing) that alters bytes is caught even while the real codecs stay
-    stubbed."""
+    slicing) that alters bytes is caught even if a codec
+    or the batch plumbing changes."""
     media = MM.synthetic_media_df(spark, 6)
 
     feats = sorted(
@@ -405,11 +405,11 @@ def test_multimodal_golden_pin(spark):
     )
     assert feats == [
         (0, "application/octet-stream", 32, None),
-        (1, "image/jpeg", 33, [33.0, 23.0, 39.0, 7.0]),
-        (2, "image/jpeg", 34, [34.0, 30.5, 47.0, 14.0]),
+        (1, "application/x-moments", 33, [33.0, 23.0, 39.0, 7.0]),
+        (2, "application/x-moments", 34, [34.0, 30.5, 47.0, 14.0]),
         (3, "application/octet-stream", 35, None),
-        (4, "image/jpeg", 36, [36.0, 45.5, 63.0, 28.0]),
-        (5, "image/jpeg", 37, [37.0, 53.0, 71.0, 35.0]),
+        (4, "application/x-moments", 36, [36.0, 45.5, 63.0, 28.0]),
+        (5, "application/x-moments", 37, [37.0, 53.0, 71.0, 35.0]),
     ]
 
     resized = sorted(

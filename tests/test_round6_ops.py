@@ -1,0 +1,237 @@
+"""Round-6 operator tests: CMS frequency sketches (q119), product
+quantization (q120), BPE tokenizer training (q121), hashed-feature
+classifier inference (q122), z-order layout clustering (q123).
+
+Property tests here; cross-engine value parity is pinned by the DuckDB
+oracles (tools/check_oracle.py / driver CORRECTNESS)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from advanced_data_mining_and_big_data_analysis_spark.operators import text as X
+from advanced_data_mining_and_big_data_analysis_spark.plans import all_queries
+from advanced_data_mining_and_big_data_analysis_spark.plans.pipeline_ops3 import (
+    _PQ_K,
+    cms_estimate,
+    cms_table,
+    zorder_value,
+)
+from advanced_data_mining_and_big_data_analysis_spark.sources import load_table
+
+QUERIES = all_queries()
+
+
+# ---------------------------------------------------------------- q119 CMS
+
+
+def test_cms_never_undercounts_any_token(spark, sf_dir):
+    """The no-undercount guarantee must hold for EVERY token, not just
+    the top-20 the query reports."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    toks = docs.select("source", F.explode(X.tokens("text")).alias("token"))
+    sketch = cms_table(toks, "token", [])
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact"))
+    est = cms_estimate(sketch, exact.select("token"), "token")
+    bad = exact.join(est, "token").filter(F.col("cms_est") < F.col("exact")).count()
+    assert bad == 0
+
+
+def test_cms_shard_merge_is_exact(spark, sf_dir):
+    """Merged per-source sketch tables must equal a direct global build
+    bucket-for-bucket (linear counts — the mergeability contract)."""
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    toks = docs.select("source", F.explode(X.tokens("text")).alias("token"))
+    merged = (
+        cms_table(toks, "token", ["source"])
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_table(toks, "token", [])
+    diff = (
+        merged.join(direct.withColumnRenamed("cnt", "cnt2"), ["depth", "bucket"], "full")
+        .filter(
+            F.coalesce(F.col("cnt"), F.lit(-1)) != F.coalesce(F.col("cnt2"), F.lit(-2))
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_q119_plan_broadcasts_probe_not_corpus(spark, sf_dir):
+    plan_df = QUERIES["q119_cms_heavy_hitters"].fn(spark, sf_dir)
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+# ----------------------------------------------------------------- q120 PQ
+
+
+def test_pq_codebook_vectors_reconstruct_exactly(spark, sf_dir):
+    """Vectors that ARE codewords must quantize to themselves: their
+    total reconstruction error is exactly 0."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cb = emb.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code_id"), F.col("v").alias("cv")
+    )
+
+    def d2(j):
+        sub_v = F.slice(F.col("v"), j * 16 + 1, 16)
+        sub_c = F.slice(F.col("cv"), j * 16 + 1, 16)
+        return F.aggregate(
+            F.zip_with(sub_v, sub_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    own = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .join(cb, F.col("vec_id") == F.col("code_id"))
+        .select(sum(d2(j) for j in range(4)).alias("err"))
+    )
+    rows = own.collect()
+    assert len(rows) == _PQ_K
+    assert all(r["err"] == 0.0 for r in rows)
+
+
+def test_q120_no_shuffle_of_full_width_embeddings(spark, sf_dir):
+    """The N*k expansion must come from a broadcast of the k-row
+    codebook, never a shuffle/sort-merge of the embedding table."""
+    df = QUERIES["q120_product_quantization"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------- q121 BPE
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    merges = X.bpe_train(docs, 6)
+    wc = [(r["word"], r["wcount"]) for r in X.word_counts(docs).collect()]
+    ref = X.bpe_train_reference(sorted(wc), 6)
+    assert merges == ref
+    assert len(merges) == 6
+
+
+def test_bpe_merge_is_greedy_left_to_right(spark):
+    """'aaa' with pair (a,a) -> [aa, a]: a fresh merge is not re-consumed."""
+    df = spark.createDataFrame([(1, ["a", "a", "a"]), (1, ["a", "a", "a", "a"])], "wcount int, syms array<string>")
+    out = [r["syms"] for r in X.bpe_merge_pair(df, "a", "a").collect()]
+    assert sorted(out) == [["aa", "a"], ["aa", "aa"]]
+
+
+def test_char_symbols_and_pair_guard(spark):
+    df = spark.createDataFrame([(1, "ab"), (1, "x")], "wcount int, word string")
+    df = df.withColumn("syms", X.char_symbols("word"))
+    rows = {tuple(r["syms"]) for r in df.collect()}
+    assert rows == {("a", "b"), ("x",)}
+    # single-symbol rows must contribute zero pairs (sequence(1,0) guard)
+    pairs = X.bpe_pair_counts(df).collect()
+    assert [(r["a"], r["b"], r["pair_count"]) for r in pairs] == [("a", "b", 1)]
+
+
+# ---------------------------------------------------------------- JPEG
+
+
+def test_jpeg_constant_even_blocks_roundtrip_exactly():
+    import numpy as np
+
+    from advanced_data_mining_and_big_data_analysis_spark.operators import jpeg as J
+    from advanced_data_mining_and_big_data_analysis_spark.operators.multimodal import (
+        formula_jpeg_pixel,
+    )
+
+    for m in range(4):
+        blob = J.make_jpeg_gray(16, 16, lambda x, y, m=m: formula_jpeg_pixel(m, x, y))
+        w, h, mean, _, _, tl = J.decode_jpeg_gray(blob)
+        exp = np.array([[formula_jpeg_pixel(m, x, y) for x in range(16)] for y in range(16)])
+        assert (w, h) == (16.0, 16.0)
+        assert mean == float(exp.mean())
+        assert tl == float(exp[0, 0])
+
+
+def test_jpeg_lossy_path_error_bounded():
+    """Non-constant blocks exercise the AC Huffman/quant/IDCT path; the
+    Annex-K table at full strength must still keep a smooth gradient
+    within a small mean error and a random image's mean nearly exact."""
+    import numpy as np
+
+    from advanced_data_mining_and_big_data_analysis_spark.operators import jpeg as J
+
+    grad = J.decode_jpeg_gray(
+        J.make_jpeg_gray(24, 17, lambda x, y: min(255, 60 + 3 * x + 2 * y))
+    )
+    exp = np.array([[min(255, 60 + 3 * x + 2 * y) for x in range(24)] for y in range(17)])
+    assert (grad[0], grad[1]) == (24.0, 17.0)
+    assert abs(grad[2] - exp.mean()) < 3.0
+
+    rng = np.random.RandomState(7)
+    im = rng.randint(0, 256, (16, 16))
+    got = J.decode_jpeg_gray(J.make_jpeg_gray(16, 16, lambda x, y: int(im[y, x])))
+    assert abs(got[2] - im.mean()) < 2.0
+
+
+def test_jpeg_rejects_non_baseline_and_truncated():
+    import pytest as _pytest
+
+    from advanced_data_mining_and_big_data_analysis_spark.operators import jpeg as J
+
+    blob = bytearray(J.make_jpeg_gray(8, 8, lambda x, y: 130))
+    with _pytest.raises(ValueError):
+        J.decode_jpeg_gray(b"\x00\x01not a jpeg")
+    # flip SOF0 -> SOF2 (progressive) in place
+    i = bytes(blob).find(b"\xff\xc0")
+    prog = bytes(blob[:i]) + b"\xff\xc2" + bytes(blob[i + 2 :])
+    with _pytest.raises(ValueError):
+        J.decode_jpeg_gray(prog)
+    with _pytest.raises(ValueError):
+        J.decode_jpeg_gray(bytes(blob[:-10]))  # truncated entropy/EOI
+
+
+# ------------------------------------------------------------- q122 / q123
+
+
+def test_q122_doc_counts_are_conserved(spark, sf_dir):
+    docs_n = load_table(spark, sf_dir, "documents").count()
+    out = QUERIES["q122_classifier_scoring"].fn(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in out) == docs_n
+    for r in out:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert 0.0 <= r["avg_score"] <= 1.0
+
+
+def test_zorder_value_interleaves_bits_exactly(spark):
+    def py_z(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    cases = [(0, 0), (1, 0), (0, 1), (65535, 0), (0, 65535), (12345, 54321), (255, 256)]
+    df = spark.createDataFrame(cases, "x long, y long").withColumn(
+        "z", zorder_value(F.col("x"), F.col("y"))
+    )
+    got = {(r["x"], r["y"]): r["z"] for r in df.collect()}
+    for x, y in cases:
+        assert got[(x, y)] == py_z(x, y), (x, y)
+
+
+def test_q123_files_bound_both_dimensions(spark, sf_dir):
+    rows = QUERIES["q123_zorder_layout"].fn(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 64
+    for r in rows:
+        assert 0 <= r["file_id"] <= 63
+        assert r["pk_min"] <= r["pk_max"] and r["sk_min"] <= r["sk_max"]
+        assert 0.0 <= r["span_frac"] <= 1.0
+    # z-order point: a file's footprint must be a small fraction of the
+    # full domain on BOTH columns simultaneously (here: every file spans
+    # <= ~1/4 of each axis once both keys exercise the 16-bit domain)
+    if len(rows) >= 16:
+        worst = max(max(r["pk_max"] - r["pk_min"], r["sk_max"] - r["sk_min"]) for r in rows)
+        assert worst <= 65535 / 4 + 1
