@@ -517,3 +517,211 @@ def q123_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 — exponential smoothing (EWMA, alpha=0.5) per user over event
+# time. The stateful-recursion shape (e_t = a*x_t + (1-a)*e_{t-1})
+# no window frame expresses: per-key series collapse to ONE ordered
+# fold — array_sort(collect_list(struct)) + aggregate() in Spark,
+# list(... ORDER BY) + list_reduce in DuckDB. Both engines run the
+# identical left-to-right recursion over identical doubles, so the
+# result is bit-identical before the 6-dp round. Per-key state is the
+# user's own series (bounded); the only shuffle is the user_id
+# aggregate — the same contract as sessionization (q60).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q125_ewma_smoothing",
+    oracle="""
+    WITH a AS (SELECT user_id, COUNT(*) AS n_events,
+                      list(value ORDER BY ts, event_id) AS vals
+               FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           ROUND(list_reduce(vals, (acc, x) -> 0.5*x + 0.5*acc), 6) AS ewma
+    FROM a ORDER BY user_id
+    """,
+    description="per-key exponential smoothing (EWMA alpha=0.5): the stateful recursion e_t = a*x_t + (1-a)*e_{t-1} as ONE ordered fold per user — array_sort(collect_list(struct(ts,event_id,value))) + aggregate() with the first element as seed; both engines execute the identical left-to-right double recursion (dyadic alpha), so values are bit-identical pre-round; per-key state is bounded by the user's own series, the only shuffle is the user_id aggregate",
+)
+def q125_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.struct("ts", "event_id", "value").alias("s")
+    )
+    per = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.array_sort(F.collect_list("s")).alias("a")
+    )
+    vals = F.transform(F.col("a"), lambda x: x["value"])
+    ewma = F.when(
+        F.size(vals) > 1,
+        F.aggregate(
+            F.slice(vals, 2, F.size(vals) - 1),
+            F.element_at(vals, 1),
+            lambda acc, x: F.lit(0.5) * x + F.lit(0.5) * acc,
+        ),
+    ).otherwise(F.element_at(vals, 1))
+    return per.select("user_id", "n_events", F.round(ewma, 6).alias("ewma")).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# q126 — mergeable equi-width histogram quantile sketch. Rounds out the
+# sketch family (q117 HLL cardinality, q119 CMS frequency) with the
+# quantile member: per-shard (l_returnflag) histograms over 512
+# fixed-width bins are built in one scan and MERGED by bucket addition;
+# quantile estimate = upper edge of the first bin whose merged
+# cumulative count reaches ceil(q*N). The DuckDB oracle builds the
+# histogram DIRECTLY (no shards), so the hash match itself proves
+# shard-merge exactness; the deterministic sketch guarantee — the
+# estimate is within 2 bin widths of the exact interpolated quantile —
+# rides along as an expected-TRUE boolean. Bin ids are exact (one
+# IEEE multiply/divide on identical doubles), so the sketch is
+# reproducible bit-for-bit across engines.
+# ---------------------------------------------------------------------------
+
+_QS_BINS = 512
+_QS_QUANTILES = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@query(
+    "q126_quantile_sketch",
+    oracle=f"""
+    WITH b AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+                      COUNT(*) AS n,
+                      {', '.join(f'quantile_cont(l_extendedprice, {q}) AS ex{i}' for i, q in enumerate(_QS_QUANTILES))}
+               FROM lineitem),
+    h AS (SELECT LEAST(CAST(floor((l_extendedprice - b.mn) * {_QS_BINS} / (b.mx - b.mn)) AS BIGINT),
+                       {_QS_BINS - 1}) AS bin, COUNT(*) AS cnt
+          FROM lineitem, b GROUP BY 1),
+    c AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM h),
+    qs AS (SELECT i, q, ex FROM (VALUES
+             {', '.join(f'({i}, {q}::DOUBLE, (SELECT ex{i} FROM b))' for i, q in enumerate(_QS_QUANTILES))}
+           ) t(i, q, ex)),
+    est AS (SELECT qs.i, qs.q, qs.ex, MIN(c.bin) AS ebin
+            FROM qs JOIN c ON c.cum >= CAST(ceil(qs.q * (SELECT n FROM b)) AS BIGINT)
+            GROUP BY qs.i, qs.q, qs.ex)
+    SELECT q, ROUND((SELECT mn FROM b) + (ebin + 1) * ((SELECT mx FROM b) - (SELECT mn FROM b)) / {_QS_BINS}, 6) AS est,
+           ROUND(ex, 6) AS exact,
+           ABS((SELECT mn FROM b) + (ebin + 1) * ((SELECT mx FROM b) - (SELECT mn FROM b)) / {_QS_BINS} - ex)
+             <= 2 * ((SELECT mx FROM b) - (SELECT mn FROM b)) / {_QS_BINS} AS within_bound
+    FROM est ORDER BY q
+    """,
+    description="mergeable equi-width histogram quantile sketch (512 bins over l_extendedprice): per-shard histograms built in ONE scan, merged by bucket addition, quantile estimate = upper edge of the first bin whose merged cumulative count reaches ceil(q*N) — the quantile member of the mergeable-sketch family (q117 HLL, q119 CMS); the oracle builds the histogram DIRECTLY so the hash match itself proves shard-merge exactness, and the deterministic 2-bin-width error bound vs the exact interpolated quantile rides along as an expected-TRUE boolean",
+)
+def q126_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("shard"), F.col("l_extendedprice").alias("x")
+    )
+    bounds = li.agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count("*").alias("n"),
+        F.expr(
+            f"percentile(x, array({', '.join(str(q) for q in _QS_QUANTILES)}))"
+        ).alias("exacts"),
+    )
+    binned = li.crossJoin(F.broadcast(bounds.select("mn", "mx"))).select(
+        "shard",
+        F.least(
+            F.floor((F.col("x") - F.col("mn")) * _QS_BINS / (F.col("mx") - F.col("mn"))).cast(
+                "long"
+            ),
+            F.lit(_QS_BINS - 1),
+        ).alias("bin"),
+    )
+    per_shard = binned.groupBy("shard", "bin").agg(F.count("*").alias("cnt"))
+    merged = per_shard.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    # bounded frames from here down: <=512 bins x 5 quantiles
+    from pyspark.sql import Window
+
+    cum = merged.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+    )
+    qs = bounds.select(
+        "mn",
+        "mx",
+        "n",
+        F.posexplode(F.array(*[F.lit(q) for q in _QS_QUANTILES])).alias("i", "q"),
+        F.col("exacts"),
+    ).select("mn", "mx", "n", "q", F.element_at("exacts", F.col("i") + 1).alias("ex"))
+    est = (
+        qs.join(F.broadcast(cum), F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q", "mn", "mx", "ex")
+        .agg(F.min("bin").alias("ebin"))
+    )
+    width = (F.col("mx") - F.col("mn")) / _QS_BINS
+    est_val = F.col("mn") + (F.col("ebin") + 1) * width
+    return est.select(
+        "q",
+        F.round(est_val, 6).alias("est"),
+        F.round(F.col("ex"), 6).alias("exact"),
+        (F.abs(est_val - F.col("ex")) <= 2 * width).alias("within_bound"),
+    ).orderBy("q")
+
+
+# ---------------------------------------------------------------------------
+# q127 — ordered funnel analysis (view -> click -> purchase): the
+# event-analytics shape ClickHouse's windowFunnel / sequenceMatch
+# exist for. Each step's timestamp must STRICTLY follow the previous
+# step's for the same user (min qualifying time per step). Expressed
+# as three user-keyed aggregates chained by broadcast-joinable
+# per-user step frames — every join is on user_id, AQE-coalesced;
+# timestamps stay in interval/date arithmetic (NTZ-safe, the q21 rule).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q127_funnel",
+    oracle="""
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t1
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3, MIN(s2.t1) AS t1
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s1) AS n_step1,
+           (SELECT COUNT(*) FROM s2) AS n_step2,
+           (SELECT COUNT(*) FROM s3) AS n_step3,
+           ROUND((SELECT COUNT(*) FROM s3) * 1.0 / (SELECT COUNT(*) FROM s1), 6) AS conversion,
+           ROUND((SELECT AVG(datediff('day', CAST(t1 AS DATE), CAST(t3 AS DATE))) FROM s3), 6)
+             AS avg_days_to_convert
+    """,
+    description="ordered funnel (view -> click -> purchase, strict temporal order per user): the windowFunnel/sequenceMatch analytics shape as three chained user-keyed min aggregates — each step joins the previous step's per-user frame on user_id and keeps only strictly-later events; all joins are key-local (AQE-coalesced), time arithmetic stays in date/interval space (NTZ-safe q21 rule); reports per-step user counts, conversion rate, and mean days to convert",
+)
+def q127_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t1").alias("t1"))
+    )
+    c1 = s1.agg(F.count("*").alias("n_step1"))
+    c2 = s2.agg(F.count("*").alias("n_step2"))
+    c3 = s3.agg(
+        F.count("*").alias("n_step3"),
+        F.round(F.avg(F.datediff(F.to_date("t3"), F.to_date("t1"))), 6).alias(
+            "avg_days_to_convert"
+        ),
+    )
+    return (
+        c1.crossJoin(c2)
+        .crossJoin(c3)
+        .select(
+            "n_step1",
+            "n_step2",
+            "n_step3",
+            F.round(F.col("n_step3") * 1.0 / F.col("n_step1"), 6).alias("conversion"),
+            "avg_days_to_convert",
+        )
+    )

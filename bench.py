@@ -71,8 +71,14 @@ HEADLINE = [
     "q114_semdedup",
     "q115_decontaminate_bloom",
     "q116_duplicated_passages",
-    # round-6 addition
+    # round-6 additions
     "q118_batch_ann_join",
+    "q119_cms_heavy_hitters",
+    "q120_product_quantization",
+    "q121_bpe_pair_counts",
+    "q122_classifier_scoring",
+    "q123_zorder_layout",
+    "q124_jpeg_decode",
 ]
 
 

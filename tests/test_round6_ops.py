@@ -205,6 +205,42 @@ def test_q122_doc_counts_are_conserved(spark, sf_dir):
         assert 0.0 <= r["avg_score"] <= 1.0
 
 
+def test_q125_ewma_matches_python_recursion(spark, sf_dir):
+    from advanced_data_mining_and_big_data_analysis_spark.sources import load_table
+
+    got = {r["user_id"]: (r["n_events"], r["ewma"]) for r in
+           QUERIES["q125_ewma_smoothing"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value").collect()
+    series: dict[int, list[tuple]] = {}
+    for r in ev:
+        series.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["value"]))
+    for uid, rows in series.items():
+        rows.sort()
+        e = rows[0][2]
+        for _, _, x in rows[1:]:
+            e = 0.5 * x + 0.5 * e
+        n, ewma = got[uid]
+        assert n == len(rows)
+        assert ewma == round(e, 6), uid
+
+
+def test_q126_sketch_bounds_and_monotonicity(spark, sf_dir):
+    rows = QUERIES["q126_quantile_sketch"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r["within_bound"] for r in rows)
+    ests = [r["est"] for r in sorted(rows, key=lambda r: r["q"])]
+    exacts = [r["exact"] for r in sorted(rows, key=lambda r: r["q"])]
+    assert ests == sorted(ests) and exacts == sorted(exacts)
+
+
+def test_q127_funnel_is_monotone(spark, sf_dir):
+    r = QUERIES["q127_funnel"].fn(spark, sf_dir).collect()[0]
+    assert r["n_step1"] >= r["n_step2"] >= r["n_step3"] >= 0
+    assert 0.0 <= r["conversion"] <= 1.0
+    if r["n_step3"]:
+        assert r["avg_days_to_convert"] >= 0.0
+
+
 def test_zorder_value_interleaves_bits_exactly(spark):
     def py_z(x, y):
         z = 0

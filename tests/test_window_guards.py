@@ -35,6 +35,7 @@ ALLOWED_UNPARTITIONED: dict[str, str] = {
     "q107_winsorize": "percentile interpolation over per-source aggregates (#sources rows)",
     "q110_token_budget": "weight-sum window over the per-source frame (one row per source)",
     "q112_cohort_retention": "retention matrix over cohort-month aggregates (calendar-bounded)",
+    "q126_quantile_sketch": "cumulative count over the merged histogram (<= 512 bin rows)",
 }
 
 
