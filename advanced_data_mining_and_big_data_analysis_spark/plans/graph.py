@@ -90,3 +90,93 @@ def q102_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(0.15 / n_nodes) + _DAMP * F.coalesce("_in", F.lit(0.0))).alias("r"),
         )
     return r.select("node", F.round("r", 6).alias("pagerank")).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q128 — distributed triangle counting over the user co-occurrence
+# graph (the graph-analytics benchmark classic). Edges: two users are
+# connected when they act on the same (event_type, hour) bucket; a
+# bucket CAP (<= 20 users) bounds the per-bucket pair expansion to
+# O(cap^2) — the hub guard every production co-occurrence graph needs
+# (a single viral bucket otherwise emits a quadratic edge blowup; the
+# q83 LSH-cap lesson applied to graphs). Triangles are counted by the
+# canonical oriented two-join (u < v < w, so each triangle counts
+# exactly once); wedges = sum(deg choose 2) give global transitivity.
+# Every join is an equi-join on node ids — shuffle-partitionable, no
+# cartesian anywhere.
+# ---------------------------------------------------------------------------
+
+_TRI_CAP = 20
+
+
+@query(
+    "q128_triangle_count",
+    oracle=f"""
+    WITH e AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS b
+               FROM events),
+    bs AS (SELECT event_type, b, COUNT(*) AS n FROM e GROUP BY 1, 2),
+    kept AS (SELECT event_type, b FROM bs WHERE n <= {_TRI_CAP}),
+    ek AS (SELECT e.user_id, e.event_type, e.b FROM e JOIN kept USING (event_type, b)),
+    ed AS (SELECT DISTINCT a.user_id AS u, k.user_id AS v
+           FROM ek a JOIN ek k ON a.event_type = k.event_type AND a.b = k.b
+                             AND a.user_id < k.user_id),
+    deg AS (SELECT node, COUNT(*) AS c
+            FROM (SELECT u AS node FROM ed UNION ALL SELECT v FROM ed) t GROUP BY node),
+    tri AS (SELECT COUNT(*) AS n
+            FROM ed e1 JOIN ed e2 ON e1.v = e2.u
+                       JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT CAST((SELECT COUNT(*) FROM bs) AS BIGINT) AS n_buckets,
+           CAST((SELECT COUNT(*) FROM bs WHERE n > {_TRI_CAP}) AS BIGINT) AS n_buckets_capped,
+           CAST((SELECT COUNT(*) FROM ed) AS BIGINT) AS n_edges,
+           CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles,
+           ROUND(3.0 * (SELECT n FROM tri) / (SELECT SUM(c * (c - 1) / 2) FROM deg), 6)
+             AS transitivity
+    """,
+    description="distributed triangle counting on the user co-occurrence graph: (event_type, hour) buckets with a <= 20-user hub cap bound the pair expansion to O(cap^2) per bucket (the q83 skew lesson applied to graphs), canonical oriented two-join (u<v<w) counts each triangle once, wedge sum gives global transitivity — every join an equi-join on node ids, no cartesian; the cap-skip count is reported so truncation is never silent",
+)
+def q128_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("b")
+    )
+    e = ev.distinct()
+    bs = e.groupBy("event_type", "b").agg(F.count("*").alias("n"))
+    kept = bs.filter(F.col("n") <= _TRI_CAP).select("event_type", "b")
+    ek = e.join(kept, ["event_type", "b"])
+    other = ek.select("event_type", "b", F.col("user_id").alias("v"))
+    ed = (
+        ek.join(other, ["event_type", "b"])
+        .filter(F.col("user_id") < F.col("v"))
+        .select(F.col("user_id").alias("u"), "v")
+        .distinct()
+    )
+    deg = (
+        ed.select(F.col("u").alias("node"))
+        .unionAll(ed.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("c"))
+    )
+    e2 = ed.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = ed.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    tri = (
+        ed.join(e2, "v")
+        .join(e3, (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")))
+        .agg(F.count("*").alias("n"))
+    )
+    stats = bs.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum((F.col("n") > _TRI_CAP).cast("long")).alias("n_buckets_capped"),
+    )
+    edge_n = ed.agg(F.count("*").alias("n_edges"))
+    wedge = deg.agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("wedges"))
+    return (
+        stats.crossJoin(edge_n)
+        .crossJoin(tri)
+        .crossJoin(wedge)
+        .select(
+            "n_buckets",
+            "n_buckets_capped",
+            "n_edges",
+            F.col("n").alias("n_triangles"),
+            F.round(3.0 * F.col("n") / F.col("wedges"), 6).alias("transitivity"),
+        )
+    )

@@ -725,3 +725,162 @@ def q127_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_days_to_convert",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q129 — incremental materialized-view maintenance (the lakehouse MV /
+# CDC-refresh contract): a pre-aggregated base view absorbs a new data
+# increment WITHOUT rescanning base data — counts and sums add, derived
+# averages recompute from the merged sums. The DuckDB oracle computes
+# the aggregate DIRECTLY over the full table, so the hash match itself
+# proves increment-merge == full-recompute (the q126 proof pattern, for
+# exact aggregates). Only linearly-maintainable aggregates participate;
+# distinct counts need the q117 HLL sketch — that boundary is the whole
+# design point.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q129_incremental_view",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    description="incremental materialized-view maintenance: base view (l_orderkey % 10 <> 0) pre-aggregated once, the increment (% 10 = 0) aggregated alone, merged by pure addition with averages re-derived from merged sums — the oracle aggregates the FULL table directly, so the hash match proves increment-merge == full-recompute without base rescan; only linearly-maintainable aggregates participate (distinct counts route to the q117 HLL sketch)",
+)
+def q129_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_price"),
+        )
+
+    base = agg(li.filter(F.col("l_orderkey") % 10 != 0))
+    inc = agg(li.filter(F.col("l_orderkey") % 10 == 0))
+    merged = (
+        base.unionByName(inc)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_qty").alias("sum_qty"),
+            F.sum("sum_price").alias("sum_price"),
+        )
+    )
+    return merged.select(
+        "l_returnflag",
+        "n_rows",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_price", 2).alias("sum_price"),
+        F.round(F.col("sum_qty") / F.col("n_rows"), 6).alias("avg_qty"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q130 — EXACT set-similarity join via prefix filtering (PPJoin-style):
+# the deterministic complement to MinHash-LSH (q41, which trades recall
+# for speed). Token order: global rarest-first (frequency, shingle);
+# for Jaccard >= 0.6 a pair MUST share one of each doc's first
+# p = n - ceil(0.6 n) + 1 ordered shingles (prefix-filter theorem), so
+# candidates come from a self-join on PREFIX shingles only, then exact
+# verification. ceil(0.6 n) is computed as (3n + 4) // 5 in INTEGER
+# arithmetic on both engines (0.6 is not binary-exact; a float ceil
+# can off-by-one the prefix), and the threshold test is the integer
+# cross-multiplication 10*|I| >= 6*|U|, immune to float ties. The
+# oracle generates candidates from ANY shared shingle (no prefix) —
+# the hash match proves the prefix prune loses no qualifying pair.
+# ---------------------------------------------------------------------------
+
+_SIMJOIN_SH_SQL = (
+    "list_distinct(CASE WHEN len(toks) >= 5 THEN "
+    "list_transform(range(1, len(toks) - 3), i -> "
+    "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) "
+    "ELSE [] END)"
+)
+
+
+@query(
+    "q130_prefix_filter_simjoin",
+    oracle=f"""
+    WITH t0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    t AS (SELECT doc_id, {_SIMJOIN_SH_SQL} AS sh FROM t0),
+    tt AS (SELECT doc_id, sh, len(sh) AS n FROM t WHERE len(sh) > 0),
+    e AS (SELECT doc_id, unnest(sh) AS g FROM tt),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id),
+    v AS (SELECT d1, d2, len(list_intersect(t1.sh, t2.sh)) AS i,
+                 t1.n + t2.n - len(list_intersect(t1.sh, t2.sh)) AS u
+          FROM cand JOIN tt t1 ON d1 = t1.doc_id JOIN tt t2 ON d2 = t2.doc_id)
+    SELECT d1, d2, ROUND(i * 1.0 / u, 6) AS jaccard
+    FROM v WHERE 10 * i >= 6 * u
+    ORDER BY d1, d2
+    """,
+    description="EXACT set-similarity join (Jaccard >= 0.6 over distinct 5-gram shingles) via PPJoin-style prefix filtering: rarest-first (global frequency, shingle) ordering, per-doc prefix of n - ceil(0.6n) + 1 shingles, candidates only from prefix-shingle matches, exact verify with integer cross-multiplication (10|I| >= 6|U| — float-tie-proof) and integer prefix length ((3n+4)//5 — 0.6 is not binary-exact); the deterministic complement to MinHash-LSH q41, and the oracle's no-prefix candidate generation proves the prune loses nothing",
+)
+def q130_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Everything runs on EXPLODED distinct gram rows via zip_ngram_rows
+    # (the q105/q115 fast path: arrays_zip of offset slices, flat
+    # codegen, no HOFs). Per-doc shingle ARRAYS are never materialized —
+    # an array-based formulation here re-inlines the shingle expression
+    # at every operator boundary (Filter pushdown / Generate
+    # substitution duplicated the tokens() regex ~6x; measured 35x
+    # slower), and per-pair array_intersect is the wrong verify shape at
+    # scale anyway: intersections come from a gram-key join instead.
+    with_t = docs.select("doc_id", F.split(F.trim(X.normalize("text")), " +").alias("_toks"))
+    e = X.zip_ngram_rows(with_t, "_toks", 5, "g", ["doc_id"], " ", True)
+    nn = e.groupBy("doc_id").agg(F.count("*").alias("n"))
+    freq = e.groupBy("g").agg(F.count("*").alias("f"))
+
+    # rarest-first rank WITHIN each doc (partitioned window — never a
+    # global rank over the vocabulary, which grows with the corpus)
+    rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("f", "g"))
+    p = (F.col("n") - ((3 * F.col("n") + 4) / 5).cast("long") + 1).cast("int")
+    prefix = (
+        e.join(freq, "g")
+        .withColumn("rn", rn)
+        .join(nn, "doc_id")
+        .filter(F.col("rn") <= p)
+        .select("doc_id", "g")
+    )
+
+    other = prefix.select(F.col("doc_id").alias("d2"), "g")
+    cand = (
+        prefix.join(other, "g")
+        .filter(F.col("doc_id") < F.col("d2"))
+        .select(F.col("doc_id").alias("d1"), "d2")
+        .distinct()
+    )
+
+    # exact verify: |intersection| via gram-key join restricted to the
+    # candidate pairs (broadcast — the prefix filter made it small)
+    e1 = e.select(F.col("doc_id").alias("d1"), "g")
+    e2 = e.select(F.col("doc_id").alias("d2"), "g")
+    inter = (
+        F.broadcast(cand)
+        .join(e1, "d1")
+        .join(e2, ["d2", "g"])
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("i"))
+    )
+    n1 = nn.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    n2 = nn.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    v = inter.join(n1, "d1").join(n2, "d2").withColumn(
+        "u", F.col("n1") + F.col("n2") - F.col("i")
+    )
+    return (
+        v.filter(10 * F.col("i") >= 6 * F.col("u"))
+        .select("d1", "d2", F.round(F.col("i") * 1.0 / F.col("u"), 6).alias("jaccard"))
+        .orderBy("d1", "d2")
+    )

@@ -5,6 +5,7 @@ from .windows import (
     stateful_session_expiry,
     stream_from_directory,
     stream_stream_join,
+    streaming_cms,
     streaming_dedup,
     tumbling_agg,
     write_cdc_snapshot,
@@ -19,6 +20,7 @@ __all__ = [
     "stateful_session_expiry",
     "stream_from_directory",
     "stream_stream_join",
+    "streaming_cms",
     "streaming_dedup",
     "tumbling_agg",
     "write_cdc_snapshot",

@@ -241,6 +241,62 @@ def stateful_session_expiry(
     )
 
 
+def streaming_cms(
+    events: DataFrame, tok_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Streaming count-min-sketch maintenance (the q119 sketch kept live
+    over an unbounded stream): each token flat-maps to its `depth`
+    (depth, bucket) cells; every cell is one stateful counter in the
+    state store via applyInPandasWithState. State volume is bounded by
+    depth*width CELLS regardless of stream volume or key cardinality —
+    the property that makes sketch maintenance viable where exact
+    per-token streaming counts are not. Output mode 'update': each
+    micro-batch emits the cells it touched with their running counts;
+    the latest row per cell IS the sketch, and merging two streams'
+    sketches remains a bucket-wise sum (the q119 merge contract).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cells = events.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth"),
+                        F.pmod(F.xxhash64(F.lit(j), F.col(tok_col)), F.lit(width)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("_c")
+    ).select("_c.depth", "_c.bucket")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("depth", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def update(key_tuple, pdf_iter, state: GroupState):
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame(
+            {"depth": [key_tuple[0]], "bucket": [key_tuple[1]], "cnt": [n]}
+        )
+
+    return cells.groupBy("depth", "bucket").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def write_foreach_batch_parquet(
     stream: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
 ):

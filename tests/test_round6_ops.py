@@ -241,6 +241,68 @@ def test_q127_funnel_is_monotone(spark, sf_dir):
         assert r["avg_days_to_convert"] >= 0.0
 
 
+def test_q129_incremental_equals_direct(spark, sf_dir):
+    """Increment-merge must equal a direct full-table aggregate exactly
+    (long counts, double sums over identical addition order per group)."""
+    got = {r["l_returnflag"]: (r["n_rows"], r["sum_qty"], r["sum_price"]) for r in
+           QUERIES["q129_incremental_view"].fn(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = {
+        r["l_returnflag"]: (r["n"], r["sq"], r["sp"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sq"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sp"),
+        )
+        .collect()
+    }
+    assert got == direct
+
+
+def test_q130_prefix_filter_loses_no_pair(spark, sf_dir):
+    """Independent brute force: exact Jaccard over ALL doc pairs on
+    collected shingle sets must equal the prefix-filtered join output."""
+    got = {(r["d1"], r["d2"]): r["jaccard"] for r in
+           QUERIES["q130_prefix_filter_simjoin"].fn(spark, sf_dir).collect()}
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    import re
+
+    def shingles(text):
+        toks = [t for t in re.sub(r"[^a-z0-9 ]", " ", text.lower()).split() if t]
+        return {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
+
+    sets = {r["doc_id"]: shingles(r["text"]) for r in docs}
+    ids = sorted(d for d, s in sets.items() if s)
+    expected = {}
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            s1, s2 = sets[ids[a]], sets[ids[b]]
+            i = len(s1 & s2)
+            if i == 0:
+                continue
+            u = len(s1) + len(s2) - i
+            if 10 * i >= 6 * u:
+                expected[(ids[a], ids[b])] = round(i / u, 6)
+    assert got == expected
+    assert len(got) > 0  # the fixture corpus does contain near-dups
+
+
+def test_q128_triangle_invariants_and_plan(spark, sf_dir):
+    df = QUERIES["q128_triangle_count"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # every join must be an equi-join on node/bucket ids — a cartesian
+    # here means the oriented two-join was mis-specified
+    assert "CartesianProduct" not in plan
+    r = df.collect()[0]
+    assert r["n_edges"] >= 0 and r["n_triangles"] >= 0
+    assert 0.0 <= r["transitivity"] <= 1.0
+    assert r["n_buckets_capped"] <= r["n_buckets"]
+    # triangle count upper bound: C(edges over 3) trivially, and each
+    # triangle needs 3 wedges — transitivity <= 1 already pins that
+
+
 def test_zorder_value_interleaves_bits_exactly(spark):
     def py_z(x, y):
         z = 0

@@ -402,3 +402,47 @@ def test_streaming_dedup_ingest_grows_curated_corpus(spark):
     got = sorted(r["doc_id"] for r in spark.read.parquet(f"{tmp}/corpus").collect())
     assert got == [1, 3, 11]
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_cms_equals_batch_sketch(spark, event_files, sf_dir):
+    """The live-maintained CMS (stateful counters keyed by sketch cell)
+    must converge to exactly the batch-built sketch over the same data —
+    the stream==batch contract for the q119 sketch family. State is
+    bounded by depth*width cells, never the token cardinality."""
+    from advanced_data_mining_and_big_data_analysis_spark.plans.pipeline_ops3 import cms_table
+
+    schema = SCHEMAS["events"]
+    src = ST.stream_from_directory(spark, f"{event_files}/events", schema)
+    stream = ST.streaming_cms(src, "event_type", depth=4, width=64)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per touched cell per batch; the final
+    # count per cell is the max (counts are monotone)
+    got = {
+        (r["depth"], r["bucket"]): r["cnt"]
+        for r in spark.table("cms_stream")
+        .groupBy("depth", "bucket")
+        .agg(F.max("cnt").alias("cnt"))
+        .collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events").select(F.col("event_type").alias("token"))
+    import advanced_data_mining_and_big_data_analysis_spark.plans.pipeline_ops3 as P3
+
+    orig_w = P3._CMS_WIDTH
+    P3._CMS_WIDTH = 64
+    try:
+        expected = {
+            (r["depth"], r["bucket"]): r["cnt"] for r in cms_table(ev, "token", []).collect()
+        }
+    finally:
+        P3._CMS_WIDTH = orig_w
+    assert got == expected
+    # sketch state is bounded: never more cells than depth*width
+    assert len(got) <= 4 * 64

@@ -49,6 +49,13 @@ WEAK = [
     "q116_duplicated_passages",
     "q117_mergeable_sketches",
     "q118_batch_ann_join",
+    # round-6 headline additions (same convention)
+    "q119_cms_heavy_hitters",
+    "q120_product_quantization",
+    "q121_bpe_pair_counts",
+    "q122_classifier_scoring",
+    "q123_zorder_layout",
+    "q124_jpeg_decode",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
