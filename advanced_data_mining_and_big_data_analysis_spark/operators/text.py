@@ -675,3 +675,43 @@ def bpe_train_reference(word_count_pairs: list[tuple[str, int]], n_merges: int) 
             new_vocab.append((out, c))
         vocab = new_vocab
     return merges
+
+
+# ---------------------------------------------------------------------------
+# SQL-callable table function (Python UDTF, SURVEY §2.12's UDTF row as
+# a LITERAL table function rather than an explode-composition).
+# ---------------------------------------------------------------------------
+
+
+def make_chunk_udtf():
+    """Python UDTF `chunk_text(text, width, stride)` -> rows of
+    (chunk_idx, chunk_text, chunk_len): the chunk_rows operator exposed
+    to SQL consumers as a lateral table function:
+
+        SELECT d.doc_id, c.* FROM docs d, LATERAL chunk_text(d.text, 32, 24) c
+
+    Same tokenization and window rule as chunk_rows (starts 0, stride,
+    2*stride, ...; trailing windows may be short). The declarative
+    chunk_rows stays the hot path (flat codegen, no Python); the UDTF
+    is the SQL-surface adapter. Register with
+    ``spark.udtf.register("chunk_text", make_chunk_udtf())``.
+    """
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string, chunk_len int")
+    class ChunkText:
+        def eval(self, text: str, width: int, stride: int):
+            if text is None or width is None or stride is None or width < 1 or stride < 1:
+                return
+            toks = [t for t in _re.sub(r"[^a-z0-9 ]", " ", text.lower()).split(" ") if t]
+            idx = 0
+            for start in range(0, len(toks), stride):
+                window = toks[start : start + width]
+                if not window:
+                    break
+                idx += 1
+                yield idx, " ".join(window), len(window)
+
+    return ChunkText

@@ -884,3 +884,214 @@ def q130_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", F.round(F.col("i") * 1.0 / F.col("u"), 6).alias("jaccard"))
         .orderBy("d1", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# q131 — frequent itemset mining (market-basket association): Spark
+# ML's distributed FP-Growth over per-order part baskets, reported as
+# frequent PAIRS with support and lift. FP-Growth is the right
+# 100 TB algorithm (one count pass + partitioned conditional FP-trees —
+# never the candidate-explosion of Apriori); the oracle recomputes the
+# pair supports relationally (basket self-join, p1 < p2), so the hash
+# pins FP-Growth's output against first-principles counting. The
+# support threshold mirrors MLlib's internal rule exactly:
+# count >= ceil(minSupport * n_baskets).
+# ---------------------------------------------------------------------------
+
+_FPM_MINSUP = 0.0002
+
+
+@query(
+    "q131_frequent_itemsets",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM b),
+    thr AS (SELECT CAST(ceil({_FPM_MINSUP} * n) AS BIGINT) AS t, n FROM nb),
+    si AS (SELECT l_partkey, COUNT(*) AS c FROM b GROUP BY 1),
+    p AS (SELECT a.l_partkey AS p1, b2.l_partkey AS p2, COUNT(*) AS support
+          FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+          GROUP BY 1, 2)
+    SELECT p.p1, p.p2, CAST(p.support AS BIGINT) AS support,
+           ROUND(p.support * 1.0 * thr.n / (s1.c * s2.c), 6) AS lift
+    FROM p, thr
+    JOIN si s1 ON p.p1 = s1.l_partkey
+    JOIN si s2 ON p.p2 = s2.l_partkey
+    WHERE p.support >= thr.t
+    ORDER BY support DESC, p1, p2
+    """,
+    description="frequent itemset mining via distributed FP-Growth (pyspark.ml.fpm) over per-order part baskets, reported as frequent pairs with support and lift — FP-Growth's one-count-pass + partitioned conditional trees is the scale-correct association miner (no Apriori candidate explosion); the oracle recounts pair supports from a relational basket self-join and mirrors MLlib's count >= ceil(minSupport*n) threshold, so the hash pins the algorithm against first-principles counting",
+)
+def q131_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.fpm import FPGrowth
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.distinct().groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("items"))
+    model = FPGrowth(itemsCol="items", minSupport=_FPM_MINSUP, minConfidence=0.5).fit(baskets)
+    fi = model.freqItemsets
+    n = baskets.agg(F.count("*").alias("n"))
+    pairs = fi.filter(F.size("items") == 2).select(
+        F.array_min("items").alias("p1"), F.array_max("items").alias("p2"),
+        F.col("freq").alias("support"),
+    )
+    singles = fi.filter(F.size("items") == 1).select(
+        F.element_at("items", 1).alias("item"), F.col("freq").alias("c")
+    )
+    s1 = singles.select(F.col("item").alias("p1"), F.col("c").alias("c1"))
+    s2 = singles.select(F.col("item").alias("p2"), F.col("c").alias("c2"))
+    return (
+        pairs.join(s1, "p1")
+        .join(s2, "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "support",
+            F.round(F.col("support") * 1.0 * F.col("n") / (F.col("c1") * F.col("c2")), 6).alias(
+                "lift"
+            ),
+        )
+        .orderBy(F.desc("support"), "p1", "p2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q132 — custom Python Data Source end-to-end (sources/warclite.py):
+# a record-container corpus format registered as a first-class
+# spark.read/write format. The query writes a closed-form fixture
+# corpus through the warclite WRITER (one .wlc file per partition,
+# commit-message protocol), reads it back through the READER with a
+# doc_id range predicate (file-level pruning from header min/max via
+# pushFilters, row-level re-check by Spark), and aggregates per mime.
+# The oracle recomputes the expected aggregate from the generating
+# formula — a wrong writer framing, reader parse, filter semantics, or
+# partition plan all skew the hash.
+# ---------------------------------------------------------------------------
+
+_WLC_N = 96
+
+
+@query(
+    "q132_warclite_source",
+    oracle=f"""
+    WITH d AS (SELECT i, CASE WHEN i % 3 = 0 THEN 'text/plain'
+                              WHEN i % 3 = 1 THEN 'text/html'
+                              ELSE 'application/json' END AS mime,
+                      16 + (i % 7) AS plen
+               FROM range(0, {_WLC_N}) t(i)
+               WHERE i >= 24 AND i < 72)
+    SELECT mime, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(plen) AS BIGINT) AS total_bytes,
+           CAST(MIN(i) AS BIGINT) AS min_doc, CAST(MAX(i) AS BIGINT) AS max_doc
+    FROM d GROUP BY mime ORDER BY mime
+    """,
+    description="custom Python Data Source end-to-end (Spark 4 pyspark.sql.datasource): the warclite record-container format's writer (one .wlc per partition + commit protocol) and reader (one InputPartition per file, doc_id pushFilters pruning whole files from header min/max stats before any payload read) driven through spark.write/read.format('warclite') with a range predicate; the oracle recomputes the per-mime aggregate from the generating formula, so writer framing, reader parsing, filter semantics, and the partition plan are all under the hash",
+)
+def q132_warclite_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources import warclite as W
+
+    W.register(spark)
+    out_dir = os.path.join(tempfile.gettempdir(), "spark_graft_q132_warclite")
+    fixture = spark.range(_WLC_N).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("text/plain"), F.lit("text/html"), F.lit("application/json")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("mime"),
+        # payload length 16 + (id % 7): 'x' padding, closed-form in id
+        F.encode(F.rpad(F.lit(""), (16 + F.col("id") % 7).cast("int"), "x"), "utf-8").alias(
+            "content"
+        ),
+    ).repartition(4, "doc_id")
+    fixture.write.format("warclite").mode("overwrite").save(out_dir)
+
+    back = (
+        spark.read.format("warclite")
+        .load(out_dir)
+        .filter((F.col("doc_id") >= 24) & (F.col("doc_id") < 72))
+    )
+    return (
+        back.groupBy("mime")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("content")).alias("total_bytes"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("mime")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q133 — ANALYZE-style column statistics in ONE scan: the catalog stats
+# a cost-based optimizer (and every lakehouse manifest) keeps per
+# column — distinct count, null count, min/max. All columns' stats are
+# computed in a single aggregate pass over the table (one scan, one
+# partial+final pipeline, no per-column jobs), then unpivoted to the
+# canonical (column, stat...) catalog shape with a bounded explode. At
+# production scale the exact ndv becomes the q117 HLL sketch; the scan
+# shape is identical.
+# ---------------------------------------------------------------------------
+
+_STATS_COLS = ["l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus", "l_shipdate"]
+
+
+@query(
+    "q133_table_stats",
+    oracle="""
+    SELECT 'l_orderkey' AS col, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(MIN(l_orderkey) AS VARCHAR) AS min_val, CAST(MAX(l_orderkey) AS VARCHAR) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_suppkey', CAST(COUNT(DISTINCT l_suppkey) AS BIGINT),
+           CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MIN(l_suppkey) AS VARCHAR), CAST(MAX(l_suppkey) AS VARCHAR) FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR) FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', CAST(COUNT(DISTINCT l_linestatus) AS BIGINT),
+           CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MIN(l_linestatus) AS VARCHAR), CAST(MAX(l_linestatus) AS VARCHAR) FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR) FROM lineitem
+    ORDER BY col
+    """,
+    description="ANALYZE-style per-column catalog statistics (ndv, null count, min/max) for five lineitem columns computed in ONE aggregate scan (single partial+final pipeline, no per-column jobs), unpivoted to the (column, stats...) catalog shape with a bounded explode — the CBO/manifest stats surface; at 100 TB the exact ndv swaps for the q117 HLL sketch with the identical scan shape",
+)
+def q133_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(*_STATS_COLS)
+    aggs = []
+    for c in _STATS_COLS:
+        aggs += [
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nn"),
+            # min/max on the NATIVE type (string-cast first would order
+            # "9999" above "14999"), cast to the catalog's string form after
+            F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
+        ]
+    one = li.agg(*aggs)
+    packed = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(f"{c}__ndv").alias("ndv"),
+                        F.col(f"{c}__nn").alias("n_null"),
+                        F.col(f"{c}__mn").alias("min_val"),
+                        F.col(f"{c}__mx").alias("max_val"),
+                    )
+                    for c in _STATS_COLS
+                ]
+            )
+        ).alias("s")
+    )
+    return packed.select("s.col", "s.ndv", "s.n_null", "s.min_val", "s.max_val").orderBy("col")

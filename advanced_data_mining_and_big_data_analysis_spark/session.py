@@ -54,6 +54,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # custom Python data sources (sources/warclite.py) prune whole
+        # files from header stats via pushFilters
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Worker daemon preloads pandas/pyarrow/numpy before forking, so
         # each executor core's first Python worker starts via plain fork
         # instead of a ~2 s import storm (first-mapInPandas cold start).

@@ -1,0 +1,225 @@
+"""`warclite` — a record-oriented corpus container as a native Spark
+Python Data Source (Spark 4 `pyspark.sql.datasource` API).
+
+The training-data world moves corpora as record containers (WARC,
+tar-of-docs, ...): a header per record, an opaque binary payload, and
+file-level statistics for data skipping. This module implements a
+minimal such format END TO END as a first-class `spark.read.format(...)`
+/ `df.write.format(...)` source — reader, writer, partition planning,
+and source-level filter pushdown — so the engine's §2.1 surface covers
+"bring your own container format", not just the built-in file sources.
+
+Format (one `part-*.wlc` file per write task):
+    WLC1 <n_records> <min_doc_id> <max_doc_id>\\n     file header
+    <doc_id>\\t<mime>\\t<payload_len>\\n<payload>\\n    per record
+
+Scale design:
+- one InputPartition per FILE (the Hadoop-split unit) — a 1000-file
+  corpus reads with 1000-way parallelism, no driver-side data motion;
+- `pushFilters` accepts doc_id comparisons and prunes WHOLE FILES via
+  the header's min/max before any payload byte is read — the same
+  manifest-skipping contract Iceberg/Delta data files have (q123's
+  z-order stats, enforced at the source boundary). All filters are
+  also returned as unhandled so Spark re-applies them row-level —
+  pushdown here is a pruning optimization, never a correctness
+  dependency;
+- the writer emits one file per partition with a commit message per
+  task; an aborted task leaves only an uncommitted temp file.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+_MAGIC = b"WLC1"
+
+
+def write_wlc_file(path: str, records: list[tuple[int, str, bytes]]) -> None:
+    """Write one .wlc file (helper shared by the writer and tests)."""
+    ids = [r[0] for r in records]
+    mn = min(ids) if ids else 0
+    mx = max(ids) if ids else -1
+    with open(path, "wb") as f:
+        f.write(b"%s %d %d %d\n" % (_MAGIC, len(records), mn, mx))
+        for doc_id, mime, payload in records:
+            f.write(b"%d\t%s\t%d\n" % (doc_id, mime.encode("utf-8"), len(payload)))
+            f.write(payload)
+            f.write(b"\n")
+
+
+def read_wlc_header(path: str) -> tuple[int, int, int]:
+    """(n_records, min_doc_id, max_doc_id) from a file header only."""
+    with open(path, "rb") as f:
+        line = f.readline()
+    parts = line.split()
+    if len(parts) != 4 or parts[0] != _MAGIC:
+        raise ValueError(f"{path}: not a WLC1 file")
+    return int(parts[1]), int(parts[2]), int(parts[3])
+
+
+def read_wlc_records(path: str) -> Iterator[tuple[int, str, bytes]]:
+    with open(path, "rb") as f:
+        header = f.readline()
+        if not header.startswith(_MAGIC):
+            raise ValueError(f"{path}: not a WLC1 file")
+        n = int(header.split()[1])
+        for _ in range(n):
+            meta = f.readline()
+            doc_id_b, mime_b, ln_b = meta.rstrip(b"\n").split(b"\t")
+            payload = f.read(int(ln_b))
+            if f.read(1) != b"\n":
+                raise ValueError(f"{path}: corrupt record terminator (doc {int(doc_id_b)})")
+            yield int(doc_id_b), mime_b.decode("utf-8"), payload
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+
+
+def _file_range_survives(filters: list[Filter], mn: int, mx: int) -> bool:
+    """Can any doc_id in [mn, mx] satisfy all pushed doc_id filters?"""
+    for f in filters:
+        v = f.value
+        if isinstance(f, EqualTo) and not (mn <= v <= mx):
+            return False
+        if isinstance(f, GreaterThan) and not (mx > v):
+            return False
+        if isinstance(f, GreaterThanOrEqual) and not (mx >= v):
+            return False
+        if isinstance(f, LessThan) and not (mn < v):
+            return False
+        if isinstance(f, LessThanOrEqual) and not (mn <= v):
+            return False
+    return True
+
+
+class WarcLiteReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("warclite requires a path")
+        self.dir = path
+        self.doc_filters: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Keep doc_id comparison filters for FILE pruning; hand every
+        filter back as unhandled so Spark still applies them row-level
+        (source pruning is an optimization, never a correctness
+        dependency)."""
+        for f in filters:
+            if (
+                isinstance(
+                    f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+                )
+                and f.attribute == ("doc_id",)
+                and isinstance(f.value, int)
+            ):
+                self.doc_filters.append(f)
+            yield f
+
+    def partitions(self) -> Sequence[InputPartition]:
+        files = sorted(
+            os.path.join(self.dir, n) for n in os.listdir(self.dir) if n.endswith(".wlc")
+        )
+        out = []
+        for p in files:
+            n, mn, mx = read_wlc_header(p)
+            if n == 0:
+                continue
+            if self.doc_filters and not _file_range_survives(self.doc_filters, mn, mx):
+                continue  # whole-file skip from header stats alone
+            out.append(_FilePartition(p))
+        return out
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        yield from read_wlc_records(partition.path)
+
+
+@dataclass
+class _WlcCommit(WriterCommitMessage):
+    tmp_path: str
+    final_path: str
+    n_records: int
+
+
+class WarcLiteWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("warclite requires a path")
+        self.dir = path
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _WlcCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = os.path.join(self.dir, f"_tmp-part-{pid:05d}.wlc")
+        final = os.path.join(self.dir, f"part-{pid:05d}.wlc")
+        records = [
+            (int(row["doc_id"]), str(row["mime"]), bytes(row["content"])) for row in iterator
+        ]
+        write_wlc_file(tmp, records)
+        return _WlcCommit(tmp_path=tmp, final_path=final, n_records=len(records))
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            os.replace(m.tmp_path, m.final_path)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class WarcLiteDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "warclite"
+
+    def schema(self) -> StructType:
+        return SCHEMA
+
+    def reader(self, schema: StructType) -> WarcLiteReader:
+        return WarcLiteReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> WarcLiteWriter:
+        return WarcLiteWriter(self.options, overwrite)
+
+
+def register(spark) -> None:
+    """Register the source on a session: spark.read.format('warclite')."""
+    spark.dataSource.register(WarcLiteDataSource)

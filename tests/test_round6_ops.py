@@ -193,6 +193,109 @@ def test_jpeg_rejects_non_baseline_and_truncated():
         J.decode_jpeg_gray(bytes(blob[:-10]))  # truncated entropy/EOI
 
 
+# ----------------------------------------------- UDTF + Observation APIs
+
+
+def test_chunk_udtf_matches_python_reference(spark, sf_dir):
+    """SQL-surface LATERAL table function parity with the declarative
+    chunk semantics."""
+    import re
+
+    spark.udtf.register("chunk_text_r6", X.make_chunk_udtf())
+    docs = load_table(spark, sf_dir, "documents").limit(25)
+    docs.createOrReplaceTempView("_udtf_docs")
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["chunk_len"])
+        for r in spark.sql(
+            "SELECT d.doc_id, c.* FROM _udtf_docs d, LATERAL chunk_text_r6(d.text, 8, 6) c"
+        ).collect()
+    )
+    exp = []
+    for r in docs.collect():
+        toks = [t for t in re.sub(r"[^a-z0-9 ]", " ", r["text"].lower()).split(" ") if t]
+        idx = 0
+        for s in range(0, len(toks), 6):
+            w = toks[s : s + 8]
+            if not w:
+                break
+            idx += 1
+            exp.append((r["doc_id"], idx, " ".join(w), len(w)))
+    assert got == sorted(exp) and got
+
+
+def test_observed_scan_piggybacks_metrics(spark, sf_dir):
+    """Observation metrics must match a direct aggregate without running
+    a second job over the data."""
+    from advanced_data_mining_and_big_data_analysis_spark.functions.observe import observed_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    odf, obs = observed_scan(
+        docs,
+        "q_metrics",
+        {
+            "n": F.count(F.lit(1)),
+            "null_text": F.sum(F.col("text").isNull().cast("long")),
+            "avg_chars": F.avg("n_chars"),
+        },
+    )
+    n_action = odf.count()
+    m = obs.get
+    direct = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("n_chars").alias("a")
+    ).collect()[0]
+    assert m["n"] == n_action == direct["n"]
+    assert m["null_text"] == 0
+    assert abs(m["avg_chars"] - direct["a"]) < 1e-9
+
+
+# -------------------------------------------------------- warclite source
+
+
+def test_warclite_pushdown_prunes_whole_files(tmp_path):
+    """doc_id range filters must drop files from the partition plan
+    using header min/max alone (no payload read), and every filter must
+    still be returned unhandled for Spark's row-level re-check."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from advanced_data_mining_and_big_data_analysis_spark.sources import warclite as W
+
+    for i, lo in enumerate([0, 100, 200, 300]):
+        W.write_wlc_file(
+            str(tmp_path / f"part-{i:05d}.wlc"),
+            [(lo + j, "text/plain", b"x" * 4) for j in range(50)],
+        )
+    reader = W.WarcLiteReader({"path": str(tmp_path)})
+    unhandled = list(
+        reader.pushFilters([GreaterThanOrEqual(("doc_id",), 120), LessThan(("doc_id",), 250)])
+    )
+    assert len(unhandled) == 2  # all filters re-applied row-level by Spark
+    parts = reader.partitions()
+    # [120, 250) overlaps files [100,149] and [200,249] but not [0,49]/[300,349]
+    assert [p.path.split("part-")[1] for p in parts] == ["00001.wlc", "00002.wlc"]
+    rows = list(reader.read(parts[0]))
+    assert rows[0] == (100, "text/plain", b"xxxx")
+
+
+def test_warclite_rejects_corrupt_files(tmp_path):
+    from advanced_data_mining_and_big_data_analysis_spark.sources import warclite as W
+
+    p = str(tmp_path / "bad.wlc")
+    with open(p, "wb") as f:
+        f.write(b"NOTW 1 0 0\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        W.read_wlc_header(p)
+    # truncated payload -> corrupt terminator
+    good = str(tmp_path / "t.wlc")
+    W.write_wlc_file(good, [(1, "text/plain", b"abcdef")])
+    data = open(good, "rb").read()
+    with open(good, "wb") as f:
+        f.write(data[:-2])  # chop terminator
+    with _pytest.raises(ValueError):
+        list(W.read_wlc_records(good))
+
+
 # ------------------------------------------------------------- q122 / q123
 
 
