@@ -219,7 +219,54 @@ class WarcLiteDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> WarcLiteWriter:
         return WarcLiteWriter(self.options, overwrite)
 
+    def simpleStreamReader(self, schema: StructType) -> "WarcLiteStreamReader":
+        return WarcLiteStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Register the source on a session: spark.read.format('warclite')."""
     spark.dataSource.register(WarcLiteDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming reader: the crawl-increment ingest shape — new .wlc files
+# landing in the directory become micro-batches. Offsets are the set of
+# already-ingested file names, so a restart from checkpoint resumes
+# exactly where the last run stopped and readBetweenOffsets replays any
+# batch deterministically (exactly-once with an idempotent sink).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class WarcLiteStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("warclite requires a path")
+        self.dir = path
+
+    def _files(self) -> list[str]:
+        if not os.path.isdir(self.dir):
+            return []
+        return sorted(n for n in os.listdir(self.dir) if n.endswith(".wlc"))
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def read(self, start: dict):
+        seen = set(start.get("seen", []))
+        new = [n for n in self._files() if n not in seen]
+        rows = []
+        for n in new:
+            rows.extend(read_wlc_records(os.path.join(self.dir, n)))
+        end = {"seen": sorted(seen | set(new))}
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        replay = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        for n in replay:
+            yield from read_wlc_records(os.path.join(self.dir, n))
+
+    def commit(self, end: dict) -> None:
+        pass  # source files are immutable; nothing to clean up

@@ -446,3 +446,47 @@ def test_streaming_cms_equals_batch_sketch(spark, event_files, sf_dir):
     assert got == expected
     # sketch state is bounded: never more cells than depth*width
     assert len(got) <= 4 * 64
+
+
+def test_warclite_streaming_source_resumes_from_checkpoint(spark, tmp_path):
+    """The warclite SimpleDataSourceStreamReader treats newly-landed
+    .wlc files as micro-batches; a restart from the same checkpoint
+    must ingest ONLY files that arrived since the last run (offset =
+    ingested file-name set)."""
+    from advanced_data_mining_and_big_data_analysis_spark.sources import warclite as W
+
+    W.register(spark)
+    src = str(tmp_path / "crawl")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(src)
+    W.write_wlc_file(
+        f"{src}/crawl-000.wlc", [(i, "text/plain", b"p%d" % i) for i in range(10)]
+    )
+
+    def run_once():
+        q = (
+            spark.readStream.format("warclite")
+            .load(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(sink)
+    assert first.count() == 10
+
+    W.write_wlc_file(
+        f"{src}/crawl-001.wlc", [(100 + i, "text/plain", b"q%d" % i) for i in range(7)]
+    )
+    run_once()
+    final = spark.read.parquet(sink)
+    assert final.count() == 17  # 10 + only the 7 NEW records
+    ids = sorted(r["doc_id"] for r in final.collect())
+    assert ids == list(range(10)) + list(range(100, 107))
