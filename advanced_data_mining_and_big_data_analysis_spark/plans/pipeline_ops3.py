@@ -393,7 +393,8 @@ def q122_classifier_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
     return (
-        tot.join(agg, "source", "left")
+        # the per-source rollup is #sources rows — broadcast, never SMJ
+        tot.join(F.broadcast(agg), "source", "left")
         .select(
             "source",
             "n_docs",
@@ -589,8 +590,9 @@ _QS_QUANTILES = [0.25, 0.5, 0.75, 0.9, 0.99]
                       COUNT(*) AS n,
                       {', '.join(f'quantile_cont(l_extendedprice, {q}) AS ex{i}' for i, q in enumerate(_QS_QUANTILES))}
                FROM lineitem),
-    h AS (SELECT LEAST(CAST(floor((l_extendedprice - b.mn) * {_QS_BINS} / (b.mx - b.mn)) AS BIGINT),
-                       {_QS_BINS - 1}) AS bin, COUNT(*) AS cnt
+    h AS (SELECT CASE WHEN b.mx = b.mn THEN 0
+                       ELSE LEAST(CAST(floor((l_extendedprice - b.mn) * {_QS_BINS} / (b.mx - b.mn)) AS BIGINT),
+                                  {_QS_BINS - 1}) END AS bin, COUNT(*) AS cnt
           FROM lineitem, b GROUP BY 1),
     c AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM h),
     qs AS (SELECT i, q, ex FROM (VALUES
@@ -621,12 +623,16 @@ def q126_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     binned = li.crossJoin(F.broadcast(bounds.select("mn", "mx"))).select(
         "shard",
-        F.least(
-            F.floor((F.col("x") - F.col("mn")) * _QS_BINS / (F.col("mx") - F.col("mn"))).cast(
-                "long"
-            ),
-            F.lit(_QS_BINS - 1),
-        ).alias("bin"),
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("x") - F.col("mn")) * _QS_BINS / (F.col("mx") - F.col("mn"))
+                ).cast("long"),
+                F.lit(_QS_BINS - 1),
+            )
+        )
+        .alias("bin"),
     )
     per_shard = binned.groupBy("shard", "bin").agg(F.count("*").alias("cnt"))
     merged = per_shard.groupBy("bin").agg(F.sum("cnt").alias("cnt"))

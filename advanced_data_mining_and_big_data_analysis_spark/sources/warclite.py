@@ -196,6 +196,14 @@ class WarcLiteWriter(DataSourceWriter):
         return _WlcCommit(tmp_path=tmp, final_path=final, n_records=len(records))
 
     def commit(self, messages) -> None:
+        finals = {m.final_path for m in messages}
+        if self.overwrite and os.path.isdir(self.dir):
+            # a previous write with MORE partitions must not leave stale
+            # part files behind the new dataset
+            for n in os.listdir(self.dir):
+                p = os.path.join(self.dir, n)
+                if n.endswith(".wlc") and not n.startswith("_tmp-") and p not in finals:
+                    os.remove(p)
         for m in messages:
             os.replace(m.tmp_path, m.final_path)
 

@@ -79,6 +79,8 @@ HEADLINE = [
     "q122_classifier_scoring",
     "q123_zorder_layout",
     "q124_jpeg_decode",
+    "q128_triangle_count",
+    "q130_prefix_filter_simjoin",
 ]
 
 

@@ -193,6 +193,34 @@ def test_jpeg_rejects_non_baseline_and_truncated():
         J.decode_jpeg_gray(bytes(blob[:-10]))  # truncated entropy/EOI
 
 
+def test_new_query_plans_have_no_cartesian(spark, sf_dir):
+    """None of the round-6 additions may plan a CartesianProduct over
+    data rows (1-row scalar assemblies compile to broadcast loops, which
+    are fine)."""
+    for name in [
+        "q122_classifier_scoring",
+        "q125_ewma_smoothing",
+        "q129_incremental_view",
+        "q130_prefix_filter_simjoin",
+        "q131_frequent_itemsets",
+        "q133_table_stats",
+    ]:
+        plan = QUERIES[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q122_weight_table_is_broadcast(spark, sf_dir):
+    plan = (
+        QUERIES["q122_classifier_scoring"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # nothing should sort the token stream
+
+
 # ----------------------------------------------- UDTF + Observation APIs
 
 
@@ -274,6 +302,27 @@ def test_warclite_pushdown_prunes_whole_files(tmp_path):
     assert [p.path.split("part-")[1] for p in parts] == ["00001.wlc", "00002.wlc"]
     rows = list(reader.read(parts[0]))
     assert rows[0] == (100, "text/plain", b"xxxx")
+
+
+def test_warclite_overwrite_removes_stale_part_files(spark, tmp_path):
+    """A narrower re-write in overwrite mode must not leave part files
+    from a previous wider write behind the new dataset."""
+    from advanced_data_mining_and_big_data_analysis_spark.sources import warclite as W
+
+    W.register(spark)
+    out = str(tmp_path / "wlc")
+    df = spark.range(40).selectExpr(
+        "id AS doc_id", "'text/plain' AS mime", "CAST('x' AS BINARY) AS content"
+    )
+    df.repartition(6).write.format("warclite").mode("overwrite").save(out)
+    df.filter("doc_id < 10").repartition(2).write.format("warclite").mode(
+        "overwrite"
+    ).save(out)
+    back = spark.read.format("warclite").load(out)
+    assert back.count() == 10
+    import os
+
+    assert len([n for n in os.listdir(out) if n.endswith(".wlc")]) == 2
 
 
 def test_warclite_rejects_corrupt_files(tmp_path):

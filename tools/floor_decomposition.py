@@ -56,6 +56,8 @@ WEAK = [
     "q122_classifier_scoring",
     "q123_zorder_layout",
     "q124_jpeg_decode",
+    "q128_triangle_count",
+    "q130_prefix_filter_simjoin",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
