@@ -485,3 +485,29 @@ def test_q123_files_bound_both_dimensions(spark, sf_dir):
     if len(rows) >= 16:
         worst = max(max(r["pk_max"] - r["pk_min"], r["sk_max"] - r["sk_min"]) for r in rows)
         assert worst <= 65535 / 4 + 1
+
+
+def test_trained_pq_codebooks_beat_sample_codebook(spark, sf_dir):
+    """Lloyd's-trained per-subspace codebooks must reconstruct the
+    corpus strictly better than q120's deterministic low-vec_id sample
+    codebook (same k, same subspaces)."""
+    from advanced_data_mining_and_big_data_analysis_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    trained = S.train_pq_codebooks(emb, m=4, sub=16, k=8, seed=42, max_iter=10)
+    assert len(trained) == 4 and all(len(b) == 8 for b in trained)
+
+    sample_rows = (
+        emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    sample = [
+        [list(r["v"])[j * 16 : (j + 1) * 16] for r in sample_rows] for j in range(4)
+    ]
+
+    e_trained = S.pq_reconstruction_error(emb, trained).collect()[0]
+    e_sample = S.pq_reconstruction_error(emb, sample).collect()[0]
+    assert e_trained["n_vecs"] == e_sample["n_vecs"] > 0
+    assert e_trained["avg_err2"] < e_sample["avg_err2"]
