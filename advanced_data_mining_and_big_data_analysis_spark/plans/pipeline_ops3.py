@@ -24,6 +24,13 @@ q117) with the remaining shapes a 100 TB curation stack runs:
   quality scoring with a broadcast weight table).
 - q123: z-order layout clustering (bit interleaving for multi-column
   data skipping).
+- q125-q133 (added through the round): per-key EWMA smoothing as one
+  ordered fold; mergeable histogram quantile sketch; ordered funnel;
+  hub-capped triangle counting; incremental materialized-view
+  maintenance; EXACT prefix-filter set-similarity join (the
+  deterministic complement to MinHash-LSH); FP-Growth frequent
+  itemsets; the warclite custom Python Data Source end-to-end; and
+  ANALYZE-style one-scan table statistics.
 
 Scale notes (100 TB):
 - q119 scans the corpus once; sketch state is O(depth*width) per shard
