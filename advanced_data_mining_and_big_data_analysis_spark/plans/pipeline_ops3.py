@@ -1108,3 +1108,129 @@ def q133_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     )
     return packed.select("s.col", "s.ndv", "s.n_null", "s.min_val", "s.max_val").orderBy("col")
+
+
+# ---------------------------------------------------------------------------
+# q134 — Pareto skyline over supplier aggregates: the multi-objective
+# dominance query (maximize revenue, minimize average discount given).
+# The skyline runs over a GROUPED frame (one row per supplier — bounded
+# by the dimension's cardinality, never the fact table), so the
+# quadratic dominance anti-join is dimension-sized; the fact scan
+# collapses through one map-side-combined aggregate first. All compared
+# quantities are rounded identically in both engines before the strict/
+# non-strict dominance tests (float-tie rule).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q134_pareto_skyline",
+    oracle="""
+    WITH a AS (SELECT l_suppkey,
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                               * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS rev,
+                      ROUND(AVG(l_discount), 6) AS avg_disc
+               FROM lineitem GROUP BY l_suppkey)
+    SELECT s.l_suppkey, s.rev, s.avg_disc
+    FROM a s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM a t
+      WHERE t.rev >= s.rev AND t.avg_disc <= s.avg_disc
+        AND (t.rev > s.rev OR t.avg_disc < s.avg_disc))
+    ORDER BY s.l_suppkey
+    """,
+    description="Pareto skyline (maximize revenue, minimize avg discount) over per-supplier aggregates: the multi-objective dominance query, run as an anti-join on the GROUPED dimension-sized frame (suppliers), never the fact table — the fact scan collapses through one map-side-combined aggregate first; dominance quantities rounded identically in both engines before the strict/non-strict comparisons",
+)
+def q134_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # exact-decimal revenue (the q135 lesson): dominance comparisons on
+    # a last-ulp-different double could flip a skyline membership
+    a = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+        )
+        .cast("double")
+        .alias("rev"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+    t = a.select(
+        F.col("rev").alias("t_rev"), F.col("avg_disc").alias("t_disc")
+    )
+    dominated = (
+        (F.col("t_rev") >= F.col("rev"))
+        & (F.col("t_disc") <= F.col("avg_disc"))
+        & ((F.col("t_rev") > F.col("rev")) | (F.col("t_disc") < F.col("avg_disc")))
+    )
+    return a.join(t, dominated, "left_anti").orderBy("l_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# q135 — trailing-window anomaly detection over the daily revenue
+# series: flag days whose revenue deviates more than 2 sample standard
+# deviations from the PRECEDING 7 days (the current day is excluded
+# from its own baseline — the classic leakage mistake). The window runs
+# over the calendar-bounded daily rollup (q74/q86/q89 precedent), never
+# raw facts; deviation quantities are rounded to 9 dp on both engines
+# before the threshold comparison.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q135_anomaly_flags",
+    oracle="""
+    WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                               * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS rev
+               FROM lineitem GROUP BY 1),
+    w AS (SELECT day, rev,
+                 AVG(rev) OVER win AS avg7,
+                 STDDEV_SAMP(rev) OVER win AS std7,
+                 COUNT(*) OVER win AS n7
+          FROM d
+          WINDOW win AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT CAST(day AS VARCHAR) AS day, ROUND(rev, 2) AS rev,
+           ROUND((rev - avg7) / std7, 6) AS sigma
+    FROM w
+    WHERE n7 = 7 AND std7 > 0
+      AND ROUND(ABS(rev - avg7), 9) > ROUND(2 * std7, 9)
+    ORDER BY day
+    """,
+    description="trailing-window anomaly detection on the daily revenue series: flag days > 2 sample stddevs from the PRECEDING 7 days (current day excluded from its own baseline — the leakage rule), window over the calendar-bounded daily rollup only (q74/q86/q89 precedent); deviation and threshold rounded to 9 dp on both engines before comparison",
+)
+def q135_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # exact-decimal accumulation: double sums differ in the last ulp by
+    # partition order, and a 2-dp round at a .005 boundary then diverges
+    # across engines (bit us on first run); decimal sums are exact, so
+    # both engines round the SAME number
+    d = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+        )
+        .cast("double")
+        .alias("rev")
+    )
+    win = Window.orderBy("day").rowsBetween(-7, -1)
+    w = d.select(
+        "day",
+        "rev",
+        F.avg("rev").over(win).alias("avg7"),
+        F.stddev_samp("rev").over(win).alias("std7"),
+        F.count("*").over(win).alias("n7"),
+    )
+    return (
+        w.filter(
+            (F.col("n7") == 7)
+            & (F.col("std7") > 0)
+            & (F.round(F.abs(F.col("rev") - F.col("avg7")), 9) > F.round(2 * F.col("std7"), 9))
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.round("rev", 2).alias("rev"),
+            F.round((F.col("rev") - F.col("avg7")) / F.col("std7"), 6).alias("sigma"),
+        )
+        .orderBy("day")
+    )

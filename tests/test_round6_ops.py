@@ -511,3 +511,20 @@ def test_trained_pq_codebooks_beat_sample_codebook(spark, sf_dir):
     e_sample = S.pq_reconstruction_error(emb, sample).collect()[0]
     assert e_trained["n_vecs"] == e_sample["n_vecs"] > 0
     assert e_trained["avg_err2"] < e_sample["avg_err2"]
+
+
+def test_q134_skyline_is_exactly_the_nondominated_set(spark, sf_dir):
+    rows = QUERIES["q134_pareto_skyline"].fn(spark, sf_dir).collect()
+    pts = [(r["rev"], r["avg_disc"]) for r in rows]
+    assert pts
+    # no skyline member may dominate another skyline member
+    for i, (r1, d1) in enumerate(pts):
+        for j, (r2, d2) in enumerate(pts):
+            if i != j:
+                assert not (r2 >= r1 and d2 <= d1 and (r2 > r1 or d2 < d1))
+
+
+def test_q135_anomalies_exceed_threshold(spark, sf_dir):
+    rows = QUERIES["q135_anomaly_flags"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert abs(r["sigma"]) > 2.0 - 1e-6

@@ -36,6 +36,7 @@ ALLOWED_UNPARTITIONED: dict[str, str] = {
     "q110_token_budget": "weight-sum window over the per-source frame (one row per source)",
     "q112_cohort_retention": "retention matrix over cohort-month aggregates (calendar-bounded)",
     "q126_quantile_sketch": "cumulative count over the merged histogram (<= 512 bin rows)",
+    "q135_anomaly_flags": "trailing 7-day stats over the daily revenue rollup (calendar-bounded)",
 }
 
 
