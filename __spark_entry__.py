@@ -41,6 +41,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # (every other name has a green row in CORRECTNESS_r01–r05).
 # tools/check_oracle.py and the test suite keep using the canonical
 # registry directly, so nothing else observes the rename.
+#
+# ROUND 7 PLAN: once CORRECTNESS_r06 lands green rows for the renamed
+# block, DELETE the rename machinery (restore canonical names). The
+# natural sorted()[:50] window then becomes q01-q09 + q100-q135 +
+# q10-q14 — i.e. every round-5/6 addition (q100-q135) gets its
+# driver-dated row automatically, completing rotation without aliases.
 _WINDOW_LO, _WINDOW_HI = 52, 99
 
 
