@@ -278,3 +278,22 @@ class WarcLiteStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # source files are immutable; nothing to clean up
+
+
+def compact(spark, src_dir: str, dst_dir: str, target_files: int) -> None:
+    """Compact a warclite directory (the small-files problem): read all
+    records, range-cluster by doc_id, rewrite as `target_files` files.
+
+    repartitionByRange gives each output file a NARROW, near-disjoint
+    doc_id span, so the header min/max stats prune harder after
+    compaction than before — compaction improves both open() overhead
+    AND data skipping, exactly like OPTIMIZE on a lakehouse table
+    (q123's z-order is the multi-column version of the same idea)."""
+    register(spark)
+    df = spark.read.format("warclite").load(src_dir)
+    (
+        df.repartitionByRange(target_files, "doc_id")
+        .write.format("warclite")
+        .mode("overwrite")
+        .save(dst_dir)
+    )

@@ -297,6 +297,49 @@ def streaming_cms(
     )
 
 
+def stateful_ewma(
+    events: DataFrame, key: str = "user_id", ts_col: str = "ts", alpha: float = 0.5
+) -> DataFrame:
+    """Streaming twin of q125's per-key EWMA: the smoothing state
+    (n_events, ewma) lives in the state store and each micro-batch
+    folds its rows — sorted by (ts, event_id) within the batch — into
+    the recursion e_t = alpha*x_t + (1-alpha)*e_{t-1}.
+
+    Cross-batch correctness assumes event-time-ordered arrival between
+    batches (same contract as any streaming recursion; guard with a
+    watermark + sorted re-ingest if the transport reorders). Within a
+    batch, arrival order does not matter — rows are sorted before the
+    fold."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("e", T.DoubleType())]
+    )
+
+    def update(key_tuple, pdf_iter, state: GroupState):
+        n, e = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([ts_col, "event_id"])
+            for x in pdf["value"]:
+                x = float(x)
+                e = x if n == 0 else alpha * x + (1 - alpha) * e
+                n += 1
+        state.update((n, e))
+        yield pd.DataFrame({key: [key_tuple[0]], "n_events": [n], "ewma": [e]})
+
+    return events.groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def write_foreach_batch_parquet(
     stream: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
 ):

@@ -528,3 +528,47 @@ def test_q135_anomalies_exceed_threshold(spark, sf_dir):
     rows = QUERIES["q135_anomaly_flags"].fn(spark, sf_dir).collect()
     for r in rows:
         assert abs(r["sigma"]) > 2.0 - 1e-6
+
+
+def test_warclite_compaction_preserves_data_and_tightens_pruning(spark, tmp_path):
+    """Compacting many small files must preserve every record and leave
+    range-clustered files whose header stats prune harder."""
+    from pyspark.sql.datasource import EqualTo
+
+    from advanced_data_mining_and_big_data_analysis_spark.sources import warclite as W
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compact")
+    import os
+
+    os.makedirs(src)
+    # 10 small files, doc_ids INTERLEAVED so every file spans the whole
+    # id range (worst case for pruning before compaction)
+    for i in range(10):
+        W.write_wlc_file(
+            f"{src}/part-{i:05d}.wlc",
+            [(j * 10 + i, "text/plain", b"d%d" % (j * 10 + i)) for j in range(20)],
+        )
+    W.compact(spark, src, dst, target_files=2)
+
+    a = sorted(
+        (r["doc_id"], bytes(r["content"]))
+        for r in spark.read.format("warclite").load(src).collect()
+    )
+    b = sorted(
+        (r["doc_id"], bytes(r["content"]))
+        for r in spark.read.format("warclite").load(dst).collect()
+    )
+    assert a == b and len(a) == 200
+
+    files = [n for n in os.listdir(dst) if n.endswith(".wlc")]
+    assert len(files) == 2
+    # before: interleaved ids make file i span [i, 190+i], so a point
+    # lookup for 7 still opens files 0..7 (8 of 10); after: range
+    # clustering prunes to exactly one file
+    before = W.WarcLiteReader({"path": src})
+    list(before.pushFilters([EqualTo(("doc_id",), 7)]))
+    after = W.WarcLiteReader({"path": dst})
+    list(after.pushFilters([EqualTo(("doc_id",), 7)]))
+    assert len(before.partitions()) == 8
+    assert len(after.partitions()) == 1

@@ -490,3 +490,32 @@ def test_warclite_streaming_source_resumes_from_checkpoint(spark, tmp_path):
     assert final.count() == 17  # 10 + only the 7 NEW records
     ids = sorted(r["doc_id"] for r in final.collect())
     assert ids == list(range(10)) + list(range(100, 107))
+
+
+def test_streaming_ewma_equals_batch_q125(spark, event_files, sf_dir):
+    """The live EWMA state machine must converge to exactly the batch
+    q125 result over the same files (single availableNow batch: rows
+    sorted within the batch, identical left-to-right double fold)."""
+    from advanced_data_mining_and_big_data_analysis_spark.plans import all_queries
+
+    schema = SCHEMAS["events"]
+    src = ST.stream_from_directory(spark, f"{event_files}/events", schema)
+    stream = ST.stateful_ewma(src, key="user_id")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ewma_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    latest = (
+        spark.table("ewma_stream")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max_by("ewma", "n_events").alias("ewma"))
+    )
+    got = {r["user_id"]: (r["n_events"], round(r["ewma"], 6)) for r in latest.collect()}
+
+    batch = all_queries()["q125_ewma_smoothing"].fn(spark, sf_dir)
+    exp = {r["user_id"]: (r["n_events"], r["ewma"]) for r in batch.collect()}
+    assert got == exp
