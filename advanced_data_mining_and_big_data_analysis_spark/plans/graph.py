@@ -64,14 +64,18 @@ def q102_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
         .alias("next_et"),
     )
-    # The aggregated edge list is referenced by every unrolled iteration,
-    # but no cache is needed: the iteration subtrees are identical, so
-    # Spark's ReusedExchange computes the events scan + per-user window
-    # once and shares it (visible in .explain as ReusedExchange nodes).
+    # The aggregated edge list is |event_type|^2 rows — dimension-sized
+    # no matter how big the fact table is. localCheckpoint materializes
+    # it once, so the expensive part (events scan + per-user window) runs
+    # exactly one time and every unrolled iteration + the node-count
+    # action reuse the tiny materialized frame. (ReusedExchange would
+    # share subtrees within ONE action, but nodes.count() below is a
+    # separate action — without the checkpoint the full scan runs twice.)
     e = (
         seq.filter(F.col("next_et").isNotNull())
         .groupBy(F.col("event_type").alias("src"), F.col("next_et").alias("dst"))
         .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
     )
     p = e.select(
         "src", "dst", (F.col("w") / F.sum("w").over(W.partitionBy("src"))).alias("p")
@@ -138,7 +142,14 @@ def q128_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.date_trunc("hour", "ts").alias("b")
     )
-    e = ev.distinct()
+    # The deduped (user, bucket) frame feeds both the bucket-size census
+    # and the pair join; the edge list feeds five consumers (the oriented
+    # two-join reads it three times under different distributions, plus
+    # degree + edge count). Lazy localCheckpoints materialize each once
+    # within the single final action instead of re-deriving the whole
+    # upstream per branch — the checkpointed frames are the bounded ones
+    # (distinct co-occurrence rows; cap-bounded edge list).
+    e = ev.distinct().localCheckpoint(eager=False)
     bs = e.groupBy("event_type", "b").agg(F.count("*").alias("n"))
     kept = bs.filter(F.col("n") <= _TRI_CAP).select("event_type", "b")
     ek = e.join(kept, ["event_type", "b"])
@@ -148,6 +159,7 @@ def q128_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") < F.col("v"))
         .select(F.col("user_id").alias("u"), "v")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         ed.select(F.col("u").alias("node"))

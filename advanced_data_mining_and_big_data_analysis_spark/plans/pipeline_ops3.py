@@ -86,16 +86,25 @@ def _cms_bucket(tok: Column, depth: int) -> Column:
     return F.pmod(F.xxhash64(F.lit(depth), tok), F.lit(_CMS_WIDTH))
 
 
-def cms_table(toks: DataFrame, tok_col: str, shard_cols: list[str]) -> DataFrame:
+def cms_table(
+    toks: DataFrame, tok_col: str, shard_cols: list[str], weight_col: str | None = None
+) -> DataFrame:
     """Count-min sketch as a DataFrame: (shard_cols..., depth, bucket, cnt).
 
     One scan of the token stream; the explode multiplies rows by depth
     (4) before the partial aggregate, so the shuffle carries at most
     shards * depth * width rows after map-side combine. Merging shards
     = groupBy(depth, bucket).sum(cnt).
+
+    With ``weight_col`` the input is a pre-aggregated (token, weight)
+    frame instead of a raw occurrence stream — counts are linear, so
+    hashing each DISTINCT token once and summing weights builds the
+    identical sketch while doing vocabulary-sized (not corpus-sized)
+    hash work.
     """
     hashed = toks.select(
         *shard_cols,
+        *([weight_col] if weight_col else []),
         F.explode(
             F.array(
                 *[
@@ -105,7 +114,8 @@ def cms_table(toks: DataFrame, tok_col: str, shard_cols: list[str]) -> DataFrame
             )
         ).alias("_db"),
     )
-    return hashed.groupBy(*shard_cols, "_db.depth", "_db.bucket").agg(F.count("*").alias("cnt"))
+    agg = F.sum(weight_col) if weight_col else F.count("*")
+    return hashed.groupBy(*shard_cols, "_db.depth", "_db.bucket").agg(agg.alias("cnt"))
 
 
 def cms_estimate(sketch: DataFrame, candidates: DataFrame, tok_col: str) -> DataFrame:
@@ -152,20 +162,27 @@ def q119_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("source", F.explode(X.tokens("text")).alias("token"))
 
-    # Per-source sketches (one scan) and the two global variants:
-    # merged-from-shards vs built-direct. Both are width-bounded frames.
-    per_source = cms_table(toks, "token", ["source"])
+    # ONE corpus scan builds the per-source term-frequency table; every
+    # sketch/exact consumer below is vocabulary-sized arithmetic over it
+    # (counts are linear, so weighted hashing of distinct tokens builds
+    # the identical sketch). localCheckpoint materializes the frame for
+    # its three consumers without leaving a CacheManager entry behind.
+    tc = (
+        toks.groupBy("source", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+
+    # Per-source sketches and the two global variants: merged-from-shards
+    # vs built-direct over global token totals. Both width-bounded frames.
+    per_source = cms_table(tc, "token", ["source"], weight_col="tf")
     merged = per_source.groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt"))
-    direct = cms_table(toks, "token", [])
+    totals = tc.groupBy("token").agg(F.sum("tf").alias("exact_count"))
+    direct = cms_table(totals, "token", [], weight_col="exact_count")
 
     # Exact heavy hitters (verification denominator; at production scale
     # this pass is what the sketch REPLACES).
-    top = (
-        toks.groupBy("token")
-        .agg(F.count("*").alias("exact_count"))
-        .orderBy(F.desc("exact_count"), "token")
-        .limit(20)
-    )
+    top = totals.orderBy(F.desc("exact_count"), "token").limit(20)
 
     est_m = cms_estimate(merged, top.select("token"), "token")
     est_d = cms_estimate(direct, top.select("token"), "token").withColumnRenamed(

@@ -63,6 +63,7 @@ def all_queries() -> dict[str, QueryDef]:
         sessions,
         similarity,
         sources_ext,
+        stats,
         temporal,
     )
 

@@ -1,0 +1,335 @@
+"""Statistical-analytics declared queries: autocorrelation, CUSUM
+changepoint detection, Welch's t-test, and per-group OLS trend fits.
+
+The reference pipeline leans on statistical screening before modeling
+(seasonality inspection, feature/target correlation, trend fitting —
+kaggle.py's EDA and deterministic-trend cells); this module provides
+that family as distributed one-scan aggregates:
+
+- q136: autocorrelation function of the daily revenue series at lags
+  1..7 — the relational twin of q86's periodogram (time-domain vs
+  frequency-domain seasonality evidence).
+- q137: CUSUM changepoint detection per event_type. The recursion
+  S_t = max(0, S_{t-1} + c_t) is rewritten with the prefix-sum
+  identity S_t = P_t - min(0, min_{j<=t} P_j), so the whole stateful
+  scan becomes TWO window functions over the daily rollup — no fold,
+  no UDF, optimizer-visible end to end.
+- q138: Welch's unequal-variance t-test between two part brands —
+  closed-form from per-group (n, sum, sum-of-squares) in exact
+  DECIMAL, so both engines derive the statistic from identical sums.
+- q139: per-event-type OLS trend (slope/intercept/R^2) of daily counts
+  vs day index — the distributed closed-form regression every
+  monitoring stack runs; all moments are integer sums (exact on both
+  engines), divisions happen once at the end.
+
+Scale notes (100 TB): every query aggregates the fact table to a
+calendar-sized frame FIRST (one map-side-combined shuffle); the
+statistics run over that bounded series. Numeric determinism: revenue
+accumulates in DECIMAL (exact, order-independent) and integer moments
+stay integral; the only double arithmetic is on identical per-row
+values or sequential window sums, which both engines evaluate in the
+same day order — so 6-dp rounding is safe for the driver hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "q136_acf_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY day),
+    lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS lag),
+    pairs AS (
+      SELECT l.lag, a.rev AS x, b.rev AS y
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.day = a.day - CAST(l.lag AS INT)),
+    m AS (SELECT lag, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM pairs GROUP BY lag)
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS acf
+    FROM m ORDER BY lag
+    """,
+    description="autocorrelation function of the daily order-revenue series at lags 1..7: fact table rolls up to a calendar-sized daily frame (exact DECIMAL sums, order-independent), a 7-row lag dim joins the series to its own date-shifted copy (gap-aware: pairs exist only where both days do), Pearson r from exact decimal moments with doubles entering only in the final closed form — the time-domain seasonality evidence twin of q86's periodogram",
+)
+def q136_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+        # calendar-sized (one row per day) no matter the fact-table size;
+        # materialized once for the 7-way lag self-join instead of
+        # re-running the orders scan per branch of the join
+        .localCheckpoint(eager=False)
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    b = daily.select(F.col("day").alias("bday"), F.col("rev").alias("y"))
+    pairs = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(b, F.date_sub(F.col("day"), F.col("lag")) == F.col("bday"))
+        .select("lag", F.col("rev").alias("x"), "y")
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    return (
+        m.select(
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n").alias("n_pairs"),
+            F.round(
+                (nd * sxy - sx * sy)
+                / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# CUSUM parameters: slack k = 0.5 sigma, decision threshold h = 4 sigma
+# (the textbook defaults for detecting ~1-sigma mean shifts).
+_CUSUM_K_SIGMA = 0.5
+_CUSUM_H_SIGMA = 4.0
+
+
+@query(
+    "q137_cusum_changepoints",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+      FROM events GROUP BY event_type, day),
+    st AS (
+      SELECT event_type, AVG(CAST(x AS DOUBLE)) AS mu,
+             stddev_samp(CAST(x AS DOUBLE)) AS sigma
+      FROM daily GROUP BY event_type),
+    c AS (
+      SELECT d.event_type, d.day,
+             CAST(d.x AS DOUBLE) - st.mu - {_CUSUM_K_SIGMA} * st.sigma AS ci,
+             {_CUSUM_H_SIGMA} * st.sigma AS h
+      FROM daily d JOIN st USING (event_type)),
+    p0 AS (
+      SELECT event_type, day, h,
+             SUM(ci) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt
+      FROM c),
+    p AS (
+      SELECT event_type, day, h, pt,
+             MIN(pt) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+      FROM p0),
+    s AS (SELECT event_type, day, h, pt - LEAST(mn, 0) AS s FROM p)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN s > h THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           ROUND(MAX(s), 6) AS max_cusum,
+           CAST(MIN(CASE WHEN s > h THEN day END) AS VARCHAR) AS first_flag_day
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    description="CUSUM changepoint detection per event_type over daily event counts: the stateful recursion S_t = max(0, S_(t-1) + x_t - mu - k*sigma) rewritten via the prefix-sum identity S_t = P_t - min(0, running-min of P) — TWO window functions over the calendar-sized daily rollup, no fold/UDF, fully optimizer-visible; flags days where S exceeds h = 4*sigma (k = 0.5*sigma, the textbook 1-sigma-shift defaults); counts are integers so mu/sigma and the sequential window sums are bit-identical across engines",
+)
+def q137_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    st = daily.groupBy("event_type").agg(
+        F.avg(F.col("x").cast("double")).alias("mu"),
+        F.stddev_samp(F.col("x").cast("double")).alias("sigma"),
+    )
+    c = daily.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "day",
+        (F.col("x").cast("double") - F.col("mu") - _CUSUM_K_SIGMA * F.col("sigma")).alias("ci"),
+        (_CUSUM_H_SIGMA * F.col("sigma")).alias("h"),
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    p = c.select(
+        "event_type",
+        "day",
+        "h",
+        F.sum("ci").over(w).alias("pt"),
+    ).withColumn("mn", F.min("pt").over(w))
+    s = p.select(
+        "event_type", "day", "h", (F.col("pt") - F.least(F.col("mn"), F.lit(0.0))).alias("s")
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum((F.col("s") > F.col("h")).cast("long")).alias("n_flagged"),
+            F.round(F.max("s"), 6).alias("max_cusum"),
+            F.min(F.when(F.col("s") > F.col("h"), F.col("day")))
+            .cast("string")
+            .alias("first_flag_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_TT_BRAND_A = "Brand#1"
+_TT_BRAND_B = "Brand#2"
+
+
+@query(
+    "q138_welch_ttest",
+    oracle=f"""
+    WITH g AS (
+      SELECT p_brand, COUNT(*) AS n,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS ss
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand IN ('{_TT_BRAND_A}', '{_TT_BRAND_B}')
+      GROUP BY p_brand),
+    m AS (
+      SELECT p_brand, n, CAST(s AS DOUBLE) / n AS mean,
+             (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) AS var
+      FROM g),
+    ab AS (
+      SELECT a.n AS na, a.mean AS ma, a.var AS va, b.n AS nb, b.mean AS mb, b.var AS vb
+      FROM m a, m b WHERE a.p_brand = '{_TT_BRAND_A}' AND b.p_brand = '{_TT_BRAND_B}')
+    SELECT '{_TT_BRAND_A}' AS brand_a, '{_TT_BRAND_B}' AS brand_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+           ROUND((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+           ROUND((va / na + vb / nb) * (va / na + vb / nb)
+                 / ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)),
+                 6) AS welch_df
+    FROM ab
+    """,
+    description="Welch's unequal-variance t-test between two part brands on line-item price: one broadcast-dim join + per-group (n, sum, sum-of-squares) in exact DECIMAL (order-independent across engines), closed-form t statistic and Welch-Satterthwaite degrees of freedom derived from those sums with doubles only in the final expressions — the distributed two-sample significance test a data-quality stack runs on segment metrics",
+)
+def q138_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin(_TT_BRAND_A, _TT_BRAND_B)
+    )
+    x = F.col("l_extendedprice").cast("decimal(18,2)")
+    g = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"), F.sum(x).alias("s"), F.sum(x * x).alias("ss"))
+    )
+    n, s, ss = F.col("n"), F.col("s").cast("double"), F.col("ss").cast("double")
+    m = g.select(
+        "p_brand",
+        "n",
+        (s / n).alias("mean"),
+        ((ss - s * s / n) / (n - 1)).alias("var"),
+    )
+    a = m.filter(F.col("p_brand") == _TT_BRAND_A).select(
+        F.col("n").alias("na"), F.col("mean").alias("ma"), F.col("var").alias("va")
+    )
+    b = m.filter(F.col("p_brand") == _TT_BRAND_B).select(
+        F.col("n").alias("nb"), F.col("mean").alias("mb"), F.col("var").alias("vb")
+    )
+    se2a, se2b = F.col("va") / F.col("na"), F.col("vb") / F.col("nb")
+    return a.crossJoin(b).select(
+        F.lit(_TT_BRAND_A).alias("brand_a"),
+        F.lit(_TT_BRAND_B).alias("brand_b"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round("ma", 6).alias("mean_a"),
+        F.round("mb", 6).alias("mean_b"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2a + se2b), 6).alias("t_stat"),
+        F.round(
+            (se2a + se2b) * (se2a + se2b)
+            / (se2a * se2a / (F.col("na") - 1) + se2b * se2b / (F.col("nb") - 1)),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+@query(
+    "q139_ols_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+      FROM events GROUP BY event_type, day),
+    idx AS (
+      SELECT event_type, y,
+             date_diff('day', MIN(day) OVER (PARTITION BY event_type), day) AS x
+      FROM daily),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM idx GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           ROUND(((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6) AS r2
+    FROM m ORDER BY event_type
+    """,
+    description="per-event-type OLS trend fit of daily activity vs day index: slope / intercept / R^2 in closed form from integer moment sums (n, sum x, sum y, sum xy, sum x2, sum y2) — every moment is an exact integer on both engines, division to double happens once per statistic; the fact table collapses to a calendar-sized frame in one map-side-combined shuffle, so the regression costs one scan at any corpus size (the distributed monitoring-trend primitive, and the closed-form sibling of the ml/ linear stages)",
+)
+def q139_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("y")
+    )
+    idx = daily.select(
+        "event_type",
+        "y",
+        F.datediff(
+            F.col("day"), F.min("day").over(W.partitionBy("event_type"))
+        ).alias("x"),
+    )
+    m = idx.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = num * F.lit(1.0) / den
+    return (
+        m.select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.round(slope, 6).alias("slope"),
+            F.round((sy - slope * sx) / n, 6).alias("intercept"),
+            F.round((num * F.lit(1.0) * num) / (den * F.lit(1.0) * (n * syy - sy * sy)), 6).alias(
+                "r2"
+            ),
+        )
+        .orderBy("event_type")
+    )
