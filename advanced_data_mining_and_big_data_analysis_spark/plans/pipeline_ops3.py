@@ -40,9 +40,9 @@ Scale notes (100 TB):
   codewords per subspace — no shuffle of the embedding table at all.
 - q121 shuffles (pair, count) — vocabulary-sized, with map-side
   combine — never token-stream-sized rows past the partial aggregate.
-- q122 is a broadcast hash join of a vocabulary-hash-sized weight
-  table against the token stream; one shuffle on doc_id to re-assemble
-  scores.
+- q122 scores each document with one higher-order-function fold over
+  its own token array — no explode, no per-doc shuffle; the only
+  exchange in the plan is the #sources-row rollup.
 - q123 is pure column math + a range partition on the z-value — the
   exact write path ``df.repartitionByRange(zval).sortWithinPartitions``
   would use for layout optimization.
@@ -347,13 +347,16 @@ def q121_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weight), rolled up per source with a keep-rate at threshold 0.5.
 #
 # The weight table here is a FIXED deterministic function of the bucket
-# (so DuckDB can rebuild it exactly); a trained classifier just swaps
-# in learned values — the inference plan (broadcast join, two map-side-
-# combined aggregates) is identical. Weights are dyadic rationals
-# (n/16), so partial-sum order cannot perturb the score sum and the
-# >= 0.5 keep decision (equivalent to sum >= 0) is exact on both
-# engines. Zero-token docs fold back per-source (the q105 pattern), at
-# sigmoid(0) = 0.5 exactly.
+# (so DuckDB can rebuild it exactly); a trained classifier swaps in a
+# learned 1024-entry bucket->weight map (broadcast-trivial at any model
+# size that hashes into buckets). The Spark side scores each document
+# with ONE higher-order-function fold over its own token array —
+# tokenize -> aggregate(transform) — so there is NO explode (no row
+# blowup), NO per-doc shuffle, and the only exchange in the whole plan
+# is the #sources-row rollup. Weights are dyadic rationals (n/16), so
+# the per-doc weight sum is exact in double regardless of fold order
+# and the >= 0.5 keep decision (equivalent to sum >= 0) is exact on
+# both engines. Zero-token docs score sigmoid(0) = 0.5 exactly, inline.
 # ---------------------------------------------------------------------------
 
 _CLS_BUCKETS = 1024
@@ -384,56 +387,32 @@ _CLS_BUCKETS = 1024
                AS n_kept
     FROM tot LEFT JOIN agg USING (source) ORDER BY source
     """,
-    description="hashed-feature linear classifier inference (fastText shape): md5-prefix feature hashing into 1024 buckets, broadcast weight-table join against the token stream, per-doc sigmoid(mean weight) score, per-source keep-rate at 0.5 — weights are dyadic rationals so partial-sum order cannot flip the keep decision; zero-token docs fold back from a column-pruned per-source count (q105 pattern), never a corpus-wide row join; a trained model swaps in learned weights with the identical plan",
+    description="hashed-feature linear classifier inference (fastText shape): md5-prefix feature hashing into 1024 buckets, per-doc score = sigmoid(mean bucket weight) computed as ONE higher-order-function fold over the document's own token array — no explode, no per-doc shuffle; the only exchange is the #sources-row rollup; weights are dyadic rationals so the fold sum is exact in double and the keep decision cannot flip; zero-token docs score sigmoid(0)=0.5 inline; a trained model swaps in a learned bucket->weight map with the identical plan",
 )
 def q122_classifier_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as X
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", "source", F.explode(X.tokens("text")).alias("token"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("long") % _CLS_BUCKETS
-    )
-    weights = spark.range(_CLS_BUCKETS).select(
-        F.col("id").alias("bucket"), (((F.col("id") % 41) - 20) / 16.0).alias("wgt")
-    )
-    per_doc = (
-        toks.select("doc_id", "source", bucket.alias("bucket"))
-        .join(F.broadcast(weights), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.any_value("source").alias("source"),
-            F.sum("wgt").alias("s"),
-            F.count("*").alias("n"),
+
+    def wgt(tok: Column) -> Column:
+        bucket = (
+            F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("long") % _CLS_BUCKETS
         )
-    )
-    scored = per_doc.select(
-        "source", (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("s") / F.col("n"))))).alias("score")
-    )
-    agg = scored.groupBy("source").agg(
-        F.count("*").alias("n_scored"),
-        F.sum("score").alias("sum_score"),
-        F.sum((F.col("score") >= 0.5).cast("long")).alias("n_kept"),
-    )
-    tot = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+        return ((bucket % 41) - 20) / 16.0
+
+    toks_arr = X.tokens("text")
+    s = F.aggregate(toks_arr, F.lit(0.0), lambda acc, t: acc + wgt(t))
+    n = F.size(toks_arr)
+    score = F.when(
+        n > 0, F.lit(1.0) / (F.lit(1.0) + F.exp(-(s / n)))
+    ).otherwise(F.lit(0.5))
     return (
-        # the per-source rollup is #sources rows — broadcast, never SMJ
-        tot.join(F.broadcast(agg), "source", "left")
-        .select(
-            "source",
-            "n_docs",
-            F.round(
-                (
-                    F.coalesce(F.col("sum_score"), F.lit(0.0))
-                    + 0.5 * (F.col("n_docs") - F.coalesce(F.col("n_scored"), F.lit(0)))
-                )
-                / F.col("n_docs"),
-                6,
-            ).alias("avg_score"),
-            (
-                F.coalesce(F.col("n_kept"), F.lit(0))
-                + (F.col("n_docs") - F.coalesce(F.col("n_scored"), F.lit(0)))
-            ).alias("n_kept"),
+        docs.select("source", score.alias("score"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+            F.sum((F.col("score") >= 0.5).cast("long")).alias("n_kept"),
         )
         .orderBy("source")
     )
