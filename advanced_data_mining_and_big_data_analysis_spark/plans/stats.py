@@ -333,3 +333,262 @@ def q139_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q140 — chi-square test of independence between two categorical
+# columns (lang x source over documents): the contingency table is a
+# dimension-sized groupBy; margins come from two further tiny
+# aggregates broadcast back (never an unpartitioned window); the
+# statistic, degrees of freedom, and Cramer's V derive from integer
+# counts with doubles entering only in the final closed form.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q140_chi_square",
+    oracle="""
+    WITH ct AS (SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source),
+    rl AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rtot FROM ct GROUP BY lang),
+    rs AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ctot FROM ct GROUP BY source),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM ct),
+    cells AS (
+      SELECT ct.lang, ct.source, ct.o,
+             rl.rtot * 1.0 * rs.ctot / n.n AS e
+      FROM ct JOIN rl USING (lang) JOIN rs USING (source) CROSS JOIN n),
+    stat AS (SELECT SUM((o - e) * (o - e) / e) AS chi2 FROM cells),
+    dims AS (SELECT (SELECT COUNT(*) FROM rl) AS r, (SELECT COUNT(*) FROM rs) AS c)
+    SELECT ROUND((SELECT chi2 FROM stat), 6) AS chi2,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           ROUND(sqrt((SELECT chi2 FROM stat)
+                      / ((SELECT n FROM n) * (LEAST(r, c) - 1))), 6) AS cramers_v
+    FROM dims
+    """,
+    description="chi-square test of independence between lang and source: fact table collapses to a dimension-sized contingency table in one map-side-combined shuffle; margins are two further tiny aggregates broadcast back (no unpartitioned window anywhere); chi2, dof, and Cramer's V in closed form from exact integer counts — the categorical-association audit a corpus-composition dashboard runs",
+)
+def q140_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ct = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rl = ct.groupBy("lang").agg(F.sum("o").cast("long").alias("rtot"))
+    rs = ct.groupBy("source").agg(F.sum("o").cast("long").alias("ctot"))
+    n = ct.agg(F.sum("o").cast("long").alias("n"))
+    cells = (
+        ct.join(F.broadcast(rl), "lang")
+        .join(F.broadcast(rs), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "o",
+            (F.col("rtot") * F.lit(1.0) * F.col("ctot") / F.col("n")).alias("e"),
+            "n",
+        )
+    )
+    stat = cells.agg(
+        F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")).alias("chi2"),
+        F.any_value("n").alias("n"),
+    )
+    dims = (
+        rl.agg(F.count("*").alias("r"))
+        .crossJoin(rs.agg(F.count("*").alias("c")))
+    )
+    return stat.crossJoin(F.broadcast(dims)).select(
+        F.round("chi2", 6).alias("chi2"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * (F.least("r", "c") - 1))), 6
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q141 — pairwise Pearson correlation matrix over three lineitem
+# measures in ONE scan: a single aggregate produces every first/second
+# moment (sum, sum-of-squares, all cross products) in exact DECIMAL,
+# then the three correlations are pure arithmetic over that one row.
+# The one-scan-all-moments shape is how a 100 TB profiler computes a
+# correlation matrix — never one pass per pair.
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _corr_pairs_sql() -> str:
+    outs = []
+    for i in range(len(_CORR_COLS)):
+        for j in range(i + 1, len(_CORR_COLS)):
+            a, b = _CORR_COLS[i], _CORR_COLS[j]
+            outs.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"ROUND((n * CAST(s_{a}_{b} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE)) "
+                f"/ sqrt((n * CAST(s_{a}_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE)) "
+                f"* (n * CAST(s_{b}_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 6) AS pearson_r "
+                f"FROM m"
+            )
+    return " UNION ALL ".join(outs)
+
+
+@query(
+    "q141_corr_matrix",
+    oracle=f"""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             {", ".join(f"SUM(CAST({c} AS DECIMAL(18,2))) AS s_{c}" for c in _CORR_COLS)},
+             {", ".join(f"SUM(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2))) AS s_{a}_{b}" for ai, a in enumerate(_CORR_COLS) for b in _CORR_COLS[ai:])}
+      FROM lineitem)
+    SELECT col_a, col_b, pearson_r FROM ({_corr_pairs_sql()}) ORDER BY col_a, col_b
+    """,
+    description="pairwise Pearson correlation matrix over three lineitem measures in ONE scan: a single aggregate emits every first and second moment (sums, squares, cross products) in exact DECIMAL — order-independent across engines — and the correlations are closed-form arithmetic over that one row; the one-scan-all-moments profiler shape (never one pass per pair)",
+)
+def q141_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = {c: F.col(c).cast("decimal(18,2)") for c in _CORR_COLS}
+    aggs = [F.count("*").alias("n")]
+    aggs += [F.sum(dec[c]).alias(f"s_{c}") for c in _CORR_COLS]
+    aggs += [
+        F.sum(dec[a] * dec[b]).alias(f"s_{a}_{b}")
+        for ai, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[ai:]
+    ]
+    m = li.agg(*aggs)
+
+    def pair_row(a: str, b: str) -> DataFrame:
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        sab = F.col(f"s_{a}_{b}").cast("double")
+        saa, sbb = F.col(f"s_{a}_{a}").cast("double"), F.col(f"s_{b}_{b}").cast("double")
+        return m.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.round(
+                (n * sab - sa * sb)
+                / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
+                6,
+            ).alias("pearson_r"),
+        )
+
+    out = None
+    for i in range(len(_CORR_COLS)):
+        for j in range(i + 1, len(_CORR_COLS)):
+            row = pair_row(_CORR_COLS[i], _CORR_COLS[j])
+            out = row if out is None else out.unionAll(row)
+    return out.orderBy("col_a", "col_b")
+
+
+# ---------------------------------------------------------------------------
+# q142 — deterministic multiplier bootstrap for the mean: 16 bootstrap
+# replicates of mean(o_totalprice), each row's per-replicate weight in
+# {0,1,1,2} (mean 1) derived from ONE md5 of the stable order key — two
+# hex chars per replicate — so resampling is reproducible across
+# engines, partitionings, and re-runs, and all 16 replicates ride a
+# single scan as conditional aggregates (no 16x row explosion).
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 16
+_BOOT_W = [0, 1, 1, 2]  # weight by (hex-slice % 4): mean 1, variance 1/2
+
+
+def _boot_w_sql(b: int) -> str:
+    sl = f"CAST(CONCAT('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), {2 * b + 1}, 2)) AS BIGINT) % 4"
+    return f"list_extract([{', '.join(str(w) for w in _BOOT_W)}], ({sl}) + 1)"
+
+
+@query(
+    "q142_bootstrap_ci",
+    oracle=f"""
+    WITH w AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+             {", ".join(f"{_boot_w_sql(b)} AS w{b}" for b in range(_BOOT_B))}
+      FROM orders),
+    agg AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx,
+             {", ".join(f"CAST(SUM(w{b} * x) AS DOUBLE) / SUM(w{b}) AS m{b}" for b in range(_BOOT_B))}
+      FROM w),
+    boots AS (SELECT unnest([{", ".join(f"m{b}" for b in range(_BOOT_B))}]) AS m FROM agg),
+    sd AS (SELECT AVG(m) AS mb, stddev_samp(m) AS se FROM boots)
+    SELECT CAST((SELECT n FROM agg) AS BIGINT) AS n_rows,
+           ROUND(CAST((SELECT sx FROM agg) AS DOUBLE) / (SELECT n FROM agg), 6) AS mean,
+           ROUND((SELECT se FROM sd), 6) AS boot_se,
+           ROUND(CAST((SELECT sx FROM agg) AS DOUBLE) / (SELECT n FROM agg)
+                 - 1.96 * (SELECT se FROM sd), 6) AS ci_lo,
+           ROUND(CAST((SELECT sx FROM agg) AS DOUBLE) / (SELECT n FROM agg)
+                 + 1.96 * (SELECT se FROM sd), 6) AS ci_hi
+    """,
+    description="deterministic multiplier bootstrap for mean order value: 16 replicate means in ONE scan as conditional aggregates (weights in {0,1,1,2}, mean 1, two md5 hex chars of the stable order key per replicate — reproducible across engines, partitionings, and re-runs; no 16x row explosion), normal-approximation 95% CI from the replicate standard error; weighted sums accumulate in exact DECIMAL so replicate means are bit-identical across engines",
+)
+def q142_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    md5k = F.md5(F.col("o_orderkey").cast("string"))
+
+    def w(b: int):
+        sl = F.conv(F.substring(md5k, 2 * b + 1, 2), 16, 10).cast("long") % 4
+        arr = F.array(*[F.lit(v) for v in _BOOT_W])
+        return F.element_at(arr, (sl + 1).cast("int"))
+
+    agg = orders.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        *[
+            (F.sum(w(b) * x).cast("double") / F.sum(w(b))).alias(f"m{b}")
+            for b in range(_BOOT_B)
+        ],
+    )
+    boots = agg.select(
+        "n", "sx", F.explode(F.array(*[F.col(f"m{b}") for b in range(_BOOT_B)])).alias("m")
+    )
+    sd = boots.groupBy("n", "sx").agg(F.stddev_samp("m").alias("se"))
+    mean = F.col("sx").cast("double") / F.col("n")
+    return sd.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(mean, 6).alias("mean"),
+        F.round("se", 6).alias("boot_se"),
+        F.round(mean - 1.96 * F.col("se"), 6).alias("ci_lo"),
+        F.round(mean + 1.96 * F.col("se"), 6).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q143 — Benford first-digit audit over order totals: the fraud/quality
+# screen for any monetary column. First significant digit via
+# floor(x / 10^floor(log10(x))); expected Benford mass log10(1 + 1/d);
+# per-digit observed vs expected plus each digit's chi-square
+# contribution. Counts are integers; log10/pow run on identical doubles.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q143_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(o_totalprice / pow(10, floor(log10(o_totalprice)))) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / total, 6) AS obs_frac,
+           ROUND(log10(1 + 1.0 / digit), 6) AS benford_frac,
+           ROUND((n * 1.0 / total - log10(1 + 1.0 / digit)) * (n * 1.0 / total - log10(1 + 1.0 / digit))
+                 / log10(1 + 1.0 / digit) * total, 6) AS chi2_part
+    FROM c CROSS JOIN t ORDER BY digit
+    """,
+    description="Benford's-law first-digit audit of order totals (the monetary-column fraud/quality screen): first significant digit via floor(x / 10^floor(log10 x)), digit histogram in one map-side-combined aggregate, observed fraction vs the Benford expectation log10(1+1/d), per-digit chi-square contribution — integer counts exact on both engines, log/pow on identical doubles",
+)
+def q143_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("long")
+    c = orders.select(digit.alias("digit")).groupBy("digit").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    obs = F.col("n") * F.lit(1.0) / F.col("total")
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(obs, 6).alias("obs_frac"),
+            F.round(exp, 6).alias("benford_frac"),
+            F.round((obs - exp) * (obs - exp) / exp * F.col("total"), 6).alias("chi2_part"),
+        )
+        .orderBy("digit")
+    )
