@@ -86,22 +86,30 @@ def make_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
-def decode_wav(content: bytes) -> list[float]:
-    """REAL WAV decode (16-bit mono PCM): [n_samples, sample_rate, mean,
-    rms, peak_abs]. Raw doubles — callers apply rounding so both engines
-    round with the same half-up rule (Python round() is banker's)."""
+def wav_samples(content: bytes) -> tuple[int, list[int]]:
+    """Parse a 16-bit mono PCM WAV into (sample_rate, samples) — the raw
+    accessor behind decode_wav and sample_audio_frames."""
     import io
-    import math
     import struct
     import wave
 
     with wave.open(io.BytesIO(content), "rb") as w:
         if w.getsampwidth() != 2 or w.getnchannels() != 1:
-            raise ValueError("decode_wav handles 16-bit mono PCM")
+            raise ValueError("wav_samples handles 16-bit mono PCM")
         n = w.getnframes()
         sr = w.getframerate()
         raw = w.readframes(n)
-    samples = struct.unpack(f"<{n}h", raw)
+    return sr, list(struct.unpack(f"<{n}h", raw))
+
+
+def decode_wav(content: bytes) -> list[float]:
+    """REAL WAV decode (16-bit mono PCM): [n_samples, sample_rate, mean,
+    rms, peak_abs]. Raw doubles — callers apply rounding so both engines
+    round with the same half-up rule (Python round() is banker's)."""
+    import math
+
+    sr, samples = wav_samples(content)
+    n = len(samples)
     mean = sum(samples) / n if n else 0.0
     rms = math.sqrt(sum(s * s for s in samples) / n) if n else 0.0
     peak = float(max(abs(s) for s in samples)) if n else 0.0
@@ -351,24 +359,55 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
-    """STUB-backed image resize over mapInPandas.
+def resize_bmp(content: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize of a 24-bit bottom-up BMP: decode the
+    source pixel grid, sample (x*sw//width, y*sh//height) per target
+    pixel (floor mapping — the standard NN rule), re-encode via
+    make_bmp. Pure stdlib; round-trips through the same writer the
+    fixture uses, so resize(decode(x)) is exactly verifiable."""
+    import struct
 
-    Real implementation needs an image codec (not in this container); the
-    deterministic fake truncates/tiles the byte payload to width*height
-    bytes so batch shapes, schema, and byte-handling are exercised
-    end-to-end. The Spark-side plumbing (Arrow batches of binary columns,
-    explicit output schema) is exactly what the real decoder drops into.
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    offset = struct.unpack_from("<I", content, 10)[0]
+    sw, sh = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    if bpp != 24 or sh <= 0:
+        raise ValueError("resize_bmp handles 24-bit bottom-up BMPs")
+    row_bytes = sw * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+
+    def px(x: int, y: int) -> tuple[int, int, int]:
+        sx, sy = x * sw // width, y * sh // height
+        base = offset + (sh - 1 - sy) * stride + sx * 3
+        return content[base + 2], content[base + 1], content[base]  # BGR -> RGB
+
+    return make_bmp(width, height, px)
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Image resize over mapInPandas, mime-routed per row.
+
+    image/bmp gets the REAL nearest-neighbor resize (stdlib decode →
+    sample → re-encode); other mimes fall back to a deterministic
+    byte-tile stand-in (PNG/JPEG re-encoders aren't built — the decode
+    direction is real, see DECODERS) so batch shapes, schema, and
+    byte-handling stay exercised end-to-end for every mime. The
+    Spark-side plumbing (Arrow batches of binary columns, explicit
+    output schema) is identical either way.
     """
     target = width * height
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_bytes = []
-            for content in pdf["content"]:
+            for mime, content in zip(pdf["mime"], pdf["content"]):
                 b = bytes(content) if content is not None else b""
-                tiled = (b * (target // max(len(b), 1) + 1))[:target] if b else bytes(target)
-                out_bytes.append(tiled)
+                if mime == "image/bmp" and b[:2] == b"BM":
+                    out_bytes.append(resize_bmp(b, width, height))
+                else:
+                    tiled = (b * (target // max(len(b), 1) + 1))[:target] if b else bytes(target)
+                    out_bytes.append(tiled)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -408,6 +447,49 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 16, max_frames: int = 4
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.mapInPandas(per_batch, schema=FRAME_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def sample_audio_frames(
+    media: DataFrame, frame_len: int = 160, max_frames: int = 4
+) -> DataFrame:
+    """REAL audio frame sampling: decode 16-bit mono PCM WAV, cut the
+    sample stream into ``frame_len``-sample frames (160 = 20 ms at
+    8 kHz, the standard speech frame), emit per-frame RMS energy —
+    the 1→N flat-map any audio feature pipeline runs before VAD /
+    diarization / fingerprinting. Non-WAV mimes are skipped (audited
+    upstream via extract_features' null-feature convention). The last
+    frame may be short; its RMS divides by its true length."""
+    import math
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, rmss = [], [], [], []
+            for mid, mime, content in zip(pdf["media_id"], pdf["mime"], pdf["content"]):
+                if mime != "audio/wav" or content is None:
+                    continue
+                _, samples = wav_samples(bytes(content))
+                n = len(samples)
+                for f in range(min(max_frames, (n + frame_len - 1) // frame_len)):
+                    fr = samples[f * frame_len : (f + 1) * frame_len]
+                    ids.append(mid)
+                    idxs.append(f)
+                    lens.append(len(fr))
+                    rmss.append(math.sqrt(sum(s * s for s in fr) / len(fr)))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "n_samples": lens, "rms": rmss}
+            )
+
+    return media.mapInPandas(per_batch, schema=AUDIO_FRAME_SCHEMA)
 
 
 # Closed-form media fixture: every blob is a pure function of media_id,

@@ -296,3 +296,81 @@ def q124_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+_RS_W, _RS_H, _N_RS_BMP = 6, 4, 12
+
+
+@query(
+    "q144_bmp_resize",
+    oracle=f"""
+    WITH im AS (SELECT m, 8 + m % 4 AS w, 4 + m % 3 AS h
+                FROM range(0, {_N_RS_BMP}) t(m)),
+    px AS (
+      SELECT im.m,
+             (im.m*3 + (tx.i * im.w) // {_RS_W} + (ty.i * im.h) // {_RS_H}) % 256 AS r,
+             (im.m*5 + 2*((tx.i * im.w) // {_RS_W})) % 256 AS g,
+             (im.m*7 + 3*((ty.i * im.h) // {_RS_H})) % 256 AS b,
+             tx.i AS tx, ty.i AS ty
+      FROM im, range(0, {_RS_W}) tx(i), range(0, {_RS_H}) ty(i))
+    SELECT 1000 + m AS media_id,
+           CAST({_RS_W} AS INTEGER) AS width, CAST({_RS_H} AS INTEGER) AS height,
+           ROUND(AVG(r), 6) AS mean_r, ROUND(AVG(g), 6) AS mean_g,
+           ROUND(AVG(b), 6) AS mean_b,
+           CAST(MIN(CASE WHEN tx = 0 AND ty = 0 THEN r END) AS DOUBLE) AS topleft_r
+    FROM px GROUP BY m ORDER BY media_id
+    """,
+    description="REAL image resize, hash-checked: nearest-neighbor BMP resize (stdlib decode -> floor-mapped pixel sampling -> re-encode through the same writer) runs inside mapInPandas over closed-form fixture BMPs of varying source dims, then the resized blobs are decoded AGAIN by the real BMP decoder — the oracle recomputes per-channel means and the top-left pixel of the resized grid from the generating formulas, so a wrong sampling rule, row-order flip, or padding bug in EITHER the resize or the second decode skips the hash; the multimodal 'resize' op of the pipeline brief, real end to end",
+)
+def q144_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    media = MM.formula_media_df(spark, n_audio=0, n_image=_N_RS_BMP)
+    resized = MM.resize_images(media, _RS_W, _RS_H).withColumn(
+        "mime", F.lit("image/bmp")
+    )
+    feats = MM.extract_features(
+        resized.select("media_id", "mime", F.col("content"))
+    )
+    el = F.element_at
+    return feats.select(
+        "media_id",
+        el("feature", 1).cast("int").alias("width"),
+        el("feature", 2).cast("int").alias("height"),
+        F.round(el("feature", 3), 6).alias("mean_r"),
+        F.round(el("feature", 4), 6).alias("mean_g"),
+        F.round(el("feature", 5), 6).alias("mean_b"),
+        el("feature", 6).alias("topleft_r"),
+    ).orderBy("media_id")
+
+
+_AF_LEN, _AF_MAX, _N_AF_WAV = 160, 4, 8
+
+
+@query(
+    "q145_audio_frames",
+    oracle=f"""
+    WITH am AS (SELECT m, 256 + 16*m AS n FROM range(0, {_N_AF_WAV}) t(m)),
+    fr AS (SELECT am.m, am.n, f.i AS f
+           FROM am, range(0, {_AF_MAX}) f(i)
+           WHERE f.i * {_AF_LEN} < am.n),
+    sm AS (SELECT fr.m, fr.f,
+                  ((fr.m*1000 + i.i*37) % 4096) - 2048 AS s
+           FROM fr, range(0, 256 + 16*{_N_AF_WAV - 1}) i(i)
+           WHERE i.i >= fr.f * {_AF_LEN}
+             AND i.i < LEAST((fr.f + 1) * {_AF_LEN}, fr.n))
+    SELECT m AS media_id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(COUNT(*) AS INTEGER) AS n_samples,
+           ROUND(sqrt(SUM(CAST(s AS DOUBLE)*s) / COUNT(*)), 6) AS rms
+    FROM sm GROUP BY m, f ORDER BY media_id, frame_idx
+    """,
+    description="REAL audio frame sampling, hash-checked: 16-bit PCM WAV decoded by the stdlib codec, cut into 160-sample (20 ms @ 8 kHz) frames inside a mapInPandas flat-map (1->N rows per blob, ragged tail frame divides by its true length), per-frame RMS energy — the 'frame-sample' multimodal op of the pipeline brief; the oracle recomputes every frame's RMS from the closed-form sample formula, so a wrong frame boundary, off-by-one tail, or decode error skips the hash",
+)
+def q145_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    media = MM.formula_media_df(spark, n_audio=_N_AF_WAV, n_image=0)
+    frames = MM.sample_audio_frames(media, frame_len=_AF_LEN, max_frames=_AF_MAX)
+    return frames.select(
+        "media_id", "frame_idx", "n_samples", F.round("rms", 6).alias("rms")
+    ).orderBy("media_id", "frame_idx")

@@ -572,3 +572,71 @@ def test_warclite_compaction_preserves_data_and_tightens_pruning(spark, tmp_path
     list(after.pushFilters([EqualTo(("doc_id",), 7)]))
     assert len(before.partitions()) == 8
     assert len(after.partitions()) == 1
+
+
+# ------------------------------------------------- real resize / audio frames
+
+
+def test_resize_bmp_nearest_neighbor_exact():
+    """resize_bmp must place source pixel (x*sw//tw, y*sh//th) at every
+    target position — checked pixel-for-pixel against the formula, via a
+    second real decode of the resized blob."""
+    from advanced_data_mining_and_big_data_analysis_spark.operators import multimodal as MM
+
+    m, sw, sh, tw, th = 5, 11, 7, 4, 3
+
+    def pix(x, y):
+        return ((m * 3 + x + y) % 256, (m * 5 + 2 * x) % 256, (m * 7 + 3 * y) % 256)
+
+    blob = MM.make_bmp(sw, sh, pix)
+    resized = MM.resize_bmp(blob, tw, th)
+    # decode the resized blob manually row by row through the real decoder path
+    import struct
+
+    offset = struct.unpack_from("<I", resized, 10)[0]
+    w, h = struct.unpack_from("<ii", resized, 18)
+    assert (w, h) == (tw, th)
+    stride = w * 3 + (4 - (w * 3) % 4) % 4
+    for y in range(th):
+        for x in range(tw):
+            base = offset + (h - 1 - y) * stride + x * 3
+            got = (resized[base + 2], resized[base + 1], resized[base])
+            assert got == pix(x * sw // tw, y * sh // th), (x, y)
+
+
+def test_resize_images_routes_bmp_real_and_other_mimes_stub(spark):
+    from advanced_data_mining_and_big_data_analysis_spark.operators import multimodal as MM
+
+    media = MM.formula_media_df(spark, n_audio=2, n_image=3)
+    out = {r["media_id"]: r for r in MM.resize_images(media, 4, 4).collect()}
+    # BMP rows come back as REAL 4x4 BMPs (decodable, correct dims)
+    for mid in (1000, 1001, 1002):
+        feats = MM.decode_bmp(bytes(out[mid]["content"]))
+        assert feats[0] == 4.0 and feats[1] == 4.0
+    # WAV rows take the deterministic byte-tile stub (16 raw bytes)
+    for mid in (0, 1):
+        assert len(bytes(out[mid]["content"])) == 16
+
+
+def test_sample_audio_frames_rms_matches_reference(spark):
+    """Every frame's RMS equals the pure-python computation over the
+    formula samples; tail frame divides by its true length; non-WAV
+    rows are skipped."""
+    import math
+
+    from advanced_data_mining_and_big_data_analysis_spark.operators import multimodal as MM
+
+    media = MM.formula_media_df(spark, n_audio=3, n_image=2)
+    rows = MM.sample_audio_frames(media, frame_len=100, max_frames=5).collect()
+    assert {r["media_id"] for r in rows} <= {0, 1, 2}  # images skipped
+    by_key = {(r["media_id"], r["frame_idx"]): r for r in rows}
+    for m in range(3):
+        samples = MM.formula_wav_samples(m)
+        n = len(samples)
+        n_frames = min(5, (n + 99) // 100)
+        assert sum(1 for k in by_key if k[0] == m) == n_frames
+        for f in range(n_frames):
+            fr = samples[f * 100 : (f + 1) * 100]
+            r = by_key[(m, f)]
+            assert r["n_samples"] == len(fr)
+            assert abs(r["rms"] - math.sqrt(sum(s * s for s in fr) / len(fr))) < 1e-12
