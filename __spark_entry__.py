@@ -43,10 +43,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry directly, so nothing else observes the rename.
 #
 # ROUND 7 PLAN: once CORRECTNESS_r06 lands green rows for the renamed
-# block, DELETE the rename machinery (restore canonical names). The
-# natural sorted()[:50] window then becomes q01-q09 + q100-q135 +
-# q10-q14 — i.e. every round-5/6 addition (q100-q135) gets its
-# driver-dated row automatically, completing rotation without aliases.
+# block, DELETE the rename machinery (restore canonical names). With the
+# registry at 147 queries the natural sorted()[:50] window becomes
+# q01-q09 + the first 41 of q100-q147 — i.e. the round-5/6 additions
+# get driver-dated rows automatically; any q14x names that overflow the
+# window rotate in the round after via the same rename trick if needed.
 _WINDOW_LO, _WINDOW_HI = 52, 99
 
 

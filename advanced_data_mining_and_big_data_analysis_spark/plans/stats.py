@@ -592,3 +592,136 @@ def q143_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 — OHLC bars (open/high/low/close + volume-weighted mean) per
+# (event_type, day): the ordered-extremes aggregate every market-data /
+# metrics store runs. open/close use min_by/max_by on the full event
+# timestamp with event_id as the deterministic tie-break (two events in
+# the same microsecond cannot flip the bar between engines) — the
+# argmin/argmax-by-ordering aggregate surface, one map-side-combined
+# shuffle, no window function at all.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q146_ohlc_bars",
+    oracle="""
+    WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, value
+               FROM events),
+    r AS (SELECT event_type, day, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                    ORDER BY ts, event_id) AS rn_a,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                    ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM e)
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           ROUND(MIN(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(MIN(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r
+    GROUP BY event_type, day
+    HAVING COUNT(*) >= 5
+    ORDER BY event_type, day
+    """,
+    description="OHLC bars per (event_type, day): open/close via min_by/max_by on struct(ts, event_id) — the argmin/argmax-by-ordering aggregate with a deterministic tie-break so same-timestamp events cannot flip the bar between engines — plus high/low/count, in ONE map-side-combined shuffle with no window function; bars with < 5 events dropped (HAVING). The market-data / metrics-rollup primitive at fact-table scale",
+)
+def q146_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.struct("ts", "event_id").alias("ord"),
+        "value",
+    )
+    return (
+        ev.groupBy("event_type", "day")
+        .agg(
+            F.round(F.min_by("value", "ord"), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", "ord"), 6).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .filter(F.col("n_events") >= 5)
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q147 — sliding-window distinct users (trailing 7 days) per event_type.
+# Distinct-over-sliding-window is the op a naive plan gets wrong at
+# scale (collect_set over a range window buffers every member per row).
+# The scale-correct rewrite: dedupe to (event_type, user, day) ONCE,
+# explode each active day into the <=7 window-end days it contributes
+# to, dedupe (event_type, user, window_end) — a user active twice in a
+# window counts once — then a plain count per window. Work is bounded
+# by active-pairs x window_len, every step a map-side-combined shuffle,
+# no per-row state accumulation anywhere.
+# ---------------------------------------------------------------------------
+
+_SD_WIN = 7
+
+
+@query(
+    "q147_sliding_distinct_users",
+    oracle=f"""
+    WITH ad AS (SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS day FROM events),
+    days AS (SELECT DISTINCT event_type, day FROM ad),
+    contrib AS (
+      SELECT DISTINCT ad.event_type, ad.user_id, ad.day + CAST(o.i AS INTEGER) AS wend
+      FROM ad, range(0, {_SD_WIN}) o(i)),
+    wins AS (
+      SELECT c.event_type, c.wend, COUNT(DISTINCT c.user_id) AS u7
+      FROM contrib c JOIN days d ON d.event_type = c.event_type AND d.day = c.wend
+      GROUP BY c.event_type, c.wend),
+    daily AS (SELECT event_type, day, COUNT(*) AS u1 FROM ad GROUP BY event_type, day)
+    SELECT d.event_type, CAST(d.day AS VARCHAR) AS day,
+           CAST(d.u1 AS BIGINT) AS dau,
+           CAST(w.u7 AS BIGINT) AS wau7
+    FROM daily d JOIN wins w ON w.event_type = d.event_type AND w.wend = d.day
+    ORDER BY d.event_type, d.day
+    """,
+    description="trailing-7-day distinct users per event_type (DAU/WAU): the scale-correct rewrite of distinct-over-sliding-window — dedupe to (type, user, day) once, explode each active day into the <= 7 window-ends it contributes to, dedupe (type, user, window_end), then a plain count per window; work bounded by active-pairs x window_len with map-side combine everywhere, versus collect_set-over-range-window which buffers every member per output row; windows reported only on days with activity",
+)
+def q147_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ad = ev.select("event_type", "user_id", F.to_date("ts").alias("day")).distinct()
+    days = ad.select("event_type", "day").distinct()
+    offsets = spark.range(_SD_WIN).select(F.col("id").cast("int").alias("i"))
+    contrib = (
+        ad.crossJoin(F.broadcast(offsets))
+        .select("event_type", "user_id", F.date_add("day", F.col("i")).alias("wend"))
+        .distinct()
+    )
+    wins = (
+        contrib.join(
+            days.select("event_type", F.col("day").alias("wend")), ["event_type", "wend"]
+        )
+        .groupBy("event_type", "wend")
+        .agg(F.count("*").alias("u7"))
+    )
+    daily = ad.groupBy("event_type", "day").agg(F.count("*").alias("u1"))
+    return (
+        daily.join(
+            wins.withColumnRenamed("wend", "day"), ["event_type", "day"]
+        )
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            F.col("u1").alias("dau"),
+            F.col("u7").alias("wau7"),
+        )
+        .orderBy("event_type", "day")
+    )
