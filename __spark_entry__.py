@@ -44,7 +44,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND 7 PLAN: once CORRECTNESS_r06 lands green rows for the renamed
 # block, DELETE the rename machinery (restore canonical names). With the
-# registry at 147 queries the natural sorted()[:50] window becomes
+# registry at 142 queries (named through q147) the natural
+# sorted()[:50] window becomes
 # q01-q09 + the first 41 of q100-q147 — i.e. the round-5/6 additions
 # get driver-dated rows automatically; any q14x names that overflow the
 # window rotate in the round after via the same rename trick if needed.
