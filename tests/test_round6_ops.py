@@ -209,7 +209,10 @@ def test_new_query_plans_have_no_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
-def test_q122_weight_table_is_broadcast(spark, sf_dir):
+def test_q122_scoring_plan_has_no_join_and_no_explode(spark, sf_dir):
+    """The fold rewrite must keep q122 join-free and explode-free: the
+    per-doc score is a higher-order aggregate over the doc's own token
+    array, so the only exchange left is the #sources-row rollup."""
     plan = (
         QUERIES["q122_classifier_scoring"]
         .fn(spark, sf_dir)
@@ -217,8 +220,10 @@ def test_q122_weight_table_is_broadcast(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan  # nothing should sort the token stream
+    for op in ("Join", "Generate"):  # Generate == explode
+        assert op not in plan, op
+    # exactly one data exchange (the per-source rollup) + the sort for orderBy
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 # ----------------------------------------------- UDTF + Observation APIs
