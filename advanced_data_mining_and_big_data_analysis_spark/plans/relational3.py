@@ -519,3 +519,93 @@ def q89_trailing_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# q148 — blocked fuzzy record linkage (entity resolution): a "dirty"
+# customer feed with deterministic typos is matched back to the clean
+# dimension via BLOCKING (last-4-digit key, robust to the prefix
+# perturbations) + Levenshtein verification inside each block + best-
+# match selection. The scale contract of every real ER pipeline: the
+# expensive edit-distance runs only on block-collision candidates
+# (O(n * block_width)), never all-pairs; the clean side joins broadcast.
+# Typo classes (key % 3): 0 = drop one char, 1 = transpose two chars,
+# 2 = unchanged — all expressible as identical substring surgery in
+# both engines, so the oracle reproduces the dirty feed exactly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q148_fuzzy_join",
+    oracle="""
+    WITH dirty AS (
+      SELECT c_custkey AS d_key,
+             CASE CAST(c_custkey % 3 AS INTEGER)
+               WHEN 0 THEN substr(c_name, 1, 5) || substr(c_name, 7)
+               WHEN 1 THEN substr(c_name, 1, 3) || substr(c_name, 5, 1)
+                         || substr(c_name, 4, 1) || substr(c_name, 6)
+               ELSE c_name END AS d_name,
+             CAST(c_custkey % 3 AS INTEGER) AS typo_class
+      FROM customer),
+    cand AS (
+      SELECT d.d_key, d.d_name, d.typo_class, c.c_custkey, c.c_name,
+             levenshtein(d.d_name, c.c_name) AS lev
+      FROM dirty d JOIN customer c
+        ON right(d.d_name, 4) = right(c.c_name, 4)
+      WHERE levenshtein(d.d_name, c.c_name) <= 2),
+    best AS (
+      SELECT d_key, typo_class, c_custkey, lev,
+             ROW_NUMBER() OVER (PARTITION BY d_key ORDER BY lev, c_custkey) AS rn
+      FROM cand),
+    m AS (SELECT * FROM best WHERE rn = 1)
+    SELECT typo_class,
+           CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN c_custkey = d_key THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           ROUND(AVG(lev), 6) AS avg_lev
+    FROM m GROUP BY typo_class ORDER BY typo_class
+    """,
+    description="blocked fuzzy record linkage (entity resolution): a dirty feed with deterministic typo classes (char drop / transposition / clean) matched to the customer dimension by last-4-digit BLOCKING + Levenshtein <= 2 verification inside blocks + lowest-(distance, key) best-match selection — edit distance runs only on block-collision candidates (O(n x block width), never all-pairs), the clean dimension is broadcast, and per-class match/accuracy stats quantify the linkage; typos are identical substring surgery in both engines so the oracle rebuilds the same dirty feed",
+)
+def q148_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    dirty = cust.select(
+        F.col("c_custkey").alias("d_key"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.substring(name, 1, 5), F.expr("substr(c_name, 7)")),
+        )
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.concat(
+                F.substring(name, 1, 3),
+                F.substring(name, 5, 1),
+                F.substring(name, 4, 1),
+                F.expr("substr(c_name, 6)"),
+            ),
+        )
+        .otherwise(name)
+        .alias("d_name"),
+        (F.col("c_custkey") % 3).cast("int").alias("typo_class"),
+    )
+    clean = cust.select("c_custkey", "c_name", F.expr("right(c_name, 4)").alias("blk"))
+    cand = (
+        dirty.withColumn("blk", F.expr("right(d_name, 4)"))
+        .join(F.broadcast(clean), "blk")
+        .withColumn("lev", F.levenshtein("d_name", "c_name"))
+        .filter(F.col("lev") <= 2)
+    )
+    best = cand.withColumn(
+        "rn", F.row_number().over(W.partitionBy("d_key").orderBy("lev", "c_custkey"))
+    ).filter(F.col("rn") == 1)
+    return (
+        best.groupBy("typo_class")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.sum((F.col("c_custkey") == F.col("d_key")).cast("long")).alias("n_correct"),
+            F.round(F.avg("lev"), 6).alias("avg_lev"),
+        )
+        .orderBy("typo_class")
+    )

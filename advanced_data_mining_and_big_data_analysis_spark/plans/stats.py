@@ -725,3 +725,69 @@ def q147_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q149 — key-skew diagnostic report: the observability query a shuffle
+# planner (or an engineer sizing one) runs before joining/aggregating on
+# a key. All metrics are WINDOW-FREE so the diagnosis never itself
+# suffers the skew it measures: coefficient of variation and normalized
+# entropy come from moment sums over the per-key count frame
+# (H = ln T - sum(x ln x)/T, normalized by ln n_keys), max share from a
+# plain max, top-10 share from a bounded TakeOrdered. Entropy ~ 1 and
+# cv ~ 0 mean uniform keys (safe to shuffle); a viral key drives
+# max_share up and entropy down — the signal to salt or broadcast.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q149_key_skew_report",
+    oracle="""
+    WITH c AS (SELECT o_custkey AS k, COUNT(*) AS x FROM orders GROUP BY k),
+    m AS (SELECT COUNT(*) AS nk, CAST(SUM(x) AS BIGINT) AS t,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(MAX(x) AS BIGINT) AS mx,
+                 SUM(x * ln(x)) AS sxlx
+          FROM c),
+    top AS (SELECT CAST(SUM(x) AS BIGINT) AS t10
+            FROM (SELECT x FROM c ORDER BY x DESC, k LIMIT 10))
+    SELECT CAST(nk AS BIGINT) AS n_keys, t AS total_rows,
+           ROUND(mx * 1.0 / t, 6) AS max_share,
+           ROUND((SELECT t10 FROM top) * 1.0 / t, 6) AS top10_share,
+           ROUND(sqrt(sxx * 1.0 / nk - (t * 1.0 / nk) * (t * 1.0 / nk))
+                 / (t * 1.0 / nk), 6) AS cv,
+           ROUND((ln(t) - sxlx / t) / ln(nk), 6) AS norm_entropy
+    FROM m
+    """,
+    description="key-skew diagnostic for the orders-by-customer key: n_keys, max key share, top-10 share, coefficient of variation, and normalized key entropy (H = ln T - sum(x ln x)/T over ln n_keys) — every metric WINDOW-FREE from moment sums over the per-key count frame plus one bounded TakeOrdered, so the diagnosis never itself suffers the skew it measures; the pre-shuffle observability probe that decides salt vs broadcast vs plain hash join",
+)
+def q149_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(F.col("o_custkey").alias("k")).agg(F.count("*").alias("x"))
+    c = c.localCheckpoint(eager=False)  # customer-dimension-sized; two consumers
+    m = c.agg(
+        F.count("*").alias("nk"),
+        F.sum("x").cast("long").alias("t"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.max("x").cast("long").alias("mx"),
+        F.sum(F.col("x") * F.log("x")).alias("sxlx"),
+    )
+    top = (
+        c.orderBy(F.desc("x"), "k")
+        .limit(10)
+        .agg(F.sum("x").cast("long").alias("t10"))
+    )
+    mean = F.col("t") * F.lit(1.0) / F.col("nk")
+    return m.crossJoin(F.broadcast(top)).select(
+        F.col("nk").cast("long").alias("n_keys"),
+        F.col("t").alias("total_rows"),
+        F.round(F.col("mx") * F.lit(1.0) / F.col("t"), 6).alias("max_share"),
+        F.round(F.col("t10") * F.lit(1.0) / F.col("t"), 6).alias("top10_share"),
+        F.round(
+            F.sqrt(F.col("sxx") * F.lit(1.0) / F.col("nk") - mean * mean) / mean, 6
+        ).alias("cv"),
+        F.round(
+            (F.log(F.col("t").cast("double")) - F.col("sxlx") / F.col("t"))
+            / F.log(F.col("nk").cast("double")),
+            6,
+        ).alias("norm_entropy"),
+    )
