@@ -340,6 +340,88 @@ def stateful_ewma(
     )
 
 
+def stateful_ohlc(
+    events: DataFrame, key_cols: tuple[str, str] = ("event_type",), ts_col: str = "ts"
+) -> DataFrame:
+    """Streaming twin of q146's OHLC bars: per (key, day) the bar state
+    (open's (ts, event_id) + value, high, low, close's (ts, event_id) +
+    value, count) lives in the state store and each micro-batch merges
+    its rows in. Unlike a recursion, EVERY OHLC component is a
+    commutative-merge statistic — open/close keep the value attached to
+    the min/max (ts, event_id) seen so far, high/low/count are plain
+    extremes — so arrival ORDER never matters, within or across
+    batches: the stream result equals the batch aggregate under any
+    interleaving (pytest-pinned)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key = key_cols[0]
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.StringType()),
+            T.StructField("day", T.StringType()),
+            T.StructField("open", T.DoubleType()),
+            T.StructField("high", T.DoubleType()),
+            T.StructField("low", T.DoubleType()),
+            T.StructField("close", T.DoubleType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    # state: min/max ordering keys kept as (epoch_us, event_id) so the
+    # tie-break matches q146's struct(ts, event_id) exactly
+    state_schema = T.StructType(
+        [
+            T.StructField("o_us", T.LongType()),
+            T.StructField("o_id", T.LongType()),
+            T.StructField("o_v", T.DoubleType()),
+            T.StructField("c_us", T.LongType()),
+            T.StructField("c_id", T.LongType()),
+            T.StructField("c_v", T.DoubleType()),
+            T.StructField("hi", T.DoubleType()),
+            T.StructField("lo", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def update(key_tuple, pdf_iter, state: GroupState):
+        if state.exists:
+            o_us, o_id, o_v, c_us, c_id, c_v, hi, lo, n = state.get
+        else:
+            o_us = o_id = c_us = c_id = n = None
+            o_v = c_v = hi = lo = None
+        for pdf in pdf_iter:
+            for ts, eid, v in zip(pdf[ts_col], pdf["event_id"], pdf["value"]):
+                us, eid, v = int(pd.Timestamp(ts).value // 1000), int(eid), float(v)
+                if n is None:
+                    o_us, o_id, o_v = us, eid, v
+                    c_us, c_id, c_v = us, eid, v
+                    hi = lo = v
+                    n = 1
+                    continue
+                if (us, eid) < (o_us, o_id):
+                    o_us, o_id, o_v = us, eid, v
+                if (us, eid) > (c_us, c_id):
+                    c_us, c_id, c_v = us, eid, v
+                hi, lo, n = max(hi, v), min(lo, v), n + 1
+        state.update((o_us, o_id, o_v, c_us, c_id, c_v, hi, lo, n))
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                "day": [key_tuple[1]],
+                "open": [o_v],
+                "high": [hi],
+                "low": [lo],
+                "close": [c_v],
+                "n_events": [n],
+            }
+        )
+
+    keyed = events.withColumn("day", F.to_date(ts_col).cast("string"))
+    return keyed.groupBy(key, "day").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def write_foreach_batch_parquet(
     stream: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
 ):

@@ -519,3 +519,52 @@ def test_streaming_ewma_equals_batch_q125(spark, event_files, sf_dir):
     batch = all_queries()["q125_ewma_smoothing"].fn(spark, sf_dir)
     exp = {r["user_id"]: (r["n_events"], r["ewma"]) for r in batch.collect()}
     assert got == exp
+
+
+def test_streaming_ohlc_equals_batch_q146(spark, event_files, sf_dir):
+    """The stateful OHLC bars must equal batch q146 over the same files.
+    OHLC state is a commutative merge (order-free), so this holds under
+    ANY row interleaving — no within-batch sort needed."""
+    from advanced_data_mining_and_big_data_analysis_spark.plans import all_queries
+
+    schema = SCHEMAS["events"]
+    src = ST.stream_from_directory(spark, f"{event_files}/events", schema)
+    stream = ST.stateful_ohlc(src)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ohlc_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    latest = (
+        spark.table("ohlc_stream")
+        .groupBy("event_type", "day")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("open", "n_events").alias("open"),
+            F.max_by("high", "n_events").alias("high"),
+            F.max_by("low", "n_events").alias("low"),
+            F.max_by("close", "n_events").alias("close"),
+        )
+        .filter(F.col("n_events") >= 5)
+    )
+    got = sorted(
+        (
+            r["event_type"],
+            r["day"],
+            round(r["open"], 6),
+            round(r["high"], 6),
+            round(r["low"], 6),
+            round(r["close"], 6),
+            r["n_events"],
+        )
+        for r in latest.collect()
+    )
+    batch = all_queries()["q146_ohlc_bars"].fn(spark, sf_dir)
+    exp = sorted(
+        (r["event_type"], r["day"], r["open"], r["high"], r["low"], r["close"], r["n_events"])
+        for r in batch.collect()
+    )
+    assert got == exp
