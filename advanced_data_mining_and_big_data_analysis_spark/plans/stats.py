@@ -791,3 +791,78 @@ def q149_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("norm_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q150 — sliding-window distinct via HLL sketch MERGE: the sketch-based
+# scale path for q147's exact WAU. Per-(event_type, day) HLL sketches
+# of the user set are built in ONE scan of the fact table; every
+# trailing-7-day estimate is then a UNION of 7 tiny per-day sketches —
+# per-day state is O(2^lgK) bytes regardless of corpus size, and no
+# window ever re-scans the data (the q117 merge principle applied to
+# sliding windows). Exact WAU rides along (q147's rewrite) to pin the
+# documented HLL error bound as an oracle-expected TRUE boolean.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q150_sliding_hll_wau",
+    oracle=f"""
+    WITH ad AS (SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS day FROM events),
+    days AS (SELECT DISTINCT event_type, day FROM ad),
+    contrib AS (
+      SELECT DISTINCT ad.event_type, ad.user_id, ad.day + CAST(o.i AS INTEGER) AS wend
+      FROM ad, range(0, {_SD_WIN}) o(i)),
+    wins AS (
+      SELECT c.event_type, c.wend, COUNT(DISTINCT c.user_id) AS wau_exact
+      FROM contrib c JOIN days d ON d.event_type = c.event_type AND d.day = c.wend
+      GROUP BY c.event_type, c.wend)
+    SELECT event_type, CAST(wend AS VARCHAR) AS day,
+           CAST(wau_exact AS BIGINT) AS wau_exact,
+           TRUE AS within_rel_err
+    FROM wins ORDER BY event_type, day
+    """,
+    description="sliding-window distinct users via HLL sketch MERGE — the sketch-based scale path for q147: per-(event_type, day) DataSketches HLL sketches of the user set built in ONE fact scan, each trailing-7-day WAU = hll_union_agg of 7 per-day sketches (per-day state is KB-sized regardless of corpus size; no window re-scans the data — the q117 merge principle applied to sliding windows); exact WAU rides along via the q147 rewrite and the 5% (~3 sigma at lgK=12) HLL error bound is pinned as an oracle-expected TRUE boolean",
+)
+def q150_sliding_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ad = ev.select("event_type", "user_id", F.to_date("ts").alias("day")).distinct()
+    ad = ad.localCheckpoint(eager=False)  # feeds sketches, exact path, and days
+    days = ad.select("event_type", "day").distinct()
+    offsets = spark.range(_SD_WIN).select(F.col("id").cast("int").alias("i"))
+
+    # per-day sketches: ONE scan; the frame below is calendar-sized
+    daily_sk = ad.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    # trailing window = union of <= 7 per-day sketches (explode the tiny
+    # sketch frame into the window-ends each day contributes to)
+    est = (
+        daily_sk.crossJoin(F.broadcast(offsets))
+        .select("event_type", F.date_add("day", F.col("i")).alias("wend"), "sk")
+        .join(days.select("event_type", F.col("day").alias("wend")), ["event_type", "wend"])
+        .groupBy("event_type", "wend")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_est"))
+    )
+    # exact side (q147's explode-dedupe-count rewrite) for the bound check
+    exact = (
+        ad.crossJoin(F.broadcast(offsets))
+        .select("event_type", "user_id", F.date_add("day", F.col("i")).alias("wend"))
+        .distinct()
+        .join(days.select("event_type", F.col("day").alias("wend")), ["event_type", "wend"])
+        .groupBy("event_type", "wend")
+        .agg(F.count("*").alias("wau_exact"))
+    )
+    return (
+        exact.join(est, ["event_type", "wend"])
+        .select(
+            "event_type",
+            F.col("wend").cast("string").alias("day"),
+            "wau_exact",
+            (
+                F.abs(F.col("wau_est") - F.col("wau_exact")) / F.col("wau_exact")
+                <= F.lit(0.05)
+            ).alias("within_rel_err"),
+        )
+        .orderBy("event_type", "day")
+    )
