@@ -866,3 +866,86 @@ def q150_sliding_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q151 — declarative data-validation pass (expectations report): the
+# Great-Expectations-shaped audit every ingest runs, as ONE aggregate
+# scan. Row-level rules (not-null, range, set-membership, regex shape)
+# become conditional counts in a single groupBy-free aggregate;
+# the table-level uniqueness rule is COUNT - COUNT(DISTINCT) on its
+# key. Output is the (rule, n_violations, pass) contract table a data
+# firewall gates on — violations are COUNTED, never silently dropped.
+# ---------------------------------------------------------------------------
+
+_VAL_STATUSES = ["F", "O", "P"]
+
+
+@query(
+    "q151_validation_report",
+    oracle=f"""
+    WITH m AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_key_null,
+             COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v_key_dup,
+             SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_price,
+             SUM(CASE WHEN o_orderstatus NOT IN ({", ".join(f"'{s}'" for s in _VAL_STATUSES)})
+                      THEN 1 ELSE 0 END) AS v_status,
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                       OR o_orderdate >= TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS v_date,
+             SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$')
+                      THEN 1 ELSE 0 END) AS v_prio
+      FROM orders)
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS pass
+    FROM (
+      SELECT 'orderdate_in_range' AS rule, v_date AS n_violations FROM m
+      UNION ALL SELECT 'orderkey_not_null', v_key_null FROM m
+      UNION ALL SELECT 'orderkey_unique', v_key_dup FROM m
+      UNION ALL SELECT 'priority_shape', v_prio FROM m
+      UNION ALL SELECT 'status_in_set', v_status FROM m
+      UNION ALL SELECT 'totalprice_positive', v_price FROM m)
+    ORDER BY rule
+    """,
+    description="declarative data-validation pass (expectations report): six ingest-gate rules — not-null key, key uniqueness (COUNT - COUNT DISTINCT), positive price, status set-membership, date range, priority regex shape — evaluated as conditional counts in ONE aggregate scan plus the key-distinct aggregate, unpivoted to the (rule, n_violations, pass) contract table a data firewall gates on; violations are counted, never silently dropped",
+)
+def q151_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.agg(
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("v_key_null"),
+        (F.count("o_orderkey") - F.countDistinct("o_orderkey")).alias("v_key_dup"),
+        F.sum(
+            (F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)).cast("long")
+        ).alias("v_price"),
+        F.sum((~F.col("o_orderstatus").isin(*_VAL_STATUSES)).cast("long")).alias("v_status"),
+        F.sum(
+            (
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+            ).cast("long")
+        ).alias("v_date"),
+        F.sum(
+            (~F.col("o_orderpriority").rlike("^[1-5]-[A-Z]+$")).cast("long")
+        ).alias("v_prio"),
+    )
+    rules = [
+        ("orderdate_in_range", "v_date"),
+        ("orderkey_not_null", "v_key_null"),
+        ("orderkey_unique", "v_key_dup"),
+        ("priority_shape", "v_prio"),
+        ("status_in_set", "v_status"),
+        ("totalprice_positive", "v_price"),
+    ]
+    unpivoted = m.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("rule"), F.col(c).cast("long").alias("n_violations")
+                    )
+                    for r, c in rules
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.rule", "kv.n_violations", (F.col("kv.n_violations") == 0).alias("pass"))
+    return unpivoted.orderBy("rule")

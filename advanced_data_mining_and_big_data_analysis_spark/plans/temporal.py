@@ -118,3 +118,103 @@ def q98_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+# ---------------------------------------------------------------------------
+# q152 — SCD Type-2 history build from the q97 change feed: where q97
+# APPLIES changes (latest-wins current state), q152 MATERIALIZES the
+# full validity history — every non-delete version gets
+# [eff_from, eff_to) bounds via LEAD over the per-key change sequence,
+# a version is CURRENT iff nothing (update or tombstone) supersedes it.
+# One window over (key, seq) — the warehouse dimension-history pattern
+# (Kimball SCD2) on plain DataFrames. The report pins version counts,
+# current/closed splits, and the exact-decimal sum of current prices
+# per status, so a wrong LEAD frame, a tombstone that fails to close
+# history, or an insert misversioned as an update all flip the hash.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q152_scd2_history",
+    oracle=f"""
+    WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp
+                  FROM orders),
+    ch AS (
+      SELECT k, 'I' AS op, 0 AS seq, st, tp FROM base
+      UNION ALL SELECT k, 'U', 1, st, tp * 1.1 FROM base WHERE k % 10 = 0
+      UNION ALL SELECT k, 'U', 2, st, tp * 1.2 FROM base WHERE k % 30 = 0
+      UNION ALL SELECT k, 'D', 3, NULL, NULL FROM base WHERE k % 17 = 3
+      UNION ALL SELECT k + {_INS_OFFSET}, 'I', 1, 'N', 999.99 FROM base WHERE k % 23 = 5),
+    v AS (
+      SELECT k, op, seq, st, tp,
+             LEAD(seq) OVER (PARTITION BY k ORDER BY seq) AS eff_to
+      FROM ch),
+    hist AS (SELECT * FROM v WHERE op <> 'D')
+    SELECT st AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(SUM(CASE WHEN eff_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+           CAST(SUM(CASE WHEN eff_to IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+           ROUND(SUM(CASE WHEN eff_to IS NULL
+                          THEN CAST(tp AS DECIMAL(18,4)) ELSE 0 END), 2) AS current_price_sum
+    FROM hist GROUP BY st ORDER BY o_orderstatus
+    """,
+    description="SCD Type-2 dimension history build (Kimball pattern) from a conflicting I/U/D change feed: every non-delete version gets [eff_from, eff_to) validity via LEAD over the per-key sequence, tombstones close history without creating versions, current = unsuperseded; per-status version/current/closed counts plus the exact-DECIMAL sum of current prices — the materialized-history complement to q97's latest-wins apply; one key-partitioned window, shuffle only on the key",
+)
+def q152_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    k = F.col("k")
+    ch = (
+        base.select("k", F.lit("I").alias("op"), F.lit(0).alias("seq"), "st", "tp")
+        .unionByName(
+            base.filter(k % 10 == 0).select(
+                "k", F.lit("U").alias("op"), F.lit(1).alias("seq"), "st",
+                (F.col("tp") * 1.1).alias("tp"),
+            )
+        )
+        .unionByName(
+            base.filter(k % 30 == 0).select(
+                "k", F.lit("U").alias("op"), F.lit(2).alias("seq"), "st",
+                (F.col("tp") * 1.2).alias("tp"),
+            )
+        )
+        .unionByName(
+            base.filter(k % 17 == 3).select(
+                "k", F.lit("D").alias("op"), F.lit(3).alias("seq"),
+                F.lit(None).cast("string").alias("st"),
+                F.lit(None).cast("double").alias("tp"),
+            )
+        )
+        .unionByName(
+            base.filter(k % 23 == 5).select(
+                (k + _INS_OFFSET).alias("k"), F.lit("I").alias("op"),
+                F.lit(1).alias("seq"), F.lit("N").alias("st"),
+                F.lit(999.99).alias("tp"),
+            )
+        )
+    )
+    v = ch.withColumn("eff_to", F.lead("seq").over(W.partitionBy("k").orderBy("seq")))
+    hist = v.filter(F.col("op") != "D")
+    return (
+        hist.groupBy(F.col("st").alias("o_orderstatus"))
+        .agg(
+            F.count("*").alias("n_versions"),
+            F.sum(F.col("eff_to").isNull().cast("long")).alias("n_current"),
+            F.sum(F.col("eff_to").isNotNull().cast("long")).alias("n_closed"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("eff_to").isNull(), F.col("tp").cast("decimal(18,4)")
+                    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+                ),
+                2,
+            ).alias("current_price_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
