@@ -609,3 +609,85 @@ def q148_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("typo_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# q153 — hierarchical rollup (the recursive-CTE workload): a synthetic
+# customer hierarchy (parent = k // 10, a forest of depth <= 4 over
+# the real customer keys) is traversed to find every node's ROOT and
+# DEPTH, then order spend rolls up per root subtree. Spark has no
+# recursive CTE — the traversal is a FIXED-DEPTH iterative broadcast
+# self-join over the edge dimension (the standard Spark hierarchy
+# pattern; depth is bounded by construction so the unrolled plan is
+# exact, and each iteration is dimension-sized). The DuckDB oracle uses
+# a real WITH RECURSIVE, so the hash proves the unrolled iteration
+# reproduces true recursive semantics.
+# ---------------------------------------------------------------------------
+
+_HIER_DEPTH = 4  # covers custkey < 100,000 (sf0.1 tops out at ~15k); bump per decade
+
+
+@query(
+    "q153_hierarchy_rollup",
+    oracle="""
+    WITH RECURSIVE nodes AS (SELECT DISTINCT c_custkey AS k FROM customer),
+    edges AS (SELECT k, k // 10 AS parent FROM nodes WHERE k >= 10),
+    roots AS (SELECT k FROM nodes WHERE k < 10),
+    walk AS (
+      SELECT k, k AS root, 0 AS depth FROM roots
+      UNION ALL
+      SELECT e.k, w.root, w.depth + 1
+      FROM edges e JOIN walk w ON e.parent = w.k),
+    spend AS (SELECT o_custkey AS k, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+              FROM orders GROUP BY o_custkey),
+    rolled AS (
+      SELECT w.root, COUNT(*) AS n_nodes, MAX(w.depth) AS max_depth,
+             ROUND(SUM(COALESCE(sp, 0)), 2) AS subtree_spend
+      FROM walk w LEFT JOIN spend s ON s.k = w.k
+      GROUP BY w.root)
+    SELECT CAST(root AS BIGINT) AS root, CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(max_depth AS BIGINT) AS max_depth, subtree_spend
+    FROM rolled ORDER BY root
+    """,
+    description="hierarchical rollup — the recursive-CTE workload on an engine without recursive CTEs: a synthetic depth-<=4 customer forest (parent = key div 10 over the real keys) traversed by fixed-depth iterative broadcast self-joins over the dimension-sized edge frame (the standard Spark hierarchy unroll; depth bounded by construction so the unrolled plan is exact), then per-root subtree spend in exact DECIMAL; the DuckDB oracle runs a true WITH RECURSIVE, so the hash match proves the unrolled iteration reproduces genuine recursive semantics",
+)
+def q153_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nodes = cust.select(F.col("c_custkey").alias("k")).distinct()
+    # the edge frame is customer-dimension-sized; checkpoint once for the
+    # unrolled iterations instead of re-deriving per level
+    edges = (
+        nodes.filter(F.col("k") >= 10)
+        .select("k", (F.col("k") / 10).cast("long").alias("parent"))
+        .localCheckpoint(eager=False)
+    )
+    walk = nodes.filter(F.col("k") < 10).select(
+        "k", F.col("k").alias("root"), F.lit(0).alias("depth")
+    )
+    frontier = walk
+    for _ in range(_HIER_DEPTH):
+        frontier = (
+            edges.join(
+                F.broadcast(frontier.select(F.col("k").alias("parent"), "root", "depth")),
+                "parent",
+            )
+            .select("k", "root", (F.col("depth") + 1).alias("depth"))
+        )
+        walk = walk.unionByName(frontier)
+    spend = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sp")
+    )
+    return (
+        walk.join(spend, "k", "left")
+        .groupBy("root")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.max("depth").cast("long").alias("max_depth"),
+            F.round(F.sum(F.coalesce(F.col("sp"), F.lit(0).cast("decimal(18,2)"))), 2).alias(
+                "subtree_spend"
+            ),
+        )
+        .select(F.col("root").cast("long").alias("root"), "n_nodes", "max_depth", "subtree_spend")
+        .orderBy("root")
+    )

@@ -949,3 +949,81 @@ def q151_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kv")
     ).select("kv.rule", "kv.n_violations", (F.col("kv.n_violations") == 0).alias("pass"))
     return unpivoted.orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# q154 — interval overlap via sweep line: each event opens a 30-minute
+# activity interval [ts, ts+30min); per event_type, the maximum number
+# of concurrently-open intervals and the time it first occurs. The
+# sweep is the classic +1/-1 rewrite: explode each interval into a
+# (+1 at start, -1 at end) delta stream, running-sum it ordered by
+# (time, delta, event_id) — ends sort BEFORE starts at the same instant
+# (delta -1 < +1), the half-open convention, and event_id makes the
+# order total so both engines walk an identical sequence. One window
+# per event_type over 2N rows; no interval self-join (which would be
+# quadratic in the overlap degree).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q154_max_concurrency",
+    oracle="""
+    WITH iv AS (SELECT event_type, event_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+                FROM events),
+    deltas AS (
+      SELECT event_type, s AS t, 1 AS delta, event_id FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS delta, event_id FROM iv),
+    sweep AS (
+      SELECT event_type, t, delta,
+             SUM(delta) OVER (PARTITION BY event_type
+                              ORDER BY t, delta, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+      FROM deltas),
+    mx AS (SELECT event_type, MAX(open) AS max_open FROM sweep GROUP BY event_type),
+    at AS (SELECT s.event_type, MIN(s.t) AS first_peak
+           FROM sweep s JOIN mx ON mx.event_type = s.event_type AND s.open = mx.max_open
+           GROUP BY s.event_type)
+    SELECT mx.event_type, CAST(mx.max_open AS BIGINT) AS max_concurrent,
+           CAST(at.first_peak AS VARCHAR) AS first_peak_ts
+    FROM mx JOIN at ON at.event_type = mx.event_type
+    ORDER BY mx.event_type
+    """,
+    description="maximum interval overlap via the sweep line: each event's 30-minute activity interval becomes (+1 at start, -1 at end) deltas, a running sum ordered by (time, delta, event_id) walks both engines through an identical total order (ends before starts at the same instant = half-open semantics), max concurrent + first time it occurs per event_type — one partitioned window over 2N delta rows, never an interval self-join (quadratic in overlap degree)",
+)
+def q154_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type", "event_id", F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    deltas = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionByName(
+        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("delta"), "event_id")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sweep = deltas.withColumn("open", F.sum("delta").over(w))
+    sweep = sweep.localCheckpoint(eager=False)  # consumed by max + argmin branches
+    mx = sweep.groupBy("event_type").agg(F.max("open").alias("max_open"))
+    at = (
+        sweep.join(F.broadcast(mx), "event_type")
+        .filter(F.col("open") == F.col("max_open"))
+        .groupBy("event_type")
+        .agg(F.min("t").alias("first_peak"))
+    )
+    return (
+        mx.join(at, "event_type")
+        .select(
+            "event_type",
+            F.col("max_open").cast("long").alias("max_concurrent"),
+            F.col("first_peak").cast("string").alias("first_peak_ts"),
+        )
+        .orderBy("event_type")
+    )
