@@ -1230,3 +1230,144 @@ def q135_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q155 — classifier score calibration table (reliability diagram):
+# q122's per-doc scores bucketed into deciles, each decile reporting
+# its mean score vs the empirical keep base-rate proxy (fraction of
+# docs whose score clears the 0.5 gate) plus the population share.
+# The ML-eval table every scored-corpus pipeline publishes next to its
+# keep decisions; one scan (the q122 fold) + one decile aggregate.
+# Decile edges are exact arithmetic on the dyadic-safe scores, so
+# bucket membership cannot flip between engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q155_score_calibration",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    w AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    h AS (SELECT doc_id,
+                 CAST(CONCAT('0x', substr(md5(token), 1, 4)) AS BIGINT) % 1024 AS bucket
+          FROM w),
+    wt AS (SELECT CAST(range AS BIGINT) AS bucket, ((range % 41) - 20) / 16.0 AS wgt
+           FROM range(1024)),
+    p AS (SELECT doc_id, SUM(wgt) AS s, COUNT(*) AS n
+          FROM h JOIN wt USING (bucket) GROUP BY doc_id),
+    sc AS (
+      SELECT 1.0 / (1.0 + exp(-(s / n))) AS score FROM p
+      UNION ALL
+      SELECT 0.5 AS score FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.doc_id = d.doc_id)),
+    b AS (SELECT LEAST(CAST(floor(score * 10) AS INTEGER), 9) AS decile, score FROM sc)
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(score), 6) AS mean_score,
+           ROUND(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS kept_frac,
+           ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM sc), 6) AS pop_share
+    FROM b GROUP BY decile ORDER BY decile
+    """,
+    description="classifier score calibration table (reliability diagram) over q122's fold-computed scores: decile buckets (exact floor(score*10) edges on dyadic-safe scores, so membership cannot flip between engines) reporting count, mean score, fraction clearing the 0.5 keep gate, and population share — the ML-eval table a scored-corpus pipeline publishes next to its keep decisions; one corpus scan plus a 10-row aggregate",
+)
+def q155_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def wgt(tok: Column) -> Column:
+        bucket = (
+            F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("long") % _CLS_BUCKETS
+        )
+        return ((bucket % 41) - 20) / 16.0
+
+    from ..operators import text as X
+
+    toks_arr = X.tokens("text")
+    s = F.aggregate(toks_arr, F.lit(0.0), lambda acc, t: acc + wgt(t))
+    n = F.size(toks_arr)
+    score = F.when(
+        n > 0, F.lit(1.0) / (F.lit(1.0) + F.exp(-(s / n)))
+    ).otherwise(F.lit(0.5))
+    sc = docs.select(score.alias("score"))
+    total = sc.agg(F.count("*").alias("tot"))
+    b = sc.select(
+        F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9)).alias("decile"),
+        "score",
+    )
+    return (
+        b.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+            F.round(
+                F.sum((F.col("score") >= 0.5).cast("long")) * F.lit(1.0) / F.count("*"), 6
+            ).alias("kept_frac"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_docs",
+            "mean_score",
+            "kept_frac",
+            F.round(F.col("n_docs") * F.lit(1.0) / F.col("tot"), 6).alias("pop_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q156 — sketch-based join-size estimation (CMS inner product): the
+# optimizer-statistics companion to q149's skew report. |A join B| on a
+# key equals sum_k fA(k)*fB(k); with CMS tables of both sides the
+# estimate is min over hash rows of the bucketwise count dot product —
+# a width*depth-sized computation no matter how large the inputs, and
+# it NEVER underestimates (hash collisions only add mass). Exact join
+# size rides along to pin the guarantee; both sketches reuse q119's
+# cms_table (one scan per side, merge-friendly counts).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q156_join_size_estimate",
+    oracle=f"""
+    WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+    b AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+    exact AS (SELECT COUNT(*) AS n FROM a JOIN b USING (k))
+    SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_left,
+           CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_right,
+           CAST((SELECT n FROM exact) AS BIGINT) AS exact_join_size,
+           TRUE AS never_underestimates
+    """,
+    description="sketch-based join cardinality estimation (CMS inner product): |A join B| = sum_k fA(k)*fB(k), estimated as the min over hash rows of the bucketwise dot product of the two sides' count-min tables (width*depth work regardless of input size, reusing q119's cms_table); the estimate provably never underestimates (collisions only add mass) — pinned against the exact join size as an oracle-expected TRUE boolean; the sketch statistics a distributed optimizer consults before choosing a join strategy, companion to q149's skew probe",
+)
+def q156_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    sk_a = cms_table(a, "k", []).withColumnRenamed("cnt", "ca")
+    sk_b = cms_table(b, "k", []).withColumnRenamed("cnt", "cb")
+    est = (
+        sk_a.join(sk_b, ["depth", "bucket"])
+        .groupBy("depth")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+        .agg(F.min("dot").alias("est"))
+    )
+    na = a.agg(F.count("*").alias("n_left"))
+    nb = b.agg(F.count("*").alias("n_right"))
+    exact = a.join(b, "k").agg(F.count("*").alias("exact_join_size"))
+    return (
+        na.crossJoin(nb)
+        .crossJoin(exact)
+        .crossJoin(F.broadcast(est))
+        .select(
+            "n_left",
+            "n_right",
+            "exact_join_size",
+            (F.col("est") >= F.col("exact_join_size")).alias("never_underestimates"),
+        )
+    )
