@@ -248,3 +248,69 @@ def q104_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+# ---------------------------------------------------------------------------
+# q157 — session path mining: the clickstream-path analysis q60/q127
+# stop short of. Sessions (same 30-minute gap rule as q60) are reduced
+# to their first-3-event-type PATH STRING (the canonical entry-path
+# signature), then paths are ranked by frequency. Per-session state is
+# an ordered fold of that session's own rows (array_sort + slice —
+# bounded by the session, never the user history), the path table is
+# path-cardinality-sized, and the top-k is a bounded TakeOrdered.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q157_session_paths",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM e),
+    p AS (
+      SELECT user_id, sid,
+             array_to_string(list_slice(list(event_type ORDER BY ts, event_id), 1, 3),
+                             ' > ') AS path,
+             COUNT(*) AS n_events
+      FROM s GROUP BY user_id, sid)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(AVG(n_events), 6) AS avg_session_events
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 15
+    """,
+    description="session path mining (clickstream entry-path analysis): sessions via the q60 30-minute gap rule, each reduced to its first-3-event-type path string by an ordered fold over the session's OWN rows (array_sort(collect_list(struct)) + slice — state bounded by the session, never the user history), paths ranked by frequency with average session length — top-15 via bounded TakeOrdered; the path table is path-cardinality-sized after a map-side-combined aggregate",
+)
+def q157_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(prev.isNull() | _gap_exceeded(F.col("ts"), prev), 1).otherwise(0)
+    s = ev.withColumn(
+        "sid",
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("long"),
+    )
+    per = s.groupBy("user_id", "sid").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("a"),
+        F.count("*").alias("n_events"),
+    )
+    path = F.array_join(
+        F.slice(F.transform(F.col("a"), lambda x: x["event_type"]), 1, 3), " > "
+    )
+    return (
+        per.select(path.alias("path"), "n_events")
+        .groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.avg("n_events"), 6).alias("avg_session_events"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(15)
+    )

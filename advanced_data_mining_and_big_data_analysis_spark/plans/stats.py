@@ -891,9 +891,9 @@ _VAL_STATUSES = ["F", "O", "P"]
              SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_price,
              SUM(CASE WHEN o_orderstatus NOT IN ({", ".join(f"'{s}'" for s in _VAL_STATUSES)})
                       THEN 1 ELSE 0 END) AS v_status,
-             SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
-                       OR o_orderdate >= TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS v_date,
-             SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$')
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                       OR o_orderdate >= TIMESTAMP '2002-01-01' THEN 1 ELSE 0 END) AS v_date,
+             SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
                       THEN 1 ELSE 0 END) AS v_prio
       FROM orders)
     SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
@@ -920,12 +920,12 @@ def q151_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~F.col("o_orderstatus").isin(*_VAL_STATUSES)).cast("long")).alias("v_status"),
         F.sum(
             (
-                (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
-                | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+                (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2002-01-01").cast("timestamp"))
             ).cast("long")
         ).alias("v_date"),
         F.sum(
-            (~F.col("o_orderpriority").rlike("^[1-5]-[A-Z]+$")).cast("long")
+            (~F.col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$")).cast("long")
         ).alias("v_prio"),
     )
     rules = [
@@ -1026,4 +1026,54 @@ def q154_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("first_peak").cast("string").alias("first_peak_ts"),
         )
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q158 — equal-frequency (quantile) binning: the complement of q24's
+# equal-width histogram and the binning rule feature pipelines actually
+# prefer (each bin carries equal mass, so downstream models see a
+# uniform code distribution). Scale-correct form: decile EDGES from one
+# exact-percentile aggregate (interpolation parity with DuckDB's
+# quantile_cont is pinned by q65), broadcast back, membership = count
+# of edges <= x — NEVER ntile over the whole fact table, which would
+# funnel every row through one unpartitioned window.
+# ---------------------------------------------------------------------------
+
+_QB_QS = [i / 10 for i in range(1, 10)]
+
+
+@query(
+    "q158_equal_freq_bins",
+    oracle=f"""
+    WITH q AS (SELECT quantile_cont(o_totalprice, [{", ".join(str(q) for q in _QB_QS)}]) AS qs
+               FROM orders),
+    b AS (SELECT o_totalprice AS x,
+                 len(list_filter((SELECT qs FROM q), e -> e <= o_totalprice)) AS bin
+          FROM orders)
+    SELECT CAST(bin AS INTEGER) AS bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(x), 2) AS bin_min, ROUND(MAX(x), 2) AS bin_max
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+    description="equal-frequency (decile) binning of order totals: exact interpolated decile edges from ONE percentile aggregate (cross-engine interpolation parity pinned since q65), broadcast back to the fact, bin = count of edges <= x — the scale-correct rule (never ntile over the whole fact table, which funnels every row through one unpartitioned window); per-bin count and value range exposed for the feature-pipeline code map",
+)
+def q158_equal_freq_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    edges = orders.agg(
+        F.expr(
+            f"percentile(o_totalprice, array({', '.join(str(q) for q in _QB_QS)}))"
+        ).alias("qs")
+    )
+    binned = orders.crossJoin(F.broadcast(edges)).select(
+        F.col("o_totalprice").alias("x"),
+        F.size(F.filter(F.col("qs"), lambda e: e <= F.col("o_totalprice"))).alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("x"), 2).alias("bin_min"),
+            F.round(F.max("x"), 2).alias("bin_max"),
+        )
+        .orderBy("bin")
     )
