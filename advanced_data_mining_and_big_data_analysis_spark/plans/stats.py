@@ -1077,3 +1077,139 @@ def q158_equal_freq_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q159 — grouped seasonal-naive backtest: the distributed forecasting
+# evaluation loop (the reference notebook's SMAPE validation, kaggle.py
+# 497-523, as a pure query over every series at once). Forecast for
+# (event_type, day) = actual at day-7 (the seasonal-naive baseline
+# every forecasting benchmark starts from); SMAPE per series over the
+# evaluation tail. One calendar-sized rollup, one self-join on the
+# date shift, one aggregate — backtesting N series costs the same
+# single pass whether N is five or five million.
+# ---------------------------------------------------------------------------
+
+_SN_LAG_DAYS = 7
+
+
+@query(
+    "q159_seasonal_naive_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+      FROM events GROUP BY event_type, day),
+    j AS (
+      SELECT a.event_type, a.day, a.v AS actual, b.v AS forecast
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day = a.day - {_SN_LAG_DAYS}),
+    s AS (
+      SELECT event_type,
+             CASE WHEN ABS(CAST(actual AS DOUBLE)) + ABS(CAST(forecast AS DOUBLE)) = 0 THEN 0.0
+                  ELSE ABS(CAST(actual AS DOUBLE) - CAST(forecast AS DOUBLE))
+                       / ((ABS(CAST(actual AS DOUBLE)) + ABS(CAST(forecast AS DOUBLE))) / 200.0)
+             END AS sm
+      FROM j)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(sm), 6) AS smape
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    description="grouped seasonal-naive backtest — the reference's SMAPE validation loop (kaggle.py:497-523) as one distributed query over every series at once: forecast(day) = actual(day-7), 0-safe SMAPE per event_type; one calendar-sized DECIMAL rollup + one date-shift self-join + one aggregate, so backtesting five or five million series is the same single pass; the baseline every forecasting benchmark measures models against",
+)
+def q159_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("v")
+        )
+        .localCheckpoint(eager=False)  # both sides of the date-shift join
+    )
+    b = daily.select(
+        F.col("event_type").alias("bt"), F.col("day").alias("bday"), F.col("v").alias("f")
+    )
+    j = daily.join(
+        b,
+        (F.col("event_type") == F.col("bt"))
+        & (F.col("bday") == F.date_sub(F.col("day"), _SN_LAG_DAYS)),
+    ).select("event_type", F.col("v").cast("double").alias("a"), F.col("f").cast("double").alias("f"))
+    denom = (F.abs(F.col("a")) + F.abs(F.col("f"))) / 200.0
+    sm = F.when(F.abs(F.col("a")) + F.abs(F.col("f")) == 0, F.lit(0.0)).otherwise(
+        F.abs(F.col("a") - F.col("f")) / denom
+    )
+    return (
+        j.select("event_type", sm.alias("sm"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_days"), F.round(F.avg("sm"), 6).alias("smape"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q160 — grouped robust outliers via MAD (median absolute deviation):
+# the robust twin of q135's mean/stddev anomaly rule — median and MAD
+# shrug off the very outliers they hunt. Two exact grouped percentile
+# passes over the calendar-sized daily frame (median of x, then median
+# of |x - median|), flag |x - med| > 3 * 1.4826 * MAD (the normal-
+# consistent scale). Exact percentile interpolation parity with
+# quantile_cont is pinned since q65.
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3 * 1.4826
+
+
+@query(
+    "q160_mad_outliers",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+      FROM events GROUP BY event_type, day),
+    med AS (SELECT event_type, quantile_cont(CAST(x AS DOUBLE), 0.5) AS med
+            FROM daily GROUP BY event_type),
+    dev AS (SELECT d.event_type, d.day, CAST(d.x AS DOUBLE) AS x, m.med,
+                   ABS(CAST(d.x AS DOUBLE) - m.med) AS ad
+            FROM daily d JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY event_type)
+    SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(ANY_VALUE(d.med), 6) AS median_count,
+           ROUND(ANY_VALUE(m.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN d.ad > {_MAD_K} * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+    description="grouped robust outlier detection via MAD: per-event-type exact median of daily counts, then exact median of absolute deviations (two grouped percentile passes over the calendar-sized frame; interpolation parity pinned since q65), flag days beyond 3 x 1.4826 x MAD — the robust twin of q135's mean/sigma rule, immune to the outliers it hunts because median and MAD have 50% breakdown points",
+)
+def q160_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("x"))
+        .localCheckpoint(eager=False)  # median pass + deviation pass
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(CAST(x AS DOUBLE), 0.5)").alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day",
+        F.col("x").cast("double").alias("x"),
+        "med",
+        F.abs(F.col("x").cast("double") - F.col("med")).alias("ad"),
+    )
+    dev = dev.localCheckpoint(eager=False)  # mad pass + flag pass
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(F.any_value("med"), 6).alias("median_count"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.sum((F.col("ad") > _MAD_K * F.col("mad")).cast("long")).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
