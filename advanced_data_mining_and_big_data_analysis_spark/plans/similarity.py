@@ -581,3 +581,66 @@ def q118_batch_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rank", "vec_id", (F.round("cos_sim", 6) + 0.0).alias("cos_sim"))
         .orderBy("qid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q161 — embedding drift monitor: per-label centroid vs the global
+# centroid, reported as cosine similarity and L2 distance — the
+# embedding-space observability check a training pipeline runs per
+# ingest batch (a label/source whose centroid wanders signals
+# distribution shift before any model metric does). Centroids are
+# per-dimension averages from ONE posexplode pass (dim-keyed partial
+# aggregates, map-side combined); the label-x-dim and 1-x-dim centroid
+# frames are tiny, so the comparison is broadcast arithmetic. Decision
+# quantities are 9-dp rounded on both engines before the 6-dp output
+# round (the q114 float-tie rule).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q161_embedding_drift",
+    oracle=f"""
+    WITH x AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (SELECT label, r.dim, v[r.dim] AS c
+          FROM x CROSS JOIN range(1, {_DIMS + 1}) r(dim)),
+    lc AS (SELECT label, dim, AVG(c) AS lv, COUNT(*) AS n FROM d GROUP BY label, dim),
+    gc AS (SELECT dim, SUM(lv * n) / SUM(n) AS gv FROM lc GROUP BY dim),
+    j AS (SELECT lc.label, lc.lv, gc.gv FROM lc JOIN gc USING (dim)),
+    m AS (SELECT label,
+                 SUM(lv * gv) AS dot, SUM(lv * lv) AS nl, SUM(gv * gv) AS ng,
+                 SUM((lv - gv) * (lv - gv)) AS d2
+          FROM j GROUP BY label)
+    SELECT label,
+           ROUND(ROUND(dot / (sqrt(nl) * sqrt(ng)), 9), 6) AS centroid_cos,
+           ROUND(ROUND(sqrt(d2), 9), 6) AS centroid_l2
+    FROM m ORDER BY label
+    """,
+    description="embedding drift monitor: per-label centroids vs the global centroid (cosine + L2) — the embedding-space distribution-shift probe a training pipeline runs per ingest batch; centroids from ONE posexplode pass with dim-keyed map-side-combined averages, global centroid = count-weighted merge of the label centroids (no second corpus pass), comparison is broadcast arithmetic over label-x-dim frames; 9-dp pre-round on decision quantities (q114 float-tie rule)",
+)
+def q161_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select("label", SIM.as_double("embedding").alias("v"))
+    d = x.select(
+        "label", F.posexplode("v").alias("dim0", "c")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "c")
+    lc = d.groupBy("label", "dim").agg(
+        F.avg("c").alias("lv"), F.count("*").alias("n")
+    )
+    lc = lc.localCheckpoint(eager=False)  # feeds the global merge and the compare
+    gc = lc.groupBy("dim").agg(
+        (F.sum(F.col("lv") * F.col("n")) / F.sum("n")).alias("gv")
+    )
+    j = lc.join(F.broadcast(gc), "dim")
+    m = j.groupBy("label").agg(
+        F.sum(F.col("lv") * F.col("gv")).alias("dot"),
+        F.sum(F.col("lv") * F.col("lv")).alias("nl"),
+        F.sum(F.col("gv") * F.col("gv")).alias("ng"),
+        F.sum((F.col("lv") - F.col("gv")) * (F.col("lv") - F.col("gv"))).alias("d2"),
+    )
+    return m.select(
+        "label",
+        F.round(
+            F.round(F.col("dot") / (F.sqrt("nl") * F.sqrt("ng")), 9), 6
+        ).alias("centroid_cos"),
+        F.round(F.round(F.sqrt("d2"), 9), 6).alias("centroid_l2"),
+    ).orderBy("label")
