@@ -44,11 +44,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND 7 PLAN: once CORRECTNESS_r06 lands green rows for the renamed
 # block, DELETE the rename machinery (restore canonical names). With the
-# registry at 142 queries (named through q147) the natural
-# sorted()[:50] window becomes
-# q01-q09 + the first 41 of q100-q147 — i.e. the round-5/6 additions
-# get driver-dated rows automatically; any q14x names that overflow the
-# window rotate in the round after via the same rename trick if needed.
+# registry at 156 queries (named through q161) the natural
+# sorted()[:50] window becomes q01-q09 + the first 41 of q100-q161 —
+# i.e. the earliest round-5/6 additions get driver-dated rows
+# automatically; later q1xx names rotate in subsequent rounds via the
+# same rename trick if needed.
 _WINDOW_LO, _WINDOW_HI = 52, 99
 
 
