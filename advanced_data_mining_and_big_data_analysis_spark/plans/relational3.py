@@ -691,3 +691,57 @@ def q153_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("root").cast("long").alias("root"), "n_nodes", "max_depth", "subtree_spend")
         .orderBy("root")
     )
+
+
+# ---------------------------------------------------------------------------
+# q162 — grouped-aggregate pandas UDF (the last cell of the §2.12 UDF
+# matrix: scalar pandas_udf = q68, grouped-map applyInPandas = q71,
+# mapInPandas = q70, UDTF = chunk_text; this is PandasUDFType.
+# GROUPED_AGG): a 10% two-sided trimmed mean of order value per
+# priority — the robust location statistic with no native Spark
+# aggregate. The UDF receives each group's values as ONE pandas Series
+# via Arrow (no row-at-a-time Python), sorts, drops floor(n/10) from
+# each tail, and means the rest; the trim rule is exact integer
+# arithmetic so both engines trim identical row sets.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q162_trimmed_mean_udaf",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders)
+    SELECT o_orderpriority, CAST(ANY_VALUE(n) AS BIGINT) AS n_orders,
+           ROUND(AVG(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                          THEN o_totalprice END), 6) AS trimmed_mean
+    FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    description="grouped-aggregate pandas UDF (PandasUDFType.GROUPED_AGG — completes the §2.12 UDF matrix alongside scalar q68, grouped-map q71, mapInPandas q70, and the chunk UDTF): 10% two-sided trimmed mean of order value per priority, each group's values arriving as ONE Arrow-backed pandas Series (never row-at-a-time); floor(n/10) trimmed per tail by exact integer arithmetic so both engines drop identical row sets; the robust location aggregate Spark lacks natively",
+)
+def q162_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def trimmed_mean(v: pd.Series) -> float:
+        s = v.sort_values(kind="mergesort").reset_index(drop=True)
+        k = len(s) // 10
+        kept = s.iloc[k : len(s) - k] if len(s) > 2 * k else s
+        return float(kept.mean())
+
+    orders = load_table(spark, sf_dir, "orders")
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one agg() — the plain count runs as its own tiny
+    # aggregate and joins back on the #priorities-row key.
+    tm = orders.groupBy("o_orderpriority").agg(
+        F.round(trimmed_mean("o_totalprice"), 6).alias("trimmed_mean")
+    )
+    n = orders.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+    return (
+        n.join(F.broadcast(tm), "o_orderpriority")
+        .select("o_orderpriority", "n_orders", "trimmed_mean")
+        .orderBy("o_orderpriority")
+    )
