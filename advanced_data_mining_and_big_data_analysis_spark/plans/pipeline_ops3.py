@@ -1002,7 +1002,12 @@ def q132_warclite_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import warclite as W
 
     W.register(spark)
-    out_dir = os.path.join(tempfile.gettempdir(), "spark_graft_q132_warclite")
+    # per-process scratch dir: a FIXED path raced when two harnesses
+    # (pytest + check_oracle) ran q132 concurrently — one overwrote the
+    # container files while the other was mid-read
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_q132_warclite_{os.getpid()}"
+    )
     fixture = spark.range(_WLC_N).select(
         F.col("id").alias("doc_id"),
         F.element_at(
