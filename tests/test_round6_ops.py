@@ -350,6 +350,82 @@ def test_warclite_rejects_corrupt_files(tmp_path):
         list(W.read_wlc_records(good))
 
 
+def test_warclite_q132_on_vanilla_session(sf_dir):
+    """REGRESSION (CORRECTNESS_r06 q132 err): the correctness driver
+    builds its own SparkSession without session.get_spark(), so
+    spark.sql.python.filterPushdown.enabled is false there and Spark 4
+    raises DATA_SOURCE_PUSHDOWN_DISABLED for any reader implementing
+    pushFilters.  register() must make q132 work on such a session by
+    setting the runtime conf itself.  Exact driver simulation: a fresh
+    subprocess builds a PLAIN SparkSession (no session.py factory) and
+    runs q132 through the __spark_entry__ surface.  (An in-process
+    spark.newSession() is NOT a valid stand-in: Python data source
+    registration itself breaks there — JVM active-session lookup — which
+    is unrelated to the driver's single-session environment.)"""
+    import os
+    import subprocess
+    import sys as _sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[4]')"
+        ".config('spark.sql.shuffle.partitions', '4')"
+        ".config('spark.ui.enabled', 'false').getOrCreate())\n"
+        "assert spark.conf.get('spark.sql.python.filterPushdown.enabled') == 'false'\n"
+        "import __spark_entry__ as e\n"
+        "n = e.queries()['a132_warclite_source'](spark, %r).count()\n"
+        "assert n > 0, n\n"
+        "print('Q132_VANILLA_OK', n)\n"
+    ) % (root, os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"))
+    proc = subprocess.run(
+        [_sys.executable, "-c", script], capture_output=True, text=True, timeout=300, cwd=root
+    )
+    assert "Q132_VANILLA_OK" in proc.stdout, proc.stderr[-3000:]
+
+
+def test_warclite_no_pushdown_fallback_reader(tmp_path):
+    """The no-pushdown variant must read identically (minus file
+    pruning) WITHOUT tripping DATA_SOURCE_PUSHDOWN_DISABLED when the
+    conf is off — Spark detects pushFilters via the class attribute, so
+    the subclass restores DataSourceReader.pushFilters.  Runs in a
+    subprocess whose session pins the conf to false (simulating a
+    session where register() cannot flip it)."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    from pyspark.sql.datasource import DataSourceReader
+
+    from advanced_data_mining_and_big_data_analysis_spark.sources import warclite as W
+
+    assert W.WarcLiteReaderNoPushdown.pushFilters is DataSourceReader.pushFilters
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "wlc_nopush")
+    script = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from pyspark.sql import SparkSession\n"
+        "from advanced_data_mining_and_big_data_analysis_spark.sources import warclite as W\n"
+        "spark = (SparkSession.builder.master('local[4]')"
+        ".config('spark.sql.shuffle.partitions', '4')"
+        ".config('spark.sql.python.filterPushdown.enabled', 'false')"
+        ".config('spark.ui.enabled', 'false').getOrCreate())\n"
+        "spark.dataSource.register(W.WarcLiteDataSourceNoPushdown)\n"
+        "spark.range(30).selectExpr(\"id AS doc_id\", \"'text/plain' AS mime\","
+        " \"CAST('x' AS BINARY) AS content\")"
+        ".repartition(3).write.format('warclite').mode('overwrite').save(%r)\n"
+        "n = spark.read.format('warclite').load(%r).filter('doc_id >= 10').count()\n"
+        "assert n == 20, n\n"  # row-level filter still applied by Spark
+        "print('WLC_NOPUSH_OK', n)\n"
+    ) % (root, out, out)
+    proc = subprocess.run(
+        [_sys.executable, "-c", script], capture_output=True, text=True, timeout=300, cwd=root
+    )
+    assert "WLC_NOPUSH_OK" in proc.stdout, proc.stderr[-3000:]
+
+
 # ------------------------------------------------------------- q122 / q123
 
 
