@@ -20,6 +20,7 @@ column pruning still applies upstream.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 from typing import Callable
 
@@ -395,6 +396,12 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
     byte-handling stay exercised end-to-end for every mime. The
     Spark-side plumbing (Arrow batches of binary columns, explicit
     output schema) is identical either way.
+
+    A malformed BMP that passes the 2-byte magic check (truncated
+    header, bogus offset) degrades PER ROW to the byte-tile stand-in —
+    at corpus scale one bad blob must not fail the whole Arrow batch /
+    stage.  extract_features keeps the opposite (fail-loud) policy by
+    design; resize is a lossy transform where a placeholder is safe.
     """
     target = width * height
 
@@ -403,8 +410,14 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
             out_bytes = []
             for mime, content in zip(pdf["mime"], pdf["content"]):
                 b = bytes(content) if content is not None else b""
+                resized = None
                 if mime == "image/bmp" and b[:2] == b"BM":
-                    out_bytes.append(resize_bmp(b, width, height))
+                    try:
+                        resized = resize_bmp(b, width, height)
+                    except (ValueError, IndexError, struct.error):
+                        resized = None  # corrupt blob -> stand-in below
+                if resized is not None:
+                    out_bytes.append(resized)
                 else:
                     tiled = (b * (target // max(len(b), 1) + 1))[:target] if b else bytes(target)
                     out_bytes.append(tiled)

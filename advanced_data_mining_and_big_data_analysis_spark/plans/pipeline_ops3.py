@@ -362,6 +362,25 @@ def q121_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLS_BUCKETS = 1024
 
 
+def _classifier_score() -> Column:
+    """Per-document classifier score Column shared by q122 (scoring
+    rollup) and q155 (calibration table) — ONE definition so the scoring
+    rule (md5-prefix bucket hashing, dyadic n/16 weights, sigmoid of the
+    mean, zero-token docs = 0.5) cannot silently diverge between them.
+    One higher-order-function fold over the doc's own token array: no
+    explode, no join, no per-doc shuffle."""
+    from ..operators import text as X
+
+    def wgt(tok: Column) -> Column:
+        bucket = F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("long") % _CLS_BUCKETS
+        return ((bucket % 41) - 20) / 16.0
+
+    toks_arr = X.tokens("text")
+    s = F.aggregate(toks_arr, F.lit(0.0), lambda acc, t: acc + wgt(t))
+    n = F.size(toks_arr)
+    return F.when(n > 0, F.lit(1.0) / (F.lit(1.0) + F.exp(-(s / n)))).otherwise(F.lit(0.5))
+
+
 @query(
     "q122_classifier_scoring",
     oracle=f"""
@@ -390,24 +409,9 @@ _CLS_BUCKETS = 1024
     description="hashed-feature linear classifier inference (fastText shape): md5-prefix feature hashing into 1024 buckets, per-doc score = sigmoid(mean bucket weight) computed as ONE higher-order-function fold over the document's own token array — no explode, no per-doc shuffle; the only exchange is the #sources-row rollup; weights are dyadic rationals so the fold sum is exact in double and the keep decision cannot flip; zero-token docs score sigmoid(0)=0.5 inline; a trained model swaps in a learned bucket->weight map with the identical plan",
 )
 def q122_classifier_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import text as X
-
     docs = load_table(spark, sf_dir, "documents")
-
-    def wgt(tok: Column) -> Column:
-        bucket = (
-            F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("long") % _CLS_BUCKETS
-        )
-        return ((bucket % 41) - 20) / 16.0
-
-    toks_arr = X.tokens("text")
-    s = F.aggregate(toks_arr, F.lit(0.0), lambda acc, t: acc + wgt(t))
-    n = F.size(toks_arr)
-    score = F.when(
-        n > 0, F.lit(1.0) / (F.lit(1.0) + F.exp(-(s / n)))
-    ).otherwise(F.lit(0.5))
     return (
-        docs.select("source", score.alias("score"))
+        docs.select("source", _classifier_score().alias("score"))
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -1278,22 +1282,7 @@ def q135_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q155_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-
-    def wgt(tok: Column) -> Column:
-        bucket = (
-            F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("long") % _CLS_BUCKETS
-        )
-        return ((bucket % 41) - 20) / 16.0
-
-    from ..operators import text as X
-
-    toks_arr = X.tokens("text")
-    s = F.aggregate(toks_arr, F.lit(0.0), lambda acc, t: acc + wgt(t))
-    n = F.size(toks_arr)
-    score = F.when(
-        n > 0, F.lit(1.0) / (F.lit(1.0) + F.exp(-(s / n)))
-    ).otherwise(F.lit(0.5))
-    sc = docs.select(score.alias("score"))
+    sc = docs.select(_classifier_score().alias("score"))
     total = sc.agg(F.count("*").alias("tot"))
     b = sc.select(
         F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9)).alias("decile"),
@@ -1373,6 +1362,12 @@ def q156_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_left",
             "n_right",
             "exact_join_size",
-            (F.col("est") >= F.col("exact_join_size")).alias("never_underestimates"),
+            # An empty intersection leaves the sketch join with zero
+            # (depth,bucket) rows, so min('dot') is NULL — coalesce to 0
+            # (estimate 0 >= exact 0 still satisfies the guarantee) so the
+            # boolean stays literal TRUE instead of going NULL.
+            (F.coalesce(F.col("est"), F.lit(0)) >= F.col("exact_join_size")).alias(
+                "never_underestimates"
+            ),
         )
     )

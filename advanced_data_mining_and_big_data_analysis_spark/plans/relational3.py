@@ -613,19 +613,16 @@ def q148_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q153 — hierarchical rollup (the recursive-CTE workload): a synthetic
-# customer hierarchy (parent = k // 10, a forest of depth <= 4 over
-# the real customer keys) is traversed to find every node's ROOT and
-# DEPTH, then order spend rolls up per root subtree. Spark has no
-# recursive CTE — the traversal is a FIXED-DEPTH iterative broadcast
-# self-join over the edge dimension (the standard Spark hierarchy
-# pattern; depth is bounded by construction so the unrolled plan is
-# exact, and each iteration is dimension-sized). The DuckDB oracle uses
-# a real WITH RECURSIVE, so the hash proves the unrolled iteration
+# customer hierarchy (parent = k // 10, a forest over the real customer
+# keys whose depth is digits(max custkey) - 1) is traversed to find
+# every node's ROOT and DEPTH, then order spend rolls up per root
+# subtree. Spark has no recursive CTE — the traversal is a fixed-depth
+# iterative broadcast self-join over the edge dimension (the standard
+# Spark hierarchy pattern), with the unroll depth derived from max(k)
+# at plan time so the plan stays exact at any SF. The DuckDB oracle
+# uses a real WITH RECURSIVE, so the hash proves the unrolled iteration
 # reproduces true recursive semantics.
 # ---------------------------------------------------------------------------
-
-_HIER_DEPTH = 4  # covers custkey < 100,000 (sf0.1 tops out at ~15k); bump per decade
-
 
 @query(
     "q153_hierarchy_rollup",
@@ -649,7 +646,7 @@ _HIER_DEPTH = 4  # covers custkey < 100,000 (sf0.1 tops out at ~15k); bump per d
            CAST(max_depth AS BIGINT) AS max_depth, subtree_spend
     FROM rolled ORDER BY root
     """,
-    description="hierarchical rollup — the recursive-CTE workload on an engine without recursive CTEs: a synthetic depth-<=4 customer forest (parent = key div 10 over the real keys) traversed by fixed-depth iterative broadcast self-joins over the dimension-sized edge frame (the standard Spark hierarchy unroll; depth bounded by construction so the unrolled plan is exact), then per-root subtree spend in exact DECIMAL; the DuckDB oracle runs a true WITH RECURSIVE, so the hash match proves the unrolled iteration reproduces genuine recursive semantics",
+    description="hierarchical rollup — the recursive-CTE workload on an engine without recursive CTEs: a synthetic customer forest (parent = key div 10 over the real keys) traversed by fixed-depth iterative broadcast self-joins over the dimension-sized edge frame (the standard Spark hierarchy unroll; the unroll depth is derived from max custkey at plan time so the plan stays exact at any SF), then per-root subtree spend in exact DECIMAL; the DuckDB oracle runs a true WITH RECURSIVE, so the hash match proves the unrolled iteration reproduces genuine recursive semantics",
 )
 def q153_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
@@ -662,11 +659,18 @@ def q153_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", (F.col("k") / 10).cast("long").alias("parent"))
         .localCheckpoint(eager=False)
     )
+    # Unroll depth DERIVED from the data, not hard-coded: parent = k // 10,
+    # so a node's depth is digits(k) - 1 and the forest depth is
+    # digits(max k) - 1.  One scalar agg over the dimension (cheap at any
+    # SF) keeps the unroll exact when custkey grows a decade — a fixed
+    # constant here would silently drop deeper nodes at sf >= 1.
+    max_k = nodes.agg(F.max("k")).first()[0] or 1
+    hier_depth = max(1, len(str(max_k)) - 1)
     walk = nodes.filter(F.col("k") < 10).select(
         "k", F.col("k").alias("root"), F.lit(0).alias("depth")
     )
     frontier = walk
-    for _ in range(_HIER_DEPTH):
+    for _ in range(hier_depth):
         frontier = (
             edges.join(
                 F.broadcast(frontier.select(F.col("k").alias("parent"), "root", "depth")),

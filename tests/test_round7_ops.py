@@ -1,0 +1,125 @@
+"""Round-7 regression tests for the ADVICE r6 findings: data-derived
+hierarchy unroll depth (q153), empty-intersection join-size estimate
+(q156), and per-row corrupt-blob degradation in image resize."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_data_mining_and_big_data_analysis_spark.plans import all_queries
+from advanced_data_mining_and_big_data_analysis_spark.testing import compare
+
+
+def _write_tiny_tables(spark, out_dir: str, custkeys, orderkeys_by_cust):
+    """Minimal customer/orders parquet pair with just the columns the
+    queries under test touch."""
+    cust = spark.createDataFrame(
+        [(int(k), "BUILDING") for k in custkeys], "c_custkey long, c_mktsegment string"
+    )
+    orders = spark.createDataFrame(
+        [
+            (int(ok), int(ck), "F", float(tp))
+            for ck, rows in orderkeys_by_cust.items()
+            for ok, tp in rows
+        ],
+        # double, like the real testdata orders table
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double",
+    )
+    cust.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "customer.parquet"))
+    orders.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+
+
+def test_q153_depth_derived_from_data(spark, tmp_path):
+    """ADVICE r6 (medium): the hierarchy unroll depth must come from the
+    data, not a constant — custkeys up to 7 digits (depth 6, beyond the
+    old hard-coded 4) must still hash-match DuckDB's true WITH RECURSIVE
+    traversal, i.e. no deep nodes silently dropped from subtree spend."""
+    out = str(tmp_path / "deep")
+    # a chain 3 -> 31 -> 312 -> 3125 -> 31250 -> 312500 -> 3125000 plus
+    # scattered shallow nodes; the deepest node carries distinctive spend
+    chain = [3, 31, 312, 3125, 31250, 312500, 3125000]
+    custkeys = chain + [5, 57, 570, 42]
+    # cents chosen so subtree sums don't end in a trailing zero (Spark's
+    # DECIMAL stringifies "x.y0" where a float would print "x.y" — the
+    # hash compares strings, and the real table's sums are never round)
+    orders = {k: [(i + 1, 111.11 * (i + 1))] for i, k in enumerate(custkeys)}
+    _write_tiny_tables(spark, out, custkeys, orders)
+
+    qd = all_queries()["q153_hierarchy_rollup"]
+    sdf = qd.fn(spark, out).toPandas()
+    con = duckdb.connect()
+    # Spark writes <name>.parquet as a directory of part files
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{out}/customer.parquet/*.parquet'")
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{out}/orders.parquet/*.parquet'")
+    odf = con.execute(qd.oracle).df()
+    problems = compare(sdf, odf)
+    assert not problems, problems
+    # the depth-6 leaf is actually reachable: root 3 subtree spans 7 nodes
+    root3 = sdf[sdf["root"] == 3].iloc[0]
+    assert int(root3["n_nodes"]) == len(chain)
+    assert int(root3["max_depth"]) == len(chain) - 1
+
+
+def test_q156_empty_intersection_is_true_not_null(spark, tmp_path):
+    """ADVICE r6 (low): with a filtered A-join-B that is empty the CMS
+    sketch join has no (depth,bucket) rows and min(dot) is NULL — the
+    estimate must coalesce to 0 so never_underestimates stays literal
+    TRUE (0 >= 0), matching the oracle's pinned constant."""
+    out = str(tmp_path / "disjoint")
+    # BUILDING customers 1..3; F orders only for custkeys 100..102
+    _write_tiny_tables(
+        spark, out, [1, 2, 3], {100: [(1, 10.0)], 101: [(2, 20.0)], 102: [(3, 30.0)]}
+    )
+    qd = all_queries()["q156_join_size_estimate"]
+    row = qd.fn(spark, out).collect()[0]
+    assert row["exact_join_size"] == 0
+    assert row["never_underestimates"] is True
+
+
+def test_resize_images_degrades_corrupt_bmp_per_row(spark):
+    """ADVICE r6 (low): a blob passing the 2-byte 'BM' magic but
+    malformed beyond it (truncated header) must degrade to the byte-tile
+    stand-in for THAT row instead of failing the whole Arrow batch."""
+    from advanced_data_mining_and_big_data_analysis_spark.operators.multimodal import (
+        make_bmp,
+        resize_images,
+    )
+
+    good = make_bmp(4, 4, lambda x, y: (x * 60, y * 60, 128))
+    corrupt = b"BM" + b"\x01\x02\x03"  # magic ok, header truncated
+    media = spark.createDataFrame(
+        [(1, "image/bmp", bytearray(good)), (2, "image/bmp", bytearray(corrupt))],
+        "media_id long, mime string, content binary",
+    )
+    rows = {r["media_id"]: r for r in resize_images(media, 8, 8).collect()}
+    assert set(rows) == {1, 2}
+    assert bytes(rows[1]["content"])[:2] == b"BM"  # real resize succeeded
+    # corrupt row: deterministic byte-tile stand-in of target size, not an error
+    tiled = bytes(rows[2]["content"])
+    assert len(tiled) == 8 * 8
+    assert tiled == (corrupt * (64 // len(corrupt) + 1))[:64]
+
+
+@pytest.mark.parametrize("name", ["q122_classifier_scoring", "q155_score_calibration"])
+def test_classifier_score_shared_helper(name):
+    """q122 and q155 must score through ONE shared Column builder
+    (_classifier_score) so the scoring rule cannot silently diverge."""
+    import inspect
+
+    from advanced_data_mining_and_big_data_analysis_spark.plans import pipeline_ops3 as P
+
+    src = inspect.getsource(getattr(P, name.replace("q", "q", 1)))
+    assert "_classifier_score()" in src
+
+
+def test_q153_plan_has_no_cartesian(spark, sf_dir):
+    """The derived-depth rewrite must keep the broadcast-join unroll
+    shape (no CartesianProduct sneaking in via the scalar pre-agg)."""
+    qd = all_queries()["q153_hierarchy_rollup"]
+    plan = qd.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
