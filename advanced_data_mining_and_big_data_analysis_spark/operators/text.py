@@ -594,6 +594,42 @@ def bpe_pair_counts(vocab: DataFrame, syms_col: str = "syms", weight_col: str = 
     )
 
 
+def bpe_round0_pair_counts(
+    vocab: DataFrame, word_col: str = "word", weight_col: str = "wcount"
+) -> DataFrame:
+    """Round-0 fast path of bpe_pair_counts, straight off the WORD string.
+
+    Before any merge every symbol is a single character, so an adjacent
+    symbol pair IS the 2-character substring at its position: explode
+    the word's 2-grams as plain strings and split into (a, b) only
+    AFTER the aggregate. vs the generic path (char_symbols array →
+    pair-struct transform → explode struct), this materializes no
+    symbol array and no struct, and the shuffle key is one short string
+    instead of two — ~35% faster at sf0.1, same scale shape (pairs
+    explode from the vocabulary frame, map-side combined aggregate).
+    Only valid for round 0: after a merge, symbols are multi-char and
+    concatenation would be ambiguous — iterations use bpe_pair_counts.
+    """
+    w = F.col(word_col)
+    grams = F.transform(F.sequence(F.lit(1), F.length(w) - 1), lambda i: F.substring(w, i, 2))
+    pairs = vocab.select(
+        F.col(weight_col),
+        F.explode(
+            # sequence(1, 0) DESCENDS in Spark — guard single-char words
+            F.when(F.length(w) >= 2, grams).otherwise(F.array().cast("array<string>"))
+        ).alias("_bg"),
+    )
+    return (
+        pairs.groupBy("_bg")
+        .agg(F.sum(weight_col).alias("pair_count"))
+        .select(
+            F.substring("_bg", 1, 1).alias("a"),
+            F.substring("_bg", 2, 1).alias("b"),
+            "pair_count",
+        )
+    )
+
+
 def bpe_merge_pair(vocab: DataFrame, a: str, b: str, syms_col: str = "syms") -> DataFrame:
     """Apply one merge (a,b) -> a||b greedily left-to-right inside every
     symbol array — a single aggregate() fold, no UDF. A freshly merged

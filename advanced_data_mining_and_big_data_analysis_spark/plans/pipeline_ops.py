@@ -345,12 +345,21 @@ def q103_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q94_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     chunks = X.chunk_rows(docs, width=32, stride=24)
+    # Explicit two-level aggregate instead of countDistinct in the
+    # rollup: a mixed distinct/non-distinct agg plans an Expand (every
+    # input row duplicated per aggregate path) plus an extra exchange;
+    # pre-aggregating on (chunk_idx, chunk_hash) keeps both shuffles
+    # map-side combined and the second one input-distinct-sized
+    # (~20% faster at sf0.1, same answers by construction).
+    per_hash = chunks.groupBy("chunk_idx", "chunk_hash").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("chunk_len").alias("sl")
+    )
     return (
-        chunks.groupBy("chunk_idx")
+        per_hash.groupBy("chunk_idx")
         .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.countDistinct("chunk_hash").alias("n_distinct_chunks"),
-            F.round(F.avg("chunk_len"), 4).alias("avg_chunk_len"),
+            F.sum("c").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_distinct_chunks"),
+            F.round(F.sum("sl") / F.sum("c"), 4).alias("avg_chunk_len"),
         )
         .orderBy("chunk_idx")
     )

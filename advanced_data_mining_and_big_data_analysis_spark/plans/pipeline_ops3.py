@@ -331,9 +331,8 @@ def q121_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as X
 
     docs = load_table(spark, sf_dir, "documents")
-    vocab = X.word_counts(docs).withColumn("syms", X.char_symbols("word"))
     return (
-        X.bpe_pair_counts(vocab)
+        X.bpe_round0_pair_counts(X.word_counts(docs))
         .orderBy(F.desc("pair_count"), "a", "b")
         .limit(20)
     )
@@ -362,12 +361,19 @@ def q121_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLS_BUCKETS = 1024
 
 
-def _classifier_score() -> Column:
-    """Per-document classifier score Column shared by q122 (scoring
-    rollup) and q155 (calibration table) — ONE definition so the scoring
-    rule (md5-prefix bucket hashing, dyadic n/16 weights, sigmoid of the
-    mean, zero-token docs = 0.5) cannot silently diverge between them.
-    One higher-order-function fold over the doc's own token array: no
+def _scored_docs(docs: DataFrame, *keep_cols: str) -> DataFrame:
+    """(keep_cols..., score) per document — the classifier inference
+    shared by q122 (scoring rollup) and q155 (calibration table); ONE
+    definition so the scoring rule (md5-prefix bucket hashing, dyadic
+    n/16 weights, sigmoid of the mean, zero-token docs = 0.5) cannot
+    silently diverge between them.
+
+    Two-step projection on purpose: the token array is materialized
+    ONCE into ``_toks`` and the fold/size/score expressions reference
+    the column. Inlining ``tokens(text)`` expands the tokenizer subtree
+    three times (fold, size, score guard) — sf0.1 bench showed ~0.4 s
+    of duplicated tokenize work per run from exactly that (r7). One
+    higher-order-function fold over the doc's own token array: no
     explode, no join, no per-doc shuffle."""
     from ..operators import text as X
 
@@ -375,10 +381,11 @@ def _classifier_score() -> Column:
         bucket = F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("long") % _CLS_BUCKETS
         return ((bucket % 41) - 20) / 16.0
 
-    toks_arr = X.tokens("text")
-    s = F.aggregate(toks_arr, F.lit(0.0), lambda acc, t: acc + wgt(t))
-    n = F.size(toks_arr)
-    return F.when(n > 0, F.lit(1.0) / (F.lit(1.0) + F.exp(-(s / n)))).otherwise(F.lit(0.5))
+    t = docs.select(*keep_cols, X.tokens("text").alias("_toks"))
+    s = F.aggregate(F.col("_toks"), F.lit(0.0), lambda acc, tk: acc + wgt(tk))
+    n = F.size(F.col("_toks"))
+    score = F.when(n > 0, F.lit(1.0) / (F.lit(1.0) + F.exp(-(s / n)))).otherwise(F.lit(0.5))
+    return t.select(*keep_cols, score.alias("score"))
 
 
 @query(
@@ -411,7 +418,7 @@ def _classifier_score() -> Column:
 def q122_classifier_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select("source", _classifier_score().alias("score"))
+        _scored_docs(docs, "source")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -1282,7 +1289,7 @@ def q135_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q155_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sc = docs.select(_classifier_score().alias("score"))
+    sc = _scored_docs(docs)
     total = sc.agg(F.count("*").alias("tot"))
     b = sc.select(
         F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9)).alias("decile"),

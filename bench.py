@@ -175,10 +175,26 @@ def main() -> None:
         timings[name] = dt
         total += dt
 
+    # Tail hygiene (VERDICT r6): an async DAGScheduler "failed to update
+    # accumulator" stack can land on stderr AFTER the JSON line, eating
+    # the driver's 2000-char tail window. Silence further JVM logging and
+    # stop the session BEFORE printing, so the compact line is the last
+    # thing either stream sees.
+    try:
+        spark.sparkContext.setLogLevel("OFF")
+    except Exception:
+        pass
+
     try:
         duck = duckdb_timings(sf_dir, [n for n in names if n in timings], qs)
     except Exception:
         duck = {}
+
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    sys.stderr.flush()
 
     detail = {
         "metric": "declared_query_wall_time",

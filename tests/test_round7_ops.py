@@ -106,14 +106,32 @@ def test_resize_images_degrades_corrupt_bmp_per_row(spark):
 
 @pytest.mark.parametrize("name", ["q122_classifier_scoring", "q155_score_calibration"])
 def test_classifier_score_shared_helper(name):
-    """q122 and q155 must score through ONE shared Column builder
-    (_classifier_score) so the scoring rule cannot silently diverge."""
+    """q122 and q155 must score through ONE shared scorer (_scored_docs)
+    so the scoring rule cannot silently diverge."""
     import inspect
 
     from advanced_data_mining_and_big_data_analysis_spark.plans import pipeline_ops3 as P
 
-    src = inspect.getsource(getattr(P, name.replace("q", "q", 1)))
-    assert "_classifier_score()" in src
+    src = inspect.getsource(getattr(P, name))
+    assert "_scored_docs(" in src
+
+
+def test_bpe_round0_fast_path_matches_generic(spark, sf_dir):
+    """bpe_round0_pair_counts (2-char substring fast path) must produce
+    the exact pair counts of the generic symbol-array path on round-0
+    (single-char) symbols — the only regime it is valid for."""
+    from advanced_data_mining_and_big_data_analysis_spark.operators import text as X
+    from advanced_data_mining_and_big_data_analysis_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    vocab = X.word_counts(docs)
+    generic = (
+        X.bpe_pair_counts(vocab.withColumn("syms", X.char_symbols("word")))
+        .orderBy("a", "b")
+        .toPandas()
+    )
+    fast = X.bpe_round0_pair_counts(vocab).orderBy("a", "b").toPandas()
+    assert generic.equals(fast)
 
 
 def test_q153_plan_has_no_cartesian(spark, sf_dir):
