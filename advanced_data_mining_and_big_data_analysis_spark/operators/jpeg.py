@@ -1,15 +1,17 @@
-"""Baseline JPEG codec (grayscale, stdlib + numpy only).
+"""Baseline JPEG codec (grayscale + YCbCr 4:4:4 color, stdlib + numpy).
 
 Closes the last multimodal stub (VERDICT r5 left image/jpeg as the one
 documented fake): a real ITU T.81 baseline-sequential codec for 8-bit
-single-component (grayscale) JFIF — forward/inverse DCT, Annex-K
-quantization, zigzag, DC prediction, run-length + canonical Huffman
-entropy coding, 0xFF byte stuffing. The decoder is self-describing (it
-reads DQT/DHT/SOF0/SOS from the stream, not from shared constants), so
-it decodes any conforming baseline grayscale JPEG, not just this
-encoder's output. Color (multi-component), subsampled, and progressive
-streams raise — a poisoned blob should fail the task, not skew the
-corpus (same policy as decode_png).
+JFIF — forward/inverse DCT, Annex-K quantization (K.1 luminance + K.2
+chrominance), zigzag, per-component DC prediction, run-length +
+canonical Huffman entropy coding (K.3 luma + chroma tables), 0xFF byte
+stuffing, interleaved 4:4:4 MCUs for 3-component color (VERDICT r6
+item 6 extends the original grayscale-only codec). The decoder is
+self-describing (it reads DQT/DHT/SOF0/SOS from the stream, not from
+shared constants), so it decodes any conforming baseline 1- or
+3-component 4:4:4 JPEG, not just this encoder's output. Subsampled
+(non-1x1), progressive, and 12-bit streams raise — a poisoned blob
+should fail the task, not skew the corpus (same policy as decode_png).
 
 Exactness note for closed-form oracles (q124): a block that is CONSTANT
 with an even offset from 128 survives the codec bit-exactly — its DCT
@@ -54,6 +56,21 @@ QUANT = np.array(
     dtype=np.float64,
 )
 
+# Annex K.2 chrominance quantization table (row-major).
+QUANT_C = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.float64,
+)
+
 # Canonical Huffman tables (Annex K.3 luminance). The stream carries
 # these in DHT segments, so decoder interop does not depend on them.
 DC_BITS = [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]  # index 1..16
@@ -80,6 +97,35 @@ AC_VALUES = [
     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+# Annex K.3 chrominance DC/AC tables.
+DC_C_BITS = [0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_C_VALUES = list(range(12))
+AC_C_BITS = [0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_C_VALUES = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 ]
 
@@ -144,67 +190,172 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
+def _encode_block(
+    bw: _BitWriter,
+    block: np.ndarray,
+    quant: np.ndarray,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+    prev_dc: int,
+) -> int:
+    """FDCT + quantize + entropy-code one 8x8 block; returns its DC
+    term (the caller threads per-component DC predictors)."""
+    coeff = _M @ (block - 128.0) @ _M.T
+    q = np.rint(coeff / quant).astype(np.int64)
+    zz = q.reshape(64)[ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    size, bits = _magnitude(diff)
+    code, ln = dc_codes[size]
+    bw.put(code, ln)
+    bw.put(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            code, ln = ac_codes[0x00]  # EOB
+            bw.put(code, ln)
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, ln = ac_codes[run * 16 + size]
+        bw.put(code, ln)
+        bw.put(bits, size)
+        run = 0
+    return int(zz[0])
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+_APP0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+
+def _zz_table(q: np.ndarray) -> bytes:
+    return bytes(int(q.reshape(64)[ZIGZAG][k]) for k in range(64))
+
+
+def _pad8(img: np.ndarray, height: int, width: int) -> np.ndarray:
+    h8, w8 = -(-height // 8) * 8, -(-width // 8) * 8
+    return np.pad(img, ((0, h8 - height), (0, w8 - width)), mode="edge")
+
+
 def make_jpeg_gray(width: int, height: int, pixel_fn: Callable[[int, int], int]) -> bytes:
     """Encode an 8-bit grayscale baseline JFIF JPEG (Annex-K tables,
     no subsampling). Edge blocks pad by replication."""
     import struct
 
-    img = np.array(
-        [[pixel_fn(x, y) for x in range(width)] for y in range(height)], dtype=np.float64
+    img = _pad8(
+        np.array(
+            [[pixel_fn(x, y) for x in range(width)] for y in range(height)], dtype=np.float64
+        ),
+        height,
+        width,
     )
-    h8, w8 = -(-height // 8) * 8, -(-width // 8) * 8
-    img = np.pad(img, ((0, h8 - height), (0, w8 - width)), mode="edge")
-
     dc_codes = _canonical_codes(DC_BITS, DC_VALUES)
     ac_codes = _canonical_codes(AC_BITS, AC_VALUES)
     bw = _BitWriter()
     prev_dc = 0
-    for by in range(h8 // 8):
-        for bx in range(w8 // 8):
-            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coeff = _M @ block @ _M.T
-            q = np.rint(coeff / QUANT).astype(np.int64)
-            zz = q.reshape(64)[ZIGZAG]
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            size, bits = _magnitude(diff)
-            code, ln = dc_codes[size]
-            bw.put(code, ln)
-            bw.put(bits, size)
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if k > last_nz:
-                    code, ln = ac_codes[0x00]  # EOB
-                    bw.put(code, ln)
-                    break
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    bw.put(code, ln)
-                    run -= 16
-                size, bits = _magnitude(v)
-                code, ln = ac_codes[run * 16 + size]
-                bw.put(code, ln)
-                bw.put(bits, size)
-                run = 0
+    for by in range(img.shape[0] // 8):
+        for bx in range(img.shape[1] // 8):
+            prev_dc = _encode_block(
+                bw, img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], QUANT, dc_codes, ac_codes, prev_dc
+            )
     bw.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-    dqt = seg(0xFFDB, b"\x00" + bytes(int(QUANT.reshape(64)[ZIGZAG][k]) for k in range(64)))
-    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
-    dht_dc = seg(0xFFC4, b"\x00" + bytes(DC_BITS[1:]) + bytes(DC_VALUES))
-    dht_ac = seg(0xFFC4, b"\x10" + bytes(AC_BITS[1:]) + bytes(AC_VALUES))
-    sos = seg(0xFFDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
-    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = _seg(0xFFDB, b"\x00" + _zz_table(QUANT))
+    sof = _seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    dht_dc = _seg(0xFFC4, b"\x00" + bytes(DC_BITS[1:]) + bytes(DC_VALUES))
+    dht_ac = _seg(0xFFC4, b"\x10" + bytes(AC_BITS[1:]) + bytes(AC_VALUES))
+    sos = _seg(0xFFDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
+    app0 = _seg(0xFFE0, _APP0)
     return (
         b"\xff\xd8" + app0 + dqt + sof + dht_dc + dht_ac + sos + bytes(bw.out) + b"\xff\xd9"
     )
+
+
+def make_jpeg_color(
+    width: int,
+    height: int,
+    pixel_fn: Callable[[int, int], tuple[int, int, int]],
+    colorspace: str = "rgb",
+) -> bytes:
+    """Encode an 8-bit 3-component baseline JFIF JPEG (YCbCr 4:4:4,
+    Annex K.1/K.2 quantization, K.3 luma+chroma Huffman tables,
+    interleaved one-block-per-component MCUs, per-component DC
+    prediction). Edge blocks pad by replication.
+
+    ``colorspace='rgb'`` (default): pixel_fn returns (r, g, b) and the
+    standard JFIF RGB->YCbCr matrix is applied in float (no pre-DCT
+    rounding). ``colorspace='ycbcr'``: pixel_fn returns (y, cb, cr)
+    used verbatim — the closed-form fixture path, where block-constant
+    values with quant-divisible DC terms survive the codec bit-exactly
+    (see formula_jpeg_color_ycbcr)."""
+    import struct
+
+    if colorspace not in ("rgb", "ycbcr"):
+        raise ValueError("colorspace must be 'rgb' or 'ycbcr'")
+    px = np.array(
+        [[pixel_fn(x, y) for x in range(width)] for y in range(height)], dtype=np.float64
+    )
+    if colorspace == "rgb":
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    else:
+        planes = [px[..., 0], px[..., 1], px[..., 2]]
+    planes = [_pad8(p, height, width) for p in planes]
+
+    luma = (_canonical_codes(DC_BITS, DC_VALUES), _canonical_codes(AC_BITS, AC_VALUES))
+    chroma = (
+        _canonical_codes(DC_C_BITS, DC_C_VALUES),
+        _canonical_codes(AC_C_BITS, AC_C_VALUES),
+    )
+    comp_tables = [(QUANT, *luma), (QUANT_C, *chroma), (QUANT_C, *chroma)]
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(planes[0].shape[0] // 8):
+        for bx in range(planes[0].shape[1] // 8):  # one MCU = Y, Cb, Cr blocks
+            for ci in range(3):
+                quant, dc_codes, ac_codes = comp_tables[ci]
+                prev_dc[ci] = _encode_block(
+                    bw,
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                    quant,
+                    dc_codes,
+                    ac_codes,
+                    prev_dc[ci],
+                )
+    bw.flush()
+
+    dqt = _seg(0xFFDB, b"\x00" + _zz_table(QUANT) + b"\x01" + _zz_table(QUANT_C))
+    sof = _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0])  # Y: 1x1, quant table 0
+        + bytes([2, 0x11, 1])  # Cb: 1x1, quant table 1
+        + bytes([3, 0x11, 1]),  # Cr: 1x1, quant table 1
+    )
+    dht = (
+        _seg(0xFFC4, b"\x00" + bytes(DC_BITS[1:]) + bytes(DC_VALUES))
+        + _seg(0xFFC4, b"\x10" + bytes(AC_BITS[1:]) + bytes(AC_VALUES))
+        + _seg(0xFFC4, b"\x01" + bytes(DC_C_BITS[1:]) + bytes(DC_C_VALUES))
+        + _seg(0xFFC4, b"\x11" + bytes(AC_C_BITS[1:]) + bytes(AC_C_VALUES))
+    )
+    sos = _seg(0xFFDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
+    app0 = _seg(0xFFE0, _APP0)
+    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
 
 
 class _BitReader:
@@ -256,12 +407,42 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def decode_jpeg_gray(content: bytes) -> list[float]:
-    """REAL baseline JPEG decode (8-bit grayscale, no subsampling):
-    [width, height, mean, mean, mean, topleft] — the image feature
-    shape of decode_bmp/decode_png with r=g=b=luma. Tables come from
-    the stream (DQT/DHT); multi-component, subsampled, progressive, or
-    12-bit streams raise."""
+def _decode_block(
+    br: _BitReader,
+    dc_tbl: dict[tuple[int, int], int],
+    ac_tbl: dict[tuple[int, int], int],
+    q: np.ndarray,
+    prev_dc: int,
+) -> tuple[np.ndarray, int]:
+    """Entropy-decode + dequantize + IDCT one 8x8 block."""
+    zz = np.zeros(64, dtype=np.int64)
+    size = _decode_huffman(br, dc_tbl)
+    prev_dc += _extend(br.bits(size), size)
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        rs = _decode_huffman(br, ac_tbl)
+        run, size = rs >> 4, rs & 0x0F
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        zz[k] = _extend(br.bits(size), size)
+        k += 1
+    coeff = np.zeros(64)
+    coeff[ZIGZAG] = zz
+    return _M.T @ (coeff.reshape(8, 8) * q) @ _M + 128.0, prev_dc
+
+
+def _parse_baseline(content: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Parse a baseline-sequential JFIF stream into per-component pixel
+    planes (1 or 3 components, 1x1 sampling only — interleaved 4:4:4
+    MCUs for color). Planes are cropped to (height, width), un-rounded
+    floats; callers round/clip. Tables come from the stream (DQT/DHT)."""
     import struct
 
     if content[:2] != b"\xff\xd8":
@@ -270,7 +451,8 @@ def decode_jpeg_gray(content: bytes) -> list[float]:
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
-    dc_id = ac_id = 0
+    comps: list[tuple[int, int]] = []  # (component id, quant table id), SOF order
+    scan: list[tuple[int, int, int]] = []  # (component id, dc table, ac table), SOS order
     data_start = None
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
@@ -299,56 +481,91 @@ def decode_jpeg_gray(content: bytes) -> list[float]:
                 huff[(tc, th)] = {(ln, code): sym for sym, (code, ln) in codes.items()}
                 p += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            if len(payload) < 6:
+                raise ValueError("JPEG SOF0 segment truncated")
             precision, height, width, ncomp = struct.unpack_from(">BHHB", payload, 0)
-            if precision != 8 or ncomp != 1:
-                raise ValueError("decode_jpeg_gray handles 8-bit single-component JPEGs")
-            if payload[7] != 0x11:
-                raise ValueError("subsampled JPEG not supported for grayscale")
+            if precision != 8 or ncomp not in (1, 3):
+                raise ValueError("only 8-bit 1- or 3-component baseline JPEG is supported")
+            if len(payload) < 6 + 3 * ncomp:
+                raise ValueError("JPEG SOF0 segment truncated")
+            for ci in range(ncomp):
+                cid, sampling, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise ValueError("subsampled JPEG (non-1x1) not supported")
+                comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline sequential (SOF0) JPEG is supported")
         elif marker == 0xDA:  # SOS
-            if payload[0] != 1:
-                raise ValueError("decode_jpeg_gray handles single-scan grayscale")
-            dc_id, ac_id = payload[2] >> 4, payload[2] & 0x0F
+            if not payload:
+                raise ValueError("JPEG SOS segment truncated")
+            ns = payload[0]
+            if ns != len(comps):
+                raise ValueError("single-scan (interleaved) JPEG expected")
+            if len(payload) < 1 + 2 * ns + 3:
+                raise ValueError("JPEG SOS segment truncated")
+            for si in range(ns):
+                cid = payload[1 + 2 * si]
+                tbls = payload[2 + 2 * si]
+                scan.append((cid, tbls >> 4, tbls & 0x0F))
             data_start = pos + 2 + length
             break
         pos += 2 + length
-    if width is None or data_start is None:
+    if width is None or data_start is None or not scan:
         raise ValueError("JPEG missing SOF0/SOS")
 
     end = content.rfind(b"\xff\xd9")
     if end < 0:
         raise ValueError("JPEG missing EOI")
     br = _BitReader(content[data_start:end])
-    dc_tbl, ac_tbl = huff[(0, dc_id)], huff[(1, ac_id)]
-    q = quant[0]
+    tq_of = dict(comps)
     bw, bh = -(-width // 8), -(-height // 8)
-    img = np.zeros((bh * 8, bw * 8))
-    prev_dc = 0
+    planes = {cid: np.zeros((bh * 8, bw * 8)) for cid, _ in comps}
+    prev_dc = {cid: 0 for cid, _ in comps}
     for by in range(bh):
         for bx in range(bw):
-            zz = np.zeros(64, dtype=np.int64)
-            size = _decode_huffman(br, dc_tbl)
-            prev_dc += _extend(br.bits(size), size)
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = _decode_huffman(br, ac_tbl)
-                run, size = rs >> 4, rs & 0x0F
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run overflows block")
-                zz[k] = _extend(br.bits(size), size)
-                k += 1
-            coeff = np.zeros(64)
-            coeff[ZIGZAG] = zz
-            block = _M.T @ (coeff.reshape(8, 8) * q) @ _M + 128.0
-            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    img = np.clip(np.rint(img[:height, :width]), 0, 255)
+            for cid, dc_id, ac_id in scan:  # one MCU = one block per component
+                block, prev_dc[cid] = _decode_block(
+                    br, huff[(0, dc_id)], huff[(1, ac_id)], quant[tq_of[cid]], prev_dc[cid]
+                )
+                planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    return width, height, [planes[cid][:height, :width] for cid, _ in comps]
+
+
+def decode_jpeg_gray(content: bytes) -> list[float]:
+    """REAL baseline JPEG decode (8-bit grayscale, no subsampling):
+    [width, height, mean, mean, mean, topleft] — the image feature
+    shape of decode_bmp/decode_png with r=g=b=luma. Tables come from
+    the stream (DQT/DHT); multi-component, subsampled, progressive, or
+    12-bit streams raise."""
+    width, height, planes = _parse_baseline(content)
+    if len(planes) != 1:
+        raise ValueError("decode_jpeg_gray handles 8-bit single-component JPEGs")
+    img = np.clip(np.rint(planes[0]), 0, 255)
     mean = float(img.mean())
     return [float(width), float(height), mean, mean, mean, float(img[0, 0])]
+
+
+def decode_jpeg(content: bytes) -> list[float]:
+    """REAL baseline JPEG decode, 1- or 3-component 4:4:4:
+    [width, height, mean_r, mean_g, mean_b, topleft_r] — the feature
+    shape of decode_bmp/decode_png. Grayscale decodes with r=g=b=luma;
+    color converts YCbCr->RGB with the standard JFIF matrix
+    (R = Y + 1.402 Cr', G = Y - 0.344136 Cb' - 0.714136 Cr',
+    B = Y + 1.772 Cb'; primed = centered), rounded then clipped."""
+    width, height, planes = _parse_baseline(content)
+    if len(planes) == 1:
+        img = np.clip(np.rint(planes[0]), 0, 255)
+        mean = float(img.mean())
+        return [float(width), float(height), mean, mean, mean, float(img[0, 0])]
+    y, cb, cr = planes
+    r = np.clip(np.rint(y + 1.402 * (cr - 128.0)), 0, 255)
+    g = np.clip(np.rint(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)), 0, 255)
+    b = np.clip(np.rint(y + 1.772 * (cb - 128.0)), 0, 255)
+    return [
+        float(width),
+        float(height),
+        float(r.mean()),
+        float(g.mean()),
+        float(b.mean()),
+        float(r[0, 0]),
+    ]

@@ -306,7 +306,9 @@ def decode_png(content: bytes) -> list[float]:
 def _decode_jpeg(content: bytes) -> list[float]:
     from . import jpeg
 
-    return jpeg.decode_jpeg_gray(content)
+    # general baseline decoder: 1-component (r=g=b=luma) or 3-component
+    # YCbCr 4:4:4 color (JFIF matrix), same 6-float feature shape
+    return jpeg.decode_jpeg(content)
 
 
 DECODERS: dict[str, Callable[[bytes], list[float]]] = {
@@ -539,7 +541,22 @@ def formula_jpeg_pixel(m: int, x: int, y: int) -> int:
     return 128 + 2 * (((m * 7 + bx * 3 + by * 5) % 50) - 25)
 
 
-def formula_media_df(spark, n_audio: int = 8, n_image: int = 8, n_png: int = 0, n_jpeg: int = 0) -> DataFrame:
+def formula_jpeg_color_ycbcr(m: int, x: int, y: int) -> tuple[int, int, int]:
+    """Per-8x8-block constant (Y, Cb, Cr) that survives the color codec
+    bit-exactly: the luma reuses formula_jpeg_pixel's even-offset rule
+    (Annex K.1 DC step 16 divides 8*(Y-128)) and the chroma offsets are
+    multiples of 17 (Annex K.2 DC step 17 divides 8*17k). The decoder's
+    YCbCr->RGB floats never land on .5, so round() is unambiguous and a
+    closed-form SQL oracle reproduces the decoded RGB exactly (q163)."""
+    bx, by = x // 8, y // 8
+    return (
+        formula_jpeg_pixel(m, x, y),
+        128 + 17 * (((m + bx + by) % 3) - 1),
+        128 + 17 * (((m + 2 * bx + by) % 3) - 1),
+    )
+
+
+def formula_media_df(spark, n_audio: int = 8, n_image: int = 8, n_png: int = 0, n_jpeg: int = 0, n_jpeg_color: int = 0) -> DataFrame:
     """Real WAV + BMP + PNG blobs generated from the closed-form formulas
     above. Tiny driver-side dim (n rows of <=10 KB) — the 100 TB shape is
     the downstream mapInPandas scan, not this fixture."""
@@ -563,6 +580,16 @@ def formula_media_df(spark, n_audio: int = 8, n_image: int = 8, n_png: int = 0, 
 
         blob = jpeg.make_jpeg_gray(16, 16, lambda x, y, m=m: formula_jpeg_pixel(m, x, y))
         rows.append((3000 + m, f"mem://jpeg/{m}", "image/jpeg", blob))
+    for m in range(n_jpeg_color):
+        from . import jpeg
+
+        blob = jpeg.make_jpeg_color(
+            16,
+            16,
+            lambda x, y, m=m: formula_jpeg_color_ycbcr(m, x, y),
+            colorspace="ycbcr",
+        )
+        rows.append((4000 + m, f"mem://jpegc/{m}", "image/jpeg", blob))
     for m in range(n_image):
         w, h = formula_bmp_dims(m)
         blob = make_bmp(

@@ -298,6 +298,56 @@ def q124_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_JPEG_C = 8
+
+
+@query(
+    "q163_jpeg_color_decode",
+    oracle=f"""
+    WITH jm AS (SELECT m FROM range(0, {_N_JPEG_C}) t(m)),
+    blocks AS (
+      SELECT jm.m, bx.i AS bx, by.i AS by,
+             128 + 2*(((jm.m*7 + bx.i*3 + by.i*5) % 50) - 25) AS y,
+             128 + 17*(((jm.m + bx.i + by.i) % 3) - 1) AS cb,
+             128 + 17*(((jm.m + 2*bx.i + by.i) % 3) - 1) AS cr
+      FROM jm, range(0, 2) bx(i), range(0, 2) by(i)),
+    rgb AS (
+      SELECT m, bx, by,
+             ROUND(y + 1.402*(cr - 128)) AS r,
+             ROUND(y - 0.344136*(cb - 128) - 0.714136*(cr - 128)) AS g,
+             ROUND(y + 1.772*(cb - 128)) AS b
+      FROM blocks)
+    SELECT 4000 + m AS media_id, 'jpeg_color' AS kind,
+           CAST(256 AS BIGINT) AS n_units,
+           ROUND(AVG(r), 6) AS mean_r, ROUND(AVG(g), 6) AS mean_g,
+           ROUND(AVG(b), 6) AS mean_b,
+           CAST(MIN(CASE WHEN bx = 0 AND by = 0 THEN r END) AS DOUBLE) AS topleft_r
+    FROM rgb GROUP BY m ORDER BY media_id
+    """,
+    description="REAL baseline COLOR JPEG decode, hash-checked (completes ITU T.81 baseline parity over the grayscale q124): the from-scratch 3-component YCbCr 4:4:4 codec (operators/jpeg.py — interleaved one-block-per-component MCUs, Annex K.1 luma + K.2 chroma quantization, K.3 luma + chroma Huffman tables, per-component DC prediction) runs inside the mapInPandas extractor over fixture JPEGs whose block-constant (Y, Cb, Cr) values have quant-divisible DC terms (luma step 16 | 8*(Y-128), chroma step 17 | 8*17k) so the planes survive bit-exactly; the oracle recomputes the decoded RGB (JFIF matrix, round-without-ties by construction) from the generating formula — a wrong MCU interleave, chroma table mixup, DC predictor leak across components, or color-matrix error skips the hash",
+)
+def q163_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    feats = MM.extract_features(
+        MM.formula_media_df(spark, n_audio=0, n_image=0, n_png=0, n_jpeg_color=_N_JPEG_C)
+    )
+    el = F.element_at
+    return (
+        feats.filter(F.col("mime") == "image/jpeg")
+        .select(
+            "media_id",
+            F.lit("jpeg_color").alias("kind"),
+            (el("feature", 1) * el("feature", 2)).cast("long").alias("n_units"),
+            F.round(el("feature", 3), 6).alias("mean_r"),
+            F.round(el("feature", 4), 6).alias("mean_g"),
+            F.round(el("feature", 5), 6).alias("mean_b"),
+            el("feature", 6).alias("topleft_r"),
+        )
+        .orderBy("media_id")
+    )
+
+
 _RS_W, _RS_H, _N_RS_BMP = 6, 4, 12
 
 

@@ -134,6 +134,65 @@ def test_bpe_round0_fast_path_matches_generic(spark, sf_dir):
     assert generic.equals(fast)
 
 
+# ------------------------------------------------------- color JPEG codec
+
+
+def test_jpeg_color_exact_fixture_roundtrip():
+    """Block-constant (Y, Cb, Cr) with quant-divisible DC terms must
+    survive the 3-component codec bit-exactly (the q163 oracle
+    construction), including the chroma-table routing and per-component
+    DC prediction."""
+    from advanced_data_mining_and_big_data_analysis_spark.operators import jpeg as J
+    from advanced_data_mining_and_big_data_analysis_spark.operators.multimodal import (
+        formula_jpeg_color_ycbcr,
+    )
+
+    for m in (0, 3, 7):
+        blob = J.make_jpeg_color(
+            16, 16, lambda x, y, m=m: formula_jpeg_color_ycbcr(m, x, y), colorspace="ycbcr"
+        )
+        w, h, mr, mg, mb, tl = J.decode_jpeg(blob)
+        rs, gs, bs = [], [], []
+        for by in range(2):
+            for bx in range(2):
+                Y, Cb, Cr = formula_jpeg_color_ycbcr(m, bx * 8, by * 8)
+                rs.append(round(Y + 1.402 * (Cr - 128)))
+                gs.append(round(Y - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128)))
+                bs.append(round(Y + 1.772 * (Cb - 128)))
+        assert (w, h) == (16.0, 16.0)
+        assert mr == sum(rs) / 4 and mg == sum(gs) / 4 and mb == sum(bs) / 4
+        assert tl == rs[0]
+
+
+def test_jpeg_color_rgb_path_error_bound():
+    """The lossy RGB path (float color conversion + quantized AC) must
+    stay within a small per-channel mean error on a smooth gradient —
+    the standard codec sanity bound."""
+    from advanced_data_mining_and_big_data_analysis_spark.operators import jpeg as J
+
+    w, h = 24, 17
+    blob = J.make_jpeg_color(
+        w, h, lambda x, y: (min(255, 60 + 3 * x), min(255, 40 + 2 * y), 100)
+    )
+    _, _, mr, mg, mb, _ = J.decode_jpeg(blob)
+    ref_r = sum(min(255, 60 + 3 * x) for x in range(w) for _ in range(h)) / (w * h)
+    ref_g = sum(min(255, 40 + 2 * y) for y in range(h) for _ in range(w)) / (w * h)
+    assert abs(mr - ref_r) < 3 and abs(mg - ref_g) < 3 and abs(mb - 100) < 3
+
+
+def test_jpeg_decode_handles_gray_and_gray_decoder_rejects_color():
+    from advanced_data_mining_and_big_data_analysis_spark.operators import jpeg as J
+
+    gray = J.make_jpeg_gray(16, 16, lambda x, y: 128 + 2 * ((x // 8) - (y // 8)))
+    assert J.decode_jpeg(gray) == J.decode_jpeg_gray(gray)  # 1-comp: same feature
+    color = J.make_jpeg_color(8, 8, lambda x, y: (10, 20, 30))
+    with pytest.raises(ValueError):
+        J.decode_jpeg_gray(color)
+    # truncated color entropy stream still fails loud
+    with pytest.raises(ValueError):
+        J.decode_jpeg(color[:-12])
+
+
 def test_q153_plan_has_no_cartesian(spark, sf_dir):
     """The derived-depth rewrite must keep the broadcast-join unroll
     shape (no CartesianProduct sneaking in via the scalar pre-agg)."""
