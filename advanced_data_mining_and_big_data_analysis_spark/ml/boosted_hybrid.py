@@ -43,10 +43,31 @@ class BoostedHybridModel(Transformer):
     def copy(self, extra=None):  # noqa: D102 — Params.defaultCopy can't rebuild custom ctors
         return BoostedHybridModel(self.fitted_1, self.fitted_2, self.prediction_col, self.log_target)
 
+    @staticmethod
+    def _pred_col_of(fitted) -> str:
+        """Prediction column across model conventions: Spark ML built-ins
+        expose camelCase ``predictionCol``; xgboost.spark models expose
+        snake_case ``prediction_col`` (the fitted-model twin of
+        BoostedHybrid._set_cols — a camelCase-only getOrDefault raises on
+        external boosted stages, caught by the fake-estimator test)."""
+        has_param = getattr(fitted, "hasParam", None)
+        if callable(has_param):
+            try:
+                if has_param("predictionCol"):
+                    return fitted.getOrDefault("predictionCol")
+                if has_param("prediction_col"):
+                    return fitted.getOrDefault("prediction_col")
+            except Exception:
+                pass
+        try:
+            return fitted.getOrDefault("predictionCol")
+        except Exception:
+            return fitted.getOrDefault("prediction_col")
+
     def _transform(self, df: DataFrame) -> DataFrame:
         out = self.fitted_2.transform(self.fitted_1.transform(df))
-        p1 = self.fitted_1.getOrDefault("predictionCol")
-        p2 = self.fitted_2.getOrDefault("predictionCol")
+        p1 = self._pred_col_of(self.fitted_1)
+        p2 = self._pred_col_of(self.fitted_2)
         raw = F.col(p1) + F.col(p2)
         pred = F.expm1(raw) if self.log_target else raw
         return out.withColumn(self.prediction_col, pred).drop(p1, p2)
