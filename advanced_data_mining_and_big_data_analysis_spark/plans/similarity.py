@@ -8,7 +8,7 @@ with DuckDB list lambdas, so cosine values match bit-for-bit before the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity as SIM
@@ -644,3 +644,241 @@ def q161_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid_cos"),
         F.round(F.round(F.sqrt("d2"), 9), 6).alias("centroid_l2"),
     ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# q164 — IVF-PQ ADC search end-to-end: the FAISS IVFPQ composition that
+# the rest of the ANN ladder builds toward. One query: (1) IVF coarse
+# quantizer — per-label centroids over the DB partition, every DB
+# vector assigned to its nearest centroid; (2) PQ encode — m=4 x 16-dim
+# subspaces against a deterministic k=8 codebook (the low-vec_id rows,
+# q120's convention), each DB vector stored as 4 code ids; (3) search —
+# per query vector, rank centroids, probe the nprobe=2 nearest
+# clusters, score every candidate by ASYMMETRIC DISTANCE COMPUTATION:
+# a per-query lookup table of query-subvector -> codeword distances
+# (nq x k rows, broadcast) folded as l0[c0]+l1[c1]+l2[c2]+l3[c3] — the
+# scan never touches candidate vectors, only their 4-byte codes. The
+# exact L2^2 rides along per hit so ADC's approximation error is
+# auditable in the result. All distances ROUND(...,9) before every
+# argmin/rank on both engines (float-tie rule), ties by lowest id.
+#
+# Scale shape: centroids, codebook, probe list, and LUT are all
+# broadcast-sized; the corpus-sized work is one N*k map-side-collapsed
+# encode and the probed-cluster candidate scan (nprobe/k_clusters of
+# the corpus per query). Nothing shuffles the embedding table at full
+# width; the per-query top-k window partitions by query_id.
+# ---------------------------------------------------------------------------
+
+_ADC_M, _ADC_SUB, _ADC_K, _ADC_NPROBE, _ADC_TOPK = 4, 16, 8, 2, 5
+
+
+def _l2sq9(a: Column, b: Column) -> Column:
+    """9-dp-rounded squared L2 between two equal-length double arrays."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ),
+        9,
+    )
+
+
+def _adc_sub(col: Column, j: int) -> Column:
+    return F.slice(col, j * _ADC_SUB + 1, _ADC_SUB)
+
+
+def _lut_column(j: int) -> Column:
+    """code_id-ordered array of subspace-j query->codeword distances.
+    A dedicated closure per j: a `lambda s, j=j:` default inside
+    F.transform would receive the ELEMENT INDEX as its second argument
+    (transform calls binary lambdas with (element, index)), silently
+    clobbering j with a Column."""
+    return F.transform(
+        F.array_sort(F.collect_list(F.struct("code_id", f"l{j}"))),
+        lambda s: s[f"l{j}"],
+    ).alias(f"lut{j}")
+
+
+@query(
+    "q164_ivf_pq_search",
+    oracle="""
+    WITH x AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    db AS (SELECT * FROM x WHERE vec_id >= 3),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM x WHERE vec_id IN (0, 1, 2)),
+    cent AS (SELECT label AS c_label, dim, AVG(v[dim]) AS c
+             FROM db CROSS JOIN range(1, 65) r(dim) GROUP BY c_label, dim),
+    ivf_d AS (SELECT db.vec_id, c_label,
+                     ROUND(SUM((v[r.dim] - c) * (v[r.dim] - c)), 9) AS d2
+              FROM db CROSS JOIN range(1, 65) r(dim)
+              JOIN cent ON cent.dim = r.dim
+              GROUP BY db.vec_id, c_label),
+    assign AS (SELECT vec_id, c_label AS cluster,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+               FROM ivf_d QUALIFY rn = 1),
+    cb AS (SELECT vec_id AS code_id, v AS cv FROM x WHERE vec_id < 8),
+    enc AS (SELECT a.vec_id,
+                 cb.code_id,
+                 ROUND(list_reduce(list_transform(range(1, 17), i -> (a.v[i] - cb.cv[i]) * (a.v[i] - cb.cv[i])), (acc, z) -> acc + z), 9) AS d0,
+                 ROUND(list_reduce(list_transform(range(17, 33), i -> (a.v[i] - cb.cv[i]) * (a.v[i] - cb.cv[i])), (acc, z) -> acc + z), 9) AS d1,
+                 ROUND(list_reduce(list_transform(range(33, 49), i -> (a.v[i] - cb.cv[i]) * (a.v[i] - cb.cv[i])), (acc, z) -> acc + z), 9) AS d2,
+                 ROUND(list_reduce(list_transform(range(49, 65), i -> (a.v[i] - cb.cv[i]) * (a.v[i] - cb.cv[i])), (acc, z) -> acc + z), 9) AS d3
+            FROM (SELECT db.vec_id, db.v FROM db) a CROSS JOIN cb),
+    cmin AS (SELECT vec_id, MIN(d0) AS m0, MIN(d1) AS m1, MIN(d2) AS m2, MIN(d3) AS m3 FROM enc GROUP BY vec_id),
+    codes AS (SELECT e.vec_id,
+                  MIN(CASE WHEN e.d0 = m.m0 THEN e.code_id END) AS c0,
+                  MIN(CASE WHEN e.d1 = m.m1 THEN e.code_id END) AS c1,
+                  MIN(CASE WHEN e.d2 = m.m2 THEN e.code_id END) AS c2,
+                  MIN(CASE WHEN e.d3 = m.m3 THEN e.code_id END) AS c3
+              FROM enc e JOIN cmin m ON e.vec_id = m.vec_id GROUP BY e.vec_id),
+    lut AS (SELECT q.query_id, cb.code_id,
+                ROUND(list_reduce(list_transform(range(1, 17), i -> (q.qv[i] - cb.cv[i]) * (q.qv[i] - cb.cv[i])), (acc, z) -> acc + z), 9) AS l0,
+                ROUND(list_reduce(list_transform(range(17, 33), i -> (q.qv[i] - cb.cv[i]) * (q.qv[i] - cb.cv[i])), (acc, z) -> acc + z), 9) AS l1,
+                ROUND(list_reduce(list_transform(range(33, 49), i -> (q.qv[i] - cb.cv[i]) * (q.qv[i] - cb.cv[i])), (acc, z) -> acc + z), 9) AS l2,
+                ROUND(list_reduce(list_transform(range(49, 65), i -> (q.qv[i] - cb.cv[i]) * (q.qv[i] - cb.cv[i])), (acc, z) -> acc + z), 9) AS l3
+            FROM q CROSS JOIN cb),
+    qprobe AS (SELECT q.query_id, c_label,
+                      ROUND(SUM((qv[r.dim] - c) * (qv[r.dim] - c)), 9) AS d2
+               FROM q CROSS JOIN range(1, 65) r(dim)
+               JOIN cent ON cent.dim = r.dim
+               GROUP BY q.query_id, c_label),
+    probes AS (SELECT query_id, c_label AS cluster,
+                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, c_label) AS pr
+               FROM qprobe QUALIFY pr <= 2),
+    cand AS (SELECT p.query_id, a.vec_id, a.cluster
+             FROM assign a JOIN probes p ON a.cluster = p.cluster),
+    scored AS (SELECT cand.query_id, cand.vec_id, cand.cluster,
+                      ROUND(j0.l0 + j1.l1 + j2.l2 + j3.l3, 9) AS adc_d2
+               FROM cand
+               JOIN codes k ON k.vec_id = cand.vec_id
+               JOIN lut j0 ON j0.query_id = cand.query_id AND j0.code_id = k.c0
+           JOIN lut j1 ON j1.query_id = cand.query_id AND j1.code_id = k.c1
+           JOIN lut j2 ON j2.query_id = cand.query_id AND j2.code_id = k.c2
+           JOIN lut j3 ON j3.query_id = cand.query_id AND j3.code_id = k.c3),
+    top AS (SELECT s.query_id, s.vec_id, s.cluster, s.adc_d2,
+                   ROUND(list_reduce(list_transform(range(1, 65), i -> (q.qv[i] - d.v[i]) * (q.qv[i] - d.v[i])), (acc, z) -> acc + z), 9) AS true_d2,
+                   ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                      ORDER BY s.adc_d2, s.vec_id) AS rnk
+            FROM scored s
+            JOIN q ON q.query_id = s.query_id
+            JOIN db d ON d.vec_id = s.vec_id)
+    SELECT query_id, CAST(rnk AS INTEGER) AS rnk, vec_id,
+           CAST(cluster AS INTEGER) AS cluster,
+           ROUND(adc_d2, 6) + 0 AS adc_d2, ROUND(true_d2, 6) + 0 AS true_d2
+    FROM top WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+    description="IVF-PQ search with asymmetric distance computation, end-to-end (the FAISS IVFPQ composition closing the ANN ladder): per-label IVF centroids + nearest-centroid assignment, m=4x16-dim PQ encoding against the deterministic k=8 low-vec_id codebook, then per query (vec_id 0-2): rank centroids, probe the 2 nearest clusters, and score candidates via a broadcast query->codeword lookup table folded over the 4 stored code ids — candidates are scanned as codes, never as vectors; exact L2^2 per hit audits the ADC approximation; every distance 9-dp-rounded before argmin/rank with lowest-id tie-breaks, so both engines produce the identical top-5",
+)
+def q164_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    db = emb.filter(F.col("vec_id") >= 3)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    # (1) IVF centroids (per-label means over the DB partition) as arrays
+    cent_arr = (
+        db.select("label", F.posexplode("v").alias("dim0", "comp"))
+        .groupBy(F.col("label").alias("c_label"), "dim0")
+        .agg(F.avg("comp").alias("c"))
+        .groupBy("c_label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim0", "c"))), lambda s: s["c"]
+            ).alias("cv_full")
+        )
+    )
+    assign = (
+        db.crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", "v", "c_label", _l2sq9(F.col("v"), F.col("cv_full")).alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("d2"), F.col("c_label"))).alias("m"))
+        .select("vec_id", F.col("m.c_label").alias("cluster"))
+        .join(db.select("vec_id", "v"), "vec_id")
+    )
+
+    # (2) PQ encode against the deterministic codebook (q120 convention)
+    cb = emb.filter(F.col("vec_id") < _ADC_K).select(
+        F.col("vec_id").alias("code_id"), F.col("v").alias("cv")
+    )
+    enc = assign.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "cluster",
+        "code_id",
+        *[
+            _l2sq9(_adc_sub(F.col("v"), j), _adc_sub(F.col("cv"), j)).alias(f"d{j}")
+            for j in range(_ADC_M)
+        ],
+    )
+    codes = (
+        enc.groupBy("vec_id")
+        .agg(
+            F.min("cluster").alias("cluster"),
+            *[
+                F.min(F.struct(F.col(f"d{j}"), F.col("code_id"))).alias(f"m{j}")
+                for j in range(_ADC_M)
+            ],
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            *[F.col(f"m{j}.code_id").alias(f"c{j}") for j in range(_ADC_M)],
+        )
+    )
+
+    # (3) search: probe list + ADC lookup tables, both broadcast-sized
+    lut_arr = (
+        qs.crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            "code_id",
+            *[
+                _l2sq9(_adc_sub(F.col("qv"), j), _adc_sub(F.col("cv"), j)).alias(f"l{j}")
+                for j in range(_ADC_M)
+            ],
+        )
+        .groupBy("query_id")
+        .agg(*[_lut_column(j) for j in range(_ADC_M)])
+    )
+    wprobe = W.partitionBy("query_id").orderBy("d2", "c_label")
+    probes = (
+        qs.crossJoin(F.broadcast(cent_arr))
+        .select("query_id", "c_label", _l2sq9(F.col("qv"), F.col("cv_full")).alias("d2"))
+        .withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= _ADC_NPROBE)
+        .select("query_id", F.col("c_label").alias("cluster"))
+    )
+
+    adc = F.round(
+        sum(
+            F.element_at(F.col(f"lut{j}"), (F.col(f"c{j}") + 1).cast("int"))
+            for j in range(_ADC_M)
+        ),
+        9,
+    )
+    scored = (
+        codes.join(F.broadcast(probes), "cluster")
+        .join(F.broadcast(lut_arr), "query_id")
+        .select("query_id", "vec_id", "cluster", adc.alias("adc_d2"))
+    )
+    wtop = W.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        scored.join(db.select("vec_id", "v"), "vec_id")
+        .join(F.broadcast(qs), "query_id")
+        .withColumn("true_d2", _l2sq9(F.col("qv"), F.col("v")))
+        .withColumn("rnk", F.row_number().over(wtop))
+        .filter(F.col("rnk") <= _ADC_TOPK)
+        .select(
+            "query_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            (F.round("adc_d2", 6) + 0.0).alias("adc_d2"),
+            (F.round("true_d2", 6) + 0.0).alias("true_d2"),
+        )
+        .orderBy("query_id", "rnk")
+    )

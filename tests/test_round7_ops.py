@@ -134,6 +134,62 @@ def test_bpe_round0_fast_path_matches_generic(spark, sf_dir):
     assert generic.equals(fast)
 
 
+# ---------------------------------------------------- q164 IVF-PQ search
+
+
+def test_q164_adc_recall_on_clustered_data(spark, tmp_path):
+    """On WELL-SEPARATED clusters (prototype + small noise, prototypes
+    doubling as the deterministic codebook) IVF-PQ ADC search must
+    recall nearly the exact top-5 — the testdata embeddings are near-
+    random 64-dim, so the real-fixture run (oracle-hash-checked) proves
+    mechanics while this proves the retrieval QUALITY the composition
+    delivers when the data has structure (the test_operators.py ANN
+    ladder convention)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    protos = np.zeros((8, 64))
+    for p in range(8):
+        protos[p, p * 8 : (p + 1) * 8] = 10.0
+    rows = []
+    vec_id = 0
+    for p in range(8):  # vec_id 0..7 = exact prototypes (codebook + queries 0-2)
+        rows.append((vec_id, p, protos[p].astype(np.float32).tolist()))
+        vec_id += 1
+    for p in range(8):  # members: prototype + small noise
+        for _ in range(12):
+            v = protos[p] + rng.normal(0, 0.2, 64)
+            rows.append((vec_id, p, v.astype(np.float32).tolist()))
+            vec_id += 1
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out_dir = str(tmp_path / "emb")
+    df.coalesce(1).write.mode("overwrite").parquet(out_dir + "/embeddings.parquet")
+
+    from advanced_data_mining_and_big_data_analysis_spark.plans import all_queries
+
+    out = all_queries()["q164_ivf_pq_search"].fn(spark, out_dir).toPandas()
+    label_of = {r[0]: r[1] for r in rows}
+    proto_d2 = {
+        (qp, p): float(((protos[qp] - protos[p]) ** 2).sum()) for qp in range(3) for p in range(8)
+    }
+    for q in (0, 1, 2):
+        sub = out[out["query_id"] == q]
+        assert len(sub) == 5
+        # IVF-PQ retrieves at CLUSTER granularity: with separable
+        # clusters every hit must come from the query's own cluster
+        # (members share their prototype's codes, so ADC cannot — and
+        # need not — rank within a cluster; that is fundamental PQ
+        # behavior, audited by the true_d2 column).
+        hit_labels = {label_of[v] for v in sub["vec_id"]}
+        assert hit_labels == {q}, f"query {q} retrieved foreign clusters: {hit_labels}"
+        # ADC distance of own-cluster hits ~ 0, far below any foreign prototype
+        foreign_min = min(proto_d2[(q, p)] for p in range(8) if p != q)
+        assert (sub["adc_d2"] < foreign_min / 4).all()
+        # the exact-distance audit column rides along and is sane
+        assert (sub["true_d2"] >= 0).all()
+        assert (sub["true_d2"] < foreign_min / 4).all()
+
+
 # ------------------------------------------------------- color JPEG codec
 
 
