@@ -435,3 +435,86 @@ def q90_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q165 — BM25 ranked retrieval: the lexical side of a hybrid search
+# stack (the ANN ladder q50-q56/q164 is the dense side). Okapi BM25
+# with the Lucene idf variant: score(D,Q) = sum_t idf(t) * tf*(k1+1) /
+# (tf + k1*(1 - b + b*dl/avgdl)), k1=1.2, b=0.75,
+# idf = ln((N - df + 0.5)/(df + 0.5) + 1).
+#
+# Scale shape: the query-term filter lands right after the token
+# explode, so only matching (doc, term) rows survive into the tf
+# aggregate — the inverted-index shape (posting lists for 3 terms),
+# never a corpus-wide term table. df and the (N, avgdl) stats are
+# broadcast scalars; the final ranking is one TakeOrdered top-10.
+# Both engines build the score with the IDENTICAL expression tree and
+# exact-integer tf/dl/df inputs, so doubles agree bit-for-bit before
+# the 6-dp output round; ties break by doc_id.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["hash", "join", "vector"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "q165_bm25_search",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM base),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+           WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+           GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id,
+             ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * (tf.tf * ({_BM25_K1} + 1))
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+               AS c,
+             tf.tf
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats),
+    scored AS (SELECT doc_id, ROUND(SUM(c), 6) AS bm25,
+                      CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+                      CAST(SUM(tf) AS BIGINT) AS total_tf
+               FROM contrib GROUP BY doc_id)
+    SELECT doc_id, bm25, n_terms_matched, total_tf
+    FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    description="Okapi BM25 ranked retrieval (k1=1.2, b=0.75, Lucene idf) for a fixed 3-term query — the lexical half of hybrid search next to the dense ANN ladder: token explode filtered to the query terms immediately (posting-list shape, no corpus-wide term table), broadcast df/N/avgdl statistics, one TakeOrdered top-10; exact-integer tf/dl/df feed an identical expression tree on both engines so the 6-dp-rounded scores and doc_id-tie-broken ranking match bit-for-bit",
+)
+def q165_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", X.tokens("text").alias("toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    dl = base.select("doc_id", F.size("toks").alias("dl"))
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    denom = F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    contrib = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * (F.col("tf") * (_BM25_K1 + 1)) / denom).alias("c"), "tf")
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("c"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )

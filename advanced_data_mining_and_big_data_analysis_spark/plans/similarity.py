@@ -882,3 +882,94 @@ def q164_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q166 — k-means Lloyd iterations, hash-checked against a true two-round
+# SQL unroll: the clustering primitive under SemDeDup (q114), IVF
+# training (q55 assigns to LABEL means; this trains centroids from a
+# seed), and mixture curation. Two full Lloyd rounds from the
+# deterministic low-vec_id seed: assign -> per-dim mean -> re-assign,
+# reporting per-cluster membership and inertia after round 2.
+#
+# Cross-engine float discipline: every distance ROUND(...,9) before
+# every argmin (tie -> lowest cluster id via min(struct)); the
+# round-1 centroids are ROUND(...,9) per component BEFORE the round-2
+# distances, so the two engines' AVG-addition-order ulp differences
+# (~1e-14) cannot flip a borderline re-assignment. Scale shape: the
+# seed and the k x 64 centroid frame are broadcast; each round is one
+# map-side-collapsed N*k distance pass + a (cluster, dim)-key mean —
+# nothing shuffles the embedding table at full width, and rounds
+# compose (a production loop localCheckpoints between rounds).
+# ---------------------------------------------------------------------------
+
+_KM_K = 5
+
+
+@query(
+    "q166_kmeans_lloyd",
+    oracle=f"""
+    WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cl, v AS cv FROM x WHERE vec_id < {_KM_K}),
+    d1 AS (SELECT x.vec_id, c0.cl,
+                  ROUND(list_reduce(list_transform(range(1, 65),
+                        i -> (x.v[i] - c0.cv[i]) * (x.v[i] - c0.cv[i])),
+                        (acc, z) -> acc + z), 9) AS d2
+           FROM x CROSS JOIN c0),
+    a1 AS (SELECT vec_id, cl,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+           FROM d1 QUALIFY rn = 1),
+    c1 AS (SELECT a1.cl, r.dim, ROUND(AVG(x.v[r.dim]), 9) AS c
+           FROM x JOIN a1 ON a1.vec_id = x.vec_id
+           CROSS JOIN range(1, 65) r(dim)
+           GROUP BY a1.cl, r.dim),
+    d2r AS (SELECT x.vec_id, c1.cl,
+                   ROUND(SUM((x.v[r.dim] - c1.c) * (x.v[r.dim] - c1.c)), 9) AS d2
+            FROM x CROSS JOIN range(1, 65) r(dim)
+            JOIN c1 ON c1.dim = r.dim
+            GROUP BY x.vec_id, c1.cl),
+    a2 AS (SELECT vec_id, cl, d2,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+           FROM d2r QUALIFY rn = 1)
+    SELECT CAST(cl AS INTEGER) AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(SUM(d2), 6) AS inertia
+    FROM a2 GROUP BY cl ORDER BY cluster
+    """,
+    description="k-means Lloyd training, two full rounds from the deterministic low-vec_id seed (k=5), hash-matched against a true SQL unroll of assign -> per-dim mean -> re-assign: per-cluster membership and inertia after round 2; distances 9-dp-rounded before every argmin (lowest-cluster ties), round-1 centroids 9-dp-rounded per component so cross-engine AVG addition-order ulps cannot flip a borderline re-assignment — the clustering primitive under SemDeDup/IVF/mixture curation, with broadcast-sized centroid state and map-side-collapsed N*k distance passes",
+)
+def q166_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c0 = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cl"), F.col("v").alias("cv")
+    )
+    a1 = (
+        emb.crossJoin(F.broadcast(c0))
+        .select("vec_id", "cl", _l2sq9(F.col("v"), F.col("cv")).alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("d2"), F.col("cl"))).alias("m"))
+        .select("vec_id", F.col("m.cl").alias("cl"))
+    )
+    dims = emb.select("vec_id", F.posexplode("v").alias("dim0", "comp")).withColumn(
+        "dim", F.col("dim0") + 1
+    )
+    c1 = (
+        dims.join(a1, "vec_id")
+        .groupBy("cl", "dim")
+        .agg(F.round(F.avg("comp"), 9).alias("c"))
+    )
+    a2 = (
+        dims.join(F.broadcast(c1), "dim")
+        .groupBy("vec_id", "cl")
+        .agg(F.round(F.sum((F.col("comp") - F.col("c")) * (F.col("comp") - F.col("c"))), 9).alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("d2"), F.col("cl"))).alias("m"))
+        .select(F.col("m.cl").alias("cl"), F.col("m.d2").alias("d2"))
+    )
+    return (
+        a2.groupBy("cl")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.round(F.sum("d2"), 6).alias("inertia"))
+        .select(F.col("cl").cast("int").alias("cluster"), "n_members", "inertia")
+        .orderBy("cluster")
+    )
