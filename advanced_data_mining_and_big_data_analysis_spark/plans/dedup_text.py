@@ -124,7 +124,7 @@ _BOILER = "terms of service privacy policy all rights reserved contact us for de
 
 
 @query(
-    "q83_neardup_skew_capped",
+    "a083_neardup_skew_capped",
     oracle=_neardup_oracle(
         f"""SELECT doc_id,
                    CASE WHEN doc_id % 3 = 0 THEN '{_BOILER}' ELSE text END AS text
@@ -133,7 +133,7 @@ _BOILER = "terms of service privacy policy all rights reserved contact us for de
     ),
     description="adversarial-skew LSH dedup: ~1/3 of docs share one boilerplate text (one giant bucket per band); the salted per-bucket cap (8) bounds candidate generation to O(n*cap) — hash-matched against an oracle modeling the identical salting rule",
 )
-def q83_neardup_skew_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a083_neardup_skew_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 400)
     planted = docs.withColumn(
         "text",
@@ -382,7 +382,7 @@ def _cluster_ctes(docs_sql: str, cap: int) -> str:
 
 
 @query(
-    "q88_neardup_clusters",
+    "a088_neardup_clusters",
     oracle=f"""
     WITH RECURSIVE {_cluster_ctes("SELECT doc_id, text FROM documents", 64)},
     csizes AS (SELECT cluster, COUNT(*) AS cluster_size FROM labels GROUP BY cluster)
@@ -391,7 +391,7 @@ def _cluster_ctes(docs_sql: str, cap: int) -> str:
     """,
     description="near-duplicate CLUSTERING (dedup-group assignment): connected components over the verified LSH pair graph — iterative distributed min-label propagation on the Spark side (GraphX cc recipe in DataFrame form, rounds = component diameter), recursive CTE on the oracle side; output is the dedup-cluster size histogram",
 )
-def q88_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a088_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.near_dup_pairs(docs, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.5)
     labels = D.near_dup_clusters(pairs)
@@ -405,7 +405,7 @@ def q88_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q90_dedup_survivors",
+    "a090_dedup_survivors",
     oracle=f"""
     WITH RECURSIVE {_cluster_ctes("SELECT doc_id, text FROM documents", 64)},
     removed AS (SELECT id FROM labels WHERE id <> cluster)
@@ -418,7 +418,7 @@ def q88_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="dedup SURVIVOR selection — the last step of the pipeline (pairs -> clusters -> deduped corpus): every near-dup cluster keeps only its canonical min-id member via a left-anti join on the label frame; per-source kept/removed accounting",
 )
-def q90_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a090_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.near_dup_pairs(docs, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.5)
     kept = D.dedup_survivors(docs, pairs)

@@ -469,7 +469,7 @@ _MOVEABLE_VALUES = ", ".join(
 
 
 @query(
-    "q85_holiday_observed_shift",
+    "a085_holiday_observed_shift",
     oracle=f"""
     WITH fixed(country, hdate, holiday) AS (VALUES {_FIXED_VALUES}),
     moveable(country, hdate, holiday) AS (VALUES {_MOVEABLE_VALUES}),
@@ -487,7 +487,7 @@ _MOVEABLE_VALUES = ", ".join(
     """,
     description="observed-day holiday shifting (holidays-package observed=True parity, kaggle.py:332-333): weekend fixed-date holidays gain a Monday '(observed)' entry; the ORACLE re-derives the shift rule in SQL from the raw fixed dates, so the hash pins the rule itself, not just the dim contents (SURVEY §2.5 holiday source)",
 )
-def q85_holiday_observed_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a085_holiday_observed_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     dim = C.holiday_dim(spark, _EASTER_YEARS, observed=True)
     return (
@@ -499,7 +499,7 @@ def q85_holiday_observed_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q86_periodogram",
+    "a086_periodogram",
     oracle="""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS rev
@@ -521,7 +521,7 @@ def q85_holiday_observed_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="periodogram (SURVEY §2.5): normalized spectral power of the daily revenue series at harmonics 1..10 — the reference's scipy.signal.periodogram diagnostic (kaggle.py:145-176) as a relational DFT: daily rollup (calendar-bounded) x broadcast frequency set, two partial aggregates per frequency, no collect/UDF",
 )
-def q86_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a086_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.timeseries import periodogram
 
     daily = (
@@ -559,12 +559,12 @@ _MI_COLS = ["l_discount", "l_extendedprice", "l_quantity"]
 
 
 @query(
-    "q87_mi_feature_filter",
+    "a087_mi_feature_filter",
     oracle=" UNION ALL ".join(_mi_oracle_block(c) for c in _MI_COLS)
     + " ORDER BY feature",
     description="mutual-information feature filter (SURVEY §2.9, reference MI_THRESHOLD kaggle.py:80): equal-width binned MI between lineitem numerics and l_returnflag — one melt pass, joint counts, windowed marginals over the tiny count frame; ml/feature_select.mi_select applies the threshold",
 )
-def q87_mi_feature_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a087_mi_feature_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.feature_select import binned_mutual_information
 
     li = load_table(spark, sf_dir, "lineitem")

@@ -43,7 +43,7 @@ _SCRUBBED = (
 
 
 @query(
-    "q91_pii_scrub",
+    "a091_pii_scrub",
     oracle=f"""
     WITH planted AS (
       SELECT doc_id, source,
@@ -71,7 +71,7 @@ _SCRUBBED = (
     """,
     description="PII redaction (pre-training scrub): plant a deterministic email/phone/URL payload on every 5th doc, count per-kind matches, scrub via chained regexp_replace, and prove zero residual matches — the regex rules themselves are hash-pinned by the oracle",
 )
-def q91_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a091_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.withColumn(
         "text",
@@ -117,7 +117,7 @@ def q91_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q92_repetition_signals",
+    "a092_repetition_signals",
     oracle=f"""
     WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
     bg AS (SELECT doc_id, lang,
@@ -136,7 +136,7 @@ def q91_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Gopher-style repetition filter signals: per-doc top-bigram fraction and duplicate-bigram fraction (counts via gram-as-rows partial aggregates, no per-doc multiset in memory), rolled up per language with a 0.06 repetition flag threshold",
 )
-def q92_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a092_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     rep = X.repetition_features(docs, n=2, extra_cols=("lang",))
     return (
@@ -162,7 +162,7 @@ _MIX_SPEC: list[tuple[str, int]] = [("src1", 5), ("src2", 15), ("src3", 1_000_00
 
 
 @query(
-    "q93_mixture_sample",
+    "a093_mixture_sample",
     oracle=f"""
     WITH spec AS (SELECT * FROM (VALUES {", ".join(f"('{s}', {t})" for s, t in _MIX_SPEC)})
                   s(source, n_target)),
@@ -182,7 +182,7 @@ _MIX_SPEC: list[tuple[str, int]] = [("src1", 5), ("src2", 15), ("src3", 1_000_00
     """,
     description="training-data mixture sampling: per-source target doc counts -> self-derived keep rates (min(1, target/available), broadcast back to the fact) -> deterministic hash-threshold Bernoulli selection (md5 prefix vs hex threshold), epoch- and partitioning-stable; covers undersample, heavy sample, and keep-all branches",
 )
-def q93_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a093_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # literal dim as a plan-only inline table (no Python->RDD conversion job)
     targets = spark.range(1).select(
@@ -235,7 +235,7 @@ def q93_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q95_unigram_logprob",
+    "a095_unigram_logprob",
     oracle=f"""
     WITH tok AS (SELECT doc_id, source, unnest({_TOKS}) AS tok FROM documents),
     vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
@@ -250,7 +250,7 @@ def q93_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="unigram LM scoring (relational CCNet/C4 perplexity-filter analog): corpus token probabilities as a DataFrame 'model', per-doc mean negative log-likelihood via a token-key join, per-source rollup with an outlier flag at NLL > 3.42 (~p90)",
 )
-def q95_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a095_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = X.token_rows(docs, "doc_id", "text", extra_cols=("source",)).select(
         "doc_id", "source", F.col("_tok").alias("tok")
@@ -326,7 +326,7 @@ def q103_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q94_chunk_stats",
+    "a094_chunk_stats",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     st AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 24)) AS start
@@ -342,7 +342,7 @@ def q103_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="context-window chunking for training-data prep: overlapping 32-token windows at stride 24 via sequence+explode+slice (pure per-row flat-map, zero shuffles before the final rollup); chunk distinctness is counted on a 64-bit xxhash of the window array (no per-chunk digest or window string materialized; the oracle re-derives distinctness from md5 of the raw window string, pinning the window arithmetic)",
 )
-def q94_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a094_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     chunks = X.chunk_rows(docs, width=32, stride=24)
     # Explicit two-level aggregate instead of countDistinct in the

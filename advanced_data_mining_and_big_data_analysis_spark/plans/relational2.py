@@ -21,7 +21,7 @@ _BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _PRICE_BANDS)
 
 
 @query(
-    "q64_range_join",
+    "a064_range_join",
     oracle=f"""
     WITH bands(band, lo, hi) AS (VALUES {_BANDS_SQL})
     SELECT band, COUNT(*) AS n_parts, ROUND(AVG(p_retailprice), 6) AS avg_price
@@ -30,7 +30,7 @@ _BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _PRICE_BANDS)
     """,
     description="non-equi (theta/range) join against a broadcast literal dim (SURVEY §2.3 range-join row)",
 )
-def q64_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a064_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
     return (
@@ -45,7 +45,7 @@ def q64_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q65_exact_percentiles",
+    "a065_exact_percentiles",
     oracle="""
     SELECT l_returnflag,
            ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
@@ -55,7 +55,7 @@ def q64_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="exact interpolated percentiles (np.median shape, kaggle.py:851; SURVEY §2.4). percentile_approx is the 100TB path; exact here for oracle parity",
 )
-def q65_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a065_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -69,7 +69,7 @@ def q65_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q66_ntile_quartiles",
+    "a066_ntile_quartiles",
     oracle="""
     WITH q AS (
       SELECT c_mktsegment, c_acctbal,
@@ -81,7 +81,7 @@ def q65_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="ntile ranking window (SURVEY §2.5 ranking row)",
 )
-def q66_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a066_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     cust = load_table(spark, sf_dir, "customer")
@@ -95,7 +95,7 @@ def q66_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q67_map_column_ops",
+    "a067_map_column_ops",
     oracle="""
     SELECT event_type,
            CAST(SUM(len(json_keys(props))) AS BIGINT) AS total_keys,
@@ -105,7 +105,7 @@ def q66_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="map-typed column ops: from_json to map, map_keys, create_map literal lookup (SURVEY §2.8 map/json row)",
 )
-def q67_map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a067_map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     props_map = F.from_json("props", T.MapType(T.StringType(), T.DoubleType()))
     weights = F.create_map(
@@ -124,7 +124,7 @@ def q67_map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q68_pandas_udf_parity",
+    "a068_pandas_udf_parity",
     oracle="""
     SELECT o_orderpriority,
            ROUND(SUM(o_totalprice * (1.0 + 0.1 * (o_orderkey % 7))), 2) AS adjusted_total
@@ -132,7 +132,7 @@ def q67_map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Arrow-vectorized scalar pandas_udf (SURVEY §2.12 escape hatch) computing a deterministic adjustment, oracle-checked against pure SQL",
 )
-def q68_pandas_udf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a068_pandas_udf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf(T.DoubleType())
     def adjust(price: pd.Series, key: pd.Series) -> pd.Series:
         # exact-in-double arithmetic only (no transcendentals): bit-equal
@@ -148,7 +148,7 @@ def q68_pandas_udf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q70_multimodal_features",
+    "a070_multimodal_features",
     oracle="""
     WITH m AS (
       SELECT i,
@@ -163,7 +163,7 @@ def q68_pandas_udf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="multimodal plumbing end-to-end: binary media column -> mapInPandas feature extraction -> aggregate over the mixed-mime fixture (unknown mimes keep a null feature for coverage audit). Hash-checked since r5: the fixture blobs are closed-form in media_id, so the oracle recomputes the expected byte-length moment and decode counts from the generating formulas; q113 is the REAL-decode twin",
 )
-def q70_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a070_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as MM
 
     media = MM.synthetic_media_df(spark, n=96)

@@ -13,7 +13,7 @@ from .registry import query
 
 
 @query(
-    "q69_full_outer_join",
+    "a069_full_outer_join",
     oracle="""
     WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY nk),
          s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY nk)
@@ -25,7 +25,7 @@ from .registry import query
     """,
     description="full outer join with null-fill on both sides (SURVEY §2.3)",
 )
-def q69_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a069_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = (
         load_table(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("nk_c"))
@@ -48,7 +48,7 @@ def q69_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q71_group_apply",
+    "a071_group_apply",
     oracle="""
     WITH g AS (SELECT l_returnflag, l_linestatus,
                       MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
@@ -61,7 +61,7 @@ def q69_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="applyInPandas grouped-map (the reference's groupby().apply shape, kaggle.py:424; SURVEY §2.12): per-group min-max normalize + reduce, Arrow-batched",
 )
-def q71_group_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a071_group_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     def normalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
         q = pdf["l_quantity"]
         span = q.max() - q.min()
@@ -87,7 +87,7 @@ def q71_group_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q72_correlated_subquery",
+    "a072_correlated_subquery",
     oracle="""
     WITH nation_avg AS (SELECT c_nationkey AS nk, AVG(c_acctbal) AS navg
                         FROM customer GROUP BY c_nationkey)
@@ -99,7 +99,7 @@ def q71_group_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="correlated scalar subquery (customers above their nation's average balance) — expressed as its decorrelated join form, the plan Catalyst rewrites to (SURVEY §2.3/§4)",
 )
-def q72_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a072_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation_avg = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(F.avg("c_acctbal").alias("navg"))
     return (
@@ -115,7 +115,7 @@ def q72_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q73_exists_late_lineitem",
+    "a073_exists_late_lineitem",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n_orders
     FROM orders
@@ -126,7 +126,7 @@ def q72_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="TPC-H Q4 shape: EXISTS with a cross-table date condition -> left-semi join on a non-trivial predicate (SURVEY §2.3)",
 )
-def q73_exists_late_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a073_exists_late_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     late = orders.join(
@@ -143,7 +143,7 @@ def q73_exists_late_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q74_trailing_range_window",
+    "a074_trailing_range_window",
     oracle="""
     WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
                           epoch(CAST(o_orderdate AS DATE)) AS sec,
@@ -158,7 +158,7 @@ def q73_exists_late_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="RANGE-frame window: 7-day trailing revenue over a value-based frame (rangeBetween), vs the row-based frames of q11 (SURVEY §2.5 frames row). The unpartitioned window runs AFTER the per-day aggregate, so its input is bounded by the calendar (one row per day), never the data",
 )
-def q74_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a074_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -183,7 +183,7 @@ def q74_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q75_disjunctive_predicates",
+    "a075_disjunctive_predicates",
     oracle="""
     SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, COUNT(*) AS n_lines
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -193,7 +193,7 @@ def q74_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="TPC-H Q19 shape: disjunction of conjunctive bands across the join — Catalyst pushes the common parts and keeps the OR as a join filter (SURVEY §2.2)",
 )
-def q75_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a075_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     cond = (
@@ -212,7 +212,7 @@ def q75_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q76_shipping_priority",
+    "a076_shipping_priority",
     oracle="""
     SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
@@ -226,7 +226,7 @@ def q75_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="TPC-H Q3 shape: segment filter + date window on both fact sides, grouped revenue top-k (SURVEY §2.3/§2.6)",
 )
-def q76_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a076_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp")
@@ -250,7 +250,7 @@ def q76_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q77_returned_items",
+    "a077_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
            ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
@@ -266,7 +266,7 @@ def q76_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="TPC-H Q10 shape: returned-item revenue per customer, broadcast nation dim, top-k (SURVEY §2.3)",
 )
-def q77_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a077_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -299,7 +299,7 @@ def q77_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q78_order_gaps",
+    "a078_order_gaps",
     oracle="""
     WITH g AS (
       SELECT c_mktsegment,
@@ -314,7 +314,7 @@ def q77_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="lead() window: inter-order gap distribution per segment (SURVEY §2.5 lag/lead row)",
 )
-def q78_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a078_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     orders = load_table(spark, sf_dir, "orders")
@@ -336,7 +336,7 @@ def q78_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q80_grouping_sets",
+    "a080_grouping_sets",
     oracle="""
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
@@ -347,7 +347,7 @@ def q78_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="explicit GROUPING SETS (neither rollup nor cube) via the SQL entry point (SURVEY §2.4)",
 )
-def q80_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a080_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
     return spark.sql(
         """
@@ -362,7 +362,7 @@ def q80_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q81_cume_dist",
+    "a081_cume_dist",
     oracle="""
     WITH r AS (
       SELECT c_mktsegment, c_custkey, c_acctbal,
@@ -378,7 +378,7 @@ def q80_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="cume_dist / percent_rank analytic windows (SURVEY §2.5 ranking row)",
 )
-def q81_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a081_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     cust = load_table(spark, sf_dir, "customer")
@@ -398,7 +398,7 @@ def q81_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q82_approx_aggregates",
+    "a082_approx_aggregates",
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
@@ -409,7 +409,7 @@ def q81_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="approximate aggregates — approx_count_distinct (HLL, rsd=0.02) and percentile_approx (quantile sketch, accuracy=1000): the 100 TB substitutes for q15/q65's exact operators. Hash-checkable via error-bound booleans (VERDICT r3 item 2): Spark computes approx AND exact side by side and emits approx-within-documented-bound flags; the oracle pins the exact columns and expects TRUE. HLL bound = 2.5x rsd (5%); sketch bound = 1% relative value error (rank error n/1000 on a smooth price distribution)",
 )
-def q82_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a082_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     approx_parts = F.approx_count_distinct("l_partkey", rsd=0.02)
     exact_parts = F.countDistinct("l_partkey")
@@ -432,7 +432,7 @@ def q82_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q84_csv_source_orders",
+    "a084_csv_source_orders",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n_orders,
            ROUND(SUM(o_totalprice), 2) AS total_price,
@@ -442,7 +442,7 @@ def q82_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="CSV source in the oracle gate (SURVEY §2.1): orders mirrored to CSV, read back through the schema'd reader with explicit timestampFormat (the reference's primary source is schema'd CSV, kaggle.py:344-353), aggregated identically to its parquet twin — the oracle runs on the parquet view, so the hash also proves the CSV round-trip is lossless",
 )
-def q84_csv_source_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a084_csv_source_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirrors orders to a CSV copy (tempdir, keyed by SF name) and runs
     the aggregation over the CSV scan. Explicit schema + timestampFormat,
     never inferSchema — inference would cost an extra full pass at scale."""
@@ -478,7 +478,7 @@ def q84_csv_source_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q89_trailing_range_join",
+    "a089_trailing_range_join",
     oracle="""
     WITH daily AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
                           SUM(o_totalprice) AS rev
@@ -494,7 +494,7 @@ def q84_csv_source_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="row-level 7-day trailing sum as a RANGE SELF-JOIN — the scale path q74's docstring names: equi-join on the entity key (shuffle partitioned by customer, no global window anywhere) + bounded date-range predicate; per-customer daily revenue rolled up monthly (SURVEY §2.5 frames at scale)",
 )
-def q89_trailing_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a089_trailing_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.col("o_custkey").alias("ck"), F.to_date("o_orderdate").alias("d")

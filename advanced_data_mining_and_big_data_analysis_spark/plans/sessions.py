@@ -30,7 +30,7 @@ def _gap_exceeded(cur, prev):
 
 
 @query(
-    "q60_sessionization",
+    "a060_sessionization",
     oracle=f"""
     WITH l AS (
       SELECT user_id, event_id, ts, value,
@@ -55,7 +55,7 @@ def _gap_exceeded(cur, prev):
     """,
     description="gap-based sessionization (lag + running sum) — batch twin of session_window (SURVEY §2.11)",
 )
-def q60_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a060_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
@@ -77,7 +77,7 @@ def q60_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q61_sliding_windows",
+    "a061_sliding_windows",
     oracle="""
     WITH b AS (
       SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
@@ -89,7 +89,7 @@ def q60_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="sliding event-time windows (1h window / 30m slide) — F.window on batch, epoch-aligned pane expansion in SQL (SURVEY §2.11)",
 )
-def q61_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a061_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
@@ -104,7 +104,7 @@ def q61_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q62_first_event_dedup",
+    "a062_first_event_dedup",
     oracle="""
     WITH r AS (
       SELECT event_type, ts,
@@ -116,7 +116,7 @@ def q61_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="keep-first dedup on (user, event_type) — batch twin of dropDuplicatesWithinWatermark (SURVEY §2.11)",
 )
-def q62_first_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a062_first_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (
@@ -132,7 +132,7 @@ def q62_first_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q63_late_events",
+    "a063_late_events",
     oracle="""
     WITH r AS (
       SELECT event_type, ts,
@@ -147,7 +147,7 @@ def q62_first_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="late-data accounting: events >10min behind the running event-time high-watermark (arrival order = event_id). Batch model of watermark drop semantics via a chunked two-pass prefix max — every window is partitioned, no single-task global scan (SURVEY §2.11)",
 )
-def q63_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a063_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global running max(ts) in event_id order WITHOUT a partition-less
     window: the classic distributed prefix-scan.
 

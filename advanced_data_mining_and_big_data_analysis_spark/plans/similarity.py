@@ -66,7 +66,7 @@ def q51_sign_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q52_ann_bucketed_topk",
+    "a052_ann_bucketed_topk",
     oracle=f"""
     WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     xb AS (SELECT vec_id, v, {_BUCKET} AS bucket FROM x),
@@ -78,14 +78,14 @@ def q51_sign_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="bucketed ANN top-k: search restricted to the query's LSH bucket (the scale path)",
 )
-def q52_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a052_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     topk = SIM.topk_cosine_bucketed(emb, query_id=0, k=5, bits=8)
     return topk.select("vec_id", "bucket", (F.round("cos_sim", 6) + 0.0).alias("cos_sim"))
 
 
 @query(
-    "q53_label_centroids",
+    "a053_label_centroids",
     oracle="""
     WITH x AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     SELECT label, CAST(dim AS INTEGER) AS dim, ROUND(AVG(v[dim]), 6) + 0 AS centroid
@@ -94,7 +94,7 @@ def q52_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="per-label embedding centroids (first 8 dims) via dimension explode",
 )
-def q53_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a053_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = SIM.as_double("embedding")
     return (
@@ -107,7 +107,7 @@ def q53_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q54_embedding_neardup",
+    "a054_embedding_neardup",
     oracle=f"""
     WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     xb AS (SELECT vec_id, v, {_BUCKET} AS bucket FROM x),
@@ -122,7 +122,7 @@ def q53_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="embedding-cosine near-duplicate pairs within sign-LSH buckets (north-star dedup: embedding near-dup; bucket restriction is the quadratic-risk bound)",
 )
-def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a054_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = SIM.as_double("embedding")
     xb = emb.select(F.col("vec_id"), v.alias("v"), SIM.sign_bucket(v, 8).alias("bucket"))
@@ -143,7 +143,7 @@ def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q55_ivf_assignment",
+    "a055_ivf_assignment",
     oracle="""
     WITH x AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cent AS (SELECT label AS c_label, dim, AVG(v[dim]) AS c
@@ -162,7 +162,7 @@ def q54_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="IVF coarse-quantizer / k-means assignment step: per-label centroids (64 dims), nearest-centroid argmin per vector, confusion counts (north-star similarity scale path)",
 )
-def q55_ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a055_ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -226,7 +226,7 @@ def _ivf_assign_frames(x: DataFrame):
 
 
 @query(
-    "q96_ivf_multiprobe",
+    "a096_ivf_multiprobe",
     oracle=f"""
     WITH x AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cent AS (SELECT label AS c_label, dim, AVG(v[dim]) AS c
@@ -258,7 +258,7 @@ def _ivf_assign_frames(x: DataFrame):
     """,
     description="multi-probe IVF ANN (nprobe=2): clusters ranked by query-to-centroid distance, the 2 nearest probed, cosine top-k over the union — the recall-vs-cost knob of the coarse quantizer (q56 is nprobe=1); probe cost is bounded by nprobe/k_clusters of the corpus",
 )
-def q96_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a096_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     assign, dims, cent = _ivf_assign(spark, sf_dir)
@@ -297,7 +297,7 @@ def q96_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q56_ivf_topk",
+    "a056_ivf_topk",
     oracle=f"""
     WITH x AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cent AS (SELECT label AS c_label, dim, AVG(v[dim]) AS c
@@ -324,7 +324,7 @@ def q96_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="IVF ANN end-to-end: nearest-centroid assignment (q55) + cosine top-k restricted to the query vector's cluster — the coarse-quantizer search path at scale",
 )
-def q56_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a056_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign, _, _ = _ivf_assign(spark, sf_dir)
     qv = assign.filter(F.col("vec_id") == 0).select(
         F.col("v").alias("q"), F.col("cluster").alias("q_cluster")

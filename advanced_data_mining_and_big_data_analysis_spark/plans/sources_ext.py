@@ -33,7 +33,7 @@ def _mirror_dir(sf_dir: str, fmt: str, table: str) -> str:
 
 
 @query(
-    "q99_jsonl_source_documents",
+    "a099_jsonl_source_documents",
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
@@ -42,7 +42,7 @@ def _mirror_dir(sf_dir: str, fmt: str, table: str) -> str:
     """,
     description="JSONL source (SURVEY §2.1): documents mirrored to JSON-lines, read back through the schema'd reader (no inference), aggregated with an md5-of-text distinct — the hash match against the parquet-view oracle proves JSON string escaping round-trips every document byte-identically",
 )
-def q99_jsonl_source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a099_jsonl_source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror = _mirror_dir(sf_dir, "jsonl", "documents")
     docs = load_table(spark, sf_dir, "documents")
     docs.write.mode("overwrite").json(mirror)

@@ -200,7 +200,7 @@ _TT_BRAND_B = "Brand#2"
 
 
 @query(
-    "q138_welch_ttest",
+    "a138_welch_ttest",
     oracle=f"""
     WITH g AS (
       SELECT p_brand, COUNT(*) AS n,
@@ -227,7 +227,7 @@ _TT_BRAND_B = "Brand#2"
     """,
     description="Welch's unequal-variance t-test between two part brands on line-item price: one broadcast-dim join + per-group (n, sum, sum-of-squares) in exact DECIMAL (order-independent across engines), closed-form t statistic and Welch-Satterthwaite degrees of freedom derived from those sums with doubles only in the final expressions — the distributed two-sample significance test a data-quality stack runs on segment metrics",
 )
-def q138_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a138_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand").isin(_TT_BRAND_A, _TT_BRAND_B)
@@ -269,7 +269,7 @@ def q138_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q139_ols_trend",
+    "a139_ols_trend",
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
@@ -294,7 +294,7 @@ def q138_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="per-event-type OLS trend fit of daily activity vs day index: slope / intercept / R^2 in closed form from integer moment sums (n, sum x, sum y, sum xy, sum x2, sum y2) — every moment is an exact integer on both engines, division to double happens once per statistic; the fact table collapses to a calendar-sized frame in one map-side-combined shuffle, so the regression costs one scan at any corpus size (the distributed monitoring-trend primitive, and the closed-form sibling of the ml/ linear stages)",
 )
-def q139_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a139_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events")
@@ -346,7 +346,7 @@ def q139_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q140_chi_square",
+    "a140_chi_square",
     oracle="""
     WITH ct AS (SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source),
     rl AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rtot FROM ct GROUP BY lang),
@@ -366,7 +366,7 @@ def q139_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="chi-square test of independence between lang and source: fact table collapses to a dimension-sized contingency table in one map-side-combined shuffle; margins are two further tiny aggregates broadcast back (no unpartitioned window anywhere); chi2, dof, and Cramer's V in closed form from exact integer counts — the categorical-association audit a corpus-composition dashboard runs",
 )
-def q140_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a140_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ct = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
     rl = ct.groupBy("lang").agg(F.sum("o").cast("long").alias("rtot"))
@@ -427,7 +427,7 @@ def _corr_pairs_sql() -> str:
 
 
 @query(
-    "q141_corr_matrix",
+    "a141_corr_matrix",
     oracle=f"""
     WITH m AS (
       SELECT COUNT(*) AS n,
@@ -438,7 +438,7 @@ def _corr_pairs_sql() -> str:
     """,
     description="pairwise Pearson correlation matrix over three lineitem measures in ONE scan: a single aggregate emits every first and second moment (sums, squares, cross products) in exact DECIMAL — order-independent across engines — and the correlations are closed-form arithmetic over that one row; the one-scan-all-moments profiler shape (never one pass per pair)",
 )
-def q141_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a141_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     dec = {c: F.col(c).cast("decimal(18,2)") for c in _CORR_COLS}
     aggs = [F.count("*").alias("n")]
@@ -492,7 +492,7 @@ def _boot_w_sql(b: int) -> str:
 
 
 @query(
-    "q142_bootstrap_ci",
+    "a142_bootstrap_ci",
     oracle=f"""
     WITH w AS (
       SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
@@ -514,7 +514,7 @@ def _boot_w_sql(b: int) -> str:
     """,
     description="deterministic multiplier bootstrap for mean order value: 16 replicate means in ONE scan as conditional aggregates (weights in {0,1,1,2}, mean 1, two md5 hex chars of the stable order key per replicate — reproducible across engines, partitionings, and re-runs; no 16x row explosion), normal-approximation 95% CI from the replicate standard error; weighted sums accumulate in exact DECIMAL so replicate means are bit-identical across engines",
 )
-def q142_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a142_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     x = F.col("o_totalprice").cast("decimal(18,2)")
     md5k = F.md5(F.col("o_orderkey").cast("string"))
@@ -556,7 +556,7 @@ def q142_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q143_benford_digits",
+    "a143_benford_digits",
     oracle="""
     WITH d AS (
       SELECT CAST(floor(o_totalprice / pow(10, floor(log10(o_totalprice)))) AS BIGINT) AS digit
@@ -572,7 +572,7 @@ def q142_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Benford's-law first-digit audit of order totals (the monetary-column fraud/quality screen): first significant digit via floor(x / 10^floor(log10 x)), digit histogram in one map-side-combined aggregate, observed fraction vs the Benford expectation log10(1+1/d), per-digit chi-square contribution — integer counts exact on both engines, log/pow on identical doubles",
 )
-def q143_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a143_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     digit = F.floor(
         F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))

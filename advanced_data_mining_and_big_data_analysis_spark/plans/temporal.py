@@ -22,7 +22,7 @@ _INS_OFFSET = 10_000_000_000
 
 
 @query(
-    "q97_cdc_upsert",
+    "a097_cdc_upsert",
     oracle=f"""
     WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp
                   FROM orders),
@@ -44,7 +44,7 @@ _INS_OFFSET = 10_000_000_000
     """,
     description="CDC upsert apply (Delta-MERGE semantics on plain DataFrames): a synthesized I/U/D change feed with conflicting per-key sequences — latest-wins ranking over the feed, anti-join drop, union upserts; exercises update-then-delete and double-update conflicts (operators/cdc.py)",
 )
-def q97_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a097_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
         F.col("o_orderkey").alias("k"),
@@ -91,7 +91,7 @@ def q97_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q98_asof_join",
+    "a098_asof_join",
     oracle="""
     WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
     views AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
@@ -104,7 +104,7 @@ def q97_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="as-of join (temporal join primitive Spark lacks; DuckDB native ASOF JOIN as the oracle): every click joined to the user's most recent view at-or-before it — implemented as union + one last-non-null window per key (single shuffle, linear scan; deliberately NOT the quadratic range-join form), per-cohort rollup",
 )
-def q98_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a098_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
     views = events.filter(F.col("event_type") == "view").select("user_id", "ts", "value")

@@ -44,7 +44,7 @@ HEADLINE = [
     "q32_best_weight",
     # events / sessionization
     "q21_hourly_events",
-    "q60_sessionization",
+    "a060_sessionization",
     # LLM-pipeline operators
     "q40_exact_dedup_stats",
     "q41_minhash_neardup",
@@ -52,19 +52,19 @@ HEADLINE = [
     "q47_char_ngram_vocab",
     "q50_cosine_topk",
     # round-2 additions
-    "q83_neardup_skew_capped",
-    "q86_periodogram",
-    "q87_mi_feature_filter",
+    "a083_neardup_skew_capped",
+    "a086_periodogram",
+    "a087_mi_feature_filter",
     # training-data pipeline ops
-    "q92_repetition_signals",
-    "q94_chunk_stats",
-    "q95_unigram_logprob",
+    "a092_repetition_signals",
+    "a094_chunk_stats",
+    "a095_unigram_logprob",
     # round-3 additions
     "q105_decontaminate",
     "q108_incremental_dedup",
     "q109_sequence_packing",
     # temporal / iterative
-    "q98_asof_join",
+    "a098_asof_join",
     "q102_pagerank_transitions",
     # round-5 additions
     "q113_multimodal_decode",

@@ -289,8 +289,8 @@ def test_ann_recall_ladder(spark, sf_dir):
         got = {r["vec_id"] for r in qs[name].fn(spark, sf_dir).collect()}
         return len(got & set(truth[: len(got)])) / len(got)
 
-    r_ivf1 = recall("q56_ivf_topk")
-    r_ivf2 = recall("q96_ivf_multiprobe")
+    r_ivf1 = recall("a056_ivf_topk")
+    r_ivf2 = recall("a096_ivf_multiprobe")
     assert r_ivf2 >= r_ivf1, "multi-probe must not lose recall vs nprobe=1"
     assert r_ivf2 >= 0.2, f"multiprobe recall collapsed: {r_ivf2}"
 

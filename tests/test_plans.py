@@ -76,7 +76,7 @@ def test_q94_chunking_is_pure_flatmap(spark, sf_dir):
     """Context-window chunking must be a per-row flat-map: no join of any
     kind, and the only exchanges are the repartition spread + the final
     rollup — nothing per-chunk ever shuffles keyed on doc content."""
-    plan = plan_of("q94_chunk_stats", spark, sf_dir)
+    plan = plan_of("a094_chunk_stats", spark, sf_dir)
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
 
@@ -84,14 +84,14 @@ def test_q94_chunking_is_pure_flatmap(spark, sf_dir):
 def test_q92_repetition_no_join(spark, sf_dir):
     """Gopher repetition signals: explode + two partial aggregates; a join
     would mean the gram multiset got materialized per doc."""
-    plan = plan_of("q92_repetition_signals", spark, sf_dir)
+    plan = plan_of("a092_repetition_signals", spark, sf_dir)
     assert "Join" not in plan
 
 
 def test_q93_mixture_fact_side_broadcast(spark, sf_dir):
     """The per-source rate frame must broadcast to the documents scan —
     the fact side must not shuffle to meet a 3-row dim."""
-    plan = plan_of("q93_mixture_sample", spark, sf_dir)
+    plan = plan_of("a093_mixture_sample", spark, sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
@@ -100,7 +100,7 @@ def test_q95_scalar_total_broadcast(spark, sf_dir):
     """The corpus-total frame (1 row) must reach the token rows as a
     broadcast, and the vocab join must be hash-based, not nested-loop
     over data rows."""
-    plan = plan_of("q95_unigram_logprob", spark, sf_dir)
+    plan = plan_of("a095_unigram_logprob", spark, sf_dir)
     assert "CartesianProduct" not in plan
     # exactly the scalar-broadcast BNLJ is allowed; the vocab join must be BHJ/SMJ
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
@@ -124,7 +124,7 @@ def test_q63_no_global_window_over_events(spark, sf_dir):
     chunk-boundary frame (orders by _chunk, never sees event rows)."""
     import re
 
-    plan = plan_of("q63_late_events", spark, sf_dir)
+    plan = plan_of("a063_late_events", spark, sf_dir)
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs, "expected window specs in q63 plan"
     for spec in specs:

@@ -15,12 +15,12 @@ QUERIES = all_queries()
 _STATS_QUERIES = [
     "q136_acf_daily_revenue",
     "q137_cusum_changepoints",
-    "q138_welch_ttest",
-    "q139_ols_trend",
-    "q140_chi_square",
-    "q141_corr_matrix",
-    "q142_bootstrap_ci",
-    "q143_benford_digits",
+    "a138_welch_ttest",
+    "a139_ols_trend",
+    "a140_chi_square",
+    "a141_corr_matrix",
+    "a142_bootstrap_ci",
+    "a143_benford_digits",
     "q146_ohlc_bars",
     "q147_sliding_distinct_users",
     "q148_fuzzy_join",
@@ -87,7 +87,7 @@ def test_bootstrap_se_is_sane(spark, sf_dir):
     """Bootstrap SE must be positive and within a loose factor of the
     analytic SE of the mean (weights have variance 1/2, so the expected
     replicate variance is about half the analytic squared SE)."""
-    row = QUERIES["q142_bootstrap_ci"].fn(spark, sf_dir).collect()[0]
+    row = QUERIES["a142_bootstrap_ci"].fn(spark, sf_dir).collect()[0]
     assert row["boot_se"] > 0
     from advanced_data_mining_and_big_data_analysis_spark.sources import load_table
 
@@ -138,12 +138,12 @@ def test_ohlc_invariants(spark, sf_dir):
 
 
 def test_benford_fractions_sum_to_one(spark, sf_dir):
-    rows = QUERIES["q143_benford_digits"].fn(spark, sf_dir).collect()
+    rows = QUERIES["a143_benford_digits"].fn(spark, sf_dir).collect()
     assert abs(sum(r["obs_frac"] for r in rows) - 1.0) < 1e-3
     assert abs(sum(r["benford_frac"] for r in rows) - 1.0) < 1e-3
 
 
 def test_corr_matrix_values_in_range(spark, sf_dir):
-    rows = QUERIES["q141_corr_matrix"].fn(spark, sf_dir).collect()
+    rows = QUERIES["a141_corr_matrix"].fn(spark, sf_dir).collect()
     assert len(rows) == 3
     assert all(-1.0 <= r["pearson_r"] <= 1.0 for r in rows)

@@ -22,14 +22,14 @@ QUERIES = all_queries()
 # Every entry must name the bounded frame it runs over.
 ALLOWED_UNPARTITIONED: dict[str, str] = {
     "q37_label_encode": "dense_rank over the DISTINCT label side only (|labels| rows, ~5)",
-    "q63_late_events": "carry-in prefix max over per-chunk boundary aggregates (#events/8192 rows)",
-    "q65_exact_percentiles": "interpolated percentile over per-flag aggregates (bounded group count)",
-    "q66_ntile_quartiles": "ntile over one-row-per-customer spend aggregates of a bounded cohort",
-    "q74_trailing_range_window": "trailing mean over the monthly rollup spine (<= #months rows)",
-    "q81_cume_dist": "cume_dist over per-priority aggregates (9 rows)",
-    "q86_periodogram": "DFT rank spine over the daily rollup (calendar-bounded, <= #days rows)",
-    "q89_trailing_range_join": "trailing window over the daily revenue rollup (calendar-bounded)",
-    "q96_ivf_multiprobe": "probe ranking over the query-to-centroid distance frame (k_clusters rows)",
+    "a063_late_events": "carry-in prefix max over per-chunk boundary aggregates (#events/8192 rows)",
+    "a065_exact_percentiles": "interpolated percentile over per-flag aggregates (bounded group count)",
+    "a066_ntile_quartiles": "ntile over one-row-per-customer spend aggregates of a bounded cohort",
+    "a074_trailing_range_window": "trailing mean over the monthly rollup spine (<= #months rows)",
+    "a081_cume_dist": "cume_dist over per-priority aggregates (9 rows)",
+    "a086_periodogram": "DFT rank spine over the daily rollup (calendar-bounded, <= #days rows)",
+    "a089_trailing_range_join": "trailing window over the daily revenue rollup (calendar-bounded)",
+    "a096_ivf_multiprobe": "probe ranking over the query-to-centroid distance frame (k_clusters rows)",
     "q102_pagerank_transitions": "rank over the 5-node page dim (graph dim, not events)",
     "q103_weighted_sample": "A-ES top-k rank over the k-row candidate frame after TakeOrdered",
     "q107_winsorize": "percentile interpolation over per-source aggregates (#sources rows)",

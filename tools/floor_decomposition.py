@@ -31,14 +31,14 @@ from advanced_data_mining_and_big_data_analysis_spark.plans import all_queries
 
 WEAK = [
     "q45_quality_scores",
-    "q83_neardup_skew_capped",
-    "q92_repetition_signals",
-    "q94_chunk_stats",
-    "q95_unigram_logprob",
+    "a083_neardup_skew_capped",
+    "a092_repetition_signals",
+    "a094_chunk_stats",
+    "a095_unigram_logprob",
     "q105_decontaminate",
     "q102_pagerank_transitions",
     # high-ratio tiny-absolute queries, included for the record
-    "q86_periodogram",
+    "a086_periodogram",
     "q109_sequence_packing",
     "q26_fourier_harmonics",
     # round-5 headline additions (VERDICT r5 item 3: every headline

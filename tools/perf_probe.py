@@ -1,6 +1,6 @@
 """Quick warm-timing probe for a subset of queries at a given SF.
 
-Usage: python tools/perf_probe.py q92_repetition_signals q121_bpe_pair_counts
+Usage: python tools/perf_probe.py a092_repetition_signals q121_bpe_pair_counts
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 
 Prints per query: cold, warm median-of-3, DuckDB oracle time, ratio.
