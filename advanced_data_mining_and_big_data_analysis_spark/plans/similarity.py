@@ -689,15 +689,11 @@ def _adc_sub(col: Column, j: int) -> Column:
 
 
 def _lut_column(j: int) -> Column:
-    """code_id-ordered array of subspace-j query->codeword distances.
-    A dedicated closure per j: a `lambda s, j=j:` default inside
-    F.transform would receive the ELEMENT INDEX as its second argument
-    (transform calls binary lambdas with (element, index)), silently
-    clobbering j with a Column."""
-    return F.transform(
-        F.array_sort(F.collect_list(F.struct("code_id", f"l{j}"))),
-        lambda s: s[f"l{j}"],
-    ).alias(f"lut{j}")
+    """Subspace-j query->codeword distance LUT, keyed BY code_id VALUE
+    (map_from_entries), matching the oracle's join-by-code_id semantics.
+    A positional array_sort form would silently mis-index if the
+    codebook ever lacked a vec_id < _ADC_K (ADVICE r7)."""
+    return F.map_from_entries(F.collect_list(F.struct("code_id", f"l{j}"))).alias(f"lut{j}")
 
 
 @query(
@@ -854,10 +850,7 @@ def q164_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     adc = F.round(
-        sum(
-            F.element_at(F.col(f"lut{j}"), (F.col(f"c{j}") + 1).cast("int"))
-            for j in range(_ADC_M)
-        ),
+        sum(F.element_at(F.col(f"lut{j}"), F.col(f"c{j}")) for j in range(_ADC_M)),
         9,
     )
     scored = (

@@ -260,13 +260,29 @@ def register(spark) -> None:
     spark.sql.python.filterPushdown.enabled, which is a runtime SQL conf,
     so set it here; if the session refuses (conf locked), register the
     no-pushdown reader variant instead — same results, no file pruning.
+
+    SESSION-WIDE effect (deliberate): the conf must still be true when
+    the query EXECUTES, so it cannot be set-and-restored here — enabling
+    it also enables filter pushdown for every other Python data source
+    on the session (the conf's default is false only because the feature
+    is new; pushdown is semantics-preserving by contract). An operator
+    who explicitly launched the session with the conf set to false keeps
+    that choice: we detect a launch-time setting via SparkConf and
+    register the no-pushdown variant instead of overriding.
     """
     conf_key = "spark.sql.python.filterPushdown.enabled"
     try:
-        spark.conf.set(conf_key, "true")
-        enabled = spark.conf.get(conf_key) == "true"
+        launch_time = spark.sparkContext.getConf().get(conf_key, None)
     except Exception:
-        enabled = False
+        launch_time = None
+    if launch_time == "false":
+        enabled = False  # explicit operator choice at launch — honor it
+    else:
+        try:
+            spark.conf.set(conf_key, "true")
+            enabled = spark.conf.get(conf_key) == "true"
+        except Exception:
+            enabled = False
     spark.dataSource.register(WarcLiteDataSource if enabled else WarcLiteDataSourceNoPushdown)
 
 
