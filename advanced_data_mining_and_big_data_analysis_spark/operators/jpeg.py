@@ -5,13 +5,17 @@ documented fake): a real ITU T.81 baseline-sequential codec for 8-bit
 JFIF — forward/inverse DCT, Annex-K quantization (K.1 luminance + K.2
 chrominance), zigzag, per-component DC prediction, run-length +
 canonical Huffman entropy coding (K.3 luma + chroma tables), 0xFF byte
-stuffing, interleaved 4:4:4 MCUs for 3-component color (VERDICT r6
-item 6 extends the original grayscale-only codec). The decoder is
+stuffing, interleaved MCUs for 3-component color — 4:4:4
+(one-block-per-component MCUs, VERDICT r6 item 6) and 4:2:0 (16x16
+MCUs: four Y blocks + box-averaged Cb/Cr, VERDICT r7 item 7, the
+layout of nearly all real-world JPEGs). The decoder is
 self-describing (it reads DQT/DHT/SOF0/SOS from the stream, not from
-shared constants), so it decodes any conforming baseline 1- or
-3-component 4:4:4 JPEG, not just this encoder's output. Subsampled
-(non-1x1), progressive, and 12-bit streams raise — a poisoned blob
-should fail the task, not skew the corpus (same policy as decode_png).
+shared constants) and handles arbitrary integral sampling factors
+(4:4:4 / 4:2:0 / 4:2:2), so it decodes any conforming baseline 1- or
+3-component JPEG, not just this encoder's output; subsampled planes
+upsample by replication. Progressive and 12-bit streams raise — a
+poisoned blob should fail the task, not skew the corpus (same policy
+as decode_png).
 
 Exactness note for closed-form oracles (q124): a block that is CONSTANT
 with an even offset from 128 survives the codec bit-exactly — its DCT
@@ -249,6 +253,18 @@ def _pad8(img: np.ndarray, height: int, width: int) -> np.ndarray:
     return np.pad(img, ((0, h8 - height), (0, w8 - width)), mode="edge")
 
 
+def _pad_mult(img: np.ndarray, mult: int) -> np.ndarray:
+    """Pad by edge replication to a multiple of ``mult`` in both dims."""
+    h, w = img.shape
+    hm, wm = -(-h // mult) * mult, -(-w // mult) * mult
+    return np.pad(img, ((0, hm - h), (0, wm - w)), mode="edge")
+
+
+def _box2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box average (the 4:2:0 chroma downsample); dims must be even."""
+    return (plane[0::2, 0::2] + plane[1::2, 0::2] + plane[0::2, 1::2] + plane[1::2, 1::2]) / 4.0
+
+
 def make_jpeg_gray(width: int, height: int, pixel_fn: Callable[[int, int], int]) -> bytes:
     """Encode an 8-bit grayscale baseline JFIF JPEG (Annex-K tables,
     no subsampling). Edge blocks pad by replication."""
@@ -358,6 +374,93 @@ def make_jpeg_color(
     return b"\xff\xd8" + app0 + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
 
 
+def make_jpeg_color_420(
+    width: int,
+    height: int,
+    pixel_fn: Callable[[int, int], tuple[int, int, int]],
+    colorspace: str = "rgb",
+) -> bytes:
+    """Encode an 8-bit 3-component baseline JFIF JPEG with 4:2:0 chroma
+    subsampling — the dominant layout of real-world JPEGs (4:4:4 is
+    rare in the wild). Y carries 2x2 sampling factors, Cb/Cr 1x1: one
+    MCU covers 16x16 pixels and interleaves four Y blocks (raster
+    order: top-left, top-right, bottom-left, bottom-right) followed by
+    one Cb and one Cr block from the 2x2 box-averaged chroma planes.
+    Per-component DC prediction threads ACROSS all four Y blocks of an
+    MCU (T.81 F.1.1.5.1). Edges pad by replication to a 16-multiple.
+
+    ``colorspace`` semantics match make_jpeg_color; the 'ycbcr' path is
+    the closed-form fixture hook — chroma that is CONSTANT per 16x16
+    MCU survives the box downsample, the DCT (DC term only), and the
+    replication upsample bit-exactly when the Annex K.2 DC step 17
+    divides 8*(C-128) (see formula_jpeg_color_420_ycbcr)."""
+    import struct
+
+    if colorspace not in ("rgb", "ycbcr"):
+        raise ValueError("colorspace must be 'rgb' or 'ycbcr'")
+    px = np.array(
+        [[pixel_fn(x, y) for x in range(width)] for y in range(height)], dtype=np.float64
+    )
+    if colorspace == "rgb":
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    else:
+        y, cb, cr = px[..., 0], px[..., 1], px[..., 2]
+    y16 = _pad_mult(y, 16)
+    cbs, crs = _box2(_pad_mult(cb, 16)), _box2(_pad_mult(cr, 16))
+
+    luma = (_canonical_codes(DC_BITS, DC_VALUES), _canonical_codes(AC_BITS, AC_VALUES))
+    chroma = (
+        _canonical_codes(DC_C_BITS, DC_C_VALUES),
+        _canonical_codes(AC_C_BITS, AC_C_VALUES),
+    )
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for my in range(y16.shape[0] // 16):
+        for mx in range(y16.shape[1] // 16):  # one MCU = 4 Y + 1 Cb + 1 Cr
+            for vy in range(2):
+                for vx in range(2):
+                    prev_dc[0] = _encode_block(
+                        bw,
+                        y16[
+                            my * 16 + vy * 8 : my * 16 + vy * 8 + 8,
+                            mx * 16 + vx * 8 : mx * 16 + vx * 8 + 8,
+                        ],
+                        QUANT,
+                        *luma,
+                        prev_dc[0],
+                    )
+            for ci, plane in ((1, cbs), (2, crs)):
+                prev_dc[ci] = _encode_block(
+                    bw,
+                    plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                    QUANT_C,
+                    *chroma,
+                    prev_dc[ci],
+                )
+    bw.flush()
+
+    dqt = _seg(0xFFDB, b"\x00" + _zz_table(QUANT) + b"\x01" + _zz_table(QUANT_C))
+    sof = _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x22, 0])  # Y: 2x2 sampling, quant table 0
+        + bytes([2, 0x11, 1])  # Cb: 1x1, quant table 1
+        + bytes([3, 0x11, 1]),  # Cr: 1x1, quant table 1
+    )
+    dht = (
+        _seg(0xFFC4, b"\x00" + bytes(DC_BITS[1:]) + bytes(DC_VALUES))
+        + _seg(0xFFC4, b"\x10" + bytes(AC_BITS[1:]) + bytes(AC_VALUES))
+        + _seg(0xFFC4, b"\x01" + bytes(DC_C_BITS[1:]) + bytes(DC_C_VALUES))
+        + _seg(0xFFC4, b"\x11" + bytes(AC_C_BITS[1:]) + bytes(AC_C_VALUES))
+    )
+    sos = _seg(0xFFDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
+    app0 = _seg(0xFFE0, _APP0)
+    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+
+
 class _BitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
@@ -440,9 +543,15 @@ def _decode_block(
 
 def _parse_baseline(content: bytes) -> tuple[int, int, list[np.ndarray]]:
     """Parse a baseline-sequential JFIF stream into per-component pixel
-    planes (1 or 3 components, 1x1 sampling only — interleaved 4:4:4
-    MCUs for color). Planes are cropped to (height, width), un-rounded
-    floats; callers round/clip. Tables come from the stream (DQT/DHT)."""
+    planes (1 or 3 components, arbitrary integral sampling factors —
+    4:4:4, 4:2:0, 4:2:2, ...). Subsampled components decode at their own
+    resolution from interleaved MCUs (T.81 A.2.3: each component
+    contributes h_i x v_i blocks per MCU, raster order) and are
+    upsampled to full resolution by pixel replication (the box-filter
+    inverse; libjpeg's default "fancy" triangular upsample differs by
+    <=1 LSB on gradients and not at all on MCU-constant chroma).
+    Planes are cropped to (height, width), un-rounded floats; callers
+    round/clip. Tables come from the stream (DQT/DHT)."""
     import struct
 
     if content[:2] != b"\xff\xd8":
@@ -451,7 +560,7 @@ def _parse_baseline(content: bytes) -> tuple[int, int, list[np.ndarray]]:
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
-    comps: list[tuple[int, int]] = []  # (component id, quant table id), SOF order
+    comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq), SOF order
     scan: list[tuple[int, int, int]] = []  # (component id, dc table, ac table), SOS order
     data_start = None
     while pos + 4 <= len(content):
@@ -490,9 +599,10 @@ def _parse_baseline(content: bytes) -> tuple[int, int, list[np.ndarray]]:
                 raise ValueError("JPEG SOF0 segment truncated")
             for ci in range(ncomp):
                 cid, sampling, tq = payload[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
-                    raise ValueError("subsampled JPEG (non-1x1) not supported")
-                comps.append((cid, tq))
+                h, v = sampling >> 4, sampling & 0x0F
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError("JPEG sampling factors out of range")
+                comps.append((cid, h, v, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline sequential (SOF0) JPEG is supported")
         elif marker == 0xDA:  # SOS
@@ -517,18 +627,42 @@ def _parse_baseline(content: bytes) -> tuple[int, int, list[np.ndarray]]:
     if end < 0:
         raise ValueError("JPEG missing EOI")
     br = _BitReader(content[data_start:end])
-    tq_of = dict(comps)
-    bw, bh = -(-width // 8), -(-height // 8)
-    planes = {cid: np.zeros((bh * 8, bw * 8)) for cid, _ in comps}
-    prev_dc = {cid: 0 for cid, _ in comps}
-    for by in range(bh):
-        for bx in range(bw):
-            for cid, dc_id, ac_id in scan:  # one MCU = one block per component
-                block, prev_dc[cid] = _decode_block(
-                    br, huff[(0, dc_id)], huff[(1, ac_id)], quant[tq_of[cid]], prev_dc[cid]
-                )
-                planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    return width, height, [planes[cid][:height, :width] for cid, _ in comps]
+    hv_of = {cid: (h, v) for cid, h, v, _ in comps}
+    tq_of = {cid: tq for cid, _, _, tq in comps}
+    if len(scan) == 1:
+        # Non-interleaved single-component scan (T.81 A.2.2): one data
+        # unit per MCU at the component's own resolution — the component
+        # of a 1-component JPEG is full-res regardless of its declared
+        # sampling factors.
+        hv_of = {scan[0][0]: (1, 1)}
+    hmax = max(h for h, _ in hv_of.values())
+    vmax = max(v for _, v in hv_of.values())
+    mcus_x, mcus_y = -(-width // (8 * hmax)), -(-height // (8 * vmax))
+    planes = {cid: np.zeros((mcus_y * v * 8, mcus_x * h * 8)) for cid, (h, v) in hv_of.items()}
+    prev_dc = {cid: 0 for cid in hv_of}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid, dc_id, ac_id in scan:  # h*v blocks per component, raster order
+                h, v = hv_of[cid]
+                for vy in range(v):
+                    for vx in range(h):
+                        block, prev_dc[cid] = _decode_block(
+                            br, huff[(0, dc_id)], huff[(1, ac_id)], quant[tq_of[cid]], prev_dc[cid]
+                        )
+                        planes[cid][
+                            (my * v + vy) * 8 : (my * v + vy) * 8 + 8,
+                            (mx * h + vx) * 8 : (mx * h + vx) * 8 + 8,
+                        ] = block
+    out = []
+    for cid, _, _, _ in comps:
+        h, v = hv_of[cid]
+        p = planes[cid]
+        if (h, v) != (hmax, vmax):  # replication upsample to full res
+            if hmax % h or vmax % v:
+                raise ValueError("non-integral JPEG sampling ratio not supported")
+            p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
+        out.append(p[:height, :width])
+    return width, height, out
 
 
 def decode_jpeg_gray(content: bytes) -> list[float]:

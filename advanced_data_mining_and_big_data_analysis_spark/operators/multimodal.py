@@ -556,7 +556,25 @@ def formula_jpeg_color_ycbcr(m: int, x: int, y: int) -> tuple[int, int, int]:
     )
 
 
-def formula_media_df(spark, n_audio: int = 8, n_image: int = 8, n_png: int = 0, n_jpeg: int = 0, n_jpeg_color: int = 0) -> DataFrame:
+def formula_jpeg_color_420_ycbcr(m: int, x: int, y: int) -> tuple[int, int, int]:
+    """Per-block (Y, Cb, Cr) that survives the 4:2:0 codec bit-exactly:
+    luma reuses formula_jpeg_pixel's per-8x8-block even-offset rule
+    (exercising DC prediction across the four Y blocks of each 16x16
+    MCU), while chroma is constant per 16x16 MCU with offsets in
+    multiples of 17 — constant chroma passes the 2x2 box downsample,
+    quantizes exactly (Annex K.2 DC step 17 | 8*17k), and the
+    replication upsample reproduces it exactly. The YCbCr->RGB floats
+    never land on .5, so round() is unambiguous and a closed-form SQL
+    oracle recomputes the decoded RGB exactly (q167)."""
+    mx, my = x // 16, y // 16
+    return (
+        formula_jpeg_pixel(m, x, y),
+        128 + 17 * (((m + mx + my) % 3) - 1),
+        128 + 17 * (((m + 2 * mx + my) % 3) - 1),
+    )
+
+
+def formula_media_df(spark, n_audio: int = 8, n_image: int = 8, n_png: int = 0, n_jpeg: int = 0, n_jpeg_color: int = 0, n_jpeg_420: int = 0) -> DataFrame:
     """Real WAV + BMP + PNG blobs generated from the closed-form formulas
     above. Tiny driver-side dim (n rows of <=10 KB) — the 100 TB shape is
     the downstream mapInPandas scan, not this fixture."""
@@ -590,6 +608,16 @@ def formula_media_df(spark, n_audio: int = 8, n_image: int = 8, n_png: int = 0, 
             colorspace="ycbcr",
         )
         rows.append((4000 + m, f"mem://jpegc/{m}", "image/jpeg", blob))
+    for m in range(n_jpeg_420):
+        from . import jpeg
+
+        blob = jpeg.make_jpeg_color_420(
+            32,
+            32,
+            lambda x, y, m=m: formula_jpeg_color_420_ycbcr(m, x, y),
+            colorspace="ycbcr",
+        )
+        rows.append((5000 + m, f"mem://jpeg420/{m}", "image/jpeg", blob))
     for m in range(n_image):
         w, h = formula_bmp_dims(m)
         blob = make_bmp(

@@ -518,3 +518,114 @@ def q165_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q168 — multi-query BM25: the batched-retrieval form of q165 (the same
+# generalization q118 is to q50). The query workload is a declared
+# (query_id, term) frame, so scoring N queries is ONE pass over the
+# corpus: the token explode is filtered to the UNION of all query terms
+# (posting lists), then the broadcast query frame fans each posting out
+# to the queries that want its term, and a per-query bounded window
+# takes top-k. df/N/avgdl are corpus statistics shared across queries.
+#
+# Scale shape: workload-sized frames (queries, df, stats) broadcast;
+# the only data-proportional stages are the single corpus scan and the
+# posting-list aggregation; the ranking window is partitioned by
+# query_id (bounded by matched docs per query, never a global sort).
+# ---------------------------------------------------------------------------
+
+_BM25_WORKLOAD = [
+    ("nav01", ["hash", "join"]),
+    ("nav02", ["vector", "scan", "dup"]),
+    ("nav03", ["stream", "window", "agg"]),
+]
+_BM25_ALL_TERMS = sorted({t for _, ts in _BM25_WORKLOAD for t in ts})
+_BM25_TOPK = 5
+_BM25_Q_SQL = ", ".join(
+    f"('{qid}', '{t}')" for qid, ts in _BM25_WORKLOAD for t in ts
+)
+
+
+@query(
+    "q168_bm25_multiquery",
+    oracle=f"""
+    WITH queries(query_id, term) AS (VALUES {_BM25_Q_SQL}),
+    base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM base),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+           WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_ALL_TERMS)})
+           GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT q.query_id, tf.doc_id,
+             ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * (tf.tf * ({_BM25_K1} + 1))
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+               AS c,
+             tf.tf
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+      JOIN queries q ON q.term = tf.term),
+    scored AS (SELECT query_id, doc_id, ROUND(SUM(c), 6) AS bm25,
+                      CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+                      CAST(SUM(tf) AS BIGINT) AS total_tf
+               FROM contrib GROUP BY query_id, doc_id),
+    ranked AS (SELECT *, ROW_NUMBER() OVER
+                 (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rn
+               FROM scored)
+    SELECT query_id, CAST(rn AS INT) AS rnk, doc_id, bm25,
+           n_terms_matched, total_tf
+    FROM ranked WHERE rn <= {_BM25_TOPK}
+    ORDER BY query_id, rnk
+    """,
+    description="batched BM25 retrieval: a (query_id, term) workload frame scored in ONE corpus pass — token explode filtered to the union of all query terms (posting lists), broadcast query frame fans postings out per query, shared corpus df/N/avgdl statistics, per-query top-5 via a query_id-partitioned window; the multi-query generalization of q165 exactly as q118 generalizes q50",
+)
+def q168_bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    qframe = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BM25_WORKLOAD for t in ts],
+        "query_id string, term string",
+    )
+    base = docs.select("doc_id", X.tokens("text").alias("toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    dl = base.select("doc_id", F.size("toks").alias("dl"))
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(_BM25_ALL_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    denom = F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    contrib = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qframe), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            (idf * (F.col("tf") * (_BM25_K1 + 1)) / denom).alias("c"),
+            "tf",
+        )
+    )
+    wrank = W.partitionBy("query_id").orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        contrib.groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum("c"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .withColumn("rnk", F.row_number().over(wrank))
+        .filter(F.col("rnk") <= _BM25_TOPK)
+        .select("query_id", "rnk", "doc_id", "bm25", "n_terms_matched", "total_tf")
+        .orderBy("query_id", "rnk")
+    )

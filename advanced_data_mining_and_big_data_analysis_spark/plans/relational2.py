@@ -348,6 +348,56 @@ def q163_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_JPEG_420 = 8
+
+
+@query(
+    "q167_jpeg_420_decode",
+    oracle=f"""
+    WITH jm AS (SELECT m FROM range(0, {_N_JPEG_420}) t(m)),
+    blocks AS (
+      SELECT jm.m, bx.i AS bx, by.i AS by,
+             128 + 2*(((jm.m*7 + bx.i*3 + by.i*5) % 50) - 25) AS y,
+             128 + 17*(((jm.m + (bx.i // 2) + (by.i // 2)) % 3) - 1) AS cb,
+             128 + 17*(((jm.m + 2*(bx.i // 2) + (by.i // 2)) % 3) - 1) AS cr
+      FROM jm, range(0, 4) bx(i), range(0, 4) by(i)),
+    rgb AS (
+      SELECT m, bx, by,
+             ROUND(y + 1.402*(cr - 128)) AS r,
+             ROUND(y - 0.344136*(cb - 128) - 0.714136*(cr - 128)) AS g,
+             ROUND(y + 1.772*(cb - 128)) AS b
+      FROM blocks)
+    SELECT 5000 + m AS media_id, 'jpeg_420' AS kind,
+           CAST(1024 AS BIGINT) AS n_units,
+           ROUND(AVG(r), 6) AS mean_r, ROUND(AVG(g), 6) AS mean_g,
+           ROUND(AVG(b), 6) AS mean_b,
+           CAST(MIN(CASE WHEN bx = 0 AND by = 0 THEN r END) AS DOUBLE) AS topleft_r
+    FROM rgb GROUP BY m ORDER BY media_id
+    """,
+    description="REAL 4:2:0 baseline JPEG decode, hash-checked (closes the last distance from real-world JPEG files — 4:4:4 is rare in the wild): the codec encodes 16x16 MCUs of four Y blocks plus 2x2-box-averaged Cb/Cr (sampling factors 0x22/0x11), and the self-describing decoder reconstructs subsampled planes from interleaved MCUs and replication-upsamples them; fixtures keep luma per-8x8-block constant (even offsets, exercising DC prediction across the 4 Y blocks per MCU) and chroma per-16x16-MCU constant in 17-multiples, so downsample, DCT, and upsample are all bit-exact and the oracle recomputes decoded RGB from the generating formula — a wrong Y-block raster order, chroma/luma table mixup, MCU geometry error, or upsample misalignment skips the hash",
+)
+def q167_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    feats = MM.extract_features(
+        MM.formula_media_df(spark, n_audio=0, n_image=0, n_png=0, n_jpeg_420=_N_JPEG_420)
+    )
+    el = F.element_at
+    return (
+        feats.filter(F.col("mime") == "image/jpeg")
+        .select(
+            "media_id",
+            F.lit("jpeg_420").alias("kind"),
+            (el("feature", 1) * el("feature", 2)).cast("long").alias("n_units"),
+            F.round(el("feature", 3), 6).alias("mean_r"),
+            F.round(el("feature", 4), 6).alias("mean_g"),
+            F.round(el("feature", 5), 6).alias("mean_b"),
+            el("feature", 6).alias("topleft_r"),
+        )
+        .orderBy("media_id")
+    )
+
+
 _RS_W, _RS_H, _N_RS_BMP = 6, 4, 12
 
 
