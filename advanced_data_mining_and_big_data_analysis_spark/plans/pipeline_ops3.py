@@ -1261,7 +1261,7 @@ def q135_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q155_score_calibration",
+    "a0155_score_calibration",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     w AS (SELECT doc_id, unnest(toks) AS token FROM t),
@@ -1287,7 +1287,7 @@ def q135_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="classifier score calibration table (reliability diagram) over q122's fold-computed scores: decile buckets (exact floor(score*10) edges on dyadic-safe scores, so membership cannot flip between engines) reporting count, mean score, fraction clearing the 0.5 keep gate, and population share — the ML-eval table a scored-corpus pipeline publishes next to its keep decisions; one corpus scan plus a 10-row aggregate",
 )
-def q155_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0155_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sc = _scored_docs(docs)
     total = sc.agg(F.count("*").alias("tot"))
@@ -1329,7 +1329,7 @@ def q155_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q156_join_size_estimate",
+    "a0156_join_size_estimate",
     oracle=f"""
     WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
     b AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
@@ -1341,7 +1341,7 @@ def q155_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="sketch-based join cardinality estimation (CMS inner product): |A join B| = sum_k fA(k)*fB(k), estimated as the min over hash rows of the bucketwise dot product of the two sides' count-min tables (width*depth work regardless of input size, reusing q119's cms_table); the estimate provably never underestimates (collisions only add mass) — pinned against the exact join size as an oracle-expected TRUE boolean; the sketch statistics a distributed optimizer consults before choosing a join strategy, companion to q149's skew probe",
 )
-def q156_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0156_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     a = orders.filter(F.col("o_orderstatus") == "F").select(

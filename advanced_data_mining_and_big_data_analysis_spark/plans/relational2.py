@@ -302,7 +302,7 @@ _N_JPEG_C = 8
 
 
 @query(
-    "q163_jpeg_color_decode",
+    "a0163_jpeg_color_decode",
     oracle=f"""
     WITH jm AS (SELECT m FROM range(0, {_N_JPEG_C}) t(m)),
     blocks AS (
@@ -326,7 +326,7 @@ _N_JPEG_C = 8
     """,
     description="REAL baseline COLOR JPEG decode, hash-checked (completes ITU T.81 baseline parity over the grayscale q124): the from-scratch 3-component YCbCr 4:4:4 codec (operators/jpeg.py — interleaved one-block-per-component MCUs, Annex K.1 luma + K.2 chroma quantization, K.3 luma + chroma Huffman tables, per-component DC prediction) runs inside the mapInPandas extractor over fixture JPEGs whose block-constant (Y, Cb, Cr) values have quant-divisible DC terms (luma step 16 | 8*(Y-128), chroma step 17 | 8*17k) so the planes survive bit-exactly; the oracle recomputes the decoded RGB (JFIF matrix, round-without-ties by construction) from the generating formula — a wrong MCU interleave, chroma table mixup, DC predictor leak across components, or color-matrix error skips the hash",
 )
-def q163_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0163_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as MM
 
     feats = MM.extract_features(
@@ -352,7 +352,7 @@ _N_JPEG_420 = 8
 
 
 @query(
-    "q167_jpeg_420_decode",
+    "a0167_jpeg_420_decode",
     oracle=f"""
     WITH jm AS (SELECT m FROM range(0, {_N_JPEG_420}) t(m)),
     blocks AS (
@@ -376,7 +376,7 @@ _N_JPEG_420 = 8
     """,
     description="REAL 4:2:0 baseline JPEG decode, hash-checked (closes the last distance from real-world JPEG files — 4:4:4 is rare in the wild): the codec encodes 16x16 MCUs of four Y blocks plus 2x2-box-averaged Cb/Cr (sampling factors 0x22/0x11), and the self-describing decoder reconstructs subsampled planes from interleaved MCUs and replication-upsamples them; fixtures keep luma per-8x8-block constant (even offsets, exercising DC prediction across the 4 Y blocks per MCU) and chroma per-16x16-MCU constant in 17-multiples, so downsample, DCT, and upsample are all bit-exact and the oracle recomputes decoded RGB from the generating formula — a wrong Y-block raster order, chroma/luma table mixup, MCU geometry error, or upsample misalignment skips the hash",
 )
-def q167_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0167_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as MM
 
     feats = MM.extract_features(
@@ -402,7 +402,7 @@ _RS_W, _RS_H, _N_RS_BMP = 6, 4, 12
 
 
 @query(
-    "q144_bmp_resize",
+    "a0144_bmp_resize",
     oracle=f"""
     WITH im AS (SELECT m, 8 + m % 4 AS w, 4 + m % 3 AS h
                 FROM range(0, {_N_RS_BMP}) t(m)),
@@ -422,7 +422,7 @@ _RS_W, _RS_H, _N_RS_BMP = 6, 4, 12
     """,
     description="REAL image resize, hash-checked: nearest-neighbor BMP resize (stdlib decode -> floor-mapped pixel sampling -> re-encode through the same writer) runs inside mapInPandas over closed-form fixture BMPs of varying source dims, then the resized blobs are decoded AGAIN by the real BMP decoder — the oracle recomputes per-channel means and the top-left pixel of the resized grid from the generating formulas, so a wrong sampling rule, row-order flip, or padding bug in EITHER the resize or the second decode skips the hash; the multimodal 'resize' op of the pipeline brief, real end to end",
 )
-def q144_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0144_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as MM
 
     media = MM.formula_media_df(spark, n_audio=0, n_image=_N_RS_BMP)
@@ -448,7 +448,7 @@ _AF_LEN, _AF_MAX, _N_AF_WAV = 160, 4, 8
 
 
 @query(
-    "q145_audio_frames",
+    "a0145_audio_frames",
     oracle=f"""
     WITH am AS (SELECT m, 256 + 16*m AS n FROM range(0, {_N_AF_WAV}) t(m)),
     fr AS (SELECT am.m, am.n, f.i AS f
@@ -466,7 +466,7 @@ _AF_LEN, _AF_MAX, _N_AF_WAV = 160, 4, 8
     """,
     description="REAL audio frame sampling, hash-checked: 16-bit PCM WAV decoded by the stdlib codec, cut into 160-sample (20 ms @ 8 kHz) frames inside a mapInPandas flat-map (1->N rows per blob, ragged tail frame divides by its true length), per-frame RMS energy — the 'frame-sample' multimodal op of the pipeline brief; the oracle recomputes every frame's RMS from the closed-form sample formula, so a wrong frame boundary, off-by-one tail, or decode error skips the hash",
 )
-def q145_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0145_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as MM
 
     media = MM.formula_media_df(spark, n_audio=_N_AF_WAV, n_image=0)

@@ -536,7 +536,7 @@ def a089_trailing_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q148_fuzzy_join",
+    "a0148_fuzzy_join",
     oracle="""
     WITH dirty AS (
       SELECT c_custkey AS d_key,
@@ -566,7 +566,7 @@ def a089_trailing_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="blocked fuzzy record linkage (entity resolution): a dirty feed with deterministic typo classes (char drop / transposition / clean) matched to the customer dimension by last-4-digit BLOCKING + Levenshtein <= 2 verification inside blocks + lowest-(distance, key) best-match selection — edit distance runs only on block-collision candidates (O(n x block width), never all-pairs), the clean dimension is broadcast, and per-class match/accuracy stats quantify the linkage; typos are identical substring surgery in both engines so the oracle rebuilds the same dirty feed",
 )
-def q148_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0148_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     cust = load_table(spark, sf_dir, "customer")
@@ -625,7 +625,7 @@ def q148_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
-    "q153_hierarchy_rollup",
+    "a0153_hierarchy_rollup",
     oracle="""
     WITH RECURSIVE nodes AS (SELECT DISTINCT c_custkey AS k FROM customer),
     edges AS (SELECT k, k // 10 AS parent FROM nodes WHERE k >= 10),
@@ -648,7 +648,7 @@ def q148_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="hierarchical rollup — the recursive-CTE workload on an engine without recursive CTEs: a synthetic customer forest (parent = key div 10 over the real keys) traversed by fixed-depth iterative broadcast self-joins over the dimension-sized edge frame (the standard Spark hierarchy unroll; the unroll depth is derived from max custkey at plan time so the plan stays exact at any SF), then per-root subtree spend in exact DECIMAL; the DuckDB oracle runs a true WITH RECURSIVE, so the hash match proves the unrolled iteration reproduces genuine recursive semantics",
 )
-def q153_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0153_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     nodes = cust.select(F.col("c_custkey").alias("k")).distinct()
@@ -711,7 +711,7 @@ def q153_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q162_trimmed_mean_udaf",
+    "a0162_trimmed_mean_udaf",
     oracle="""
     WITH r AS (
       SELECT o_orderpriority, o_totalprice,
@@ -726,7 +726,7 @@ def q153_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="grouped-aggregate pandas UDF (PandasUDFType.GROUPED_AGG — completes the §2.12 UDF matrix alongside scalar q68, grouped-map q71, mapInPandas q70, and the chunk UDTF): 10% two-sided trimmed mean of order value per priority, each group's values arriving as ONE Arrow-backed pandas Series (never row-at-a-time); floor(n/10) trimmed per tail by exact integer arithmetic so both engines drop identical row sets; the robust location aggregate Spark lacks natively",
 )
-def q162_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0162_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     @F.pandas_udf(T.DoubleType())

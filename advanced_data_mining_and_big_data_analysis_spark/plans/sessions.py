@@ -262,7 +262,7 @@ def q104_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q157_session_paths",
+    "a0157_session_paths",
     oracle=f"""
     WITH e AS (
       SELECT user_id, ts, event_id, event_type,
@@ -288,7 +288,7 @@ def q104_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="session path mining (clickstream entry-path analysis): sessions via the q60 30-minute gap rule, each reduced to its first-3-event-type path string by an ordered fold over the session's OWN rows (array_sort(collect_list(struct)) + slice — state bounded by the session, never the user history), paths ranked by frequency with average session length — top-15 via bounded TakeOrdered; the path table is path-cardinality-sized after a map-side-combined aggregate",
 )
-def q157_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0157_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)

@@ -598,7 +598,7 @@ def q118_batch_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q161_embedding_drift",
+    "a0161_embedding_drift",
     oracle=f"""
     WITH x AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     d AS (SELECT label, r.dim, v[r.dim] AS c
@@ -617,7 +617,7 @@ def q118_batch_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="embedding drift monitor: per-label centroids vs the global centroid (cosine + L2) — the embedding-space distribution-shift probe a training pipeline runs per ingest batch; centroids from ONE posexplode pass with dim-keyed map-side-combined averages, global centroid = count-weighted merge of the label centroids (no second corpus pass), comparison is broadcast arithmetic over label-x-dim frames; 9-dp pre-round on decision quantities (q114 float-tie rule)",
 )
-def q161_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0161_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     x = emb.select("label", SIM.as_double("embedding").alias("v"))
     d = x.select(
@@ -697,7 +697,7 @@ def _lut_column(j: int) -> Column:
 
 
 @query(
-    "q164_ivf_pq_search",
+    "a0164_ivf_pq_search",
     oracle="""
     WITH x AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     db AS (SELECT * FROM x WHERE vec_id >= 3),
@@ -765,7 +765,7 @@ def _lut_column(j: int) -> Column:
     """,
     description="IVF-PQ search with asymmetric distance computation, end-to-end (the FAISS IVFPQ composition closing the ANN ladder): per-label IVF centroids + nearest-centroid assignment, m=4x16-dim PQ encoding against the deterministic k=8 low-vec_id codebook, then per query (vec_id 0-2): rank centroids, probe the 2 nearest clusters, and score candidates via a broadcast query->codeword lookup table folded over the 4 stored code ids — candidates are scanned as codes, never as vectors; exact L2^2 per hit audits the ADC approximation; every distance 9-dp-rounded before argmin/rank with lowest-id tie-breaks, so both engines produce the identical top-5",
 )
-def q164_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0164_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -900,7 +900,7 @@ _KM_K = 5
 
 
 @query(
-    "q166_kmeans_lloyd",
+    "a0166_kmeans_lloyd",
     oracle=f"""
     WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     c0 AS (SELECT vec_id AS cl, v AS cv FROM x WHERE vec_id < {_KM_K}),
@@ -930,7 +930,7 @@ _KM_K = 5
     """,
     description="k-means Lloyd training, two full rounds from the deterministic low-vec_id seed (k=5), hash-matched against a true SQL unroll of assign -> per-dim mean -> re-assign: per-cluster membership and inertia after round 2; distances 9-dp-rounded before every argmin (lowest-cluster ties), round-1 centroids 9-dp-rounded per component so cross-engine AVG addition-order ulps cannot flip a borderline re-assignment — the clustering primitive under SemDeDup/IVF/mixture curation, with broadcast-sized centroid state and map-side-collapsed N*k distance passes",
 )
-def q166_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0166_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )

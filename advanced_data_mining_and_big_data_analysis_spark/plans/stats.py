@@ -606,7 +606,7 @@ def a143_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q146_ohlc_bars",
+    "a0146_ohlc_bars",
     oracle="""
     WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, value
                FROM events),
@@ -629,7 +629,7 @@ def a143_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="OHLC bars per (event_type, day): open/close via min_by/max_by on struct(ts, event_id) — the argmin/argmax-by-ordering aggregate with a deterministic tie-break so same-timestamp events cannot flip the bar between engines — plus high/low/count, in ONE map-side-combined shuffle with no window function; bars with < 5 events dropped (HAVING). The market-data / metrics-rollup primitive at fact-table scale",
 )
-def q146_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0146_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.to_date("ts").alias("day"),
@@ -675,7 +675,7 @@ _SD_WIN = 7
 
 
 @query(
-    "q147_sliding_distinct_users",
+    "a0147_sliding_distinct_users",
     oracle=f"""
     WITH ad AS (SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS day FROM events),
     days AS (SELECT DISTINCT event_type, day FROM ad),
@@ -695,7 +695,7 @@ _SD_WIN = 7
     """,
     description="trailing-7-day distinct users per event_type (DAU/WAU): the scale-correct rewrite of distinct-over-sliding-window — dedupe to (type, user, day) once, explode each active day into the <= 7 window-ends it contributes to, dedupe (type, user, window_end), then a plain count per window; work bounded by active-pairs x window_len with map-side combine everywhere, versus collect_set-over-range-window which buffers every member per output row; windows reported only on days with activity",
 )
-def q147_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0147_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ad = ev.select("event_type", "user_id", F.to_date("ts").alias("day")).distinct()
     days = ad.select("event_type", "day").distinct()
@@ -741,7 +741,7 @@ def q147_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q149_key_skew_report",
+    "a0149_key_skew_report",
     oracle="""
     WITH c AS (SELECT o_custkey AS k, COUNT(*) AS x FROM orders GROUP BY k),
     m AS (SELECT COUNT(*) AS nk, CAST(SUM(x) AS BIGINT) AS t,
@@ -760,7 +760,7 @@ def q147_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="key-skew diagnostic for the orders-by-customer key: n_keys, max key share, top-10 share, coefficient of variation, and normalized key entropy (H = ln T - sum(x ln x)/T over ln n_keys) — every metric WINDOW-FREE from moment sums over the per-key count frame plus one bounded TakeOrdered, so the diagnosis never itself suffers the skew it measures; the pre-shuffle observability probe that decides salt vs broadcast vs plain hash join",
 )
-def q149_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0149_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     c = orders.groupBy(F.col("o_custkey").alias("k")).agg(F.count("*").alias("x"))
     c = c.localCheckpoint(eager=False)  # customer-dimension-sized; two consumers
@@ -806,7 +806,7 @@ def q149_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q150_sliding_hll_wau",
+    "a0150_sliding_hll_wau",
     oracle=f"""
     WITH ad AS (SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS day FROM events),
     days AS (SELECT DISTINCT event_type, day FROM ad),
@@ -824,7 +824,7 @@ def q149_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="sliding-window distinct users via HLL sketch MERGE — the sketch-based scale path for q147: per-(event_type, day) DataSketches HLL sketches of the user set built in ONE fact scan, each trailing-7-day WAU = hll_union_agg of 7 per-day sketches (per-day state is KB-sized regardless of corpus size; no window re-scans the data — the q117 merge principle applied to sliding windows); exact WAU rides along via the q147 rewrite and the 5% (~3 sigma at lgK=12) HLL error bound is pinned as an oracle-expected TRUE boolean",
 )
-def q150_sliding_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0150_sliding_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ad = ev.select("event_type", "user_id", F.to_date("ts").alias("day")).distinct()
     ad = ad.localCheckpoint(eager=False)  # feeds sketches, exact path, and days
@@ -882,7 +882,7 @@ _VAL_STATUSES = ["F", "O", "P"]
 
 
 @query(
-    "q151_validation_report",
+    "a0151_validation_report",
     oracle=f"""
     WITH m AS (
       SELECT COUNT(*) AS n_rows,
@@ -909,7 +909,7 @@ _VAL_STATUSES = ["F", "O", "P"]
     """,
     description="declarative data-validation pass (expectations report): six ingest-gate rules — not-null key, key uniqueness (COUNT - COUNT DISTINCT), positive price, status set-membership, date range, priority regex shape — evaluated as conditional counts in ONE aggregate scan plus the key-distinct aggregate, unpivoted to the (rule, n_violations, pass) contract table a data firewall gates on; violations are counted, never silently dropped",
 )
-def q151_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0151_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     m = orders.agg(
         F.sum(F.col("o_orderkey").isNull().cast("long")).alias("v_key_null"),
@@ -966,7 +966,7 @@ def q151_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q154_max_concurrency",
+    "a0154_max_concurrency",
     oracle="""
     WITH iv AS (SELECT event_type, event_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
                 FROM events),
@@ -991,7 +991,7 @@ def q151_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="maximum interval overlap via the sweep line: each event's 30-minute activity interval becomes (+1 at start, -1 at end) deltas, a running sum ordered by (time, delta, event_id) walks both engines through an identical total order (ends before starts at the same instant = half-open semantics), max concurrent + first time it occurs per event_type — one partitioned window over 2N delta rows, never an interval self-join (quadratic in overlap degree)",
 )
-def q154_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0154_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events")
@@ -1044,7 +1044,7 @@ _QB_QS = [i / 10 for i in range(1, 10)]
 
 
 @query(
-    "q158_equal_freq_bins",
+    "a0158_equal_freq_bins",
     oracle=f"""
     WITH q AS (SELECT quantile_cont(o_totalprice, [{", ".join(str(q) for q in _QB_QS)}]) AS qs
                FROM orders),
@@ -1057,7 +1057,7 @@ _QB_QS = [i / 10 for i in range(1, 10)]
     """,
     description="equal-frequency (decile) binning of order totals: exact interpolated decile edges from ONE percentile aggregate (cross-engine interpolation parity pinned since q65), broadcast back to the fact, bin = count of edges <= x — the scale-correct rule (never ntile over the whole fact table, which funnels every row through one unpartitioned window); per-bin count and value range exposed for the feature-pipeline code map",
 )
-def q158_equal_freq_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0158_equal_freq_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     edges = orders.agg(
         F.expr(
@@ -1094,7 +1094,7 @@ _SN_LAG_DAYS = 7
 
 
 @query(
-    "q159_seasonal_naive_backtest",
+    "a0159_seasonal_naive_backtest",
     oracle=f"""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
@@ -1117,7 +1117,7 @@ _SN_LAG_DAYS = 7
     """,
     description="grouped seasonal-naive backtest — the reference's SMAPE validation loop (kaggle.py:497-523) as one distributed query over every series at once: forecast(day) = actual(day-7), 0-safe SMAPE per event_type; one calendar-sized DECIMAL rollup + one date-shift self-join + one aggregate, so backtesting five or five million series is the same single pass; the baseline every forecasting benchmark measures models against",
 )
-def q159_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0159_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = (
         ev.groupBy("event_type", F.to_date("ts").alias("day"))
@@ -1162,7 +1162,7 @@ _MAD_K = 3 * 1.4826
 
 
 @query(
-    "q160_mad_outliers",
+    "a0160_mad_outliers",
     oracle=f"""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
@@ -1183,7 +1183,7 @@ _MAD_K = 3 * 1.4826
     """,
     description="grouped robust outlier detection via MAD: per-event-type exact median of daily counts, then exact median of absolute deviations (two grouped percentile passes over the calendar-sized frame; interpolation parity pinned since q65), flag days beyond 3 x 1.4826 x MAD — the robust twin of q135's mean/sigma rule, immune to the outliers it hunts because median and MAD have 50% breakdown points",
 )
-def q160_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0160_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = (
         ev.groupBy("event_type", F.to_date("ts").alias("day"))

@@ -135,7 +135,7 @@ def a098_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q152_scd2_history",
+    "a0152_scd2_history",
     oracle=f"""
     WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp
                   FROM orders),
@@ -160,7 +160,7 @@ def a098_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="SCD Type-2 dimension history build (Kimball pattern) from a conflicting I/U/D change feed: every non-delete version gets [eff_from, eff_to) validity via LEAD over the per-key sequence, tombstones close history without creating versions, current = unsuperseded; per-status version/current/closed counts plus the exact-DECIMAL sum of current prices — the materialized-history complement to q97's latest-wins apply; one key-partitioned window, shuffle only on the key",
 )
-def q152_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0152_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     orders = load_table(spark, sf_dir, "orders")

@@ -35,7 +35,7 @@ def main() -> None:
     t0 = time.monotonic()
 
     # 1. data firewall: refuse to compute on rows that fail the contract
-    validation = qs["q151_validation_report"].fn(spark, sf_dir).collect()
+    validation = qs["a0151_validation_report"].fn(spark, sf_dir).collect()
     failures = [r["rule"] for r in validation if not r["pass"]]
     if failures:
         print(json.dumps({"aborted": True, "failed_rules": failures}))
@@ -52,10 +52,10 @@ def main() -> None:
     anomalies = qs["q135_anomaly_flags"].fn(spark, sf_dir).count()
 
     # 5. OHLC bars (the rollup a dashboard reads)
-    n_bars = qs["q146_ohlc_bars"].fn(spark, sf_dir).count()
+    n_bars = qs["a0146_ohlc_bars"].fn(spark, sf_dir).count()
 
     # 6. skew probe before any downstream per-customer join
-    skew = qs["q149_key_skew_report"].fn(spark, sf_dir).collect()[0]
+    skew = qs["a0149_key_skew_report"].fn(spark, sf_dir).collect()[0]
     join_strategy = "salt" if skew["max_share"] > 0.01 else "plain-hash"
 
     print(

@@ -90,8 +90,7 @@ def test_driver_window_is_exactly_the_renamed_block():
     assert not dups, f"driver will de-dupe callables sharing __code__: {dups}"
 
     renamed = sorted(n for n in q if n.startswith("a"))
-    assert len(renamed) == 50
-    renamed_nums = set(range(52, 100)) | set(range(138, 144))
+    renamed_nums = set(range(52, 100)) | set(range(138, 144)) | set(range(144, 200))
     for a in renamed:
         num = int(a[1:].split("_", 1)[0])
         assert num in renamed_nums, a
@@ -100,7 +99,15 @@ def test_driver_window_is_exactly_the_renamed_block():
         assert q[a].__name__ == a, (a, q[a].__name__)
         assert "<locals>" not in q[a].__qualname__
 
-    # sorted()[:50] — the driver's correctness window — is the renamed block
-    assert sorted(q)[:50] == renamed
+    # Round 9: the never-driver-verified block (formerly q144–q168, plus
+    # any round-9 additions) carries 4-digit 'a0NNN_' names, which sort
+    # BEFORE the round-8 'a0NN_' block (\"a01\" < \"a05\") — so the driver's
+    # sorted()[:50] window leads with exactly that block and backfills
+    # with already-green round-8 names.
+    new_block = sorted(n for n in q if len(n.split("_", 1)[0]) == 5)  # a0NNN
+    assert len(new_block) >= 25
+    window = sorted(q)[:50]
+    assert window[: len(new_block)] == new_block, "4-digit block must lead the window"
+    assert all(n.startswith("a") for n in window)
     # every oracle key resolves to a query key
     assert set(o) <= set(q)

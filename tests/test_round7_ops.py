@@ -49,7 +49,7 @@ def test_q153_depth_derived_from_data(spark, tmp_path):
     orders = {k: [(i + 1, 111.11 * (i + 1))] for i, k in enumerate(custkeys)}
     _write_tiny_tables(spark, out, custkeys, orders)
 
-    qd = all_queries()["q153_hierarchy_rollup"]
+    qd = all_queries()["a0153_hierarchy_rollup"]
     sdf = qd.fn(spark, out).toPandas()
     con = duckdb.connect()
     # Spark writes <name>.parquet as a directory of part files
@@ -74,7 +74,7 @@ def test_q156_empty_intersection_is_true_not_null(spark, tmp_path):
     _write_tiny_tables(
         spark, out, [1, 2, 3], {100: [(1, 10.0)], 101: [(2, 20.0)], 102: [(3, 30.0)]}
     )
-    qd = all_queries()["q156_join_size_estimate"]
+    qd = all_queries()["a0156_join_size_estimate"]
     row = qd.fn(spark, out).collect()[0]
     assert row["exact_join_size"] == 0
     assert row["never_underestimates"] is True
@@ -104,7 +104,7 @@ def test_resize_images_degrades_corrupt_bmp_per_row(spark):
     assert tiled == (corrupt * (64 // len(corrupt) + 1))[:64]
 
 
-@pytest.mark.parametrize("name", ["q122_classifier_scoring", "q155_score_calibration"])
+@pytest.mark.parametrize("name", ["q122_classifier_scoring", "a0155_score_calibration"])
 def test_classifier_score_shared_helper(name):
     """q122 and q155 must score through ONE shared scorer (_scored_docs)
     so the scoring rule cannot silently diverge."""
@@ -167,7 +167,7 @@ def test_q164_adc_recall_on_clustered_data(spark, tmp_path):
 
     from advanced_data_mining_and_big_data_analysis_spark.plans import all_queries
 
-    out = all_queries()["q164_ivf_pq_search"].fn(spark, out_dir).toPandas()
+    out = all_queries()["a0164_ivf_pq_search"].fn(spark, out_dir).toPandas()
     label_of = {r[0]: r[1] for r in rows}
     proto_d2 = {
         (qp, p): float(((protos[qp] - protos[p]) ** 2).sum()) for qp in range(3) for p in range(8)
@@ -252,7 +252,7 @@ def test_jpeg_decode_handles_gray_and_gray_decoder_rejects_color():
 def test_q153_plan_has_no_cartesian(spark, sf_dir):
     """The derived-depth rewrite must keep the broadcast-join unroll
     shape (no CartesianProduct sneaking in via the scalar pre-agg)."""
-    qd = all_queries()["q153_hierarchy_rollup"]
+    qd = all_queries()["a0153_hierarchy_rollup"]
     plan = qd.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan

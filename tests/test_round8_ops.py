@@ -80,7 +80,7 @@ def test_q168_plan_shape(spark, sf_dir):
     """Multi-query BM25: one corpus scan fanned out by broadcast joins —
     no CartesianProduct over data rows, ranking window partitioned by
     query_id (never a global sort of postings)."""
-    qd = all_queries()["q168_bm25_multiquery"]
+    qd = all_queries()["a0168_bm25_multiquery"]
     plan = qd.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
@@ -92,7 +92,7 @@ def test_q168_topk_is_per_query(spark, sf_dir):
         _BM25_WORKLOAD,
     )
 
-    rows = all_queries()["q168_bm25_multiquery"].fn(spark, sf_dir).collect()
+    rows = all_queries()["a0168_bm25_multiquery"].fn(spark, sf_dir).collect()
     per_q = {}
     for r in rows:
         per_q.setdefault(r.query_id, []).append(r.rnk)

@@ -21,10 +21,10 @@ _STATS_QUERIES = [
     "a141_corr_matrix",
     "a142_bootstrap_ci",
     "a143_benford_digits",
-    "q146_ohlc_bars",
-    "q147_sliding_distinct_users",
-    "q148_fuzzy_join",
-    "q149_key_skew_report",
+    "a0146_ohlc_bars",
+    "a0147_sliding_distinct_users",
+    "a0148_fuzzy_join",
+    "a0149_key_skew_report",
 ]
 
 
@@ -40,7 +40,7 @@ def test_q149_topk_is_bounded_not_global_sort(spark, sf_dir):
     """The top-10 share must come from TakeOrdered (bounded per-partition
     heaps), never a full global sort of the key-count frame."""
     plan = (
-        QUERIES["q149_key_skew_report"]
+        QUERIES["a0149_key_skew_report"]
         .fn(spark, sf_dir)
         ._jdf.queryExecution()
         .executedPlan()
@@ -108,7 +108,7 @@ def test_fuzzy_join_recovers_identity(spark, sf_dir):
     """Every typo class must link back to the original key: within a
     last-4-digit block the true source is the unique lowest-distance
     candidate for the deterministic perturbations used."""
-    rows = QUERIES["q148_fuzzy_join"].fn(spark, sf_dir).collect()
+    rows = QUERIES["a0148_fuzzy_join"].fn(spark, sf_dir).collect()
     assert len(rows) == 3
     for r in rows:
         assert r["n_matched"] > 0
@@ -120,14 +120,14 @@ def test_fuzzy_join_recovers_identity(spark, sf_dir):
 def test_sliding_distinct_wau_bounds(spark, sf_dir):
     """WAU7 must be >= DAU on every day and <= the 7-day sum of DAUs —
     the sandwich every correct sliding-distinct satisfies."""
-    out = QUERIES["q147_sliding_distinct_users"].fn(spark, sf_dir)
+    out = QUERIES["a0147_sliding_distinct_users"].fn(spark, sf_dir)
     bad = out.filter(F.col("wau7") < F.col("dau")).count()
     assert bad == 0
 
 
 def test_ohlc_invariants(spark, sf_dir):
     """low <= open/close <= high on every bar."""
-    out = QUERIES["q146_ohlc_bars"].fn(spark, sf_dir)
+    out = QUERIES["a0146_ohlc_bars"].fn(spark, sf_dir)
     bad = out.filter(
         (F.col("low") > F.col("open"))
         | (F.col("low") > F.col("close"))

@@ -562,7 +562,7 @@ def test_streaming_ohlc_equals_batch_q146(spark, event_files, sf_dir):
         )
         for r in latest.collect()
     )
-    batch = all_queries()["q146_ohlc_bars"].fn(spark, sf_dir)
+    batch = all_queries()["a0146_ohlc_bars"].fn(spark, sf_dir)
     exp = sorted(
         (r["event_type"], r["day"], r["open"], r["high"], r["low"], r["close"], r["n_events"])
         for r in batch.collect()

@@ -39,8 +39,8 @@ def green_names() -> set[str]:
 def aliases(name: str) -> set[str]:
     """All names a registry query may have carried in past rounds."""
     out = {name}
-    m = re.match(r"a(\d{3})_(.+)", name)
-    if m:  # registry-level rename (round 8): a0NN_x was qNN_x
+    m = re.match(r"a(\d{3,4})_(.+)", name)
+    if m:  # registry-level rename (r8: a0NN_x was qNN_x; r9: a0NNN_x was qNNN_x)
         out.add(f"q{int(m.group(1))}_{m.group(2)}")
     m = re.match(r"q(\d+)_(.+)", name)
     if m:  # entry-level rotation (round 7): qNN_x was exposed as a0NN_x
