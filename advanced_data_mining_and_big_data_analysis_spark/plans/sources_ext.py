@@ -126,3 +126,83 @@ def q101_corrupt_jsonl_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "a0169_file_audit_inputs",
+    oracle="""
+    WITH audit AS (
+        SELECT 'region.parquet' AS file_group, COUNT(*) AS n_rows FROM region
+        UNION ALL SELECT 'nation.parquet', COUNT(*) FROM nation
+        UNION ALL SELECT 'customer.parquet', COUNT(*) FROM customer
+        UNION ALL SELECT 'supplier.parquet', COUNT(*) FROM supplier
+        UNION ALL SELECT 'part.parquet', COUNT(*) FROM part
+        UNION ALL SELECT 'orders.parquet', COUNT(*) FROM orders
+        UNION ALL SELECT 'lineitem.parquet', COUNT(*) FROM lineitem
+        UNION ALL SELECT 'events.parquet', COUNT(*) FROM events
+        UNION ALL SELECT 'documents.parquet', COUNT(*) FROM documents
+        UNION ALL SELECT 'embeddings.parquet', COUNT(*) FROM embeddings
+        UNION ALL
+        SELECT 'mirror/l_returnflag=' || l_returnflag, COUNT(*)
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT file_group, CAST(1 AS BIGINT) AS n_files,
+           CAST(n_rows AS BIGINT) AS n_rows
+    FROM audit ORDER BY file_group
+    """,
+    description="directory-listing / input-file audit (SURVEY §2.1, reference kaggle.py:51-53 os.walk print loop as a query): every catalog input listed by its input_file_name() basename with per-file row counts, plus a partitioned multi-file parquet mirror audited per partition directory from the file path — countDistinct(input_file_name())==1 per group proves the single-file testdata layout AND that the repartition-by-key write emits exactly one file per partition",
+)
+def a0169_file_audit_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import TABLES
+
+    # Part 1: audit the scale-factor directory itself.  input_file_name()
+    # is evaluated at the scan (before any exchange), so the basename is
+    # the physical file each row actually came from — a wrong path, a
+    # stray extra file, or a miscounted table fails the hash.
+    parts = []
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        parts.append(
+            # input_file_name() must be PROJECTED before any aggregate
+            # (Spark rejects non-deterministic expressions inside agg
+            # arguments) — evaluated at the scan, so the basename is the
+            # physical file each row actually came from.
+            df.select(
+                F.input_file_name().alias("path"),
+                F.regexp_extract(F.input_file_name(), "([^/]+)$", 1).alias("file_group"),
+            )
+            .groupBy("file_group")
+            .agg(
+                F.countDistinct("path").alias("n_files"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+
+    # Part 2: multi-file layout.  Hash-repartition by the partition key so
+    # each key lands in exactly one task -> exactly one file per partition
+    # directory; the audit extracts the partition dir from the path.
+    mirror = _mirror_dir(sf_dir, "file_audit", "lineitem")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.repartition("l_returnflag").write.mode("overwrite").partitionBy(
+        "l_returnflag"
+    ).parquet(mirror)
+    audited = (
+        spark.read.parquet(mirror)
+        .select(
+            F.concat(
+                F.lit("mirror/"),
+                F.regexp_extract(F.input_file_name(), "(l_returnflag=[^/]+)", 1),
+            ).alias("file_group"),
+            F.input_file_name().alias("path"),
+        )
+        .groupBy("file_group")
+        .agg(
+            F.countDistinct("path").alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    parts.append(audited)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("file_group")
