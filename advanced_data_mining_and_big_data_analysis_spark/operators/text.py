@@ -32,8 +32,15 @@ def normalize(text: Column | str) -> Column:
 
 
 def tokens(text: Column | str) -> Column:
-    """array<string> of normalized words (empty strings dropped)."""
-    return F.filter(F.split(normalize(text), " +"), lambda x: x != "")
+    """array<string> of normalized words (empty strings dropped).
+
+    Token stream is identical to split(normalize(text), ' +') — both
+    split on maximal runs of non-alphanumerics — but in ONE regex pass
+    over the string instead of regexp_replace + regex split (r9 A/B:
+    0.36 -> 0.20 s for the corpus tokenize at sf0.1; this is the hot
+    path under every text operator)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != "")
 
 
 def word_shingles(toks: Column, n: int = 3, distinct: bool = True) -> Column:
