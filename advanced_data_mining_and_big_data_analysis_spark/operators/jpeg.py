@@ -11,11 +11,15 @@ MCUs: four Y blocks + box-averaged Cb/Cr, VERDICT r7 item 7, the
 layout of nearly all real-world JPEGs). The decoder is
 self-describing (it reads DQT/DHT/SOF0/SOS from the stream, not from
 shared constants) and handles arbitrary integral sampling factors
-(4:4:4 / 4:2:0 / 4:2:2), so it decodes any conforming baseline 1- or
-3-component JPEG, not just this encoder's output; subsampled planes
-upsample by replication. Progressive and 12-bit streams raise — a
-poisoned blob should fail the task, not skew the corpus (same policy
-as decode_png).
+(4:4:4 / 4:2:0 / 4:2:2) plus restart intervals (DRI / RST0-7 with
+byte-alignment and DC-predictor reset at each boundary, ADVICE r8 —
+the error-resilience framing most camera/libjpeg streams carry), so it
+decodes any conforming single-scan baseline 1- or 3-component JPEG,
+not just this encoder's output; subsampled planes upsample by
+replication. Progressive and 12-bit streams raise, and an out-of-order
+or missing restart marker raises rather than resyncing — a poisoned
+blob should fail the task, not skew the corpus (same policy as
+decode_png).
 
 Exactness note for closed-form oracles (q124): a block that is CONSTANT
 with an even offset from 128 survives the codec bit-exactly — its DCT
@@ -185,6 +189,15 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)  # 1-fill per spec
 
 
+def _emit_restart(bw: _BitWriter, rst_m: int) -> int:
+    """1-pad to a byte boundary and append the RSTm marker verbatim
+    (markers are never byte-stuffed); returns the next sequence number
+    (modulo 8, T.81 E.1.2)."""
+    bw.flush()
+    bw.out.extend((0xFF, 0xD0 + rst_m))
+    return (rst_m + 1) & 7
+
+
 def _magnitude(v: int) -> tuple[int, int]:
     """(category size, appended bits) for a DC diff / AC level."""
     if v == 0:
@@ -265,9 +278,14 @@ def _box2(plane: np.ndarray) -> np.ndarray:
     return (plane[0::2, 0::2] + plane[1::2, 0::2] + plane[0::2, 1::2] + plane[1::2, 1::2]) / 4.0
 
 
-def make_jpeg_gray(width: int, height: int, pixel_fn: Callable[[int, int], int]) -> bytes:
+def make_jpeg_gray(
+    width: int, height: int, pixel_fn: Callable[[int, int], int], restart_interval: int = 0
+) -> bytes:
     """Encode an 8-bit grayscale baseline JFIF JPEG (Annex-K tables,
-    no subsampling). Edge blocks pad by replication."""
+    no subsampling). Edge blocks pad by replication. A nonzero
+    ``restart_interval`` writes a DRI segment and emits RST0-7 markers
+    every that many MCUs (byte-aligned, DC predictor reset) — the
+    error-resilience framing most real-world encoders produce."""
     import struct
 
     img = _pad8(
@@ -281,13 +299,20 @@ def make_jpeg_gray(width: int, height: int, pixel_fn: Callable[[int, int], int])
     ac_codes = _canonical_codes(AC_BITS, AC_VALUES)
     bw = _BitWriter()
     prev_dc = 0
+    mcu_i = 0
+    rst_m = 0
     for by in range(img.shape[0] // 8):
         for bx in range(img.shape[1] // 8):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                rst_m = _emit_restart(bw, rst_m)
+                prev_dc = 0
+            mcu_i += 1
             prev_dc = _encode_block(
                 bw, img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], QUANT, dc_codes, ac_codes, prev_dc
             )
     bw.flush()
 
+    dri = _seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     dqt = _seg(0xFFDB, b"\x00" + _zz_table(QUANT))
     sof = _seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
     dht_dc = _seg(0xFFC4, b"\x00" + bytes(DC_BITS[1:]) + bytes(DC_VALUES))
@@ -295,7 +320,7 @@ def make_jpeg_gray(width: int, height: int, pixel_fn: Callable[[int, int], int])
     sos = _seg(0xFFDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
     app0 = _seg(0xFFE0, _APP0)
     return (
-        b"\xff\xd8" + app0 + dqt + sof + dht_dc + dht_ac + sos + bytes(bw.out) + b"\xff\xd9"
+        b"\xff\xd8" + app0 + dqt + dri + sof + dht_dc + dht_ac + sos + bytes(bw.out) + b"\xff\xd9"
     )
 
 
@@ -304,6 +329,7 @@ def make_jpeg_color(
     height: int,
     pixel_fn: Callable[[int, int], tuple[int, int, int]],
     colorspace: str = "rgb",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an 8-bit 3-component baseline JFIF JPEG (YCbCr 4:4:4,
     Annex K.1/K.2 quantization, K.3 luma+chroma Huffman tables,
@@ -341,8 +367,14 @@ def make_jpeg_color(
     comp_tables = [(QUANT, *luma), (QUANT_C, *chroma), (QUANT_C, *chroma)]
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
+    mcu_i = 0
+    rst_m = 0
     for by in range(planes[0].shape[0] // 8):
         for bx in range(planes[0].shape[1] // 8):  # one MCU = Y, Cb, Cr blocks
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                rst_m = _emit_restart(bw, rst_m)
+                prev_dc = [0, 0, 0]
+            mcu_i += 1
             for ci in range(3):
                 quant, dc_codes, ac_codes = comp_tables[ci]
                 prev_dc[ci] = _encode_block(
@@ -355,6 +387,7 @@ def make_jpeg_color(
                 )
     bw.flush()
 
+    dri = _seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     dqt = _seg(0xFFDB, b"\x00" + _zz_table(QUANT) + b"\x01" + _zz_table(QUANT_C))
     sof = _seg(
         0xFFC0,
@@ -371,7 +404,7 @@ def make_jpeg_color(
     )
     sos = _seg(0xFFDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
     app0 = _seg(0xFFE0, _APP0)
-    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+    return b"\xff\xd8" + app0 + dqt + dri + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
 
 
 def make_jpeg_color_420(
@@ -493,6 +526,20 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self, m: int) -> None:
+        """Consume the RSTm marker at a restart boundary (T.81 E.2.4):
+        discard the pad bits of the partially-consumed byte, then the
+        two marker bytes. The modulo-8 sequence number must match —
+        a skipped or out-of-order restart means lost MCUs, and this
+        decoder fails closed rather than resyncing."""
+        self._acc = 0
+        self._nbits = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("JPEG entropy stream truncated at restart marker")
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + m:
+            raise ValueError("expected RST%d marker at restart interval" % m)
+        self.pos += 2
+
 
 def _decode_huffman(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
     code = 0
@@ -563,6 +610,7 @@ def _parse_baseline(content: bytes) -> tuple[int, int, list[np.ndarray]]:
     comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq), SOF order
     scan: list[tuple[int, int, int]] = []  # (component id, dc table, ac table), SOS order
     data_start = None
+    restart_interval = 0
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -605,6 +653,10 @@ def _parse_baseline(content: bytes) -> tuple[int, int, list[np.ndarray]]:
                 comps.append((cid, h, v, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline sequential (SOF0) JPEG is supported")
+        elif marker == 0xDD:  # DRI — restart interval in MCUs
+            if len(payload) < 2:
+                raise ValueError("JPEG DRI segment truncated")
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:  # SOS
             if not payload:
                 raise ValueError("JPEG SOS segment truncated")
@@ -640,8 +692,17 @@ def _parse_baseline(content: bytes) -> tuple[int, int, list[np.ndarray]]:
     mcus_x, mcus_y = -(-width // (8 * hmax)), -(-height // (8 * vmax))
     planes = {cid: np.zeros((mcus_y * v * 8, mcus_x * h * 8)) for cid, (h, v) in hv_of.items()}
     prev_dc = {cid: 0 for cid in hv_of}
+    mcu_i = 0
+    rst_m = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            # Restart boundary (DRI): byte-align, consume RSTm (sequence
+            # number cycling 0-7), reset every DC predictor (T.81 E.2.4).
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                br.restart(rst_m)
+                rst_m = (rst_m + 1) & 7
+                prev_dc = {cid: 0 for cid in hv_of}
+            mcu_i += 1
             for cid, dc_id, ac_id in scan:  # h*v blocks per component, raster order
                 h, v = hv_of[cid]
                 for vy in range(v):

@@ -252,7 +252,7 @@ class WarcLiteDataSourceNoPushdown(WarcLiteDataSource):
         return WarcLiteReaderNoPushdown(self.options)
 
 
-def register(spark) -> None:
+def register(spark) -> type:
     """Register the source on a session: spark.read.format('warclite').
 
     Works on VANILLA sessions (e.g. the correctness driver's), not just
@@ -271,19 +271,34 @@ def register(spark) -> None:
     register the no-pushdown variant instead of overriding.
     """
     conf_key = "spark.sql.python.filterPushdown.enabled"
+    # An explicit operator opt-out is honored whether it was set at
+    # launch (SparkConf) or at runtime (spark.conf.set before
+    # register()), and case-insensitively — 'False' means false
+    # (ADVICE r8).
+    opted_out = False
     try:
         launch_time = spark.sparkContext.getConf().get(conf_key, None)
+        if launch_time is not None and launch_time.lower() == "false":
+            opted_out = True
     except Exception:
-        launch_time = None
-    if launch_time == "false":
-        enabled = False  # explicit operator choice at launch — honor it
+        pass
+    try:
+        runtime = spark.conf.get(conf_key, None)
+        if runtime is not None and runtime.lower() == "false":
+            opted_out = True
+    except Exception:
+        pass
+    if opted_out:
+        enabled = False  # explicit operator choice — honor it
     else:
         try:
             spark.conf.set(conf_key, "true")
             enabled = spark.conf.get(conf_key) == "true"
         except Exception:
             enabled = False
-    spark.dataSource.register(WarcLiteDataSource if enabled else WarcLiteDataSourceNoPushdown)
+    chosen = WarcLiteDataSource if enabled else WarcLiteDataSourceNoPushdown
+    spark.dataSource.register(chosen)
+    return chosen
 
 
 # ---------------------------------------------------------------------------

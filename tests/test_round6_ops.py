@@ -309,6 +309,28 @@ def test_warclite_pushdown_prunes_whole_files(tmp_path):
     assert rows[0] == (100, "text/plain", b"xxxx")
 
 
+def test_warclite_register_honors_runtime_optout(spark):
+    """A runtime spark.conf.set(conf_key, 'False') issued before
+    register() is an explicit operator opt-out: register() must pick
+    the no-pushdown variant (and match case-insensitively) instead of
+    silently overriding it to true (ADVICE r8)."""
+    from advanced_data_mining_and_big_data_analysis_spark.sources import warclite as W
+
+    key = "spark.sql.python.filterPushdown.enabled"
+    before = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "False")  # capitalized on purpose
+        assert W.register(spark) is W.WarcLiteDataSourceNoPushdown
+        spark.conf.set(key, "true")
+        assert W.register(spark) is W.WarcLiteDataSource
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
+        W.register(spark)  # leave the session's default registration
+
+
 def test_warclite_overwrite_removes_stale_part_files(spark, tmp_path):
     """A narrower re-write in overwrite mode must not leave part files
     from a previous wider write behind the new dataset."""

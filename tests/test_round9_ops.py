@@ -1,0 +1,76 @@
+"""Round-9 additions: JPEG restart-interval (DRI/RST) support and the
+input_file_name() directory-audit query."""
+
+import pytest
+
+from advanced_data_mining_and_big_data_analysis_spark.operators import jpeg as J
+
+
+def _gradient(x, y):
+    return (3 * x + 5 * y) % 256
+
+
+def test_jpeg_restart_gray_roundtrip_identical():
+    """Restart markers only re-frame the entropy stream (byte-align +
+    DC reset); decoded pixels must match the no-restart encoding of
+    the same image exactly."""
+    plain = J.make_jpeg_gray(37, 21, _gradient)
+    rst = J.make_jpeg_gray(37, 21, _gradient, restart_interval=2)
+    assert b"\xff\xdd" in rst and b"\xff\xd0" in rst
+    assert b"\xff\xdd" not in plain
+    assert J.decode_jpeg_gray(rst) == J.decode_jpeg_gray(plain)
+
+
+def test_jpeg_restart_color_interleaved_roundtrip_identical():
+    def px(x, y):
+        return ((x * 7) % 256, (y * 5) % 256, ((x + y) * 3) % 256)
+
+    plain = J.make_jpeg_color(19, 18, px)
+    rst = J.make_jpeg_color(19, 18, px, restart_interval=3)
+    assert J.decode_jpeg(rst) == J.decode_jpeg(plain)
+
+
+def test_jpeg_restart_sequence_numbers_cycle_mod8():
+    """A long strip forces >8 restart boundaries so RST0-7 must wrap."""
+    rst = J.make_jpeg_gray(8 * 24, 8, lambda x, y: (x * 11 + y) % 256, restart_interval=2)
+    markers = [rst[i + 1] - 0xD0 for i in range(len(rst) - 1)
+               if rst[i] == 0xFF and 0xD0 <= rst[i + 1] <= 0xD7]
+    assert len(markers) == 11  # 24 MCUs / interval 2 -> 11 interior boundaries
+    assert markers == [m % 8 for m in range(11)]
+    plain = J.make_jpeg_gray(8 * 24, 8, lambda x, y: (x * 11 + y) % 256)
+    assert J.decode_jpeg_gray(rst) == J.decode_jpeg_gray(plain)
+
+
+def test_jpeg_restart_out_of_order_marker_raises():
+    rst = J.make_jpeg_gray(37, 21, _gradient, restart_interval=2)
+    i = rst.find(b"\xff\xd0")
+    tampered = rst[: i + 1] + b"\xd5" + rst[i + 2 :]
+    with pytest.raises(ValueError, match="RST"):
+        J.decode_jpeg_gray(tampered)
+
+
+def test_jpeg_restart_dc_reset_matters():
+    """Deleting one restart marker desynchronizes the stream: decode
+    must fail closed (raise), never return silently-wrong pixels."""
+    rst = J.make_jpeg_gray(37, 21, _gradient, restart_interval=2)
+    i = rst.find(b"\xff\xd0")
+    stripped = rst[:i] + rst[i + 2 :]
+    with pytest.raises(ValueError):
+        J.decode_jpeg_gray(stripped)
+
+
+def test_file_audit_lists_every_catalog_file(spark, sf_dir):
+    from advanced_data_mining_and_big_data_analysis_spark.plans import all_queries
+    from advanced_data_mining_and_big_data_analysis_spark.sources import TABLES
+
+    rows = all_queries()["a0169_file_audit_inputs"].fn(spark, sf_dir).collect()
+    groups = {r.file_group: r for r in rows}
+    for t in TABLES:
+        assert f"{t}.parquet" in groups, t
+        assert groups[f"{t}.parquet"].n_files == 1
+    mirror = [r for r in rows if r.file_group.startswith("mirror/")]
+    assert {r.file_group for r in mirror} == {
+        "mirror/l_returnflag=A", "mirror/l_returnflag=N", "mirror/l_returnflag=R"
+    }
+    for r in mirror:  # repartition-by-key write => exactly one file per dir
+        assert r.n_files == 1

@@ -101,6 +101,15 @@ def main() -> int:
             print(f"PASS  {name}: {len(s)} rows ({time.time()-t0:.1f}s)")
 
     if args.json:
+        # Stamp each row with the md5 of the oracle SQL it was verified
+        # against, so tools/coverage_ledger.py can refuse to carry a
+        # green row forward after the query's oracle changes (ADVICE r8:
+        # no stale green credit across semantic edits).
+        import hashlib
+
+        for name, row in results.items():
+            o = qs[name].oracle
+            row["oracle_md5"] = hashlib.md5(o.encode()).hexdigest() if o else None
         with open(args.json, "w") as f:
             json.dump(dict(sorted(results.items())), f, indent=1)
     print(json.dumps({"total": len(names), "failed": failures}))

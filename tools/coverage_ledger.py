@@ -48,18 +48,60 @@ def aliases(name: str) -> set[str]:
     return out
 
 
+def local_green_hashes() -> dict[str, str | None]:
+    """name -> oracle_md5 from the NEWEST CORRECTNESS_LOCAL_r*.json
+    whose rows carry hashes (written by check_oracle --json). Empty if
+    no local ledger records hashes yet."""
+    paths = sorted(
+        glob.glob(os.path.join(ROOT, "CORRECTNESS_LOCAL_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    for path in reversed(paths):
+        with open(path) as fh:
+            data = json.load(fh)
+        rows = {
+            name: row.get("oracle_md5")
+            for name, row in data.items()
+            if isinstance(row, dict)
+            and "oracle_md5" in row
+            and (row.get("hash_match") or row.get("rows_only"))
+        }
+        if rows:
+            return rows
+    return {}
+
+
 def main() -> None:
+    import hashlib
+
     from advanced_data_mining_and_big_data_analysis_spark.plans import all_queries
 
-    registry = list(all_queries())
+    qs = all_queries()
+    registry = list(qs)
     green = green_names()
     covered = sorted(n for n in registry if aliases(n) & green)
     uncovered = sorted(n for n in registry if not (aliases(n) & green))
+    # Stale-credit guard (ADVICE r8): a driver-dated green row proves
+    # driver contact under SOME past oracle; it only counts as CURRENT
+    # coverage if the latest local sweep re-verified the query under an
+    # oracle whose md5 matches the one registered right now.
+    local = local_green_hashes()
+    stale = []
+    for n in covered:
+        o = qs[n].oracle
+        cur = hashlib.md5(o.encode()).hexdigest() if o else None
+        if n not in local or local[n] != cur:
+            stale.append(n)
     print(json.dumps({
         "registry_total": len(registry),
         "covered": len(covered),
         "uncovered": len(uncovered),
         "uncovered_names": uncovered,
+        "local_reverify_round": bool(local),
+        "stale_credit_risk": sorted(stale),
+        "stale_note": "driver-green but not re-verified under the CURRENT "
+        "oracle text by the newest CORRECTNESS_LOCAL sweep — rerun "
+        "tools/check_oracle.py --json CORRECTNESS_LOCAL_r<N>.json to clear",
     }, indent=2))
 
 
