@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -125,12 +126,27 @@ def main() -> None:
     except Exception:
         pass
 
-    spark = get_spark("bench")
-    # ERROR from the first stage onward: get_spark leaves WARN, and the
-    # allowlisted bounded-frame windows (q32's weight grid etc.) emit
-    # WindowExec WARNs that eat the driver's 2000-char tail budget before
-    # the end-of-run log4j silencing kicks in (VERDICT r7 #2).
-    spark.sparkContext.setLogLevel("ERROR")
+    # The JVM launcher prints unsuppressable banners to stderr before
+    # log4j even initializes ("WARNING: Using incubator modules", the
+    # default-profile notice, NativeCodeLoader) — they eat the driver's
+    # 2000-char tail budget (VERDICT r8 #8). Point OS-level fd 2 at a
+    # side log for the launch; the JVM (and its forked Python workers)
+    # keep that fd for their lifetime, so with log level ERROR nothing
+    # JVM-side can pollute the tail; Python's own stderr is restored.
+    jvm_log = os.path.join(tempfile.gettempdir(), "spark_graft_bench_jvm.log")
+    saved_fd2 = os.dup(2)
+    try:
+        with open(jvm_log, "ab") as f:
+            os.dup2(f.fileno(), 2)
+        spark = get_spark("bench")
+        # ERROR from the first stage onward: get_spark leaves WARN, and
+        # the allowlisted bounded-frame windows (q32's weight grid etc.)
+        # emit WindowExec WARNs that would eat the tail budget before the
+        # end-of-run log4j silencing kicks in (VERDICT r7 #2).
+        spark.sparkContext.setLogLevel("ERROR")
+    finally:
+        os.dup2(saved_fd2, 2)
+        os.close(saved_fd2)
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
 
