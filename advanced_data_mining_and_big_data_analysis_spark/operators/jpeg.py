@@ -13,13 +13,16 @@ self-describing (it reads DQT/DHT/SOF0/SOS from the stream, not from
 shared constants) and handles arbitrary integral sampling factors
 (4:4:4 / 4:2:0 / 4:2:2) plus restart intervals (DRI / RST0-7 with
 byte-alignment and DC-predictor reset at each boundary, ADVICE r8 —
-the error-resilience framing most camera/libjpeg streams carry), so it
-decodes any conforming single-scan baseline 1- or 3-component JPEG,
-not just this encoder's output; subsampled planes upsample by
-replication. Progressive and 12-bit streams raise, and an out-of-order
-or missing restart marker raises rather than resyncing — a poisoned
-blob should fail the task, not skew the corpus (same policy as
-decode_png).
+the error-resilience framing most camera/libjpeg streams carry) AND
+progressive (SOF2) streams (r9: spectral selection + successive
+approximation with DC/AC first + refinement scans, EOB runs, and
+restarts within any scan — T.81 Annex G), so it decodes any
+conforming baseline or progressive 1- or 3-component JPEG, not just
+this encoder's output; subsampled planes upsample by replication.
+Arithmetic-coded, hierarchical, lossless, and 12-bit streams raise,
+and an out-of-order or missing restart marker raises rather than
+resyncing — a poisoned blob should fail the task, not skew the
+corpus (same policy as decode_png).
 
 Exactness note for closed-form oracles (q124): a block that is CONSTANT
 with an even offset from 128 survives the codec bit-exactly — its DCT
@@ -633,6 +636,8 @@ def _parse_baseline(content: bytes) -> tuple[int, int, list[np.ndarray]]:
                 tc, th = payload[p] >> 4, payload[p] & 0x0F
                 bits = [0] + list(payload[p + 1 : p + 17])
                 n = sum(bits)
+                if len(bits) != 17 or p + 17 + n > len(payload):
+                    raise ValueError("JPEG DHT segment truncated")
                 values = list(payload[p + 17 : p + 17 + n])
                 codes = _canonical_codes(bits, values)
                 huff[(tc, th)] = {(ln, code): sym for sym, (code, ln) in codes.items()}
@@ -726,13 +731,36 @@ def _parse_baseline(content: bytes) -> tuple[int, int, list[np.ndarray]]:
     return width, height, out
 
 
+def _sof_marker(content: bytes) -> int:
+    """Frame type of the stream (first SOFn marker): 0xC0 baseline,
+    0xC2 progressive, ..."""
+    import struct
+
+    pos = 2
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = content[pos + 1]
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            return marker
+        if marker == 0xDA:
+            break
+        (length,) = struct.unpack_from(">H", content, pos + 2)
+        pos += 2 + length
+    raise ValueError("JPEG missing SOF")
+
+
+def _parse(content: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Dispatch on frame type: baseline SOF0 or progressive SOF2."""
+    return (_parse_progressive if _sof_marker(content) == 0xC2 else _parse_baseline)(content)
+
+
 def decode_jpeg_gray(content: bytes) -> list[float]:
-    """REAL baseline JPEG decode (8-bit grayscale, no subsampling):
+    """REAL JPEG decode (8-bit grayscale, baseline OR progressive):
     [width, height, mean, mean, mean, topleft] — the image feature
     shape of decode_bmp/decode_png with r=g=b=luma. Tables come from
-    the stream (DQT/DHT); multi-component, subsampled, progressive, or
-    12-bit streams raise."""
-    width, height, planes = _parse_baseline(content)
+    the stream (DQT/DHT); multi-component or 12-bit streams raise."""
+    width, height, planes = _parse(content)
     if len(planes) != 1:
         raise ValueError("decode_jpeg_gray handles 8-bit single-component JPEGs")
     img = np.clip(np.rint(planes[0]), 0, 255)
@@ -741,13 +769,13 @@ def decode_jpeg_gray(content: bytes) -> list[float]:
 
 
 def decode_jpeg(content: bytes) -> list[float]:
-    """REAL baseline JPEG decode, 1- or 3-component 4:4:4:
+    """REAL JPEG decode, 1- or 3-component, baseline or progressive:
     [width, height, mean_r, mean_g, mean_b, topleft_r] — the feature
     shape of decode_bmp/decode_png. Grayscale decodes with r=g=b=luma;
     color converts YCbCr->RGB with the standard JFIF matrix
     (R = Y + 1.402 Cr', G = Y - 0.344136 Cb' - 0.714136 Cr',
     B = Y + 1.772 Cb'; primed = centered), rounded then clipped."""
-    width, height, planes = _parse_baseline(content)
+    width, height, planes = _parse(content)
     if len(planes) == 1:
         img = np.clip(np.rint(planes[0]), 0, 255)
         mean = float(img.mean())
@@ -764,3 +792,556 @@ def decode_jpeg(content: bytes) -> list[float]:
         float(b.mean()),
         float(r[0, 0]),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) support — the second real-world JPEG variant after
+# restart intervals. A progressive stream sends the quantized DCT
+# coefficients over MULTIPLE scans: spectral selection (a scan carries
+# one zigzag band [Ss..Se]) and successive approximation (a first scan
+# carries coefficients at reduced precision `>> Al`, refinement scans
+# add one bit of precision each, T.81 Annex G). The decoder below
+# accumulates per-component coefficient arrays across scans and only
+# then dequantizes + IDCTs, so it handles any spectral/approximation
+# split a conforming encoder chooses; AC first/refinement scans use
+# EOB-run coding (EOBn symbols 0xN0 covering 2^N..2^(N+1)-1 all-zero
+# band remainders) with correction-bit buffering per G.1.2.3.
+# ---------------------------------------------------------------------------
+
+
+def _entropy_end(content: bytes, pos: int) -> int:
+    """End of an entropy-coded segment: the next 0xFF not followed by a
+    stuffed 0x00 or a restart marker."""
+    i = pos
+    n = len(content)
+    while i < n - 1:
+        if content[i] == 0xFF and content[i + 1] != 0x00 and not (0xD0 <= content[i + 1] <= 0xD7):
+            return i
+        i += 2 if content[i] == 0xFF else 1
+    return n
+
+
+def _comp_blocks(width: int, height: int, h: int, v: int, hmax: int, vmax: int) -> tuple[int, int]:
+    """Non-interleaved block grid of one component (T.81 A.1.1): the
+    component's own sample dims, ceil-divided into 8x8 blocks."""
+    cw = -(-width * h // hmax)
+    ch = -(-height * v // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _decode_dc_scan(
+    br: _BitReader,
+    scan_comps: list[tuple[int, int]],  # (cid, dc table id)
+    coef: dict[int, np.ndarray],
+    hv_of: dict[int, tuple[int, int]],
+    huff: dict,
+    dims: tuple[int, int, int, int, int, int],
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> None:
+    width, height, hmax, vmax, mcus_x, mcus_y = dims
+    prev_dc = {cid: 0 for cid, _ in scan_comps}
+    if len(scan_comps) == 1:
+        cid, dc_id = scan_comps[0]
+        h, v = hv_of[cid]
+        bw_, bh_ = _comp_blocks(width, height, h, v, hmax, vmax)
+        units = [(cid, dc_id, by, bx) for by in range(bh_) for bx in range(bw_)]
+        per_ri = 1  # restart interval counts data units in non-interleaved scans
+    else:
+        units = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for cid, dc_id in scan_comps:
+                    h, v = hv_of[cid]
+                    for vy in range(v):
+                        for vx in range(h):
+                            units.append((cid, dc_id, my * v + vy, mx * h + vx))
+        per_ri = sum(h * v for cid, _ in scan_comps for h, v in [hv_of[cid]])
+    rst_m = 0
+    mcu_i = 0
+    for i, (cid, dc_id, by, bx) in enumerate(units):
+        if (
+            restart_interval
+            and i
+            and i % (restart_interval * per_ri) == 0
+        ):
+            br.restart(rst_m)
+            rst_m = (rst_m + 1) & 7
+            prev_dc = {c: 0 for c, _ in scan_comps}
+        mcu_i += 1
+        if ah == 0:
+            size = _decode_huffman(br, huff[(0, dc_id)])
+            prev_dc[cid] += _extend(br.bits(size), size)
+            coef[cid][by, bx, 0] = prev_dc[cid] << al
+        else:
+            if br.bit():
+                coef[cid][by, bx, 0] |= 1 << al
+
+
+def _refine_nonzero(br: _BitReader, block: np.ndarray, k: int, se: int, al: int) -> None:
+    """Correction bits for every already-nonzero coefficient in
+    zigzag positions [k..se] (T.81 G.1.2.3)."""
+    for j in range(k, se + 1):
+        if block[j] != 0:
+            if br.bit():
+                if block[j] > 0:
+                    block[j] += 1 << al
+                else:
+                    block[j] -= 1 << al
+
+
+def _decode_ac_scan(
+    br: _BitReader,
+    cid: int,
+    ac_id: int,
+    coef: dict[int, np.ndarray],
+    hv_of: dict[int, tuple[int, int]],
+    huff: dict,
+    dims: tuple[int, int, int, int, int, int],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> None:
+    width, height, hmax, vmax, _, _ = dims
+    h, v = hv_of[cid]
+    bw_, bh_ = _comp_blocks(width, height, h, v, hmax, vmax)
+    table = huff[(1, ac_id)]
+    eobrun = 0
+    rst_m = 0
+    unit = 0
+    for by in range(bh_):
+        for bx in range(bw_):
+            if restart_interval and unit and unit % restart_interval == 0:
+                br.restart(rst_m)
+                rst_m = (rst_m + 1) & 7
+                eobrun = 0
+            unit += 1
+            block = coef[cid][by, bx]
+            if ah == 0:
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _decode_huffman(br, table)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        eobrun = (1 << r) - 1 + (br.bits(r) if r else 0)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run overflows spectral band")
+                    block[k] = _extend(br.bits(s), s) << al
+                    k += 1
+            else:
+                if eobrun > 0:
+                    eobrun -= 1
+                    _refine_nonzero(br, block, ss, se, al)
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _decode_huffman(br, table)
+                    r, s = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) + (br.bits(r) if r else 0)
+                            break
+                        # ZRL: pass 16 zero-HISTORY coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError("AC refinement magnitude must be 1")
+                        newval = (1 << al) if br.bit() else -(1 << al)
+                    while k <= se:
+                        if block[k] != 0:
+                            if br.bit():
+                                if block[k] > 0:
+                                    block[k] += 1 << al
+                                else:
+                                    block[k] -= 1 << al
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        block[k] = newval
+                    k += 1
+                if eobrun > 0:
+                    _refine_nonzero(br, block, k, se, al)
+                    eobrun -= 1
+
+
+def _parse_progressive(content: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Parse a progressive (SOF2) JFIF stream into per-component pixel
+    planes, accumulating quantized coefficients across every scan, then
+    dequantizing + inverse-DCT-ing once at the end. Supports spectral
+    selection, successive approximation (DC and AC first + refinement
+    scans), interleaved and single-component DC scans, EOB runs, and
+    restart intervals within any scan. Same upsample/crop contract as
+    _parse_baseline."""
+    import struct
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    comps: list[tuple[int, int, int, int]] = []
+    restart_interval = 0
+    coef: dict[int, np.ndarray] = {}
+    hv_of: dict[int, tuple[int, int]] = {}
+    tq_of: dict[int, int] = {}
+    dims = None
+    while pos + 2 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = content[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack_from(">H", content, pos + 2)
+        payload = content[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("only 8-bit quantization tables supported")
+                tbl = np.zeros(64)
+                tbl[ZIGZAG] = np.frombuffer(payload[p + 1 : p + 65], dtype=np.uint8)
+                quant[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = [0] + list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                if len(bits) != 17 or p + 17 + n > len(payload):
+                    raise ValueError("JPEG DHT segment truncated")
+                values = list(payload[p + 17 : p + 17 + n])
+                codes = _canonical_codes(bits, values)
+                huff[(tc, th)] = {(ln, code): sym for sym, (code, ln) in codes.items()}
+                p += 17 + n
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xC2:  # SOF2 progressive
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            if precision != 8 or ncomp not in (1, 3):
+                raise ValueError("only 8-bit 1- or 3-component progressive JPEG is supported")
+            for ci in range(ncomp):
+                cid, sampling, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                h, v = sampling >> 4, sampling & 0x0F
+                comps.append((cid, h, v, tq))
+            hv_of = {cid: (h, v) for cid, h, v, _ in comps}
+            tq_of = {cid: tq for cid, _, _, tq in comps}
+            hmax = max(h for h, _ in hv_of.values())
+            vmax = max(v for _, v in hv_of.values())
+            mcus_x, mcus_y = -(-width // (8 * hmax)), -(-height // (8 * vmax))
+            dims = (width, height, hmax, vmax, mcus_x, mcus_y)
+            for cid, (h, v) in hv_of.items():
+                # sized for interleaved padding; non-interleaved scans
+                # touch the [0:bh, 0:bw] prefix
+                coef[cid] = np.zeros((mcus_y * v, mcus_x * h, 64), dtype=np.int64)
+        elif marker == 0xC0:
+            raise ValueError("baseline SOF0 stream passed to the progressive parser")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("unsupported JPEG SOF type")
+        elif marker == 0xDA:  # SOS — one scan
+            if dims is None:
+                raise ValueError("JPEG SOS before SOF2")
+            ns = payload[0]
+            scan_comps = []
+            for si in range(ns):
+                cid = payload[1 + 2 * si]
+                tbls = payload[2 + 2 * si]
+                scan_comps.append((cid, tbls >> 4, tbls & 0x0F))
+            ss, se, a = payload[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            data_start = pos + 2 + length
+            data_end = _entropy_end(content, data_start)
+            br = _BitReader(content[data_start:data_end])
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                _decode_dc_scan(
+                    br,
+                    [(cid, dc) for cid, dc, _ in scan_comps],
+                    coef,
+                    hv_of,
+                    huff,
+                    dims,
+                    ah,
+                    al,
+                    restart_interval,
+                )
+            else:
+                if ns != 1:
+                    raise ValueError("progressive AC scan must be single-component")
+                cid, _, ac_id = scan_comps[0]
+                _decode_ac_scan(
+                    br, cid, ac_id, coef, hv_of, huff, dims, ss, se, ah, al, restart_interval
+                )
+            pos = data_end
+            continue
+        pos += 2 + length
+    if dims is None:
+        raise ValueError("JPEG missing SOF2/SOS")
+    width, height, hmax, vmax, _, _ = dims
+    out = []
+    for cid, _, _, _ in comps:
+        h, v = hv_of[cid]
+        arr = coef[cid]
+        bh_, bw_ = arr.shape[0], arr.shape[1]
+        plane = np.zeros((bh_ * 8, bw_ * 8))
+        q = quant[tq_of[cid]]
+        for by in range(bh_):
+            for bx in range(bw_):
+                c = np.zeros(64)
+                c[ZIGZAG] = arr[by, bx]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _M.T @ (c.reshape(8, 8) * q) @ _M + 128.0
+                )
+        if (h, v) != (hmax, vmax):
+            if hmax % h or vmax % v:
+                raise ValueError("non-integral JPEG sampling ratio not supported")
+            plane = np.repeat(np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1)
+        out.append(plane[:height, :width])
+    return width, height, out
+
+
+# --------------------------- progressive encoder ---------------------------
+# Fixture-grade progressive encoder: DC first + refinement scans
+# (successive approximation Al=1 -> 0) and per-component AC scans with
+# BOTH spectral selection (band split) and successive approximation,
+# using EOB-run coding with libjpeg's correction-bit buffering
+# discipline (jcphuff's invariant: a ZRL is emitted eagerly whenever
+# the zero-history run exceeds 15, so every buffered correction bit
+# belongs to the next emitted window). The decoder above is the
+# general T.81 Annex-G inverse; round-trip tests pin the pair.
+
+# A flat 8-bit AC table over every (run<<4 | size) with size <= 11:
+# progressive AC scans need EOBn symbols (0x10..0xE0) that the baseline
+# Annex-K tables do not carry. 192 codes of length 8 leave the all-ones
+# code unused, as T.81 requires; 8-bit source imagery never produces a
+# quantized AC magnitude category above 11.
+PROG_AC_VALUES = [(r << 4) | s for r in range(16) for s in range(12)]
+PROG_AC_BITS = [0] * 17
+PROG_AC_BITS[8] = len(PROG_AC_VALUES)
+
+
+def _quantized_blocks(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """(bh, bw, 64) zigzag-ordered quantized DCT coefficients."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.zeros((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            c = _M @ (plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0) @ _M.T
+            out[by, bx] = np.rint(c / quant).astype(np.int64).reshape(64)[ZIGZAG]
+    return out
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: magnitude shift, sign preserved (G.1.2.2)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+class _ProgAcEncoder:
+    """Shared EOB-run + buffered-correction-bit state for one AC scan."""
+
+    def __init__(self, bw: _BitWriter, codes: dict[int, tuple[int, int]]) -> None:
+        self.bw = bw
+        self.codes = codes
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+    def sym(self, s: int) -> None:
+        code, ln = self.codes[s]
+        self.bw.put(code, ln)
+
+    def flush_eob(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self.sym(r << 4)
+            self.bw.put(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.bits:
+            self.bw.put(b, 1)
+        self.bits = []
+
+    def end_block(self, pending_bits: list[int], leftovers: bool) -> None:
+        if leftovers or pending_bits:
+            self.eobrun += 1
+            self.bits.extend(pending_bits)
+            if self.eobrun == 0x7FFF:
+                self.flush_eob()
+
+
+def _encode_ac_first(enc: _ProgAcEncoder, block: np.ndarray, ss: int, se: int, al: int) -> None:
+    vals = [(k, _pt_ac(int(block[k]), al)) for k in range(ss, se + 1)]
+    nz = [(k, v) for k, v in vals if v != 0]
+    if not nz:
+        enc.end_block([], True)
+        return
+    enc.flush_eob()
+    prev = ss - 1
+    for k, v in nz:
+        run = k - prev - 1
+        while run >= 16:
+            enc.sym(0xF0)
+            run -= 16
+        size, bits = _magnitude(v)
+        enc.sym(run * 16 + size)
+        enc.bw.put(bits, size)
+        prev = k
+    enc.end_block([], prev < se)
+
+
+def _encode_ac_refine(enc: _ProgAcEncoder, block: np.ndarray, ss: int, se: int, al: int) -> None:
+    r = 0
+    pend: list[int] = []
+    for k in range(ss, se + 1):
+        temp = abs(int(block[k])) >> al
+        if temp == 0:
+            r += 1
+            continue
+        while r > 15:
+            enc.flush_eob()
+            enc.sym(0xF0)
+            r -= 16
+            for b in pend:
+                enc.bw.put(b, 1)
+            pend = []
+        if temp > 1:  # history coefficient: buffer its correction bit
+            pend.append(temp & 1)
+            continue
+        enc.flush_eob()
+        enc.sym(r * 16 + 1)
+        enc.bw.put(1 if block[k] > 0 else 0, 1)
+        r = 0
+        for b in pend:
+            enc.bw.put(b, 1)
+        pend = []
+    enc.end_block(pend, r > 0)
+
+
+def _sos_seg(scan_comps: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+    body = bytes([len(scan_comps)])
+    for cid, dc_id, ac_id in scan_comps:
+        body += bytes([cid, (dc_id << 4) | ac_id])
+    return _seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+
+def make_jpeg_progressive(
+    width: int,
+    height: int,
+    pixel_fn: Callable,
+    components: int = 1,
+    colorspace: str = "ycbcr",
+    ac_bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """Encode a progressive (SOF2) JFIF stream: interleaved DC first
+    scan at Al=1, per-component AC first scans per spectral band at
+    Al=1, DC refinement (raw bits), then AC refinement scans to Al=0.
+    ``components`` is 1 (grayscale, pixel_fn -> int) or 3 (4:4:4;
+    pixel_fn -> (r,g,b) or (y,cb,cr) per ``colorspace``)."""
+    import struct
+
+    if components == 1:
+        img = np.array(
+            [[pixel_fn(x, y) for x in range(width)] for y in range(height)], dtype=np.float64
+        )
+        planes = [_pad8(img, height, width)]
+        quants = [QUANT]
+    else:
+        px = np.array(
+            [[pixel_fn(x, y) for x in range(width)] for y in range(height)], dtype=np.float64
+        )
+        if colorspace == "rgb":
+            r, g, b = px[..., 0], px[..., 1], px[..., 2]
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+            cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+            raw = [y, cb, cr]
+        else:
+            raw = [px[..., 0], px[..., 1], px[..., 2]]
+        planes = [_pad8(p, height, width) for p in raw]
+        quants = [QUANT, QUANT_C, QUANT_C]
+
+    coef = [_quantized_blocks(p, q) for p, q in zip(planes, quants)]
+    bh, bw_ = coef[0].shape[0], coef[0].shape[1]
+
+    dc_codes = _canonical_codes(DC_BITS, DC_VALUES)
+    ac_codes = _canonical_codes(PROG_AC_BITS, PROG_AC_VALUES)
+    scans = []
+
+    # Scan 1: interleaved DC first, Al=1 (diff-coded arithmetic shift).
+    w1 = _BitWriter()
+    prev = [0] * components
+    for by in range(bh):
+        for bx in range(bw_):
+            for ci in range(components):
+                v = int(coef[ci][by, bx, 0]) >> 1
+                size, bits = _magnitude(v - prev[ci])
+                code, ln = dc_codes[size]
+                w1.put(code, ln)
+                w1.put(bits, size)
+                prev[ci] = v
+    w1.flush()
+    scans.append((_sos_seg([(ci + 1, 0, 0) for ci in range(components)], 0, 0, 0, 1), w1))
+
+    # AC first scans: one per (component, band), Al=1.
+    for ci in range(components):
+        for ss, se in ac_bands:
+            w = _BitWriter()
+            enc = _ProgAcEncoder(w, ac_codes)
+            for by in range(bh):
+                for bx in range(bw_):
+                    _encode_ac_first(enc, coef[ci][by, bx], ss, se, 1)
+            enc.flush_eob()
+            w.flush()
+            scans.append((_sos_seg([(ci + 1, 0, 0)], ss, se, 0, 1), w))
+
+    # DC refinement: one raw bit per block per component, interleaved.
+    w2 = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw_):
+            for ci in range(components):
+                w2.put(int(coef[ci][by, bx, 0]) & 1, 1)
+    w2.flush()
+    scans.append((_sos_seg([(ci + 1, 0, 0) for ci in range(components)], 0, 0, 1, 0), w2))
+
+    # AC refinement scans to Al=0.
+    for ci in range(components):
+        for ss, se in ac_bands:
+            w = _BitWriter()
+            enc = _ProgAcEncoder(w, ac_codes)
+            for by in range(bh):
+                for bx in range(bw_):
+                    _encode_ac_refine(enc, coef[ci][by, bx], ss, se, 0)
+            enc.flush_eob()
+            w.flush()
+            scans.append((_sos_seg([(ci + 1, 0, 0)], ss, se, 1, 0), w))
+
+    if components == 1:
+        dqt = _seg(0xFFDB, b"\x00" + _zz_table(QUANT))
+        sof_comps = bytes([1, 0x11, 0])
+    else:
+        dqt = _seg(0xFFDB, b"\x00" + _zz_table(QUANT) + b"\x01" + _zz_table(QUANT_C))
+        sof_comps = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    sof = _seg(0xFFC2, struct.pack(">BHHB", 8, height, width, components) + sof_comps)
+    dht = (
+        _seg(0xFFC4, b"\x00" + bytes(DC_BITS[1:]) + bytes(DC_VALUES))
+        + _seg(0xFFC4, b"\x10" + bytes(PROG_AC_BITS[1:]) + bytes(PROG_AC_VALUES))
+    )
+    out = b"\xff\xd8" + _seg(0xFFE0, _APP0) + dqt + sof + dht
+    for sos, w in scans:
+        out += sos + bytes(w.out)
+    return out + b"\xff\xd9"

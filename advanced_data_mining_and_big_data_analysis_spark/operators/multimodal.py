@@ -574,7 +574,7 @@ def formula_jpeg_color_420_ycbcr(m: int, x: int, y: int) -> tuple[int, int, int]
     )
 
 
-def formula_media_df(spark, n_audio: int = 8, n_image: int = 8, n_png: int = 0, n_jpeg: int = 0, n_jpeg_color: int = 0, n_jpeg_420: int = 0) -> DataFrame:
+def formula_media_df(spark, n_audio: int = 8, n_image: int = 8, n_png: int = 0, n_jpeg: int = 0, n_jpeg_color: int = 0, n_jpeg_420: int = 0, n_jpeg_prog: int = 0) -> DataFrame:
     """Real WAV + BMP + PNG blobs generated from the closed-form formulas
     above. Tiny driver-side dim (n rows of <=10 KB) — the 100 TB shape is
     the downstream mapInPandas scan, not this fixture."""
@@ -618,6 +618,21 @@ def formula_media_df(spark, n_audio: int = 8, n_image: int = 8, n_png: int = 0, 
             colorspace="ycbcr",
         )
         rows.append((5000 + m, f"mem://jpeg420/{m}", "image/jpeg", blob))
+    for m in range(n_jpeg_prog):
+        from . import jpeg
+
+        # Progressive transmits the SAME quantized coefficients as
+        # baseline (spectral/approximation split is a transport detail),
+        # so the block-constant 4:4:4 fixture survives bit-exactly here
+        # too and a0163's closed-form oracle construction carries over.
+        blob = jpeg.make_jpeg_progressive(
+            16,
+            16,
+            lambda x, y, m=m: formula_jpeg_color_ycbcr(m, x, y),
+            components=3,
+            colorspace="ycbcr",
+        )
+        rows.append((6000 + m, f"mem://jpegp/{m}", "image/jpeg", blob))
     for m in range(n_image):
         w, h = formula_bmp_dims(m)
         blob = make_bmp(

@@ -629,3 +629,94 @@ def a0168_bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rnk", "doc_id", "bm25", "n_terms_matched", "total_tf")
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# a0170 — phrase-query search over POSITIONAL postings: the exact-match
+# counterpart of a0168's bag-of-words BM25 (Lucene PhraseQuery /
+# "quoted search"). A phrase [t0 t1 ... t_{k-1}] matches doc D at start
+# s iff token(s + i) == t_i for every i. Instead of a k-way self-join
+# of posting lists, every posting (doc, pos) of phrase term i votes for
+# candidate start (pos - i); a start with all k distinct term slots
+# voting is a match — ONE aggregation regardless of phrase length.
+#
+# Scale shape: the positional explode is filtered to the union of all
+# phrase vocabularies immediately (posting lists, never a corpus-wide
+# position table); the phrase frame is broadcast so the posting stream
+# is never shuffled by the join; the start-vote and per-doc aggregates
+# are map-side combined; ranking is a per-query bounded window.
+# ---------------------------------------------------------------------------
+
+_PHRASES = [
+    ("p1", ["table", "table"]),
+    ("p2", ["fast", "table"]),
+    ("p3", ["group", "value", "sort"]),
+    ("p4", ["spark", "window", "batch"]),
+]
+_PHRASE_TERMS = sorted({t for _, ts in _PHRASES for t in ts})
+_PHRASE_TOPK = 5
+_PHRASE_SQL = ", ".join(
+    f"('{qid}', {i}, '{t}')" for qid, ts in _PHRASES for i, t in enumerate(ts)
+)
+
+
+@query(
+    "a0170_phrase_search",
+    oracle=f"""
+    WITH phrases(query_id, term_idx, term) AS (VALUES {_PHRASE_SQL}),
+    plen AS (SELECT query_id, COUNT(*) AS plen FROM phrases GROUP BY query_id),
+    base AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    post AS (SELECT doc_id, unnest(toks) AS tok,
+                    unnest(range(0, len(toks))) AS pos
+             FROM base),
+    hits AS (SELECT p.query_id, post.doc_id, post.pos - p.term_idx AS start,
+                    p.term_idx
+             FROM post JOIN phrases p ON post.tok = p.term),
+    starts AS (SELECT query_id, doc_id, start,
+                      COUNT(DISTINCT term_idx) AS k
+               FROM hits GROUP BY query_id, doc_id, start),
+    m AS (SELECT s.query_id, s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+          FROM starts s JOIN plen USING (query_id)
+          WHERE s.k = plen.plen
+          GROUP BY s.query_id, s.doc_id),
+    ranked AS (SELECT query_id, doc_id, n_matches,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY n_matches DESC, doc_id) AS INT) AS rnk
+               FROM m)
+    SELECT query_id, doc_id, n_matches, rnk
+    FROM ranked WHERE rnk <= {_PHRASE_TOPK}
+    ORDER BY query_id, rnk
+    """,
+    description="multi-phrase exact search over positional postings (Lucene PhraseQuery shape): each posting of phrase term i votes for candidate start pos-i, a start with all k distinct slots voting is a phrase occurrence — one aggregation regardless of phrase length, no k-way posting self-join; positional explode filtered to the phrase vocabulary immediately, broadcast phrase frame, per-query bounded top-k window; repeated-term phrases (p1) and empty result sets at small SF are exercised",
+)
+def a0170_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    phrases = spark.createDataFrame(
+        [(qid, i, t) for qid, ts in _PHRASES for i, t in enumerate(ts)],
+        "query_id string, term_idx int, term string",
+    )
+    plen = phrases.groupBy("query_id").agg(F.count(F.lit(1)).alias("plen"))
+    post = (
+        docs.select("doc_id", F.posexplode(X.tokens("text")).alias("pos", "tok"))
+        .filter(F.col("tok").isin(_PHRASE_TERMS))
+    )
+    hits = post.join(F.broadcast(phrases), post.tok == phrases.term).select(
+        "query_id", "doc_id", (F.col("pos") - F.col("term_idx")).alias("start"), "term_idx"
+    )
+    starts = hits.groupBy("query_id", "doc_id", "start").agg(
+        F.countDistinct("term_idx").alias("k")
+    )
+    matches = (
+        starts.join(F.broadcast(plen), "query_id")
+        .filter(F.col("k") == F.col("plen"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_matches"), "doc_id")
+    return (
+        matches.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PHRASE_TOPK)
+        .orderBy("query_id", "rnk")
+    )

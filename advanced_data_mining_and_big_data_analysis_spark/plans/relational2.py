@@ -233,7 +233,13 @@ _N_WAV, _N_BMP, _N_PNG = 8, 8, 8
 def q113_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as MM
 
-    feats = MM.extract_features(MM.formula_media_df(spark, _N_WAV, _N_BMP, _N_PNG))
+    # Three kind-branches union off `feats`; without the checkpoint the
+    # physical plan repeats the mapInPandas decode stage once per branch
+    # (3 Python runner stages for one 24-blob fixture — r9 A/B: 0.74 ->
+    # 0.47 s warm, bigger on cold where each stage pays worker spin-up).
+    feats = MM.extract_features(
+        MM.formula_media_df(spark, _N_WAV, _N_BMP, _N_PNG)
+    ).localCheckpoint(eager=False)
     el = F.element_at
     audio = feats.filter(F.col("mime") == "audio/wav").select(
         "media_id",
@@ -474,3 +480,53 @@ def a0145_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", "frame_idx", "n_samples", F.round("rms", 6).alias("rms")
     ).orderBy("media_id", "frame_idx")
+
+
+_N_JPEG_P = 8
+
+
+@query(
+    "a0171_jpeg_progressive_decode",
+    oracle=f"""
+    WITH jm AS (SELECT m FROM range(0, {_N_JPEG_P}) t(m)),
+    blocks AS (
+      SELECT jm.m, bx.i AS bx, by.i AS by,
+             128 + 2*(((jm.m*7 + bx.i*3 + by.i*5) % 50) - 25) AS y,
+             128 + 17*(((jm.m + bx.i + by.i) % 3) - 1) AS cb,
+             128 + 17*(((jm.m + 2*bx.i + by.i) % 3) - 1) AS cr
+      FROM jm, range(0, 2) bx(i), range(0, 2) by(i)),
+    rgb AS (
+      SELECT m, bx, by,
+             ROUND(y + 1.402*(cr - 128)) AS r,
+             ROUND(y - 0.344136*(cb - 128) - 0.714136*(cr - 128)) AS g,
+             ROUND(y + 1.772*(cb - 128)) AS b
+      FROM blocks)
+    SELECT 6000 + m AS media_id, 'jpeg_prog' AS kind,
+           CAST(256 AS BIGINT) AS n_units,
+           ROUND(AVG(r), 6) AS mean_r, ROUND(AVG(g), 6) AS mean_g,
+           ROUND(AVG(b), 6) AS mean_b,
+           CAST(MIN(CASE WHEN bx = 0 AND by = 0 THEN r END) AS DOUBLE) AS topleft_r
+    FROM rgb GROUP BY m ORDER BY media_id
+    """,
+    description="REAL progressive (SOF2) JPEG decode, hash-checked (r9 — completes T.81 coverage next to baseline q124/a0163/a0167 and restart intervals): the decoder accumulates quantized coefficients across a 9-scan schedule (interleaved DC first at Al=1, per-component spectral-band AC first scans, DC refinement bits, AC refinement to Al=0 with EOB-run correction-bit buffering per Annex G.1.2.3) and IDCTs once at the end; progressive transmits the SAME coefficients as baseline, so the block-constant 4:4:4 fixture survives bit-exactly and the oracle recomputes the decoded RGB from the generating formula — a broken scan scheduler, EOB-run miscount, refinement-bit misassociation, or spectral-band bookkeeping error skips the hash",
+)
+def a0171_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    feats = MM.extract_features(
+        MM.formula_media_df(spark, n_audio=0, n_image=0, n_png=0, n_jpeg_prog=_N_JPEG_P)
+    )
+    el = F.element_at
+    return (
+        feats.filter(F.col("mime") == "image/jpeg")
+        .select(
+            "media_id",
+            F.lit("jpeg_prog").alias("kind"),
+            (el("feature", 1) * el("feature", 2)).cast("long").alias("n_units"),
+            F.round(el("feature", 3), 6).alias("mean_r"),
+            F.round(el("feature", 4), 6).alias("mean_g"),
+            F.round(el("feature", 5), 6).alias("mean_b"),
+            el("feature", 6).alias("topleft_r"),
+        )
+        .orderBy("media_id")
+    )

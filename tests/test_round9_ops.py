@@ -74,3 +74,57 @@ def test_file_audit_lists_every_catalog_file(spark, sf_dir):
     }
     for r in mirror:  # repartition-by-key write => exactly one file per dir
         assert r.n_files == 1
+
+
+# ------------------------- progressive (SOF2) JPEG -------------------------
+
+
+def test_jpeg_progressive_gray_equals_baseline():
+    """Progressive transmits the same quantized coefficients as
+    baseline over a 9-scan schedule — the decoded pixels must match the
+    baseline encoding exactly. The gradient image produces nonzero AC
+    coefficients in both spectral bands, exercising AC first + refine."""
+    base = J.make_jpeg_gray(37, 21, _gradient)
+    prog = J.make_jpeg_progressive(37, 21, _gradient, components=1)
+    assert prog[2:4] != base[2:4] or b"\xff\xc2" in prog
+    assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog[:200]
+    assert J.decode_jpeg_gray(prog) == J.decode_jpeg_gray(base)
+
+
+def test_jpeg_progressive_color_equals_baseline():
+    def px(x, y):
+        return ((x * 7) % 256, (y * 5) % 256, ((x + y) * 3) % 256)
+
+    base = J.make_jpeg_color(19, 18, px)
+    prog = J.make_jpeg_progressive(19, 18, px, components=3, colorspace="rgb")
+    assert J.decode_jpeg(prog) == J.decode_jpeg(base)
+
+
+def test_jpeg_progressive_sparse_exercises_long_eob_runs():
+    """A nearly-flat image leaves most blocks with zero AC in every
+    band, so the AC scans are dominated by cross-block EOBn runs
+    (n > 1) — the path a per-block EOB0 encoder would never hit. One
+    block carries detail so the runs must break and resume correctly."""
+    def px(x, y):
+        if 16 <= x < 24 and 8 <= y < 16:
+            return (x * 31 + y * 17) % 256
+        return 130
+
+    base = J.make_jpeg_gray(8 * 12, 8 * 4, px)
+    prog = J.make_jpeg_progressive(8 * 12, 8 * 4, px, components=1)
+    assert J.decode_jpeg_gray(prog) == J.decode_jpeg_gray(base)
+
+
+def test_jpeg_progressive_band_split_variants():
+    """The spectral split is a transport choice — any banding must
+    decode to the same pixels."""
+    ref = J.decode_jpeg_gray(J.make_jpeg_gray(24, 24, _gradient))
+    for bands in [((1, 63),), ((1, 2), (3, 9), (10, 63))]:
+        prog = J.make_jpeg_progressive(24, 24, _gradient, components=1, ac_bands=bands)
+        assert J.decode_jpeg_gray(prog) == ref, bands
+
+
+def test_jpeg_progressive_truncation_raises():
+    prog = J.make_jpeg_progressive(37, 21, _gradient, components=1)
+    with pytest.raises(ValueError):
+        J.decode_jpeg_gray(prog[: len(prog) // 2])
