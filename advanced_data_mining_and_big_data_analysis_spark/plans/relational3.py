@@ -749,3 +749,110 @@ def a0162_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "n_orders", "trimmed_mean")
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# a0172 — VARIANT semi-structured ops (Spark 4 open variant encoding):
+# the modern replacement for string-walking JSON with get_json_object.
+# parse_json materializes the props column ONCE into the binary variant
+# form; every subsequent variant_get is a typed offset lookup, not a
+# re-parse — the shape that makes wide semi-structured scans at 100 TB
+# cheap (and what Delta/Iceberg shred into columns). Exercises typed
+# extraction, try_variant_get's NULL-on-miss contract, schema_of_variant
+# introspection, and a construct -> extract round-trip.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a0172_variant_json_ops",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(*) AS BIGINT) AS n_missing_null,
+           'OBJECT<k: BIGINT>' AS vschema,
+           CAST(COUNT(*) AS BIGINT) AS n_roundtrip
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    description="Spark 4 VARIANT ops over the events props JSON: parse_json into the binary variant encoding once, typed variant_get extraction (no per-access string re-parse), try_variant_get NULL-on-miss pinned for every row, schema_of_variant introspection pinned to its literal, and a construct->extract round-trip (to_json(named_struct) -> parse_json -> variant_get) proving the codec is lossless; the DuckDB oracle recomputes the same aggregates with native JSON functions, so a wrong extraction path, type mapping, or null contract fails the hash",
+)
+def a0172_variant_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    t = ev.select("event_type", v.alias("v"))
+    v2 = F.parse_json(
+        F.to_json(
+            F.named_struct(
+                F.lit("t"), F.col("event_type"),
+                F.lit("k"), F.expr("variant_get(v, '$.k', 'bigint')"),
+            )
+        )
+    )
+    return (
+        t.withColumn("v2", v2)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("variant_get(v, '$.k', 'bigint')")).alias("sum_k"),
+            F.sum(
+                F.expr("try_variant_get(v, '$.missing', 'int')").isNull().cast("long")
+            ).alias("n_missing_null"),
+            F.max(F.expr("schema_of_variant(v)")).alias("vschema"),
+            F.sum(
+                (F.expr("variant_get(v2, '$.t', 'string')") == F.col("event_type")).cast("long")
+            ).alias("n_roundtrip"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0173 — NATIVE recursive CTE (Spark 4.1 WITH RECURSIVE): the true
+# recursive form of a0153's iterative unroll, run by Spark's own
+# recursion operator instead of hand-unrolled joins — the engine
+# feature a0153 documents as historically missing. Same synthetic
+# customer forest (parent = key div 10), but the walk also builds the
+# materialized path string, and the result is a per-depth census with
+# min/max paths — so the hash pins recursion termination, per-level
+# fan-out, AND the exact concatenation order against DuckDB's native
+# WITH RECURSIVE.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a0173_recursive_cte_paths",
+    oracle="""
+    WITH RECURSIVE nodes AS (SELECT DISTINCT c_custkey AS k FROM customer),
+    edges AS (SELECT k, k // 10 AS parent FROM nodes WHERE k >= 10),
+    walk AS (
+      SELECT k, k AS root, 0 AS depth, CAST(k AS VARCHAR) AS path
+      FROM nodes WHERE k < 10
+      UNION ALL
+      SELECT e.k, w.root, w.depth + 1, w.path || '/' || CAST(e.k AS VARCHAR)
+      FROM edges e JOIN walk w ON e.parent = w.k)
+    SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_nodes,
+           COUNT(DISTINCT root) AS n_roots,
+           MIN(path) AS min_path, MAX(path) AS max_path
+    FROM walk GROUP BY depth ORDER BY depth
+    """,
+    description="native WITH RECURSIVE (Spark 4.1) over the a0153 customer forest, carrying materialized path strings through the recursion; per-depth census (node count, distinct roots, lexicographic min/max path) hash-matched against DuckDB's native recursive CTE — recursion that terminates wrongly, drops a level, or concatenates paths in the wrong order fails the hash; a0153 keeps the iterative-unroll form for engines/versions without the feature",
+)
+def a0173_recursive_cte_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(k, root, depth, path) AS (
+          SELECT k, k AS root, 0 AS depth, CAST(k AS STRING) AS path
+          FROM (SELECT DISTINCT c_custkey AS k FROM customer_rcte) WHERE k < 10
+          UNION ALL
+          SELECT e.k, w.root, w.depth + 1, CONCAT(w.path, '/', CAST(e.k AS STRING))
+          FROM (SELECT k, k DIV 10 AS parent
+                FROM (SELECT DISTINCT c_custkey AS k FROM customer_rcte)
+                WHERE k >= 10) e
+          JOIN walk w ON e.parent = w.k)
+        SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_nodes,
+               COUNT(DISTINCT root) AS n_roots,
+               MIN(path) AS min_path, MAX(path) AS max_path
+        FROM walk GROUP BY depth ORDER BY depth
+        """
+    )

@@ -58,6 +58,8 @@ WEAK = [
     "q124_jpeg_decode",
     "q128_triangle_count",
     "q130_prefix_filter_simjoin",
+    # round-9: the current >2x data-proportional list (BENCH_DETAIL)
+    "q40_exact_dedup_stats",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
