@@ -618,6 +618,9 @@ def _parse_baseline(content: bytes) -> tuple[int, int, list[np.ndarray]]:
         if content[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
         marker = content[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: optional 0xFF fill before a marker
+            pos += 1
+            continue
         (length,) = struct.unpack_from(">H", content, pos + 2)
         payload = content[pos + 4 : pos + 2 + length]
         if marker == 0xDB:  # DQT
@@ -741,6 +744,9 @@ def _sof_marker(content: bytes) -> int:
         if content[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
         marker = content[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: optional 0xFF fill before a marker
+            pos += 1
+            continue
         if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             return marker
         if marker == 0xDA:
@@ -1004,6 +1010,9 @@ def _parse_progressive(content: bytes) -> tuple[int, int, list[np.ndarray]]:
         if content[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
         marker = content[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: optional 0xFF fill before a marker
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
         (length,) = struct.unpack_from(">H", content, pos + 2)

@@ -128,3 +128,15 @@ def test_jpeg_progressive_truncation_raises():
     prog = J.make_jpeg_progressive(37, 21, _gradient, components=1)
     with pytest.raises(ValueError):
         J.decode_jpeg_gray(prog[: len(prog) // 2])
+
+
+def test_jpeg_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes;
+    both parsers must skip them instead of misreading a segment
+    length."""
+    base = J.make_jpeg_gray(24, 16, _gradient)
+    i = base.find(b"\xff\xc0")
+    assert J.decode_jpeg_gray(base[:i] + b"\xff" + base[i:]) == J.decode_jpeg_gray(base)
+    prog = J.make_jpeg_progressive(24, 16, _gradient, components=1)
+    j = prog.find(b"\xff\xc2")
+    assert J.decode_jpeg_gray(prog[:j] + b"\xff\xff" + prog[j:]) == J.decode_jpeg_gray(prog)
