@@ -140,3 +140,44 @@ def test_jpeg_fill_bytes_before_markers_are_skipped():
     prog = J.make_jpeg_progressive(24, 16, _gradient, components=1)
     j = prog.find(b"\xff\xc2")
     assert J.decode_jpeg_gray(prog[:j] + b"\xff\xff" + prog[j:]) == J.decode_jpeg_gray(prog)
+
+
+# --------------------- property-based codec equivalence ---------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    ri=st.sampled_from([0, 1, 2, 5]),
+)
+def test_jpeg_gray_restart_progressive_equivalence(w, h, seed, ri):
+    """For ANY image and restart interval, the three transports of the
+    same quantized coefficients — plain baseline, baseline+DRI, and
+    progressive — must decode identically (they differ only in entropy
+    framing)."""
+    def px(x, y, s=seed):
+        return (s + x * 31 + y * 17 + ((x * y) ^ s) % 97) % 256
+
+    ref = J.decode_jpeg_gray(J.make_jpeg_gray(w, h, px))
+    assert J.decode_jpeg_gray(J.make_jpeg_gray(w, h, px, restart_interval=ri)) == ref
+    assert J.decode_jpeg_gray(J.make_jpeg_progressive(w, h, px, components=1)) == ref
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_color_progressive_equivalence(w, h, seed):
+    def px(x, y, s=seed):
+        return ((s + x * 7) % 256, (s // 3 + y * 5) % 256, (s // 7 + (x + y) * 3) % 256)
+
+    ref = J.decode_jpeg(J.make_jpeg_color(w, h, px))
+    assert J.decode_jpeg(J.make_jpeg_progressive(w, h, px, components=3, colorspace="rgb")) == ref
+    assert J.decode_jpeg(J.make_jpeg_color(w, h, px, restart_interval=3)) == ref
