@@ -218,3 +218,81 @@ def a0152_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# a0174 — cogrouped-pandas as-of join: the COGROUP flavor of the UDF
+# surface (SURVEY §2.12) that a098's native window formulation renders
+# unnecessary — kept as a first-class operator because it is the shape
+# teams port pandas merge_asof code into first, and the driver hash
+# proves it agrees with DuckDB's native ASOF JOIN (and therefore with
+# a098). Each user's click/view partitions ship to ONE python worker as
+# two Arrow batches; pandas merge_asof runs per key. Scale: state is
+# bounded per key, the shuffle is the same single exchange a
+# groupBy(user_id) pays; a098's window form stays the hot path.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a0174_cogroup_asof_join",
+    oracle="""
+    WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+    views AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+    SELECT c.user_id % 10 AS cohort, COUNT(*) AS n_clicks,
+           COUNT(v.value) AS n_matched,
+           ROUND(SUM(COALESCE(v.value, 0)), 2) AS sum_asof_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    GROUP BY cohort ORDER BY cohort
+    """,
+    description="cogrouped applyInPandas as-of join (the §2.12 cogroup UDF shape): clicks and views cogrouped per user ship as two Arrow batches to one pandas merge_asof call per key (backward, exact matches allowed, NaN->NULL restored for Spark count/sum semantics); per-cohort rollup hash-matched against DuckDB's native ASOF JOIN — the same oracle a098's native union+window formulation passes, so the two implementations are pinned equal",
+)
+def a0174_cogroup_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    # Both cogroup children derive from the SAME scan, and Catalyst
+    # conflates the shared ts attribute across them — the right Arrow
+    # batch then arrives WITHOUT its ts column (observed: right columns
+    # ['user_id', 'value']). Renaming the right side's shared columns
+    # breaks the attribute sharing so both frames ship whole.
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"), "value"
+    )
+
+    def asof_pd(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "value": pd.Series(dtype="float64")})
+        if right.empty:
+            # a key with clicks but no views: cogroup hands over an
+            # empty (possibly column-less) frame — every click unmatched
+            return pd.DataFrame({"user_id": left["user_id"],
+                                 "value": [None] * len(left)})
+        # sort by (ts, payload) so the backward match among equal-ts
+        # view rows picks the max payload tuple — asof_join's tie rule
+        left = left.sort_values(["ts", "event_id"], kind="mergesort")
+        right = right.sort_values(["v_ts", "value"], kind="mergesort")
+        out = pd.merge_asof(left, right.drop(columns=["v_user"]),
+                            left_on="ts", right_on="v_ts",
+                            direction="backward", allow_exact_matches=True)
+        # merge_asof emits NaN for no-match; restore NULL so Spark's
+        # count/sum(null) semantics (and the oracle's) apply
+        out["value"] = out["value"].astype(object).where(out["value"].notna(), None)
+        return out[["user_id", "value"]]
+
+    joined = (
+        clicks.groupBy("user_id")
+        .cogroup(views.groupBy("v_user"))
+        .applyInPandas(asof_pd, "user_id long, value double")
+    )
+    return (
+        joined.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.count("value").alias("n_matched"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("sum_asof_value"),
+        )
+        .orderBy("cohort")
+    )

@@ -570,3 +570,25 @@ def write_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_state_store(spark: SparkSession, checkpoint_dir: str, **options) -> DataFrame:
+    """Read a streaming query's STATE STORE as a batch DataFrame (Spark 4
+    `statestore` source) — the observability/debug surface for stateful
+    streams: inspect live aggregation state, audit watermark-driven
+    evictions, or bootstrap a migration without replaying the stream.
+    Rows are (key struct, value struct, partition_id); options pass
+    through (e.g. batchId=N for time travel to an earlier micro-batch,
+    operatorId / storeName for multi-operator queries)."""
+    reader = spark.read.format("statestore")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(checkpoint_dir)
+
+
+def read_state_metadata(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """The checkpoint's operator/state-store metadata (Spark 4
+    `state-metadata` source): operator ids/names, store names, partition
+    counts, and the committed batch-id range — what an ops runbook
+    checks before a stateful upgrade."""
+    return spark.read.format("state-metadata").load(checkpoint_dir)
