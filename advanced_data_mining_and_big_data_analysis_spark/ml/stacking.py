@@ -3,8 +3,10 @@
 sklearn's StackingRegressor = K-fold OOF predictions per base estimator →
 meta-regressor on the OOF matrix → base estimators refit on full data.
 The reference's meta-regressor is RidgeCV() — ridge with its penalty
-selected by CV over sklearn's default alpha grid — mirrored here as a
-CrossValidator regParam grid over an L2-only LinearRegression.
+selected by *exact leave-one-out* error over sklearn's default alpha
+grid — mirrored here with the same criterion via the closed-form LOO
+identity (``loo_ridge_scores``), then a single L2-only LinearRegression
+fit at the winning penalty.
 Spark has no built-in; this is the hand-rolled fold bookkeeping SURVEY §7
 budgets for. Folds are assigned by a deterministic hash of a row id —
 stable across partitionings (seeded rand() is partition-sensitive; a
@@ -24,6 +26,94 @@ from . import persistence as P
 # sklearn RidgeCV's default alpha grid (kaggle.py:791 stacks with
 # RidgeCV() = RidgeCV(alphas=(0.1, 1.0, 10.0))).
 RIDGE_ALPHAS = (0.1, 1.0, 10.0)
+
+
+def loo_ridge_scores(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    alphas: tuple[float, ...] = RIDGE_ALPHAS,
+) -> DataFrame:
+    """Exact leave-one-out ridge error per alpha — sklearn RidgeCV's
+    default selection criterion (kaggle.py:791), fully distributed.
+
+    For ridge with an unpenalized intercept the LOO residual has a
+    closed form: ``e_i / (1 - h_i)`` where ``e_i`` is the full-fit
+    residual and ``h_i = 1/n + x̃_i' (G + αI)^{-1} x̃_i`` is the row's
+    leverage (x̃ centered, G the centered Gram). That makes exact LOO
+    two distributed passes, NOT n refits:
+
+    1. one aggregation for n, the k feature/label means and the
+       k(k+1)/2 + k centered (co)moments (``covar_pop`` — JVM-side);
+       the k×k per-alpha solves happen driver-side in numpy on that
+       O(k²) stat row (bounded collect: scalars, never data);
+    2. one pass computing every alpha's squared LOO residual as native
+       column arithmetic from broadcast literal coefficients (no UDF),
+       aggregated with ``avg``.
+
+    Returns a DataFrame ``(alpha, n, loo_mse)``, one row per alpha.
+    """
+    import numpy as np
+
+    k = len(feature_cols)
+    xy = list(feature_cols) + [label_col]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    aggs += [F.avg(c).alias(f"_m{i}") for i, c in enumerate(xy)]
+    pairs = [(i, j) for i in range(k) for j in range(i, k)]
+    aggs += [
+        F.covar_pop(feature_cols[i], feature_cols[j]).alias(f"_s{i}_{j}") for i, j in pairs
+    ]
+    aggs += [F.covar_pop(c, label_col).alias(f"_c{i}") for i, c in enumerate(feature_cols)]
+    st = df.agg(*aggs).first()
+
+    n = float(st["_n"])
+    means = np.array([st[f"_m{i}"] for i in range(k)])
+    my = float(st[f"_m{k}"])
+    G = np.zeros((k, k))
+    for i, j in pairs:
+        G[i, j] = G[j, i] = st[f"_s{i}_{j}"] * n  # covar_pop*n = centered Gram
+    c = np.array([st[f"_c{i}"] for i in range(k)]) * n
+
+    per_alpha = []
+    for idx, alpha in enumerate(alphas):
+        A = np.linalg.inv(G + alpha * np.eye(k))
+        beta = A @ c
+        b0 = my - float(means @ beta)
+        pred = F.lit(b0)
+        for i, col in enumerate(feature_cols):
+            pred = pred + F.lit(float(beta[i])) * F.col(col)
+        resid = F.col(label_col) - pred
+        h = F.lit(1.0 / n)
+        for i in range(k):
+            for j in range(k):
+                h = h + F.lit(float(A[i, j])) * (
+                    F.col(feature_cols[i]) - F.lit(float(means[i]))
+                ) * (F.col(feature_cols[j]) - F.lit(float(means[j])))
+        per_alpha.append(F.avg(F.pow(resid / (F.lit(1.0) - h), F.lit(2.0))).alias(f"_l{idx}"))
+
+    wide = df.agg(*per_alpha)
+    rows = F.array(
+        *[
+            F.struct(F.lit(float(a)).alias("alpha"), F.col(f"_l{i}").alias("loo_mse"))
+            for i, a in enumerate(alphas)
+        ]
+    )
+    return wide.select(F.explode(rows).alias("_r")).select(
+        F.col("_r.alpha").alias("alpha"),
+        F.lit(int(n)).alias("n"),
+        F.col("_r.loo_mse").alias("loo_mse"),
+    )
+
+
+def loo_ridge_alpha(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    alphas: tuple[float, ...] = RIDGE_ALPHAS,
+) -> float:
+    """argmin-alpha of ``loo_ridge_scores`` (collects len(alphas) rows)."""
+    scores = loo_ridge_scores(df, feature_cols, label_col, alphas).collect()
+    return float(min(scores, key=lambda r: (r["loo_mse"], r["alpha"]))["alpha"])
 
 
 def fold_of(id_col: str, k: int):
@@ -65,41 +155,25 @@ def oof_stack(
     for part in oof_parts[1:]:
         oof = oof.unionByName(part)
 
-    # meta learner on the OOF matrix: ridge with a CV-selected penalty,
-    # mirroring the reference's RidgeCV() meta-regressor (kaggle.py:791,
-    # sklearn default alphas 0.1/1.0/10.0 selected by CV). sklearn's
-    # ridge objective is ||y-Xw||^2 + alpha*||w||^2 while Spark's is the
-    # per-row mean 1/(2n)*SSE + regParam*penalty, so alpha maps to
-    # regParam = alpha/n — the grid below selects over the SAME
-    # three-candidate model family the reference does.
+    # meta learner on the OOF matrix: ridge with its penalty selected by
+    # EXACT leave-one-out error, mirroring the reference's RidgeCV()
+    # meta-regressor (kaggle.py:791, sklearn default alphas 0.1/1.0/10.0,
+    # default cv=None = efficient LOO) — closed-form via the hat-matrix
+    # identity, see loo_ridge_scores. sklearn's ridge objective is
+    # ||y-Xw||^2 + alpha*||w||^2 while Spark's is the per-row mean
+    # 1/(2n)*SSE + regParam*penalty, so alpha maps to regParam = alpha/n.
     assembler = VectorAssembler(inputCols=base_cols, outputCol="_meta_features")
     assembled = assembler.transform(oof).cache()
     n_rows = assembled.count()
+    best_alpha = loo_ridge_alpha(assembled, base_cols, label_col)
     meta = LinearRegression(
         featuresCol="_meta_features",
         labelCol=label_col,
         predictionCol=prediction_col,
         elasticNetParam=0.0,  # pure L2 = ridge
+        regParam=best_alpha / max(n_rows, 1),
     )
-    from pyspark.ml.evaluation import RegressionEvaluator
-    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
-
-    grid = (
-        ParamGridBuilder()
-        .addGrid(meta.regParam, [a / max(n_rows, 1) for a in RIDGE_ALPHAS])
-        .build()
-    )
-    cv = CrossValidator(
-        estimator=meta,
-        estimatorParamMaps=grid,
-        evaluator=RegressionEvaluator(
-            labelCol=label_col, predictionCol=prediction_col, metricName="rmse"
-        ),
-        numFolds=3,
-        seed=7,  # deterministic fold split; sklearn's default is LOO-GCV,
-        # infeasible distributed — 3-fold CV selects on the same criterion
-    )
-    meta_model = cv.fit(assembled).bestModel
+    meta_model = meta.fit(assembled)
     oof_scored = meta_model.transform(assembled)
 
     # full-data base refits, packaged as a persistable fitted stack

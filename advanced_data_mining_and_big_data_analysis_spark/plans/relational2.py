@@ -530,3 +530,117 @@ def a0171_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "a0175_mapinarrow_parity",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice * (1.0 + 0.05 * (o_orderkey % 4))), 2) AS arrow_total
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    description="mapInArrow parity (the last §2.12 Python-boundary API next to scalar pandas_udf a068, grouped-map a071, mapInPandas q113, cogroup a0174, UDTF): per-batch pyarrow.compute arithmetic on raw RecordBatches — zero pandas conversion, the minimal-overhead path for columnar Python logic — with exact-in-double arithmetic so the aggregate hash-matches the pure-SQL oracle bit-for-bit",
+)
+def a0175_mapinarrow_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def score_batches(batches):
+        for b in batches:
+            price = b.column("o_totalprice")
+            key = b.column("o_orderkey")
+            # 1.0 + 0.05 * (key % 4): exact-in-double (0.05 * k is exact
+            # for k in 0..3 after one rounding, same literal in the SQL)
+            adj = pc.add(
+                pc.multiply(
+                    price,
+                    pc.add(
+                        pc.multiply(
+                            pc.cast(pc.bit_wise_and(key, 3), pa.float64()), pa.scalar(0.05)
+                        ),
+                        pa.scalar(1.0),
+                    ),
+                ),
+                pa.scalar(0.0),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("o_orderpriority"), adj], ["o_orderpriority", "adjusted"]
+            )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    scored = orders.mapInArrow(score_batches, "o_orderpriority string, adjusted double")
+    return (
+        scored.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("adjusted"), 2).alias("arrow_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "a0176_ridgecv_loo",
+    oracle="""
+    WITH base AS (
+      SELECT l_quantity AS x1, l_discount AS x2, l_extendedprice AS y FROM lineitem
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(x1) AS m1, AVG(x2) AS m2, AVG(y) AS my,
+             COVAR_POP(x1, x1) * COUNT(*) AS s11,
+             COVAR_POP(x1, x2) * COUNT(*) AS s12,
+             COVAR_POP(x2, x2) * COUNT(*) AS s22,
+             COVAR_POP(x1, y) * COUNT(*) AS c1,
+             COVAR_POP(x2, y) * COUNT(*) AS c2
+      FROM base
+    ), alphas(alpha) AS (VALUES (0.1), (1.0), (10.0)),
+    sol AS (
+      SELECT a.alpha, s.*,
+             (s.s11 + a.alpha) * (s.s22 + a.alpha) - s.s12 * s.s12 AS det
+      FROM alphas a CROSS JOIN stats s
+    ), coef AS (
+      SELECT alpha, n, m1, m2, my,
+             (s22 + alpha) / det AS i11, -s12 / det AS i12, (s11 + alpha) / det AS i22,
+             ((s22 + alpha) * c1 - s12 * c2) / det AS b1,
+             ((s11 + alpha) * c2 - s12 * c1) / det AS b2
+      FROM sol
+    ), loo AS (
+      SELECT c.alpha, CAST(c.n AS BIGINT) AS n,
+             AVG(POWER(
+               (b.y - (c.my - c.b1 * c.m1 - c.b2 * c.m2 + c.b1 * b.x1 + c.b2 * b.x2)) /
+               (1 - (1 / c.n
+                     + c.i11 * (b.x1 - c.m1) * (b.x1 - c.m1)
+                     + 2 * c.i12 * (b.x1 - c.m1) * (b.x2 - c.m2)
+                     + c.i22 * (b.x2 - c.m2) * (b.x2 - c.m2))), 2)) AS loo_mse
+      FROM coef c CROSS JOIN base b
+      GROUP BY c.alpha, c.n
+    )
+    SELECT alpha, n, ROUND(SQRT(loo_mse), 4) AS loo_rmse,
+           loo_mse = MIN(loo_mse) OVER () AS is_best
+    FROM loo ORDER BY alpha
+    """,
+    description="sklearn RidgeCV's exact leave-one-out selection criterion (reference kaggle.py:791 meta-regressor), distributed: closed-form LOO via the hat-matrix identity e_i/(1-h_i) with h_i = 1/n + x~'(G+aI)^-1 x~ — two JVM-side passes (covar_pop stat row, then native-arithmetic leverage columns), a k x k numpy solve per alpha on the driver; NEVER n refits. Oracle spells the 2x2 inverse in closed form",
+)
+def a0176_ridgecv_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.stacking import loo_ridge_scores
+
+    base = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    scores = loo_ridge_scores(base, ["x1", "x2"], "y")
+    best = scores.agg(F.min("loo_mse").alias("_best"))  # 1 row; broadcast
+    return (
+        scores.crossJoin(F.broadcast(best))
+        .select(
+            "alpha",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.sqrt("loo_mse"), 4).alias("loo_rmse"),
+            (F.col("loo_mse") == F.col("_best")).alias("is_best"),
+        )
+        .orderBy("alpha")
+    )

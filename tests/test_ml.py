@@ -67,6 +67,52 @@ def test_oof_stack_runs_and_scores(linear_data):
     assert mae < 5.0  # meta-learner at least matches the good base model
 
 
+def test_loo_ridge_scores_exact_vs_brute_force(spark):
+    """The closed-form LOO identity (hat-matrix) must agree with the
+    literal definition: n ridge refits each leaving one row out,
+    scoring the held-out row. Noisy 2-feature data so no alpha is
+    degenerate; intercept unpenalized, as in sklearn RidgeCV."""
+    import numpy as np
+
+    from advanced_data_mining_and_big_data_analysis_spark.ml.stacking import (
+        loo_ridge_alpha,
+        loo_ridge_scores,
+    )
+
+    rng = np.random.default_rng(42)
+    n, k = 120, 2
+    X = rng.normal(size=(n, k)) * np.array([2.0, 0.5])
+    y = 1.5 + X @ np.array([0.8, -2.0]) + rng.normal(scale=0.7, size=n)
+    rows = [(float(X[i, 0]), float(X[i, 1]), float(y[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+
+    alphas = (0.1, 1.0, 10.0)
+    got = {
+        r["alpha"]: r["loo_mse"]
+        for r in loo_ridge_scores(df, ["x1", "x2"], "y", alphas).collect()
+    }
+
+    def brute(alpha: float) -> float:
+        errs = []
+        for i in range(n):
+            m = np.ones(n, bool)
+            m[i] = False
+            Xt, yt = X[m], y[m]
+            mx, my_ = Xt.mean(axis=0), yt.mean()
+            Xc, yc = Xt - mx, yt - my_
+            beta = np.linalg.solve(Xc.T @ Xc + alpha * np.eye(k), Xc.T @ yc)
+            pred = my_ + (X[i] - mx) @ beta
+            errs.append((y[i] - pred) ** 2)
+        return float(np.mean(errs))
+
+    for alpha in alphas:
+        expected = brute(alpha)
+        assert abs(got[alpha] - expected) < 1e-9 * max(1.0, expected), (alpha, got[alpha], expected)
+
+    best = loo_ridge_alpha(df, ["x1", "x2"], "y", alphas)
+    assert best == min(alphas, key=brute)
+
+
 def test_synthetic_sales_shape(spark):
     df = synthetic_sales(spark, start="2015-01-01", end="2015-01-31")
     assert df.count() == 31 * 18
