@@ -688,6 +688,59 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text") -> list[tu
     return merges
 
 
+def bpe_encode_repr(word: Column | str, merges: list[tuple[str, str]]) -> Column:
+    """BPE-encode ``word`` by replaying ``merges`` in training order;
+    returns the wrapped-symbol string form ``<s1><s2>...<sn>``.
+
+    Each symbol rides inside its own ``<...>`` wrapper, so the literal
+    pattern ``<a><b>`` asserts BOTH symbol boundaries without consuming
+    the next pair's leading ``<`` — one native ``replace()`` per merge
+    then reproduces ``bpe_merge_pair``'s greedy left-to-right skip-2
+    semantics EXACTLY. (A space-delimited form cannot: either a
+    boundary is unasserted — mid-symbol false matches — or the shared
+    delimiter is consumed and runs like ``x x x x x`` segment
+    differently from the trainer. Property-tested against
+    ``bpe_apply_reference`` over random symbol runs.)
+
+    Tokenizer output is ``[a-z0-9]+`` so ``<``/``>`` can never occur
+    inside a symbol. Token count = number of ``>`` characters. The
+    whole apply path is JVM string ops — no UDF, no explode, no
+    shuffle — so encoding rides inside any projection at corpus scale;
+    the merge list is the only driver-side state (n_merges tuples,
+    broadcast as literals).
+
+    Sequential replay (never revisiting earlier rules) reproduces the
+    trainer's own vocabulary rewrites bit-for-bit; on unseen words it
+    is the single-sweep variant of Sennrich encoding (a canonical
+    encoder re-scans earlier rules when a later merge re-creates their
+    pair — documented deviation, same flavor as char_symbols' missing
+    '</w>')."""
+    w = F.col(word) if isinstance(word, str) else word
+    e = F.regexp_replace(w, "(.)", "<$1>")
+    for a, b in merges:
+        e = F.replace(e, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+    return e
+
+
+def bpe_apply_reference(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Pure-python encode oracle: the same greedy skip-2 single pass
+    per merge rule that bpe_merge_pair folds and bpe_train_reference
+    rewrites with."""
+    syms = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
 def bpe_train_reference(word_count_pairs: list[tuple[str, int]], n_merges: int) -> list[tuple[str, str]]:
     """Pure-python BPE trainer (test oracle for bpe_train): identical
     greedy left-to-right merge and (count desc, pair asc) tie-break."""

@@ -433,3 +433,92 @@ def q116_duplicated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# a0178 — bigram-LM perplexity scoring, the conditional upgrade of
+# a095's unigram filter (CCNet scores documents with a Kneser-Ney LM;
+# this is the same pipeline shape with add-k smoothing so both engines
+# can rebuild the model exactly). The "model" is two DataFrames derived
+# from ONE bigram pass: bigram counts and their left-marginals; scoring
+# is a broadcast join of the corpus bigram stream against them.
+# P(w2|w1) = (c(w1,w2) + 0.5) / (c1(w1) + 0.5*V), V = bigram-observed
+# vocab. Docs with <2 tokens have no bigrams and drop out of the doc
+# frame in BOTH engines (inner join semantics, documented).
+# ---------------------------------------------------------------------------
+
+_BG_NLL_FLAG = 3.42  # ~p90 of per-doc bigram NLL at the test SFs
+
+
+@query(
+    "a0178_bigram_perplexity",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    bg AS (SELECT doc_id, source,
+                  toks[CAST(pos AS INT)] AS w1, toks[CAST(pos AS INT) + 1] AS w2
+           FROM (SELECT doc_id, source, toks,
+                        unnest(range(1, len(toks))) AS pos FROM tok)),
+    bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+    lm AS (SELECT w1, SUM(cb) AS cnt1 FROM bc GROUP BY w1),
+    v AS (SELECT COUNT(*) AS vsz
+          FROM (SELECT w1 AS t FROM bc UNION SELECT w2 FROM bc)),
+    d AS (SELECT doc_id, source,
+                 -SUM(ln((cb + 0.5) / (cnt1 + 0.5 * vsz))) / COUNT(*) AS nll
+          FROM bg JOIN bc USING (w1, w2) JOIN lm USING (w1) CROSS JOIN v
+          GROUP BY doc_id, source)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(nll), 6) AS avg_nll,
+           ROUND(MAX(nll), 6) AS max_nll,
+           CAST(SUM(CASE WHEN nll > {_BG_NLL_FLAG} THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM d GROUP BY source ORDER BY source
+    """,
+    description="bigram-LM perplexity filter (conditional upgrade of a095's unigram CCNet analog): add-k smoothed P(w2|w1) with the bigram table and its left-marginals as broadcast model frames — both derived from ONE bigram pass (the marginal is a rollup of the count frame, never a second corpus scan); per-doc mean negative log-likelihood, per-source rollup with an outlier flag; scale note: Zipf-skewed bigram keys make a shuffle join the wrong default — broadcast the Heaps-sublinear model, cap at top-K + OOV bucket when the bigram vocab outgrows it (the CCNet config), or salt (operators/joins.py)",
+)
+def a0178_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", X.tokens("text").alias("_t"))
+    n1 = F.greatest(F.size("_t") - 1, F.lit(0))
+    bg = t.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.arrays_zip(
+                F.slice("_t", F.lit(1), n1).alias("w1"),
+                F.slice("_t", F.lit(2), n1).alias("w2"),
+            )
+        ).alias("_p"),
+    ).select("doc_id", "source", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    # one bigram pass builds the count frame; marginals and the vocab
+    # size are rollups of it (localCheckpoint: three consumers)
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")).localCheckpoint(eager=False)
+    lm = bc.groupBy("w1").agg(F.sum("cb").alias("cnt1"))
+    v = (
+        bc.select(F.col("w1").alias("t"))
+        .union(bc.select(F.col("w2").alias("t")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("vsz"))
+    )
+    d = (
+        bg.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(lm), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id", "source")
+        .agg(
+            (
+                -F.sum(
+                    F.log((F.col("cb") + 0.5) / (F.col("cnt1") + 0.5 * F.col("vsz")))
+                )
+                / F.count(F.lit(1))
+            ).alias("nll")
+        )
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+            F.round(F.max("nll"), 6).alias("max_nll"),
+            F.sum((F.col("nll") > _BG_NLL_FLAG).cast("long")).alias("n_flagged"),
+        )
+        .orderBy("source")
+    )

@@ -610,9 +610,17 @@ def q117_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.split(F.trim(X.normalize("text")), " +").alias("_toks")
     )
     grams = X.zip_ngram_rows(with_t, "_toks", 3, "shingle", ["doc_id", "source"], " ", True)
-    per = grams.groupBy(F.col("source").alias("scope")).agg(
+    # HLL registers depend only on the DISTINCT hashed values, so every
+    # consumer below — sketch, exact count, global distinct — runs off
+    # ONE map-side-combined distinct of (source, shingle). vs the r7
+    # shape this removes the Expand that countDistinct-next-to-
+    # hll_sketch_agg plans (every gram row duplicated per agg path) and
+    # the per-branch re-derivation of the gram flat-map (tokenize ran
+    # 2x); measured 1.86 -> 0.9 s-class warm at sf0.1.
+    pairs = grams.select("source", "shingle").distinct().localCheckpoint(eager=False)
+    per = pairs.groupBy(F.col("source").alias("scope")).agg(
         F.hll_sketch_agg("shingle").alias("_sk"),
-        F.countDistinct("shingle").alias("exact_distinct"),
+        F.count(F.lit(1)).alias("exact_distinct"),
     )
     per_out = per.select(
         "scope",
@@ -624,8 +632,10 @@ def q117_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("within_rel_err"),
     )
     # global = MERGE of the per-source sketches (never rescans the grams);
-    # the exact side is an independent full distinct for the bound check
-    exact_all = grams.agg(F.countDistinct("shingle").alias("exact_distinct"))
+    # the exact side is an independent distinct over the pairs frame
+    exact_all = pairs.select("shingle").distinct().agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
     merged = per.agg(F.hll_sketch_estimate(F.hll_union_agg(F.col("_sk"))).alias("_est"))
     all_out = merged.crossJoin(exact_all).select(
         F.lit("ALL").alias("scope"),

@@ -361,6 +361,100 @@ def q121_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# a0177 — BPE ENCODE (the apply half of the tokenizer story; q121/
+# bpe_train is the train half). Spark trains the merge list with
+# bpe_train (one corpus scan + vocabulary-frame iterations), then
+# encodes every (source, word) with operators.text.bpe_encode_repr —
+# a chain of native replace() calls over the wrapped-symbol form
+# <s1><s2>..., one per merge, whose semantics are EXACTLY the
+# trainer's greedy skip-2 pass (see bpe_encode_repr). Token counts
+# are vocabulary-factored: each distinct (source, word) is encoded
+# once and weighted by its count, so the encode work is vocab-sized,
+# not corpus-sized, and the corpus is scanned exactly twice (once to
+# train, once for the word counts).
+#
+# The DuckDB oracle re-derives the SAME merges from scratch — an
+# unrolled round chain (pair-count -> argmax with the trainer's
+# (count DESC, a, b) tie-break -> single REPLACE rewrite per round,
+# exact by the wrapped-symbol argument) — so the hash match pins
+# train AND encode across engines end-to-end.
+# ---------------------------------------------------------------------------
+
+_BPE_ENC_MERGES = 8
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    rounds = []
+    for k in range(n_merges):
+        rounds.append(
+            f"""
+    p{k} AS (
+      SELECT a, b FROM (
+        SELECT ss[CAST(pos AS INT)] AS a, ss[CAST(pos AS INT) + 1] AS b, wcount FROM (
+          SELECT wcount, ss, unnest(range(1, len(ss))) AS pos
+          FROM (SELECT wcount, string_split(trim(repr, '<>'), '><') AS ss FROM v{k})))
+      GROUP BY a, b ORDER BY SUM(wcount) DESC, a, b LIMIT 1),
+    v{k + 1} AS (
+      SELECT word, wcount,
+             REPLACE(repr, '<' || a || '><' || b || '>', '<' || a || b || '>') AS repr
+      FROM v{k} CROSS JOIN p{k})"""
+        )
+    return f"""
+    WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+    w AS (SELECT source, unnest(toks) AS word FROM t),
+    swc AS (SELECT source, word, COUNT(*) AS cnt FROM w GROUP BY source, word),
+    wc0 AS (SELECT word, SUM(cnt) AS wcount FROM swc GROUP BY word),
+    v0 AS (SELECT word, wcount,
+                  regexp_replace(word, '(.)', '<\\1>', 'g') AS repr FROM wc0),{",".join(rounds)},
+    enc AS (SELECT s.source, s.cnt, s.word,
+                   length(v.repr) - length(REPLACE(v.repr, '>', '')) AS ntok
+            FROM swc s JOIN v{n_merges} v USING (word))
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_words,
+           CAST(SUM(cnt * ntok) AS BIGINT) AS n_tokens,
+           ROUND(SUM(cnt * length(word)) * 1.0 / SUM(cnt * ntok), 6) AS chars_per_token,
+           ROUND(SUM(cnt * ntok) * 1.0 / SUM(cnt), 6) AS tokens_per_word
+    FROM enc GROUP BY source ORDER BY source
+    """
+
+
+@query(
+    "a0177_bpe_encode",
+    oracle=_bpe_encode_oracle(_BPE_ENC_MERGES),
+    description="BPE tokenizer APPLY (train with bpe_train, then encode the corpus): the merge list is replayed as a chain of native replace() calls over the wrapped-symbol form <s1><s2>... — one literal pattern per merge, provably identical to the trainer's greedy skip-2 merge pass, zero UDF/explode/shuffle in the apply path; encode work is vocabulary-factored (each distinct source,word once, weighted by count); per-source rollup reports token totals, chars-per-token compression and tokens-per-word; the oracle re-derives the merges in-SQL (8 unrolled rounds with the trainer's tie-break) so the hash pins train+encode cross-engine",
+)
+def a0177_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = X.bpe_train(docs, _BPE_ENC_MERGES)
+    swc = (
+        docs.select("source", F.explode(X.tokens("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    enc = X.bpe_encode_repr("word", merges)
+    ntok = F.length(enc) - F.length(F.replace(enc, F.lit(">"), F.lit("")))
+    return (
+        swc.withColumn("_ntok", ntok)
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("_ntok")).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("cnt") * F.length("word"))
+                / F.sum(F.col("cnt") * F.col("_ntok")),
+                6,
+            ).alias("chars_per_token"),
+            F.round(F.sum(F.col("cnt") * F.col("_ntok")) / F.sum("cnt"), 6).alias(
+                "tokens_per_word"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q122 — hashed-feature linear classifier inference (fastText-style
 # quality scoring): tokens hash into 1024 feature buckets (md5-prefix,
 # the engine-portable q106 idiom), a 1024-row weight table is broadcast

@@ -251,10 +251,19 @@ def q08_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q09_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    # aggregate-below-join: collapse orders to (custkey, count) BEFORE
+    # touching customers, so the join carries one row per ordering
+    # customer instead of one per order (at 100 TB: the orders shuffle
+    # is map-side-combined to customer cardinality, and the fact table
+    # never rides through the join). COUNT over a LEFT join of the raw
+    # rows is the same number with the null group counted as 0.
     per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
+        cust.join(
+            orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_cnt")),
+            cust.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .select(F.coalesce(F.col("_cnt"), F.lit(0)).alias("n_orders"))
     )
     return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers")).orderBy("n_orders")
 

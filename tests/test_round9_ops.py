@@ -218,3 +218,62 @@ def test_state_store_reader_matches_batch_state(spark, sf_dir, tmp_path):
     md = ST.read_state_metadata(spark, str(tmp_path / "ckpt")).collect()
     assert len(md) == 1
     assert md[0].operatorId == 0 and md[0].minBatchId == 0
+
+
+# ---------------------------------------------------------------- a0177 BPE encode
+
+
+def test_bpe_encode_repr_matches_reference(spark):
+    """The wrapped-symbol replace chain must reproduce the greedy
+    skip-2 per-rule pass exactly — including runs of identical
+    symbols ('aaaa' class), where space-delimited replace schemes
+    diverge — and a==b / chained-merge rules."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from advanced_data_mining_and_big_data_analysis_spark.operators import text as X
+
+    random.seed(7)
+    words = ["", "a", "aa", "aaa", "aaaa", "aaaaa", "abab", "ababab", "banana"]
+    words += ["".join(random.choice("ab") for _ in range(random.randint(1, 18))) for _ in range(80)]
+    merges = [("a", "a"), ("b", "b"), ("a", "b"), ("aa", "aa"), ("aab", "b"), ("aa", "b")]
+
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    enc = X.bpe_encode_repr("word", merges)
+    ntok = F.length(enc) - F.length(F.replace(enc, F.lit(">"), F.lit("")))
+    rows = df.select("word", enc.alias("repr"), ntok.alias("ntok")).collect()
+    for r in rows:
+        want = X.bpe_apply_reference(r["word"], merges)
+        got = r["repr"][1:-1].split("><") if r["repr"] else []
+        assert got == want, (r["word"], got, want)
+        assert r["ntok"] == len(want)
+
+
+def test_bpe_encode_reproduces_trainer_vocab_state(spark, sf_dir):
+    """Replaying bpe_train's own merges over raw words must land on the
+    trainer's final symbol arrays (encode == train-time segmentation)."""
+    from advanced_data_mining_and_big_data_analysis_spark.operators import text as X
+    from advanced_data_mining_and_big_data_analysis_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = X.bpe_train(docs, 6)
+    wc = [(r["word"], r["wcount"]) for r in X.word_counts(docs).collect()]
+    for word, _ in sorted(wc)[:300]:
+        assert X.bpe_apply_reference(word, merges) == _train_rewrite(word, merges)
+
+
+def _train_rewrite(word, merges):
+    """bpe_train_reference's vocabulary rewrite, applied to one word."""
+    syms = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms

@@ -14,6 +14,16 @@ A query with data_fraction under ~0.5 spends most of its wall on Spark's
 fixed stage/scheduling overhead — the part that amortizes to nothing at
 100 TB while DuckDB's advantage on 5k-row inputs does not.
 
+Round 9 adds the denominator that makes the floor story checkable in one
+number: ``duckdb_01`` (same-run DuckDB warm median on the same sf0.1
+parquet) and
+
+    data_ratio_01 = (t(0.1) - floor) / duckdb_01
+
+the MARGINAL cost of data in Spark vs DuckDB's total. That is the ratio
+that survives scale-up: the floor is per-query session overhead
+(amortized at 100 TB), while the marginal cost is what multiplies.
+
 Writes BENCH_FLOOR.json at the repo root; run after bench.py.
 """
 
@@ -60,9 +70,29 @@ WEAK = [
     "q130_prefix_filter_simjoin",
     # round-9: the current >2x data-proportional list (BENCH_DETAIL)
     "q40_exact_dedup_stats",
+    # round-9: every remaining headline entry >2x same-run DuckDB at
+    # sf0.1 — the floor/data_ratio evidence now covers the full >2x
+    # tail, so "ratio > 2" can be read against "data_ratio <= 2" per
+    # query instead of guessed at.
+    "q01_pricing_summary",
+    "q03_discount_revenue",
+    "q05_regional_revenue",
+    "q09_order_count_histogram",
+    "q10_topk_per_group",
+    "q18_small_quantity_revenue",
+    "q21_hourly_events",
+    "q50_cosine_topk",
+    "a060_sessionization",
+    "a087_mi_feature_filter",
+    "a098_asof_join",
+    "q47_char_ngram_vocab",
+    "q108_incremental_dedup",
+    "q41_minhash_neardup",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def warm_median(qd, spark, sf_dir: str, reps: int = 3) -> float:
@@ -75,11 +105,44 @@ def warm_median(qd, spark, sf_dir: str, reps: int = 3) -> float:
     return sorted(times)[reps // 2]
 
 
+def duck_median(oracle: str, sf_dir: str, reps: int = 3) -> float | None:
+    """Same-run DuckDB warm median for the query's own oracle SQL."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    con.execute(oracle).fetchall()
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        con.execute(oracle).fetchall()
+        times.append(time.time() - t0)
+    con.close()
+    return sorted(times)[reps // 2]
+
+
 def main() -> None:
+    # optional argv names: re-measure just those entries and merge into
+    # the existing BENCH_FLOOR.json (after reshaping one query, the
+    # whole 40-entry ladder need not re-run)
+    only = set(sys.argv[1:])
     spark = get_spark("floor")
     qs = all_queries()
     out = {}
-    for name in WEAK:
+    if only:
+        import json as _json
+
+        try:
+            with open(os.path.join(ROOT, "BENCH_FLOOR.json")) as f:
+                out = _json.load(f)
+        except FileNotFoundError:
+            pass
+    for name in [n for n in WEAK if not only or n in only]:
         if name not in qs:
             continue
         t = {sf.rsplit("sf", 1)[-1]: round(warm_median(qs[name], spark, sf), 3) for sf in SFS}
@@ -92,9 +155,14 @@ def main() -> None:
             "slope_sec_per_sf": round(slope, 3),
             "data_fraction_01": round(data_fraction, 3),
         }
+        if qs[name].oracle:
+            duck = duck_median(qs[name].oracle, SFS[-1])
+            out[name]["duckdb_01"] = round(duck, 3)
+            out[name]["data_ratio_01"] = (
+                round(max(0.0, t["0.1"] - floor) / duck, 2) if duck > 0 else None
+            )
         print(name, out[name], flush=True)
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "BENCH_FLOOR.json"), "w") as f:
+    with open(os.path.join(ROOT, "BENCH_FLOOR.json"), "w") as f:
         json.dump(out, f, indent=1)
     print("wrote BENCH_FLOOR.json")
 
