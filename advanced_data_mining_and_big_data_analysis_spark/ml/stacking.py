@@ -52,10 +52,22 @@ def loo_ridge_scores(
        aggregated with ``avg``.
 
     Returns a DataFrame ``(alpha, n, loo_mse)``, one row per alpha.
+
+    The leverage expression is k(k+1)/2 literal multiply-add terms per
+    alpha (symmetry of ``(G+αI)^{-1}`` halves the naive k²), built over
+    centered columns projected ONCE — still quadratic in k, which is
+    fine for a stacking meta-matrix (k = number of base models, single
+    digits) but would blow up Catalyst codegen for wide feature lists;
+    a guard caps k at 32 (≈ 528 terms/alpha, well inside codegen's
+    64KB method limit).
     """
     import numpy as np
 
     k = len(feature_cols)
+    assert k <= 32, (
+        f"loo_ridge_scores leverage expression is O(k^2) literal terms; "
+        f"k={k} exceeds the supported bound of 32 meta-features"
+    )
     xy = list(feature_cols) + [label_col]
     aggs = [F.count(F.lit(1)).alias("_n")]
     aggs += [F.avg(c).alias(f"_m{i}") for i, c in enumerate(xy)]
@@ -74,6 +86,10 @@ def loo_ridge_scores(
         G[i, j] = G[j, i] = st[f"_s{i}_{j}"] * n  # covar_pop*n = centered Gram
     c = np.array([st[f"_c{i}"] for i in range(k)]) * n
 
+    # centered columns projected once; A = (G+αI)^{-1} is symmetric, so
+    # the leverage quadratic form needs only the i<=j terms (cross terms
+    # doubled) — half the expression size of the naive double loop
+    ctr = [(F.col(c) - F.lit(float(means[i]))).alias(f"_x{i}") for i, c in enumerate(feature_cols)]
     per_alpha = []
     for idx, alpha in enumerate(alphas):
         A = np.linalg.inv(G + alpha * np.eye(k))
@@ -85,13 +101,12 @@ def loo_ridge_scores(
         resid = F.col(label_col) - pred
         h = F.lit(1.0 / n)
         for i in range(k):
-            for j in range(k):
-                h = h + F.lit(float(A[i, j])) * (
-                    F.col(feature_cols[i]) - F.lit(float(means[i]))
-                ) * (F.col(feature_cols[j]) - F.lit(float(means[j])))
+            for j in range(i, k):
+                coef = float(A[i, j]) * (1.0 if i == j else 2.0)
+                h = h + F.lit(coef) * F.col(f"_x{i}") * F.col(f"_x{j}")
         per_alpha.append(F.avg(F.pow(resid / (F.lit(1.0) - h), F.lit(2.0))).alias(f"_l{idx}"))
 
-    wide = df.agg(*per_alpha)
+    wide = df.select("*", *ctr).agg(*per_alpha)
     rows = F.array(
         *[
             F.struct(F.lit(float(a)).alias("alpha"), F.col(f"_l{i}").alias("loo_mse"))

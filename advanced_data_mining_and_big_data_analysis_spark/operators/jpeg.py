@@ -865,7 +865,6 @@ def _decode_dc_scan(
                             units.append((cid, dc_id, my * v + vy, mx * h + vx))
         per_ri = sum(h * v for cid, _ in scan_comps for h, v in [hv_of[cid]])
     rst_m = 0
-    mcu_i = 0
     for i, (cid, dc_id, by, bx) in enumerate(units):
         if (
             restart_interval
@@ -875,7 +874,6 @@ def _decode_dc_scan(
             br.restart(rst_m)
             rst_m = (rst_m + 1) & 7
             prev_dc = {c: 0 for c, _ in scan_comps}
-        mcu_i += 1
         if ah == 0:
             size = _decode_huffman(br, huff[(0, dc_id)])
             prev_dc[cid] += _extend(br.bits(size), size)

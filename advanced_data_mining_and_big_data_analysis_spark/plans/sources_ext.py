@@ -24,9 +24,12 @@ from .registry import query
 
 
 def _mirror_dir(sf_dir: str, fmt: str, table: str) -> str:
+    # pid-keyed scratch: two concurrent harnesses (bench + check_oracle on
+    # the same SF) each overwrite-then-read the mirror; a shared path let
+    # one delete part-files the other was mid-scan on (ADVICE r9)
     return os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_{fmt}_mirror",
+        f"spark_graft_{fmt}_mirror_{os.getpid()}",
         os.path.basename(sf_dir.rstrip("/")),
         table,
     )

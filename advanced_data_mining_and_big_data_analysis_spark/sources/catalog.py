@@ -13,6 +13,8 @@ tests, and as documentation of the catalog.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -136,6 +138,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     so its lifetime — and any cross-session plan mixing — is bounded by
     the session itself. Catalog test data is write-once per scale
     factor (TESTDATA.md), which is what makes the listing cacheable.
+    An in-session REWRITE of a table at the same path is still safe:
+    the cache key carries the path's mtime_ns, so a rewrite (new mtime)
+    misses and re-lists — the cached plan can never serve stale
+    part-file listings.  ``invalidate_cache(spark)`` force-clears.
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; catalog has {sorted(SCHEMAS)}")
@@ -143,16 +149,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # query's timestamp->date/year arithmetic must match the timezone-naive
     # DuckDB oracle, and this is a runtime conf (safe to set per call).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    cache: dict[tuple[str, str], DataFrame] | None = getattr(spark, "_adm_df_cache", None)
+    cache: dict[tuple, DataFrame] | None = getattr(spark, "_adm_df_cache", None)
     if cache is None:
         cache = {}
         spark._adm_df_cache = cache
-    key = (sf_dir, name)
+    try:
+        mtime = os.stat(f"{sf_dir}/{name}.parquet").st_mtime_ns
+    except OSError:
+        mtime = -1  # non-local URI (hdfs://, s3a://) or missing: let the reader decide
+    key = (sf_dir, name, mtime)
     hit = cache.get(key)
     if hit is not None:
         return hit
     cache[key] = df = _read_table(spark, sf_dir, name)
     return df
+
+
+def invalidate_cache(spark: SparkSession) -> None:
+    """Drop every memoized reader handle on this session.
+
+    Call after any code path that rewrites catalog data in place; the
+    mtime in the cache key already catches local-filesystem rewrites,
+    this is the explicit hook for remote URIs where stat() is not
+    available driver-side.
+    """
+    if hasattr(spark, "_adm_df_cache"):
+        spark._adm_df_cache.clear()
 
 
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

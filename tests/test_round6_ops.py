@@ -397,7 +397,7 @@ def test_warclite_q132_on_vanilla_session(sf_dir):
         ".config('spark.ui.enabled', 'false').getOrCreate())\n"
         "assert spark.conf.get('spark.sql.python.filterPushdown.enabled') == 'false'\n"
         "import __spark_entry__ as e\n"
-        "n = e.queries()['q132_warclite_source'](spark, %r).count()\n"
+        "n = e.queries()['a0133_warclite_source'](spark, %r).count()\n"
         "assert n > 0, n\n"
         "print('Q132_VANILLA_OK', n)\n"
     ) % (root, os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"))

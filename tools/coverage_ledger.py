@@ -49,26 +49,30 @@ def aliases(name: str) -> set[str]:
 
 
 def local_green_hashes() -> dict[str, str | None]:
-    """name -> oracle_md5 from the NEWEST CORRECTNESS_LOCAL_r*.json
-    whose rows carry hashes (written by check_oracle --json). Empty if
-    no local ledger records hashes yet."""
+    """name -> oracle_md5 merged across ALL CORRECTNESS_LOCAL_r*.json
+    files, newest round winning per query (written by check_oracle
+    --json). Merging — rather than taking only the newest file — means
+    a partial re-verify run (check_oracle with an explicit query
+    subset) written as the newest file refreshes just those queries
+    instead of silently flagging every other covered query as
+    stale_credit_risk (ADVICE r9). Empty if no local ledger records
+    hashes yet."""
     paths = sorted(
         glob.glob(os.path.join(ROOT, "CORRECTNESS_LOCAL_r*.json")),
         key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
     )
-    for path in reversed(paths):
+    merged: dict[str, str | None] = {}
+    for path in paths:  # oldest -> newest so newer rounds overwrite
         with open(path) as fh:
             data = json.load(fh)
-        rows = {
-            name: row.get("oracle_md5")
-            for name, row in data.items()
-            if isinstance(row, dict)
-            and "oracle_md5" in row
-            and (row.get("hash_match") or row.get("rows_only"))
-        }
-        if rows:
-            return rows
-    return {}
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and "oracle_md5" in row
+                and (row.get("hash_match") or row.get("rows_only"))
+            ):
+                merged[name] = row.get("oracle_md5")
+    return merged
 
 
 def main() -> None:
