@@ -301,11 +301,17 @@ def word_ngram_rows(
     input shape for repetition analysis (Gopher repetition signals need
     counts, not presence, so distinct=False)."""
     spread = _spread(docs, id_col, [*extra_cols, text_col])
+    # No size(_toks) >= n pre-filter: Catalyst pushes such a filter BELOW
+    # the token projection, substituting the full tokenize regex into the
+    # predicate — the whole split+regexp then runs TWICE per row (r10 A/B:
+    # 0.74 -> 0.56 s warm at sf0.1 for a092 from dropping it). Short docs
+    # are already dropped by zip_ngram_rows' post-explode tail filter
+    # (their zipped structs have a null/empty last element).
     with_t = spread.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
         F.split(F.trim(normalize(text_col)), " +").alias("_toks"),
-    ).filter(F.size("_toks") >= n)
+    )
     return zip_ngram_rows(with_t, "_toks", n, "gram", [id_col, *extra_cols], " ", False)
 
 
