@@ -60,6 +60,7 @@ def all_queries() -> dict[str, QueryDef]:
         relational,
         relational2,
         relational3,
+        round10,
         sessions,
         similarity,
         sources_ext,

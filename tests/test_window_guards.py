@@ -37,6 +37,7 @@ ALLOWED_UNPARTITIONED: dict[str, str] = {
     "q112_cohort_retention": "retention matrix over cohort-month aggregates (calendar-bounded)",
     "q126_quantile_sketch": "cumulative count over the merged histogram (<= 512 bin rows)",
     "q135_anomaly_flags": "trailing 7-day stats over the daily revenue rollup (calendar-bounded)",
+    "a0136_ks_drift_test": "CDF cumulative sum over the merged histogram (<= 1024 bin rows)",
 }
 
 
