@@ -926,3 +926,196 @@ def a0141_int4_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# a0143 — grouped applyInArrow parity (Spark 4's Arrow-native grouped
+# map, the zero-pandas sibling of applyInPandas): per-group OLS slope
+# computed inside the Arrow UDF with numpy on the columnar batch, next
+# to the same slope from the native regr_slope expression. The Arrow
+# path must agree with the JVM expression to 1e-9 — pinned as an
+# oracle-expected boolean — while the hashed slope column itself comes
+# from the native expression (cross-engine float discipline: the hash
+# never depends on Python accumulation order).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a0143_applyinarrow_parity",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(value, EXTRACT(hour FROM ts)), 6) AS slope,
+           TRUE AS arrow_matches_native
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    description="grouped applyInArrow (Spark 4 Arrow-native grouped map, the zero-pandas sibling of applyInPandas): per-event-type OLS slope computed with numpy over the raw Arrow batch, joined against the identical slope from the native regr_slope expression; agreement to 1e-9 pinned as an oracle-expected boolean while the HASHED slope column comes from the JVM expression (the hash never depends on Python float accumulation order)",
+)
+def a0143_applyinarrow_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("double").alias("x"), F.col("value").alias("y")
+    )
+
+    def slope_of(tbl: pa.Table) -> pa.Table:
+        import numpy as np
+
+        x = tbl.column("x").to_numpy(zero_copy_only=False).astype("float64")
+        y = tbl.column("y").to_numpy(zero_copy_only=False).astype("float64")
+        xm, ym = x.mean(), y.mean()
+        den = ((x - xm) ** 2).sum()
+        slope = float(((x - xm) * (y - ym)).sum() / den) if den else float("nan")
+        et = tbl.column("event_type")[0].as_py()
+        return pa.table(
+            {"event_type": [et], "n": [len(x)], "slope_arrow": [slope]}
+        )
+
+    arrow = ev.groupBy("event_type").applyInArrow(
+        slope_of, schema="event_type string, n long, slope_arrow double"
+    )
+    native = ev.groupBy("event_type").agg(F.regr_slope("y", "x").alias("slope_native"))
+    return (
+        arrow.join(native, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round("slope_native", 6).alias("slope"),
+            (F.abs(F.col("slope_arrow") - F.col("slope_native")) < 1e-9).alias(
+                "arrow_matches_native"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0142 — the flagship end-to-end corpus pipeline: the composition a
+# training-data team actually runs, as ONE declared query so the whole
+# chain sits under a single cross-engine hash. Stages:
+#   1. exact dedup        keep the lowest doc_id per md5(text) group
+#   2. quality filter     n_chars >= 120 AND >= 20 tokens
+#   3. decontamination    drop eval docs (doc_id%97==0) and any train
+#                         doc sharing an eval text hash
+#   4. mixture sampling   per-source targets (even-numbered sources
+#                         capped at 10 docs, odd keep-all), the a093
+#                         deterministic md5-threshold Bernoulli
+#   5. packing            128-token context windows, utilization
+# Per-source funnel counts at every stage + packed totals are the
+# output — a regression in ANY stage moves the hash. Every stage is
+# the already-verified primitive (q40 dedup, q45 quality, q105
+# decontam, a093 mixture, q109 packing) composed shuffle-consciously:
+# hash keys only (md5/text hashes, never text) cross stage boundaries.
+# examples/corpus_pipeline.py and examples/retrieval_pipeline.py
+# narrate the same chains standalone (sink + report / BM25+ANN eval).
+# ---------------------------------------------------------------------------
+
+_FL_CHUNK = 128
+_FL_EVEN_TARGET = 10
+
+
+@query(
+    "a0142_flagship_pipeline",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, source, n_chars, md5(text) AS h, {_TOKS} AS toks FROM documents),
+    d1 AS (SELECT * FROM raw WHERE doc_id IN (SELECT MIN(doc_id) FROM raw GROUP BY h)),
+    q AS (SELECT * FROM d1 WHERE n_chars >= 120 AND len(toks) >= 20),
+    ev AS (SELECT DISTINCT h FROM raw WHERE doc_id % 97 = 0),
+    dc AS (SELECT * FROM q WHERE doc_id % 97 <> 0 AND h NOT IN (SELECT h FROM ev)),
+    nd AS (SELECT source, COUNT(*) AS n_dc FROM dc GROUP BY source),
+    r AS (SELECT source, n_dc,
+                 CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                      THEN LEAST(1.0, {_FL_EVEN_TARGET} * 1.0 / n_dc) ELSE 1.0 END AS rate
+          FROM nd),
+    samp AS (SELECT dc.* FROM dc JOIN r ON dc.source = r.source
+             WHERE r.rate >= 1.0
+                OR substr(md5(CAST(dc.doc_id AS VARCHAR)), 1, 6)
+                   < lower(lpad(hex(CAST(floor(r.rate * 16777216) AS BIGINT)), 6, '0'))),
+    pk AS (SELECT source, doc_id, len(toks) AS n_tok,
+                  CAST(CEIL(len(toks) * 1.0 / {_FL_CHUNK}) AS BIGINT) AS n_chunks
+           FROM samp),
+    st AS (SELECT r2.source,
+                  (SELECT COUNT(*) FROM raw WHERE raw.source = r2.source) AS n_raw,
+                  (SELECT COUNT(*) FROM d1 WHERE d1.source = r2.source) AS n_dedup,
+                  (SELECT COUNT(*) FROM q WHERE q.source = r2.source) AS n_quality,
+                  (SELECT COUNT(*) FROM dc WHERE dc.source = r2.source) AS n_decontam,
+                  (SELECT COUNT(*) FROM samp WHERE samp.source = r2.source) AS n_sampled,
+                  (SELECT COALESCE(CAST(SUM(n_chunks) AS BIGINT), 0) FROM pk WHERE pk.source = r2.source) AS n_chunks,
+                  (SELECT COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) FROM pk WHERE pk.source = r2.source) AS total_tokens
+           FROM (SELECT DISTINCT source FROM raw) r2)
+    SELECT source, CAST(n_raw AS BIGINT) AS n_raw, CAST(n_dedup AS BIGINT) AS n_dedup,
+           CAST(n_quality AS BIGINT) AS n_quality, CAST(n_decontam AS BIGINT) AS n_decontam,
+           CAST(n_sampled AS BIGINT) AS n_sampled, n_chunks, total_tokens,
+           ROUND(CASE WHEN n_chunks > 0 THEN total_tokens * 1.0 / (n_chunks * {_FL_CHUNK}) ELSE 0 END, 6) AS pack_utilization
+    FROM st ORDER BY source
+    """,
+    description="flagship end-to-end LLM corpus pipeline as ONE hashed query: exact dedup (min doc_id per text md5) -> quality gate (n_chars>=120, >=20 tokens) -> decontamination (drop eval docs doc_id%97==0 AND train docs sharing an eval text hash) -> deterministic mixture sampling (even-numbered sources capped at 10 via the a093 md5-threshold rule, odd keep-all) -> 128-token context-window packing; per-source funnel counts at every stage + chunk totals + pack utilization pinned, so a regression in ANY composed stage moves the hash; only hash keys cross stage boundaries (text never rides a shuffle)",
+)
+def a0142_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.size(X.tokens("text")).alias("n_tok"),
+    ).localCheckpoint(eager=False)  # five stage consumers; tokenize/hash once
+
+    keep = raw.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    d1 = raw.join(keep, ["h", "doc_id"], "left_semi")
+    q = d1.filter((F.col("n_chars") >= 120) & (F.col("n_tok") >= 20))
+    ev_h = raw.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
+    dc = q.filter(F.col("doc_id") % 97 != 0).join(F.broadcast(ev_h), "h", "left_anti")
+    dc = dc.localCheckpoint(eager=False)  # rate build + sample probe
+    nd = dc.groupBy("source").agg(F.count("*").alias("n_dc"))
+    rate = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0,
+        F.least(F.lit(1.0), F.lit(_FL_EVEN_TARGET) / F.col("n_dc")),
+    ).otherwise(F.lit(1.0))
+    r = nd.select("source", rate.alias("rate"))
+    thresh = F.lower(F.lpad(F.hex(F.floor(F.col("rate") * 16777216).cast("long")), 6, "0"))
+    samp = dc.join(F.broadcast(r), "source").filter(
+        (F.col("rate") >= 1.0)
+        | (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6) < thresh)
+    )
+    pk = samp.select(
+        "source", "n_tok", F.ceil(F.col("n_tok") / _FL_CHUNK).cast("long").alias("n_chunks")
+    )
+
+    def per_source(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count("*").alias(name))
+
+    st = (
+        per_source(raw, "n_raw")
+        .join(per_source(d1, "n_dedup"), "source", "left")
+        .join(per_source(q, "n_quality"), "source", "left")
+        .join(per_source(dc, "n_decontam"), "source", "left")
+        .join(per_source(samp, "n_sampled"), "source", "left")
+        .join(
+            pk.groupBy("source").agg(
+                F.sum("n_chunks").alias("n_chunks"), F.sum("n_tok").alias("total_tokens")
+            ),
+            "source",
+            "left",
+        )
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)  # noqa: E731
+    return st.select(
+        "source",
+        z("n_raw"),
+        z("n_dedup"),
+        z("n_quality"),
+        z("n_decontam"),
+        z("n_sampled"),
+        z("n_chunks"),
+        z("total_tokens"),
+        F.round(
+            F.when(
+                F.coalesce("n_chunks", F.lit(0)) > 0,
+                F.col("total_tokens") / (F.col("n_chunks") * _FL_CHUNK),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("pack_utilization"),
+    ).orderBy("source")

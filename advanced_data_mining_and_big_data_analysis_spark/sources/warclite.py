@@ -270,6 +270,26 @@ def register(spark) -> type:
     that choice: we detect a launch-time setting via SparkConf and
     register the no-pushdown variant instead of overriding.
     """
+    # Ship this module BY VALUE inside the pickled DataSource command:
+    # cloudpickle normally pickles a module-level class by REFERENCE,
+    # which makes every Python worker re-import this package — and a
+    # driver running from a foreign cwd (the correctness harness runs
+    # from /tmp with only driver-side sys.path injection) has no way to
+    # put the repo on the workers' import path after the JVM is up.
+    # By-value registration is safe here because warclite.py is
+    # self-contained (stdlib + pyspark only); on a real cluster the
+    # same call is a no-op in effect since --py-files ships the package
+    # anyway. (Observed failure without this: PYTHON_DATA_SOURCE_ERROR
+    # / ModuleNotFoundError in write_into_data_source.py read_command.)
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass  # older cloudpickle: fall back to by-reference (cwd-dependent)
+
     conf_key = "spark.sql.python.filterPushdown.enabled"
     # An explicit operator opt-out is honored whether it was set at
     # launch (SparkConf) or at runtime (spark.conf.set before

@@ -82,6 +82,8 @@ HEADLINE = [
     "q124_jpeg_decode",
     "q128_triangle_count",
     "q130_prefix_filter_simjoin",
+    # round-10 addition: the composed end-to-end corpus pipeline
+    "a0142_flagship_pipeline",
 ]
 
 
