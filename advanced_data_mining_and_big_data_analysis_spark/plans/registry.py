@@ -61,6 +61,7 @@ def all_queries() -> dict[str, QueryDef]:
         relational2,
         relational3,
         round10,
+        round10b,
         sessions,
         similarity,
         sources_ext,
