@@ -62,6 +62,7 @@ def all_queries() -> dict[str, QueryDef]:
         relational3,
         round10,
         round10b,
+        round10c,
         sessions,
         similarity,
         sources_ext,

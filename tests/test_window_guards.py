@@ -38,6 +38,7 @@ ALLOWED_UNPARTITIONED: dict[str, str] = {
     "q126_quantile_sketch": "cumulative count over the merged histogram (<= 512 bin rows)",
     "q135_anomaly_flags": "trailing 7-day stats over the daily revenue rollup (calendar-bounded)",
     "a0136_ks_drift_test": "CDF cumulative sum over the merged histogram (<= 1024 bin rows)",
+    "a0195_compaction_plan": "next-fit cumsum over the FILE INVENTORY frame (one row per partition file, never data rows)",
 }
 
 

@@ -88,6 +88,8 @@ WEAK = [
     "q47_char_ngram_vocab",
     "q108_incremental_dedup",
     "q41_minhash_neardup",
+    # round-10: the new headline member gets the same evidence
+    "a0142_flagship_pipeline",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
