@@ -306,3 +306,326 @@ def a0196_mulaw_codec_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("freq")
     )
+
+
+# ---------------------------------------------------------------------------
+# a0194 — GIF87a decode (operators/gif.py): real from-scratch LZW —
+# variable-width codes, LSB-first packing, dictionary growth to 12 bits
+# with CLEAR-reset, the cScSc decode case — plus container parsing
+# (screen descriptor, global color table, sub-block framing). Closed-
+# form palette-indexed fixtures are ENCODED with the same module's
+# LZW compressor (genuine growing-dictionary streams, not the
+# emit-clear-per-symbol shortcut) and decoded Arrow-batched in
+# mapInPandas; the oracle recomputes per-image palette-average features
+# straight from the generating formulas, so a wrong bit order, a broken
+# dictionary reset, or a mis-parsed sub-block fails the hash.
+# ---------------------------------------------------------------------------
+
+_N_GIF = 10
+
+
+@query(
+    "a0194_gif_lzw_decode",
+    oracle=f"""
+    WITH g AS (SELECT m, 8 + m % 5 AS w, 6 + m % 4 AS h FROM range(0, {_N_GIF}) t(m)),
+    px AS (SELECT g.m, g.w, g.h, (g.m + x.i + 2 * y.i) % 4 AS idx
+           FROM g, range(0, 13) x(i), range(0, 10) y(i)
+           WHERE x.i < g.w AND y.i < g.h),
+    c AS (SELECT m, w, h,
+                 (m * 29 + idx * 61) % 256 AS r,
+                 (m * 31 + idx * 67) % 256 AS gg,
+                 (m * 37 + idx * 71) % 256 AS b,
+                 idx
+          FROM px)
+    SELECT CAST(m AS BIGINT) AS media_id, CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           ROUND(AVG(r), 6) AS avg_r, ROUND(AVG(gg), 6) AS avg_g,
+           ROUND(AVG(b), 6) AS avg_b,
+           CAST(MAX(CASE WHEN idx IS NOT NULL THEN 0 END) + (m % 4) AS BIGINT) AS topleft_idx
+    FROM c GROUP BY m ORDER BY media_id
+    """,
+    description="GIF87a decode via a real from-scratch LZW codec (operators/gif.py: variable-width codes, LSB-first bit packing, dictionary growth to 12 bits with CLEAR-reset, the cScSc not-yet-in-table case, 255-byte sub-block framing) — fixtures are ENCODED by the same module's growing-dictionary compressor and decoded Arrow-batched in mapInPandas; the oracle recomputes per-image palette-average features from the generating formulas, so bit order, dictionary resets, and container parsing are all under the hash",
+)
+def a0194_gif_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..operators import gif as G
+
+    rows = []
+    for m in range(_N_GIF):
+        w, h = 8 + m % 5, 6 + m % 4
+        pal = [
+            ((m * 29 + j * 61) % 256, (m * 31 + j * 67) % 256, (m * 37 + j * 71) % 256)
+            for j in range(4)
+        ]
+        blob = G.make_gif(w, h, pal, lambda x, y, m=m: (m + x + 2 * y) % 4)
+        rows.append((m, bytearray(blob)))
+    media = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    ).repartition(4)
+
+    def per_batch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [G.decode_gif(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [int(f[0]) for f in feats],
+                    "height": [int(f[1]) for f in feats],
+                    "avg_r": [f[2] for f in feats],
+                    "avg_g": [f[3] for f in feats],
+                    "avg_b": [f[4] for f in feats],
+                    "topleft_idx": [int(f[5]) for f in feats],
+                }
+            )
+
+    out = media.mapInPandas(
+        per_batch,
+        schema=(
+            "media_id long, width long, height long, "
+            "avg_r double, avg_g double, avg_b double, topleft_idx long"
+        ),
+    )
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("avg_r", 6).alias("avg_r"),
+        F.round("avg_g", 6).alias("avg_g"),
+        F.round("avg_b", 6).alias("avg_b"),
+        "topleft_idx",
+    ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# a0197 — Kaplan-Meier survival estimator: the right-censored
+# time-to-event curve (user "lifetime" = first->last event span;
+# censored if the user was still active in the observation window's
+# final day). S(t) = prod over death times t_i <= t of (1 - d_i/n_i),
+# computed relationally as exp(cumsum(ln(1 - d/n))) over the per-cohort
+# death-time frame — windows PARTITIONED by cohort and bounded by the
+# number of distinct durations. Durations are hour-boundary counts
+# spelled out as (days*24 + hour-part delta) so both engines do the
+# identical integer arithmetic (date_diff('hour') and timestampdiff
+# disagree on sub-hour offsets).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a0197_kaplan_meier",
+    oracle="""
+    WITH w AS (SELECT MAX(ts) AS obs_end FROM events),
+    u AS (SELECT user_id % 2 = 0 AS cohort_a, MIN(ts) AS t0, MAX(ts) AS t1
+          FROM events GROUP BY user_id),
+    d AS (SELECT cohort_a,
+                 (CAST(t1 AS DATE) - CAST(t0 AS DATE)) * 24
+                 + (EXTRACT(hour FROM t1) - EXTRACT(hour FROM t0)) AS dur_h,
+                 CASE WHEN t1 >= obs_end - INTERVAL 24 HOURS THEN 0 ELSE 1 END AS observed
+          FROM u CROSS JOIN w),
+    ev AS (SELECT cohort_a, dur_h, COUNT(*) AS d_i
+           FROM d WHERE observed = 1 GROUP BY cohort_a, dur_h),
+    risk AS (SELECT ev.cohort_a, ev.dur_h, ev.d_i,
+                    (SELECT COUNT(*) FROM d WHERE d.cohort_a = ev.cohort_a
+                     AND d.dur_h >= ev.dur_h) AS n_i
+             FROM ev),
+    km AS (SELECT cohort_a, dur_h, d_i, n_i,
+                  exp(SUM(ln(1 - d_i * 1.0 / n_i))
+                      OVER (PARTITION BY cohort_a ORDER BY dur_h
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+           FROM risk),
+    top AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cohort_a ORDER BY dur_h) AS rk FROM km)
+    SELECT cohort_a, CAST(dur_h AS BIGINT) AS dur_h, CAST(n_i AS BIGINT) AS n_risk,
+           CAST(d_i AS BIGINT) AS n_events, ROUND(s, 6) AS survival
+    FROM top WHERE rk <= 12 ORDER BY cohort_a, dur_h
+    """,
+    description="Kaplan-Meier survival estimator with right censoring (user lifetime = first-to-last event span in hour-boundary counts; censored if still active in the window's last day): S(t) = prod (1 - d_i/n_i) computed as exp(cumsum(ln)) over the per-cohort death-time frame, at-risk counts via a duration-keyed correlated count — windows PARTITIONED by cohort, bounded by distinct durations; first 12 curve points per user_id-parity cohort pinned",
+)
+def a0197_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.agg(F.max("ts").alias("obs_end"))
+    u = ev.groupBy("user_id").agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    d = u.crossJoin(F.broadcast(w)).select(
+        (F.col("user_id") % 2 == 0).alias("cohort_a"),
+        (
+            F.datediff(F.to_date("t1"), F.to_date("t0")) * 24
+            + (F.hour("t1") - F.hour("t0"))
+        ).alias("dur_h"),
+        F.when(F.col("t1") >= F.col("obs_end") - F.expr("INTERVAL 24 HOURS"), 0)
+        .otherwise(1)
+        .alias("observed"),
+    )
+    d = d.localCheckpoint(eager=False)  # death-time agg + at-risk probe
+    evt = d.filter(F.col("observed") == 1).groupBy("cohort_a", "dur_h").agg(
+        F.count("*").alias("d_i")
+    )
+    # at-risk via a cohort-local suffix count: total minus count(dur < t)
+    # — computed with one cumulative window over the DISTINCT duration
+    # frame instead of a correlated per-row subquery
+    all_durs = d.groupBy("cohort_a", "dur_h").agg(F.count("*").alias("c"))
+    tot = d.groupBy("cohort_a").agg(F.count("*").alias("n_tot"))
+    wcum = (
+        Window.partitionBy("cohort_a")
+        .orderBy("dur_h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk_frame = all_durs.select(
+        "cohort_a",
+        "dur_h",
+        F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("n_before"),
+    ).join(tot, "cohort_a")
+    risk = evt.join(risk_frame, ["cohort_a", "dur_h"]).select(
+        "cohort_a", "dur_h", "d_i", (F.col("n_tot") - F.col("n_before")).alias("n_i")
+    )
+    wkm = (
+        Window.partitionBy("cohort_a").orderBy("dur_h").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    km = risk.withColumn(
+        "s", F.exp(F.sum(F.log(1 - F.col("d_i") / F.col("n_i"))).over(wkm))
+    )
+    top = km.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("cohort_a").orderBy("dur_h"))
+    ).filter(F.col("rk") <= 12)
+    return top.select(
+        "cohort_a",
+        F.col("dur_h").cast("long").alias("dur_h"),
+        F.col("n_i").cast("long").alias("n_risk"),
+        F.col("d_i").cast("long").alias("n_events"),
+        F.round("s", 6).alias("survival"),
+    ).orderBy("cohort_a", "dur_h")
+
+
+# ---------------------------------------------------------------------------
+# a0198 — marketing attribution (first-touch vs last-touch): every
+# purchase is credited to the user's first / most recent preceding
+# non-purchase touchpoint, both via one IGNORE-NULLS window frame
+# PARTITIONED by user (rows unbounded-preceding..1-preceding) — the
+# conversion-credit models a growth team reads side by side. Purchases
+# with no preceding touch fall into the '(none)' channel.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a0198_touch_attribution",
+    oracle="""
+    WITH s AS (SELECT user_id, ts, event_id, event_type,
+                      CASE WHEN event_type <> 'purchase' THEN event_type END AS touch
+               FROM events),
+    p AS (SELECT user_id, ts, event_id, event_type,
+                 LAST_VALUE(touch IGNORE NULLS) OVER wf AS last_touch,
+                 FIRST_VALUE(touch IGNORE NULLS) OVER wf AS first_touch
+          FROM s
+          WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    conv AS (SELECT COALESCE(last_touch, '(none)') AS last_touch,
+                    COALESCE(first_touch, '(none)') AS first_touch
+             FROM p WHERE event_type = 'purchase'),
+    lt AS (SELECT last_touch AS channel, COUNT(*) AS n_last FROM conv GROUP BY last_touch),
+    ft AS (SELECT first_touch AS channel, COUNT(*) AS n_first FROM conv GROUP BY first_touch)
+    SELECT COALESCE(lt.channel, ft.channel) AS channel,
+           CAST(COALESCE(n_last, 0) AS BIGINT) AS n_last_touch,
+           CAST(COALESCE(n_first, 0) AS BIGINT) AS n_first_touch
+    FROM lt FULL OUTER JOIN ft ON lt.channel = ft.channel
+    ORDER BY channel
+    """,
+    description="marketing attribution (first-touch vs last-touch conversion credit): every purchase credited to the user's first and most recent preceding non-purchase touchpoint via ONE ignore-nulls window frame PARTITIONED by user (unbounded..1-preceding); per-channel credit counts under both models side by side, '(none)' for touchless purchases — full outer join of the two credit rollups",
+)
+def a0198_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") != "purchase", F.col("event_type")).alias("touch"),
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = s.select(
+        "event_type",
+        F.last("touch", ignorenulls=True).over(wf).alias("last_touch"),
+        F.first("touch", ignorenulls=True).over(wf).alias("first_touch"),
+    )
+    conv = p.filter(F.col("event_type") == "purchase").select(
+        F.coalesce("last_touch", F.lit("(none)")).alias("last_touch"),
+        F.coalesce("first_touch", F.lit("(none)")).alias("first_touch"),
+    )
+    conv = conv.localCheckpoint(eager=False)
+    lt = conv.groupBy(F.col("last_touch").alias("channel")).agg(F.count("*").alias("n_last"))
+    ft = conv.groupBy(F.col("first_touch").alias("channel")).agg(F.count("*").alias("n_first"))
+    return (
+        lt.join(ft, "channel", "full")
+        .select(
+            "channel",
+            F.coalesce("n_last", F.lit(0)).cast("long").alias("n_last_touch"),
+            F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first_touch"),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0199 — isotonic calibration (pool-adjacent-violators): Spark ML's
+# distributed IsotonicRegression (parallel PAV on sorted partitions +
+# driver merge of boundary violations) fit on a deterministic score →
+# outcome fixture with real violations to pool. Output is the fitted
+# step function (boundary, prediction) — the calibration map a scoring
+# service ships. PAV output is NOT SQL-expressible (the pooling
+# recursion has no bounded unrolling), so this is a rows-only driver
+# check; the exact values are pinned by tests/test_round10_ops.py
+# against a from-scratch reference PAV (1e-9 agreement).
+# ---------------------------------------------------------------------------
+
+_ISO_N = 200
+
+
+def _iso_fixture_rows():
+    """Deterministic (score, outcome) points with genuine violations:
+    a monotone trend plus a hash-derived non-monotone residue."""
+    rows = []
+    for i in range(_ISO_N):
+        x = i / (_ISO_N - 1)
+        noise = ((i * 2654435761) % 97) / 96.0
+        y = 0.6 * x + 0.4 * noise
+        rows.append((float(x), float(y)))
+    return rows
+
+
+@query(
+    "a0199_isotonic_calibration",
+    oracle=None,  # PAV pooling is not SQL-expressible; pytest pins exact values
+    description="isotonic calibration via distributed pool-adjacent-violators (pyspark.ml IsotonicRegression: parallel PAV over sorted partitions, driver merge of boundary violations) on a deterministic score->outcome fixture with genuine violations; returns the fitted monotone step function (boundary, prediction) — the calibration map a scoring service ships; rows-only driver check, exact values pinned by a from-scratch reference PAV in pytest (1e-9 agreement) since the pooling recursion has no bounded SQL unrolling",
+)
+def a0199_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    df = spark.createDataFrame(_iso_fixture_rows(), ["score", "label"])
+    va = VectorAssembler(inputCols=["score"], outputCol="features")
+    model = IsotonicRegression(featuresCol="features", labelCol="label").fit(va.transform(df))
+    # boundaries/predictions are the model's bounded step-function
+    # parameters (<= n distinct pooled levels), not data
+    bounds = [float(b) for b in model.boundaries]
+    preds = [float(p) for p in model.predictions]
+    out = spark.createDataFrame(
+        list(zip(range(len(bounds)), bounds, preds)), ["step_idx", "boundary", "prediction"]
+    )
+    return out.select(
+        F.col("step_idx").cast("long").alias("step_idx"),
+        F.round("boundary", 6).alias("boundary"),
+        F.round("prediction", 6).alias("prediction"),
+    ).orderBy("step_idx")

@@ -69,3 +69,60 @@ def test_int4_packing_checksum_bounds(spark, sf_dir):
     for r in all_queries()["a0141_int4_quantization"].fn(spark, sf_dir).collect():
         assert r["n_bytes"] == r["n_vecs"] * 32, r
         assert r["max_abs_err"] >= 0 and r["mse"] >= 0
+
+
+def _reference_pav(xs, ys):
+    """Textbook pool-adjacent-violators: pooled level per sorted point."""
+    pts = sorted(zip(xs, ys))
+    levels = [[y, 1.0] for _, y in pts]  # (mean, weight) blocks
+    blocks = []
+    for lv in levels:
+        blocks.append(lv)
+        while len(blocks) >= 2 and blocks[-2][0] > blocks[-1][0]:
+            m2, w2 = blocks.pop()
+            m1, w1 = blocks.pop()
+            blocks.append([(m1 * w1 + m2 * w2) / (w1 + w2), w1 + w2])
+    out = []
+    for m, w in blocks:
+        out.extend([m] * int(round(w)))
+    return [p[0] for p in pts], out
+
+
+def test_isotonic_matches_reference_pav(spark, sf_dir):
+    """a0199: Spark ML's distributed PAV must agree with the textbook
+    sequential PAV on the fixture — fitted value at every training x
+    within 1e-9 — and the step function must be monotone."""
+    from advanced_data_mining_and_big_data_analysis_spark.plans import all_queries
+    from advanced_data_mining_and_big_data_analysis_spark.plans.round10c import (
+        _iso_fixture_rows,
+    )
+
+    rows = all_queries()["a0199_isotonic_calibration"].fn(spark, sf_dir).collect()
+    preds = [r["prediction"] for r in rows]
+    bounds = [r["boundary"] for r in rows]
+    assert preds == sorted(preds), "calibration map must be monotone"
+    assert bounds == sorted(bounds)
+
+    xs, ys = zip(*_iso_fixture_rows())
+    ref_x, ref_fit = _reference_pav(xs, ys)
+
+    # evaluate the model's step function at each training x: linear
+    # interpolation between boundaries (Spark ML semantics)
+    def model_at(x):
+        import bisect
+
+        i = bisect.bisect_right(bounds, x)
+        if i == 0:
+            return preds[0]
+        if i >= len(bounds):
+            return preds[-1]
+        x0, x1, y0, y1 = bounds[i - 1], bounds[i], preds[i - 1], preds[i]
+        if x1 == x0:
+            return y1
+        return y0 + (y1 - y0) * (x - x0) / (x1 - x0)
+
+    # tolerance: the query rounds boundary/prediction to 6dp, which
+    # shifts the interpolated value by up to ~2e-6; the distributed-vs-
+    # sequential PAV agreement itself is exact
+    for x, want in zip(ref_x, ref_fit):
+        assert abs(model_at(x) - want) < 1e-5, (x, model_at(x), want)
