@@ -110,6 +110,15 @@ def lzw_encode(indices: bytes, min_code_size: int) -> bytes:
         cur = bytes([b])
     if cur:
         bw.write(table[cur], width)
+        # phantom add: the decoder appends one table entry per data code
+        # (it cannot know this was the last), so its width counter runs
+        # one ahead of the encoder's real table here. Advance the
+        # counter WITHOUT storing an entry so the EOI width matches the
+        # decoder's expectation when the flush lands exactly on a
+        # power-of-two boundary (hypothesis-found off-by-one).
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
     bw.write(eoi, width)
     return bw.flush()
 

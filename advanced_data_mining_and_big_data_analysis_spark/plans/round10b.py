@@ -712,3 +712,85 @@ object.__setattr__(
     "oracle",
     _q.oracle.replace("{HCTES}", _hilbert_sql_ctes("src")).replace("{ZTERMS}", _zterms),
 )
+
+
+# ---------------------------------------------------------------------------
+# a0186 — containment search (snippet-in-document): the ASYMMETRIC
+# similarity |Q ∩ D| / |Q| that quote/passage detection needs where
+# Jaccard fails (a 12-token snippet inside a 500-token doc has tiny
+# Jaccard but containment ~1). Eval snippets (first 12 tokens of each
+# doc_id%97==0 doc) are matched against train docs through a
+# gram-keyed equality join — only (snippet, doc) pairs sharing at
+# least one 3-gram ever materialize, never the quadratic candidate
+# square — and the per-snippet best hit is an argmax via max_by/min
+# struct with a full tie-break.
+# ---------------------------------------------------------------------------
+
+_CONT_SNIP = 12
+_CONT_N = 3
+
+
+@query(
+    "a0186_containment_search",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    snip AS (SELECT doc_id AS snip_id,
+                    list_distinct(list_transform(range(1, {_CONT_SNIP - _CONT_N + 2}),
+                      i -> array_to_string(list_slice(toks, i, i + {_CONT_N - 1}), ' '))) AS gs
+             FROM t WHERE doc_id % 97 = 0 AND len(toks) >= {_CONT_SNIP}),
+    sg AS (SELECT snip_id, len(gs) AS n_q, unnest(gs) AS g FROM snip),
+    dg AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(range(1, len(toks) - {_CONT_N - 2}),
+                    i -> array_to_string(list_slice(toks, i, i + {_CONT_N - 1}), ' ')))) AS g
+           FROM t WHERE doc_id % 97 <> 0 AND len(toks) >= {_CONT_N}),
+    m AS (SELECT sg.snip_id, dg.doc_id, MAX(sg.n_q) AS n_q, COUNT(*) AS hits
+          FROM sg JOIN dg ON sg.g = dg.g GROUP BY sg.snip_id, dg.doc_id),
+    r AS (SELECT snip_id, doc_id, n_q, hits,
+                 ROW_NUMBER() OVER (PARTITION BY snip_id ORDER BY hits DESC, doc_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY snip_id) AS n_candidates
+          FROM m),
+    best AS (SELECT snip_id, CAST(doc_id AS BIGINT) AS best_doc,
+                    hits * 1.0 / n_q AS best_containment, n_candidates
+             FROM r WHERE rk = 1)
+    SELECT CAST(snip_id AS BIGINT) AS snip_id, best_doc,
+           ROUND(best_containment, 6) AS containment,
+           CAST(n_candidates AS BIGINT) AS n_candidates
+    FROM best ORDER BY snip_id LIMIT 15
+    """,
+    description="containment search (snippet-in-document): the ASYMMETRIC overlap |Q∩D|/|Q| that quote/passage detection needs where Jaccard fails on short-in-long; 12-token eval snippets' distinct 3-grams matched to train-doc gram sets through a gram-keyed equality join (only pairs sharing a gram materialize — never the quadratic candidate square), per-snippet best hit via argmax with (hits desc, doc_id) tie-break",
+)
+def a0186_containment_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", X.tokens("text").alias("toks"))
+    snip = t.filter((F.col("doc_id") % 97 == 0) & (F.size("toks") >= _CONT_SNIP)).select(
+        F.col("doc_id").alias("snip_id"),
+        X.word_shingles(F.slice("toks", 1, _CONT_SNIP), n=_CONT_N, distinct=True).alias("gs"),
+    )
+    sg = snip.select("snip_id", F.size("gs").alias("n_q"), F.explode("gs").alias("g"))
+    dg = t.filter((F.col("doc_id") % 97 != 0) & (F.size("toks") >= _CONT_N)).select(
+        "doc_id", F.explode(X.word_shingles(F.col("toks"), n=_CONT_N, distinct=True)).alias("g")
+    )
+    m = (
+        sg.join(dg, "g")
+        .groupBy("snip_id", "doc_id")
+        .agg(F.max("n_q").alias("n_q"), F.count("*").alias("hits"))
+    )
+    best = m.groupBy("snip_id").agg(
+        F.min_by("doc_id", F.struct((-F.col("hits")).alias("a"), F.col("doc_id").alias("b")))
+        .cast("long")
+        .alias("best_doc"),
+        F.max(F.col("hits") / F.col("n_q")).alias("best_containment"),
+        F.count("*").alias("n_candidates"),
+    )
+    return (
+        best.select(
+            F.col("snip_id").cast("long").alias("snip_id"),
+            "best_doc",
+            F.round("best_containment", 6).alias("containment"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+        )
+        .orderBy("snip_id")
+        .limit(15)
+    )

@@ -351,6 +351,19 @@ def a0194_gif_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import gif as G
 
+    # ship the codec module by value inside the pickled closure: the
+    # decode runs in Python workers that may not have the repo on their
+    # import path when the driver runs from a foreign cwd (same fix as
+    # sources/warclite.py; gif.py is stdlib-only so by-value is safe)
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle as _cp
+
+        _cp.register_pickle_by_value(_sys.modules[G.__name__])
+    except Exception:
+        pass
+
     rows = []
     for m in range(_N_GIF):
         w, h = 8 + m % 5, 6 + m % 4

@@ -126,3 +126,47 @@ def test_isotonic_matches_reference_pav(spark, sf_dir):
     # sequential PAV agreement itself is exact
     for x, want in zip(ref_x, ref_fit):
         assert abs(model_at(x) - want) < 1e-5, (x, model_at(x), want)
+
+
+def test_lzw_round_trip_property():
+    """hypothesis: every index stream round-trips through the GIF LZW
+    codec at every legal min_code_size, including streams long enough
+    to force width growth and the 12-bit CLEAR-reset."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from advanced_data_mining_and_big_data_analysis_spark.operators import gif as G
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(min_value=2, max_value=8),
+        st.binary(min_size=0, max_size=4000),
+    )
+    def prop(min_code, raw):
+        n = 1 << min_code
+        data = bytes(b % n for b in raw)
+        assert G.lzw_decode(G.lzw_encode(data, min_code), min_code) == data
+
+    prop()
+
+
+def test_gif_container_round_trip_property():
+    """hypothesis: random palette-indexed images survive the full
+    GIF87a container (encode -> decode features match formula)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from advanced_data_mining_and_big_data_analysis_spark.operators import gif as G
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**31 - 1))
+    def prop(w, h, seed):
+        pal = [((seed + j * 61) % 256, (seed * 3 + j) % 256, (j * 97) % 256) for j in range(8)]
+        idx = lambda x, y: (seed + x * 7 + y * 13) % 8  # noqa: E731
+        f = G.decode_gif(G.make_gif(w, h, pal, idx))
+        px = [idx(x, y) for y in range(h) for x in range(w)]
+        assert f[0] == w and f[1] == h
+        assert abs(f[2] - sum(pal[i][0] for i in px) / len(px)) < 1e-9
+        assert f[5] == px[0]
+
+    prop()
