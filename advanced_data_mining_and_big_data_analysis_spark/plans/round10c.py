@@ -642,3 +642,236 @@ def a0199_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("boundary", 6).alias("boundary"),
         F.round("prediction", 6).alias("prediction"),
     ).orderBy("step_idx")
+
+
+# ---------------------------------------------------------------------------
+# a0200 — tokenizer vocabulary coverage audit: given a fixed top-K
+# vocabulary (the deployment artifact), measure per source what a real
+# tokenizer eval measures — OOV token rate, OOV type rate, covered
+# corpus mass, and chars-per-token. The vocab frame is top-K by
+# (count desc, token) — deterministic — and broadcasts; the audit is
+# one token-keyed left join + per-source aggregate.
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 24
+
+
+@query(
+    "a0200_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+    vc AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    vocab AS (SELECT tok FROM vc ORDER BY cnt DESC, tok LIMIT {_VOCAB_K}),
+    j AS (SELECT t.source, t.tok, v.tok IS NOT NULL AS in_vocab
+          FROM tok t LEFT JOIN vocab v ON t.tok = v.tok)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+           ROUND(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) * 1.0 / COUNT(*), 6) AS oov_rate,
+           CAST(COUNT(DISTINCT CASE WHEN NOT in_vocab THEN tok END) AS BIGINT) AS n_oov_types,
+           ROUND(SUM(CASE WHEN in_vocab THEN LENGTH(tok) ELSE 0 END) * 1.0
+                 / NULLIF(SUM(CASE WHEN in_vocab THEN 1 ELSE 0 END), 0), 6) AS chars_per_covered_token
+    FROM j GROUP BY source ORDER BY source
+    """,
+    description="tokenizer vocabulary coverage audit against a fixed deterministic top-K vocab (the deployment artifact): per-source OOV token rate, OOV type count, and chars-per-covered-token — what a tokenizer eval reports before shipping a vocab; top-K frame broadcasts, audit is one token-keyed left join + per-source aggregate",
+)
+def a0200_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(X.tokens("text")).alias("tok")).localCheckpoint(
+        eager=False
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    j = tok.join(F.broadcast(vocab), "tok", "left").select(
+        "source", "tok", F.coalesce("in_vocab", F.lit(False)).alias("in_vocab")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum((~F.col("in_vocab")).cast("long")).alias("n_oov"),
+            F.round(F.sum((~F.col("in_vocab")).cast("long")) / F.count("*"), 6).alias("oov_rate"),
+            F.countDistinct(F.when(~F.col("in_vocab"), F.col("tok"))).alias("n_oov_types"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab"), F.length("tok")).otherwise(0))
+                / F.nullif(F.sum(F.col("in_vocab").cast("long")), F.lit(0)),
+                6,
+            ).alias("chars_per_covered_token"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0202 — in-batch negative audit (contrastive training prep): docs are
+# hash-assigned to batches of ~8; within a batch every ordered pair is
+# an (anchor, negative) candidate, and pairs sharing a source are FALSE
+# negatives — the collision rate this audit measures is exactly the
+# quantity in-batch-negative training quietly degrades on. Pair
+# generation is batch-local (8 rows -> 56 pairs), never corpus-
+# quadratic; batch ids are md5-derived so the plan is epoch- and
+# partitioning-stable.
+# ---------------------------------------------------------------------------
+
+_NEG_BATCH = 8
+
+
+@query(
+    "a0202_inbatch_negatives",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source,
+                      CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                          % {_NEG_BATCH} AS slot,
+                      CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS BIGINT)
+                          AS ord
+               FROM documents),
+    b AS (SELECT doc_id, source,
+                 CAST(ROW_NUMBER() OVER (ORDER BY slot, ord, doc_id) - 1 AS BIGINT)
+                     // {_NEG_BATCH} AS batch
+          FROM d),
+    p AS (SELECT a.batch, a.source AS src_a, bb.source AS src_b,
+                 a.source = bb.source AS collision
+          FROM b a JOIN b bb ON a.batch = bb.batch AND a.doc_id <> bb.doc_id)
+    SELECT CAST(COUNT(DISTINCT batch) AS BIGINT) AS n_batches,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN collision THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negatives,
+           ROUND(SUM(CASE WHEN collision THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS false_negative_rate
+    FROM p
+    """,
+    description="in-batch negative sampling audit (contrastive training prep): docs hash-assigned to batches of 8 (md5-derived slot+order, epoch- and partitioning-stable), every ordered in-batch pair an (anchor, negative) candidate; pairs sharing a source are FALSE negatives and the audit pins the batch count, pair count, and false-negative collision rate — pair generation is batch-local (56 pairs per batch), never corpus-quadratic",
+)
+def a0202_inbatch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+            % _NEG_BATCH
+        ).alias("slot"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10)
+        .cast("long")
+        .alias("ord"),
+    )
+    # NOTE: the global row_number is the oracle-parity formulation at
+    # test scale; at cluster scale batches come straight from the hash
+    # (batch = md5 mod n_batches) with no global sort — the audit's
+    # statistics are identical in distribution.
+    b = d.select(
+        "doc_id",
+        "source",
+        ((F.row_number().over(Window.orderBy("slot", "ord", "doc_id")) - 1) / _NEG_BATCH)
+        .cast("long")
+        .alias("batch"),
+    )
+    p = (
+        b.alias("a")
+        .join(
+            b.alias("bb"),
+            (F.col("a.batch") == F.col("bb.batch")) & (F.col("a.doc_id") != F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("a.batch").alias("batch"),
+            (F.col("a.source") == F.col("bb.source")).alias("collision"),
+        )
+    )
+    return p.agg(
+        F.countDistinct("batch").alias("n_batches"),
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("collision").cast("long")).alias("n_false_negatives"),
+        F.round(F.sum(F.col("collision").cast("long")) / F.count("*"), 6).alias(
+            "false_negative_rate"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0204 — curriculum sharding: order the corpus by a quality score and
+# cut it into k curriculum shards (easy -> hard), verifying the
+# property curriculum training needs — monotone mean quality across
+# shards — plus per-shard source mixture entropy (a curriculum that
+# accidentally sorts by source would collapse the mixture). Ranking
+# via ntile over the score ordering; everything else is per-shard
+# aggregates.
+# ---------------------------------------------------------------------------
+
+_CURR_SHARDS = 5
+
+
+@query(
+    "a0204_curriculum_shards",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, source, n_chars,
+                      (CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                       % 1000) / 1000.0 + n_chars / 1000.0 AS quality,
+                      NTILE({_CURR_SHARDS}) OVER (ORDER BY
+                        (CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                         % 1000) / 1000.0 + n_chars / 1000.0, doc_id) AS shard
+               FROM documents),
+    m AS (SELECT shard, source, COUNT(*) AS c FROM s GROUP BY shard, source),
+    tot AS (SELECT shard, CAST(SUM(c) AS DOUBLE) AS n FROM m GROUP BY shard),
+    ent AS (SELECT m.shard, -SUM((c / n) * ln(c / n)) AS h
+            FROM m JOIN tot ON m.shard = tot.shard GROUP BY m.shard)
+    SELECT CAST(s.shard AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(quality), 6) AS mean_quality,
+           ROUND(MIN(quality), 6) AS min_quality,
+           ROUND(MAX(quality), 6) AS max_quality,
+           ROUND(MAX(ent.h), 6) AS source_entropy
+    FROM s JOIN ent ON s.shard = ent.shard
+    GROUP BY s.shard ORDER BY s.shard
+    """,
+    description="curriculum sharding (easy->hard training-order prep): corpus ranked by a deterministic quality score (hash jitter + length term) and cut into 5 ntile shards; per-shard mean/min/max quality pins the monotone-difficulty property curriculum training needs, and per-shard source-mixture entropy pins that the curriculum does not collapse the source mix; one ntile window over the score ordering, per-shard aggregates otherwise",
+)
+def a0204_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("long")
+        % 1000
+    ) / 1000.0 + F.col("n_chars") / 1000.0
+    s = docs.select(
+        "doc_id",
+        "source",
+        quality.alias("quality"),
+        F.ntile(_CURR_SHARDS).over(Window.orderBy(quality, "doc_id")).alias("shard"),
+    ).localCheckpoint(eager=False)
+    m = s.groupBy("shard", "source").agg(F.count("*").alias("c"))
+    tot = m.groupBy("shard").agg(F.sum("c").cast("double").alias("n"))
+    pr = F.col("c") / F.col("n")
+    ent = (
+        m.join(tot, "shard")
+        .select("shard", (-pr * F.log(pr)).alias("plp"))
+        .groupBy("shard")
+        .agg(F.sum("plp").alias("h"))
+    )
+    return (
+        s.join(ent, "shard")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+            F.round(F.min("quality"), 6).alias("min_quality"),
+            F.round(F.max("quality"), 6).alias("max_quality"),
+            F.round(F.max("h"), 6).alias("source_entropy"),
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs",
+            "mean_quality",
+            "min_quality",
+            "max_quality",
+            "source_entropy",
+        )
+        .orderBy("shard")
+    )
