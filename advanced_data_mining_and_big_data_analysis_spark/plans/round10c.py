@@ -875,3 +875,239 @@ def a0204_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# a0201 — span-corruption masking plan (T5/UL2 denoising prep): for
+# every document, a deterministic plan of non-overlapping mask spans at
+# 15% corruption rate with mean span 3 — the doc is cut into n_spans
+# strata, each stratum hosts one span whose offset comes from
+# md5(doc_id, span_idx), so the plan is epoch- and engine-stable and
+# spans can never overlap by construction. One bounded explode per doc
+# (n_spans rows), per-source rollup pinned.
+# ---------------------------------------------------------------------------
+
+_SC_RATE_NUM, _SC_RATE_DEN = 15, 100  # 15% corruption
+_SC_MEAN_SPAN = 3
+
+
+@query(
+    "a0201_span_corruption_plan",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, len({_TOKS}) AS n_tok FROM documents),
+    p AS (SELECT doc_id, source, n_tok,
+                 (n_tok * {_SC_RATE_NUM}) // {_SC_RATE_DEN} AS n_corrupt
+          FROM d WHERE n_tok >= 8),
+    q AS (SELECT *, CAST(CEIL(n_corrupt * 1.0 / {_SC_MEAN_SPAN}) AS BIGINT) AS n_spans
+          FROM p WHERE n_corrupt > 0),
+    sp AS (SELECT doc_id, source, n_tok, n_corrupt, n_spans, CAST(i AS BIGINT) AS i,
+                  (i * n_tok) // n_spans AS st,
+                  ((i + 1) * n_tok) // n_spans AS en,
+                  n_corrupt // n_spans
+                  + CASE WHEN i < n_corrupt % n_spans THEN 1 ELSE 0 END AS want_len
+           FROM q, unnest(range(0, 100)) t(i) WHERE i < n_spans),
+    s2 AS (SELECT doc_id, source, i, st, en,
+                  LEAST(want_len, en - st) AS span_len,
+                  st + CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                                                   || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % GREATEST(1, en - st - LEAST(want_len, en - st) + 1) AS span_start
+           FROM sp),
+    agg AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_spans,
+                   CAST(SUM(span_len) AS BIGINT) AS total_masked
+            FROM s2 GROUP BY source),
+    tok AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+            FROM p GROUP BY source)
+    SELECT agg.source, CAST(n_docs AS BIGINT) AS n_docs, CAST(agg.n_spans AS BIGINT) AS n_spans,
+           total_masked, ROUND(total_masked * 1.0 / total_tokens, 6) AS mask_rate,
+           ROUND(total_masked * 1.0 / agg.n_spans, 6) AS avg_span_len
+    FROM agg JOIN tok ON agg.source = tok.source ORDER BY agg.source
+    """,
+    description="span-corruption masking plan (T5/UL2 denoising prep): deterministic non-overlapping mask spans at 15% corruption / mean span 3 — each doc cut into n_spans strata, one span per stratum with an md5(doc_id, span_idx)-derived offset, so the plan is epoch- and engine-stable and overlap is impossible by construction; one bounded per-doc explode, per-source span/mask-rate rollup pinned",
+)
+def a0201_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", F.size(X.tokens("text")).alias("n_tok"))
+    p = d.filter(F.col("n_tok") >= 8).select(
+        "doc_id",
+        "source",
+        "n_tok",
+        ((F.col("n_tok") * _SC_RATE_NUM) / _SC_RATE_DEN).cast("long").alias("n_corrupt"),
+    )
+    p = p.localCheckpoint(eager=False)  # span plan + token totals
+    q = p.filter(F.col("n_corrupt") > 0).withColumn(
+        "n_spans", F.ceil(F.col("n_corrupt") / _SC_MEAN_SPAN).cast("long")
+    )
+    sp = q.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "n_corrupt",
+        "n_spans",
+        F.explode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        "source",
+        "i",
+        ((F.col("i") * F.col("n_tok")) / F.col("n_spans")).cast("long").alias("st"),
+        (((F.col("i") + 1) * F.col("n_tok")) / F.col("n_spans")).cast("long").alias("en"),
+        (
+            (F.col("n_corrupt") / F.col("n_spans")).cast("long")
+            + F.when(F.col("i") < F.col("n_corrupt") % F.col("n_spans"), 1).otherwise(0)
+        ).alias("want_len"),
+    )
+    span_len = F.least(F.col("want_len"), F.col("en") - F.col("st"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#"), F.col("i").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    s2 = sp.select(
+        "doc_id",
+        "source",
+        span_len.alias("span_len"),
+        (
+            F.col("st")
+            + h % F.greatest(F.lit(1), F.col("en") - F.col("st") - span_len + 1)
+        ).alias("span_start"),
+    )
+    agg = s2.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_spans"),
+        F.sum("span_len").cast("long").alias("total_masked"),
+    )
+    tok = p.groupBy("source").agg(F.sum("n_tok").cast("long").alias("total_tokens"))
+    return (
+        agg.join(tok, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            "total_masked",
+            F.round(F.col("total_masked") / F.col("total_tokens"), 6).alias("mask_rate"),
+            F.round(F.col("total_masked") / F.col("n_spans"), 6).alias("avg_span_len"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0203 — Fellegi-Sunter record-linkage scoring: a deterministically
+# dirtied copy of the customer table (name truncated / acctbal nudged /
+# segment swapped on modular subsets) is linked back to the clean table
+# within nation blocks. Field agreement vectors -> m/u probabilities
+# (P(agree | match) / P(agree | non-match), estimated from the
+# ground-truth custkey labels; production uses EM, the scoring algebra
+# is identical) -> per-pair log2 match weight, with the match/non-match
+# separation at threshold 0 pinned. Pairs are block-local (nationkey),
+# never a global cross product.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a0203_fellegi_sunter",
+    oracle="""
+    WITH dirty AS (
+      SELECT c_custkey AS d_key, c_nationkey AS d_nat,
+             CASE WHEN c_custkey % 7 = 0 THEN substr(c_name, 1, LENGTH(c_name) - 1)
+                  ELSE c_name END AS d_name,
+             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 77.0 ELSE c_acctbal END AS d_bal,
+             CASE WHEN c_custkey % 11 = 0 THEN 'SWAPPED' ELSE c_mktsegment END AS d_seg
+      FROM customer),
+    pairs AS (
+      SELECT c.c_custkey = d.d_key AS is_match,
+             (c.c_name = d.d_name) AS a_name,
+             (FLOOR(c.c_acctbal / 100) = FLOOR(d.d_bal / 100)) AS a_bal,
+             (c.c_mktsegment = d.d_seg) AS a_seg
+      FROM customer c JOIN dirty d ON c.c_nationkey = d.d_nat),
+    mu AS (
+      SELECT AVG(CASE WHEN is_match AND a_name THEN 1.0 WHEN is_match THEN 0.0 END) AS m_name,
+             AVG(CASE WHEN NOT is_match AND a_name THEN 1.0 WHEN NOT is_match THEN 0.0 END) AS u_name,
+             AVG(CASE WHEN is_match AND a_bal THEN 1.0 WHEN is_match THEN 0.0 END) AS m_bal,
+             AVG(CASE WHEN NOT is_match AND a_bal THEN 1.0 WHEN NOT is_match THEN 0.0 END) AS u_bal,
+             AVG(CASE WHEN is_match AND a_seg THEN 1.0 WHEN is_match THEN 0.0 END) AS m_seg,
+             AVG(CASE WHEN NOT is_match AND a_seg THEN 1.0 WHEN NOT is_match THEN 0.0 END) AS u_seg
+      FROM pairs),
+    eps AS (SELECT 1e-6 AS e FROM (VALUES (1)) v(x)),
+    w AS (
+      SELECT is_match,
+             (CASE WHEN a_name THEN ln(GREATEST(m_name, e) / GREATEST(u_name, e))
+                   ELSE ln(GREATEST(1 - m_name, e) / GREATEST(1 - u_name, e)) END
+              + CASE WHEN a_bal THEN ln(GREATEST(m_bal, e) / GREATEST(u_bal, e))
+                     ELSE ln(GREATEST(1 - m_bal, e) / GREATEST(1 - u_bal, e)) END
+              + CASE WHEN a_seg THEN ln(GREATEST(m_seg, e) / GREATEST(u_seg, e))
+                     ELSE ln(GREATEST(1 - m_seg, e) / GREATEST(1 - u_seg, e)) END) / ln(2)
+                 AS weight
+      FROM pairs CROSS JOIN mu CROSS JOIN eps)
+    SELECT is_match, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN weight > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_zero,
+           ROUND(AVG(weight), 6) AS avg_weight,
+           ROUND(MIN(weight), 6) AS min_weight,
+           ROUND(MAX(weight), 6) AS max_weight
+    FROM w GROUP BY is_match ORDER BY is_match
+    """,
+    description="Fellegi-Sunter record-linkage scoring: a deterministically dirtied customer copy (name truncation / acctbal nudge / segment swap on modular subsets) linked within nation blocks; per-field agreement vectors -> m/u probabilities (from ground-truth labels; EM in production, identical scoring algebra) -> per-pair log2 match weights, epsilon-floored; match vs non-match weight separation at threshold 0 pinned; candidate pairs are BLOCK-local (nationkey), never a global cross product",
+)
+def a0203_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    dirty = c.select(
+        F.col("c_custkey").alias("d_key"),
+        F.col("c_nationkey").alias("d_nat"),
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            F.expr("substr(c_name, 1, length(c_name) - 1)"),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("d_name"),
+        F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 77.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("d_bal"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("SWAPPED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("d_seg"),
+    )
+    pairs = c.join(dirty, c["c_nationkey"] == dirty["d_nat"]).select(
+        (F.col("c_custkey") == F.col("d_key")).alias("is_match"),
+        (F.col("c_name") == F.col("d_name")).alias("a_name"),
+        (F.floor(F.col("c_acctbal") / 100) == F.floor(F.col("d_bal") / 100)).alias("a_bal"),
+        (F.col("c_mktsegment") == F.col("d_seg")).alias("a_seg"),
+    )
+    pairs = pairs.localCheckpoint(eager=False)  # m/u estimation + scoring
+
+    def m_u(f: str):
+        m = F.avg(
+            F.when(F.col("is_match") & F.col(f), 1.0).when(F.col("is_match"), 0.0)
+        ).alias(f"m_{f}")
+        u = F.avg(
+            F.when(~F.col("is_match") & F.col(f), 1.0).when(~F.col("is_match"), 0.0)
+        ).alias(f"u_{f}")
+        return m, u
+
+    aggs = [x for f in ("a_name", "a_bal", "a_seg") for x in m_u(f)]
+    mu = pairs.agg(*aggs)
+    e = F.lit(1e-6)
+
+    def w_field(f: str):
+        m, u = F.col(f"m_{f}"), F.col(f"u_{f}")
+        return F.when(
+            F.col(f), F.log(F.greatest(m, e) / F.greatest(u, e))
+        ).otherwise(F.log(F.greatest(1 - m, e) / F.greatest(1 - u, e)))
+
+    weight = (w_field("a_name") + w_field("a_bal") + w_field("a_seg")) / F.log(F.lit(2.0))
+    w = pairs.crossJoin(F.broadcast(mu)).select("is_match", weight.alias("weight"))
+    return (
+        w.groupBy("is_match")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum((F.col("weight") > 0).cast("long")).alias("n_above_zero"),
+            F.round(F.avg("weight"), 6).alias("avg_weight"),
+            F.round(F.min("weight"), 6).alias("min_weight"),
+            F.round(F.max("weight"), 6).alias("max_weight"),
+        )
+        .orderBy("is_match")
+    )
