@@ -29,6 +29,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import jpeg as _jpeg
+
+# Ship this module and the JPEG codec BY VALUE inside pickled
+# mapInPandas closures: both are self-contained (stdlib/numpy/pyspark
+# only), and a driver running from a foreign cwd cannot put the repo on
+# the Python workers' import path after the JVM is up — a by-reference
+# pickle then dies with ModuleNotFoundError in the worker (same fix as
+# sources/warclite.py and the GIF codec).
+try:  # pragma: no cover - environment-dependent
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+    _cp.register_pickle_by_value(_jpeg)
+except Exception:
+    pass
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -304,11 +322,11 @@ def decode_png(content: bytes) -> list[float]:
 
 
 def _decode_jpeg(content: bytes) -> list[float]:
-    from . import jpeg
-
     # general baseline decoder: 1-component (r=g=b=luma) or 3-component
-    # YCbCr 4:4:4 color (JFIF matrix), same 6-float feature shape
-    return jpeg.decode_jpeg(content)
+    # YCbCr 4:4:4 color (JFIF matrix), same 6-float feature shape.
+    # _jpeg is a module GLOBAL (shipped by value) — a runtime relative
+    # import here would re-import the package inside the worker.
+    return _jpeg.decode_jpeg(content)
 
 
 DECODERS: dict[str, Callable[[bytes], list[float]]] = {

@@ -256,7 +256,7 @@ def a0139_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0179 — Pareto skyline via the per-block sort-scan rule. The skyline
+# a0106 (ex-a0179) — Pareto skyline via the per-block sort-scan rule. The skyline
 # (maximal vectors) operator of multi-criteria optimization: parts not
 # dominated on (price low, size high) within their brand. Formulated
 # as the deterministic sort-scan: order by (price asc, size desc,
@@ -268,7 +268,7 @@ def a0139_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0179_pareto_skyline",
+    "a0106_pareto_skyline",
     oracle="""
     WITH r AS (SELECT p_brand, p_partkey, p_retailprice, p_size,
                       MAX(p_size) OVER (PARTITION BY p_brand
@@ -285,7 +285,7 @@ def a0139_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Pareto skyline (maximal-vector) operator: parts not dominated on (retailprice low, size high) within their brand, via the O(n log n) sort-scan rule — one window PARTITIONED by brand ordered (price asc, size desc, partkey), keep rows whose size strictly exceeds the running max of all preceding rows; no self-join, no quadratic candidate generation, shards by block at any scale; per-brand skyline size and price/size envelope pinned",
 )
-def a0179_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0106_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     p = load_table(spark, sf_dir, "part")
@@ -312,7 +312,7 @@ def a0179_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0182 — delta + run-length encoding audit. The storage-codec analysis
+# a0109 (ex-a0182) — delta + run-length encoding audit. The storage-codec analysis
 # a lakehouse runs when choosing column encodings: per-user event-id
 # streams are delta-encoded (sorted gaps via lag), the gap stream is
 # run-length encoded (run = maximal constant stretch), and the audit
@@ -324,7 +324,7 @@ def a0179_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0182_delta_rle_audit",
+    "a0109_delta_rle_audit",
     oracle="""
     WITH s AS (SELECT event_type, user_id, event_id,
                       event_id - LAG(event_id) OVER (PARTITION BY user_id, event_type
@@ -345,7 +345,7 @@ def a0179_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="delta + run-length encoding audit (the lakehouse column-encoding chooser): per-(user,type) event-id streams delta-encoded via lag, the gap stream run-length encoded via the gap != lag(gap) boundary flag (runs = sum of boundaries — no run ids materialized), per-type gap/run/distinct counts and the RLE compression ratio pinned; every window PARTITIONED by (user, type)",
 )
-def a0182_delta_rle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0109_delta_rle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -593,7 +593,7 @@ def a0140_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0180 — entropy profile: per-source character- and token-level
+# a0107 (ex-a0180) — entropy profile: per-source character- and token-level
 # Shannon entropy plus type-token ratio — the compressibility/
 # diversity screen LLM corpus pipelines run next to the Gopher rules
 # (low-entropy sources are boilerplate; abnormally high are noise).
@@ -604,7 +604,7 @@ def a0140_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0180_entropy_profile",
+    "a0107_entropy_profile",
     oracle=f"""
     WITH ch AS (SELECT source, unnest(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '')) AS c
                 FROM documents),
@@ -627,7 +627,7 @@ def a0140_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="entropy profile per source: character- and token-level Shannon entropy (-sum p ln p over the per-source alphabet/vocab frequency frames) plus type-token ratio — the compressibility/diversity screen run next to the Gopher rules in corpus QA; two map-side-combined frequency aggregates, entropy windows bounded by alphabet/vocab size per source",
 )
-def a0180_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0107_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..operators import text as X
@@ -662,7 +662,7 @@ def a0180_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0181 — PMI co-occurrence: pointwise mutual information of adjacent
+# a0108 (ex-a0181) — PMI co-occurrence: pointwise mutual information of adjacent
 # token pairs, the classic collocation/distributional-semantics score
 # (word2vec's implicit factorization target). PMI(a,b) =
 # ln(P(ab)/(P(a)P(b))) with bigram P from the pair frame and unigram P
@@ -675,7 +675,7 @@ _PMI_MIN = 5
 
 
 @query(
-    "a0181_pmi_collocations",
+    "a0108_pmi_collocations",
     oracle=f"""
     WITH t AS (SELECT {_TOKS} AS toks FROM documents),
     bg AS (SELECT unnest(list_transform(range(1, len(toks)), i ->
@@ -696,7 +696,7 @@ _PMI_MIN = 5
     """,
     description="PMI collocation mining: pointwise mutual information ln(P(ab)/(P(a)P(b))) of adjacent token pairs (bigram P over the pair frame, unigram P over the token frame — word2vec's implicit factorization target), min-count floor 5 against PMI's low-count noise, top-15 by ROUNDED pmi with full deterministic tie-break; token-keyed joins, everything map-side combined",
 )
-def a0181_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0108_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as X
 
     docs = load_table(spark, sf_dir, "documents")

@@ -16,7 +16,7 @@ from .dedup_text import _TOKS
 from .registry import query
 
 # ---------------------------------------------------------------------------
-# a0184 — rank-biased overlap (RBO) between two rankings. The standard
+# a0111 (ex-a0184) — rank-biased overlap (RBO) between two rankings. The standard
 # top-weighted ranking-similarity metric (Webber et al. 2010): how much
 # do "parts by price" and "parts by size" agree per brand? RBO@k with
 # persistence p: sum_d p^(d-1) (1-p) |A_d ∩ B_d| / d. The prefix
@@ -30,7 +30,7 @@ _RBO_P = 0.9
 
 
 @query(
-    "a0184_rank_biased_overlap",
+    "a0111_rank_biased_overlap",
     oracle=f"""
     WITH ra AS (SELECT p_brand, p_partkey,
                        ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS r_a
@@ -52,7 +52,7 @@ _RBO_P = 0.9
     """,
     description="rank-biased overlap (Webber et al. 2010), the top-weighted ranking-agreement metric, between the by-price and by-size part rankings per brand: RBO@20 with p=0.9 via the prefix-intersection identity |A_d ∩ B_d| = #{items: max(rank_a, rank_b) <= d} — one equality join on the item key plus a bounded 20-row depth spine, never a per-depth set materialization; both rankings fully tie-broken for cross-engine determinism",
 )
-def a0184_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0111_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     p = load_table(spark, sf_dir, "part")
@@ -91,7 +91,7 @@ def a0184_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0185 — nDCG@10 ranking evaluation. The retrieval-eval metric: scores
+# a0112 (ex-a0185) — nDCG@10 ranking evaluation. The retrieval-eval metric: scores
 # rank documents per source; graded relevance is planted
 # deterministically (md5(doc_id) prefix mod 4 — hash-based so it is NOT
 # correlated with the source assignment, which is itself doc_id-modular), so the ideal ordering
@@ -104,7 +104,7 @@ _NDCG_K = 10
 
 
 @query(
-    "a0185_ndcg_eval",
+    "a0112_ndcg_eval",
     oracle=f"""
     WITH d AS (SELECT source, doc_id, n_chars % 1000 AS score,
                       CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 4 AS rel
@@ -126,7 +126,7 @@ _NDCG_K = 10
     """,
     description="nDCG@10 ranking evaluation (the retrieval-eval metric): per-source document ranking by a score column vs deterministically planted graded relevance (md5(doc_id) prefix mod 4 - hash-based so it decorrelates from the modular source assignment and the ideal order genuinely differs), DCG = sum (2^rel - 1)/log2(rank+1) over the top 10 via source-partitioned row_number windows, IDCG from the relevance-sorted twin, ratio pinned to 6dp",
 )
-def a0185_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0112_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -165,7 +165,7 @@ def a0185_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0187 — token burstiness: Fano factor (variance-to-mean ratio of
+# a0114 (ex-a0187) — token burstiness: Fano factor (variance-to-mean ratio of
 # per-document counts, including zeros) and document proportion for the
 # highest-frequency tokens. Bursty tokens (Fano >> 1) concentrate in
 # few documents — content words; Fano ~ 1 is Poisson-like — function
@@ -177,7 +177,7 @@ def a0185_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0187_token_burstiness",
+    "a0114_token_burstiness",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
@@ -197,7 +197,7 @@ def a0185_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="token burstiness profile: Fano factor (variance-to-mean of per-document counts INCLUDING zero-docs, via the moment closed form E[x^2]-mean^2 so the dense doc-x-token frame never exists) and document proportion for the top-15 corpus tokens — the content-vs-function-word dispersion screen of lexical statistics; two token-keyed map-side-combined aggregates",
 )
-def a0187_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0114_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as X
 
     docs = load_table(spark, sf_dir, "documents")
@@ -234,7 +234,7 @@ def a0187_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0188 — Monroe et al. weighted log-odds with an informative Dirichlet
+# a0115 (ex-a0188) — Monroe et al. weighted log-odds with an informative Dirichlet
 # prior: the comparative "what words distinguish corpus A from B"
 # statistic that fixes naive log-odds' low-count explosions. Cohorts =
 # even- vs odd-numbered sources; prior alpha proportional to the pooled
@@ -244,7 +244,7 @@ def a0187_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0188_weighted_log_odds",
+    "a0115_weighted_log_odds",
     oracle=f"""
     WITH t AS (SELECT CAST(substr(source, 4) AS INT) % 2 = 0 AS grp_a, {_TOKS} AS toks
                FROM documents),
@@ -266,7 +266,7 @@ def a0187_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Monroe et al. weighted log-odds with informative Dirichlet prior (alpha = 0.01 x pooled frequency): the comparative-corpus statistic that fixes naive log-odds' low-count explosion, between even- and odd-numbered source cohorts; z = smoothed delta log-odds / sqrt(1/(y_a+a) + 1/(y_b+a)), top-15 by ROUNDED z with deterministic tie-break — one token-keyed aggregate plus a broadcast totals row",
 )
-def a0188_weighted_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0115_weighted_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as X
 
     docs = load_table(spark, sf_dir, "documents")
@@ -298,7 +298,7 @@ def a0188_weighted_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0189 — session Markov transition matrix: first-order event-type
+# a0116 (ex-a0189) — session Markov transition matrix: first-order event-type
 # transition probabilities within gap-sessions, plus per-state outgoing
 # entropy. The clickstream model behind next-action prediction and
 # behavioral anomaly scoring. Transitions via one lag window
@@ -308,7 +308,7 @@ def a0188_weighted_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0189_markov_transitions",
+    "a0116_markov_transitions",
     oracle="""
     WITH o AS (SELECT user_id, ts, event_type,
                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -335,7 +335,7 @@ def a0188_weighted_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="session Markov chain: first-order event-type transition counts/probabilities within 30-minute gap-sessions (the q60 rule) plus per-state outgoing entropy — the clickstream model behind next-action prediction; transitions from ONE lead window PARTITIONED by (user, session), probabilities and entropy from grouped aggregates over the |types|^2 transition frame",
 )
-def a0189_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0116_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -385,7 +385,7 @@ def a0189_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0190 — two-proportion z-test (A/B experiment readout): purchase-
+# a0117 (ex-a0190) — two-proportion z-test (A/B experiment readout): purchase-
 # conversion difference between the user_id-parity cohorts, with the
 # pooled-variance z statistic and the |z| > 1.96 significance call
 # pinned. One conditional aggregate per cohort; the statistic is a
@@ -394,7 +394,7 @@ def a0189_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0190_ab_proportion_ztest",
+    "a0117_ab_proportion_ztest",
     oracle="""
     WITH u AS (SELECT user_id, user_id % 2 = 0 AS grp_a,
                       MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END)
@@ -422,7 +422,7 @@ def a0189_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="two-proportion z-test A/B readout: per-user purchase conversion for the user_id-parity cohorts (conversion = any purchase with value > 150, via one grouped conditional aggregate; degenerate all-or-none pools pin z to 0), pooled-variance z statistic and the |z|>1.96 two-sided significance call pinned as closed-form scalars on a 1-row frame",
 )
-def a0190_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0117_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.max(
@@ -458,7 +458,7 @@ def a0190_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0191 — inequality + diversity profile: Gini coefficient of document
+# a0118 (ex-a0191) — inequality + diversity profile: Gini coefficient of document
 # length per source (via the sorted-rank closed form G = 2*sum(i*x_i)/
 # (n*sum(x)) - (n+1)/n, one rank window PARTITIONED by source) and
 # Simpson diversity of the token distribution (1 - sum p^2, a moment —
@@ -468,7 +468,7 @@ def a0190_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0191_gini_diversity",
+    "a0118_gini_diversity",
     oracle=f"""
     WITH r AS (SELECT source, n_chars,
                       ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS i,
@@ -489,7 +489,7 @@ def a0190_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="corpus-balance audit per source: Gini coefficient of document length via the sorted-rank closed form 2*sum(i*x_i)/(n*sum x) - (n+1)/n (one rank window PARTITIONED by source) and Simpson diversity 1 - sum p^2 of the token distribution (a pure moment, no sort) — the inequality/diversity screen run before choosing mixture weights",
 )
-def a0191_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0118_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..operators import text as X
@@ -531,7 +531,7 @@ def a0191_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0183 — Hilbert-curve layout vs Z-order: the other space-filling
+# a0110 (ex-a0183) — Hilbert-curve layout vs Z-order: the other space-filling
 # curve lakehouses cluster by (Hilbert preserves locality strictly
 # better than Morton — no "seam jumps" — which is why Delta chose it
 # for liquid clustering). Both keys are computed on the SAME min-max
@@ -611,7 +611,7 @@ def _hilbert_sql_ctes(src: str) -> str:
 
 
 @query(
-    "a0183_hilbert_layout",
+    "a0110_hilbert_layout",
     oracle=f"""
     WITH li AS (SELECT l_partkey AS xr, l_suppkey AS yr FROM lineitem),
     b AS (SELECT MIN(xr) AS xmn, MAX(xr) AS xmx, MIN(yr) AS ymn, MAX(yr) AS ymx FROM li),
@@ -638,7 +638,7 @@ def _hilbert_sql_ctes(src: str) -> str:
     """,
     description="Hilbert-curve layout clustering vs Z-order on the SAME normalized 8-bit (partkey, suppkey) domain (the space-filling-curve choice behind Delta liquid clustering vs OPTIMIZE ZORDER): classic xy2d bit-level transform — quadrant digit (3rx XOR ry), flip+swap rotation — materialized one projection per level so the expression tree stays linear; 64 equal-width curve-range 'files' per layout, per-file two-column key-span footprints aggregated to the mean/max span fraction a scan planner prunes on; Hilbert's strictly-better locality shows as a lower avg span; the unit-step adjacency property is pytest-pinned",
 )
-def a0183_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0110_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline_ops3 import zorder_value
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -702,7 +702,7 @@ def a0183_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # would be unreadable; the placeholders keep the SQL template legible).
 from .registry import REGISTRY as _REG  # noqa: E402
 
-_q = _REG["a0183_hilbert_layout"]
+_q = _REG["a0110_hilbert_layout"]
 _zterms = " + ".join(
     f"(((px // {1 << i}) % 2) * {1 << (2 * i)}) + (((py // {1 << i}) % 2) * {1 << (2 * i + 1)})"
     for i in range(_H_BITS)
@@ -715,7 +715,7 @@ object.__setattr__(
 
 
 # ---------------------------------------------------------------------------
-# a0186 — containment search (snippet-in-document): the ASYMMETRIC
+# a0113 (ex-a0186) — containment search (snippet-in-document): the ASYMMETRIC
 # similarity |Q ∩ D| / |Q| that quote/passage detection needs where
 # Jaccard fails (a 12-token snippet inside a 500-token doc has tiny
 # Jaccard but containment ~1). Eval snippets (first 12 tokens of each
@@ -731,7 +731,7 @@ _CONT_N = 3
 
 
 @query(
-    "a0186_containment_search",
+    "a0113_containment_search",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     snip AS (SELECT doc_id AS snip_id,
@@ -759,7 +759,7 @@ _CONT_N = 3
     """,
     description="containment search (snippet-in-document): the ASYMMETRIC overlap |Q∩D|/|Q| that quote/passage detection needs where Jaccard fails on short-in-long; 12-token eval snippets' distinct 3-grams matched to train-doc gram sets through a gram-keyed equality join (only pairs sharing a gram materialize — never the quadratic candidate square), per-snippet best hit via argmax with (hits desc, doc_id) tie-break",
 )
-def a0186_containment_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0113_containment_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as X
 
     docs = load_table(spark, sf_dir, "documents")

@@ -16,7 +16,7 @@ from .dedup_text import _TOKS
 from .registry import query
 
 # ---------------------------------------------------------------------------
-# a0192 — Python UDTF (Spark 4's pyspark.sql.functions.udtf), driven
+# a0119 (ex-a0192) — Python UDTF (Spark 4's pyspark.sql.functions.udtf), driven
 # through its hardest shape: a LATERAL-correlated table function call
 # in SQL, one invocation per input row. The UDTF emits a context-window
 # chunk plan per document; eval() is a generator, so rows stream out
@@ -29,7 +29,7 @@ _UDTF_CHUNK = 32
 
 
 @query(
-    "a0192_python_udtf_chunks",
+    "a0119_python_udtf_chunks",
     oracle=f"""
     WITH d AS (SELECT doc_id, source, len({_TOKS}) AS n_tok FROM documents),
     pl AS (SELECT source, doc_id, n_tok,
@@ -46,7 +46,7 @@ _UDTF_CHUNK = 32
     """,
     description="Python UDTF (Spark 4 pyspark.sql.functions.udtf) in its hardest shape — a LATERAL-correlated table-function call in SQL, invoked once per document row: the UDTF's generator eval() streams a 32-token context-window chunk plan (chunk_idx, start, width) per doc; per-source chunk totals, ragged-tail counts and max depth are hash-pinned against a generate_series oracle, so the UDTF's row SEMANTICS (not just schema) are under the hash",
 )
-def a0192_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0119_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="chunk_idx bigint, start bigint, width bigint")
@@ -82,7 +82,7 @@ def a0192_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0193 — correlated LATERAL subquery with ORDER BY + LIMIT (Spark 4
+# a0120 (ex-a0193) — correlated LATERAL subquery with ORDER BY + LIMIT (Spark 4
 # SQL): the per-row top-k dependent join, the SQL-standard form of
 # "top 2 orders for every customer". Catalyst decorrelates it into a
 # ranked window join, so the plan shards by the correlation key — the
@@ -91,7 +91,7 @@ def a0192_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0193_lateral_topk_join",
+    "a0120_lateral_topk_join",
     oracle="""
     WITH t AS (
       SELECT c.c_mktsegment, x.o_totalprice
@@ -106,7 +106,7 @@ def a0192_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="correlated LATERAL subquery with ORDER BY + LIMIT (Spark 4 SQL surface): per-customer top-2 orders as a dependent join — Catalyst decorrelates the lateral into a ranked window join sharded on the correlation key (never a per-row re-execution); per-segment rollup of the top-2 revenue pinned against DuckDB's native LATERAL",
 )
-def a0193_lateral_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0120_lateral_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("adm_lat_customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("adm_lat_orders")
     return spark.sql(
@@ -130,7 +130,7 @@ def a0193_lateral_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0195 — compaction planning (the OPTIMIZE small-file problem): given
+# a0122 (ex-a0195) — compaction planning (the OPTIMIZE small-file problem): given
 # a file inventory (here: per-(returnflag, linestatus, shipmonth)
 # lineitem partitions with their estimated byte sizes), pack files
 # into merge bins of a target size by the size-descending next-fit
@@ -144,7 +144,7 @@ _COMPACT_TARGET = 512 * 1024  # bytes per merge bin
 
 
 @query(
-    "a0195_compaction_plan",
+    "a0122_compaction_plan",
     oracle=f"""
     WITH files AS (SELECT l_returnflag, l_linestatus,
                           CAST(strftime(l_shipdate, '%Y-%m') AS VARCHAR) AS m,
@@ -163,7 +163,7 @@ _COMPACT_TARGET = 512 * 1024  # bytes per merge bin
     """,
     description="compaction planning (the OPTIMIZE small-file problem): a file inventory (per-(returnflag, linestatus, shipmonth) partition byte estimates) packed into target-size merge bins by the deterministic size-descending next-fit rule — running cumulative sum over ONE bounded window on the inventory frame (never the data), bin = prev_cumsum div target; per-bin file counts and fill fractions are the merge-task manifest an OPTIMIZE planner submits",
 )
-def a0195_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0122_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -187,7 +187,7 @@ def a0195_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0196 — G.711 mu-law companding audit: the telephony/speech-corpus
+# a0123 (ex-a0196) — G.711 mu-law companding audit: the telephony/speech-corpus
 # 8-bit codec, implemented bit-exactly as native integer expressions
 # (segment = position of the highest set bit of |s|+bias, mantissa =
 # the next 4 bits — no log(), no UDF, engine-identical). A synthetic
@@ -253,7 +253,7 @@ def ulaw_decode(b):
 
 
 @query(
-    "a0196_mulaw_codec_audit",
+    "a0123_mulaw_codec_audit",
     oracle=f"""
     WITH g AS (SELECT f, k,
                       CAST(ROUND(24000 * sin(2 * pi() * f * k / 64.0)) AS BIGINT) AS s
@@ -269,7 +269,7 @@ def ulaw_decode(b):
     """,
     description="G.711 mu-law companding audit (the telephony/speech-corpus 8-bit codec): bit-exact encode (bias, clip, segment = highest-set-bit bucket, 4-bit mantissa) and decode as NATIVE integer expressions — no log(), no UDF, engine-identical arithmetic; a synthetic s16 sine corpus per frequency is companded and the SNR, code-space usage, and worst-case reconstruction error are pinned — the storage-quality check a speech pipeline runs before committing to 8-bit audio",
 )
-def a0196_mulaw_codec_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0123_mulaw_codec_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     freqs = spark.range(1).select(F.explode(F.array(F.lit(1), F.lit(3), F.lit(7))).alias("f"))
     ks = spark.range(0, 256).select(F.col("id").alias("k"))
     g = freqs.crossJoin(ks).select(
@@ -309,7 +309,7 @@ def a0196_mulaw_codec_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0194 — GIF87a decode (operators/gif.py): real from-scratch LZW —
+# a0121 (ex-a0194) — GIF87a decode (operators/gif.py): real from-scratch LZW —
 # variable-width codes, LSB-first packing, dictionary growth to 12 bits
 # with CLEAR-reset, the cScSc decode case — plus container parsing
 # (screen descriptor, global color table, sub-block framing). Closed-
@@ -325,7 +325,7 @@ _N_GIF = 10
 
 
 @query(
-    "a0194_gif_lzw_decode",
+    "a0121_gif_lzw_decode",
     oracle=f"""
     WITH g AS (SELECT m, 8 + m % 5 AS w, 6 + m % 4 AS h FROM range(0, {_N_GIF}) t(m)),
     px AS (SELECT g.m, g.w, g.h, (g.m + x.i + 2 * y.i) % 4 AS idx
@@ -346,7 +346,7 @@ _N_GIF = 10
     """,
     description="GIF87a decode via a real from-scratch LZW codec (operators/gif.py: variable-width codes, LSB-first bit packing, dictionary growth to 12 bits with CLEAR-reset, the cScSc not-yet-in-table case, 255-byte sub-block framing) — fixtures are ENCODED by the same module's growing-dictionary compressor and decoded Arrow-batched in mapInPandas; the oracle recomputes per-image palette-average features from the generating formulas, so bit order, dictionary resets, and container parsing are all under the hash",
 )
-def a0194_gif_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0121_gif_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     from ..operators import gif as G
@@ -419,7 +419,7 @@ def a0194_gif_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0197 — Kaplan-Meier survival estimator: the right-censored
+# a0124 (ex-a0197) — Kaplan-Meier survival estimator: the right-censored
 # time-to-event curve (user "lifetime" = first->last event span;
 # censored if the user was still active in the observation window's
 # final day). S(t) = prod over death times t_i <= t of (1 - d_i/n_i),
@@ -433,7 +433,7 @@ def a0194_gif_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0197_kaplan_meier",
+    "a0124_kaplan_meier",
     oracle="""
     WITH w AS (SELECT MAX(ts) AS obs_end FROM events),
     u AS (SELECT user_id % 2 = 0 AS cohort_a, MIN(ts) AS t0, MAX(ts) AS t1
@@ -461,7 +461,7 @@ def a0194_gif_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Kaplan-Meier survival estimator with right censoring (user lifetime = first-to-last event span in hour-boundary counts; censored if still active in the window's last day): S(t) = prod (1 - d_i/n_i) computed as exp(cumsum(ln)) over the per-cohort death-time frame, at-risk counts via a duration-keyed correlated count — windows PARTITIONED by cohort, bounded by distinct durations; first 12 curve points per user_id-parity cohort pinned",
 )
-def a0197_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0124_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -518,7 +518,7 @@ def a0197_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0198 — marketing attribution (first-touch vs last-touch): every
+# a0125 (ex-a0198) — marketing attribution (first-touch vs last-touch): every
 # purchase is credited to the user's first / most recent preceding
 # non-purchase touchpoint, both via one IGNORE-NULLS window frame
 # PARTITIONED by user (rows unbounded-preceding..1-preceding) — the
@@ -528,7 +528,7 @@ def a0197_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0198_touch_attribution",
+    "a0125_touch_attribution",
     oracle="""
     WITH s AS (SELECT user_id, ts, event_id, event_type,
                       CASE WHEN event_type <> 'purchase' THEN event_type END AS touch
@@ -552,7 +552,7 @@ def a0197_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="marketing attribution (first-touch vs last-touch conversion credit): every purchase credited to the user's first and most recent preceding non-purchase touchpoint via ONE ignore-nulls window frame PARTITIONED by user (unbounded..1-preceding); per-channel credit counts under both models side by side, '(none)' for touchless purchases — full outer join of the two credit rollups",
 )
-def a0198_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0125_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -592,7 +592,7 @@ def a0198_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0199 — isotonic calibration (pool-adjacent-violators): Spark ML's
+# a0126 (ex-a0199) — isotonic calibration (pool-adjacent-violators): Spark ML's
 # distributed IsotonicRegression (parallel PAV on sorted partitions +
 # driver merge of boundary violations) fit on a deterministic score →
 # outcome fixture with real violations to pool. Output is the fitted
@@ -619,11 +619,11 @@ def _iso_fixture_rows():
 
 
 @query(
-    "a0199_isotonic_calibration",
+    "a0126_isotonic_calibration",
     oracle=None,  # PAV pooling is not SQL-expressible; pytest pins exact values
     description="isotonic calibration via distributed pool-adjacent-violators (pyspark.ml IsotonicRegression: parallel PAV over sorted partitions, driver merge of boundary violations) on a deterministic score->outcome fixture with genuine violations; returns the fitted monotone step function (boundary, prediction) — the calibration map a scoring service ships; rows-only driver check, exact values pinned by a from-scratch reference PAV in pytest (1e-9 agreement) since the pooling recursion has no bounded SQL unrolling",
 )
-def a0199_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0126_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.regression import IsotonicRegression
 
@@ -645,7 +645,7 @@ def a0199_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0200 — tokenizer vocabulary coverage audit: given a fixed top-K
+# a0127 (ex-a0200) — tokenizer vocabulary coverage audit: given a fixed top-K
 # vocabulary (the deployment artifact), measure per source what a real
 # tokenizer eval measures — OOV token rate, OOV type rate, covered
 # corpus mass, and chars-per-token. The vocab frame is top-K by
@@ -657,7 +657,7 @@ _VOCAB_K = 24
 
 
 @query(
-    "a0200_vocab_coverage",
+    "a0127_vocab_coverage",
     oracle=f"""
     WITH tok AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
     vc AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
@@ -675,7 +675,7 @@ _VOCAB_K = 24
     """,
     description="tokenizer vocabulary coverage audit against a fixed deterministic top-K vocab (the deployment artifact): per-source OOV token rate, OOV type count, and chars-per-covered-token — what a tokenizer eval reports before shipping a vocab; top-K frame broadcasts, audit is one token-keyed left join + per-source aggregate",
 )
-def a0200_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0127_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as X
 
     docs = load_table(spark, sf_dir, "documents")
@@ -710,7 +710,7 @@ def a0200_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0202 — in-batch negative audit (contrastive training prep): docs are
+# a0129 (ex-a0202) — in-batch negative audit (contrastive training prep): docs are
 # hash-assigned to batches of ~8; within a batch every ordered pair is
 # an (anchor, negative) candidate, and pairs sharing a source are FALSE
 # negatives — the collision rate this audit measures is exactly the
@@ -724,7 +724,7 @@ _NEG_BATCH = 8
 
 
 @query(
-    "a0202_inbatch_negatives",
+    "a0129_inbatch_negatives",
     oracle=f"""
     WITH d AS (SELECT doc_id, source,
                       CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -748,7 +748,7 @@ _NEG_BATCH = 8
     """,
     description="in-batch negative sampling audit (contrastive training prep): docs hash-assigned to batches of 8 (md5-derived slot+order, epoch- and partitioning-stable), every ordered in-batch pair an (anchor, negative) candidate; pairs sharing a source are FALSE negatives and the audit pins the batch count, pair count, and false-negative collision rate — pair generation is batch-local (56 pairs per batch), never corpus-quadratic",
 )
-def a0202_inbatch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0129_inbatch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -796,7 +796,7 @@ def a0202_inbatch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0204 — curriculum sharding: order the corpus by a quality score and
+# a0131 (ex-a0204) — curriculum sharding: order the corpus by a quality score and
 # cut it into k curriculum shards (easy -> hard), verifying the
 # property curriculum training needs — monotone mean quality across
 # shards — plus per-shard source mixture entropy (a curriculum that
@@ -809,7 +809,7 @@ _CURR_SHARDS = 5
 
 
 @query(
-    "a0204_curriculum_shards",
+    "a0131_curriculum_shards",
     oracle=f"""
     WITH s AS (SELECT doc_id, source, n_chars,
                       (CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
@@ -832,7 +832,7 @@ _CURR_SHARDS = 5
     """,
     description="curriculum sharding (easy->hard training-order prep): corpus ranked by a deterministic quality score (hash jitter + length term) and cut into 5 ntile shards; per-shard mean/min/max quality pins the monotone-difficulty property curriculum training needs, and per-shard source-mixture entropy pins that the curriculum does not collapse the source mix; one ntile window over the score ordering, per-shard aggregates otherwise",
 )
-def a0204_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0131_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -878,7 +878,7 @@ def a0204_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0201 — span-corruption masking plan (T5/UL2 denoising prep): for
+# a0128 (ex-a0201) — span-corruption masking plan (T5/UL2 denoising prep): for
 # every document, a deterministic plan of non-overlapping mask spans at
 # 15% corruption rate with mean span 3 — the doc is cut into n_spans
 # strata, each stratum hosts one span whose offset comes from
@@ -892,7 +892,7 @@ _SC_MEAN_SPAN = 3
 
 
 @query(
-    "a0201_span_corruption_plan",
+    "a0128_span_corruption_plan",
     oracle=f"""
     WITH d AS (SELECT doc_id, source, len({_TOKS}) AS n_tok FROM documents),
     p AS (SELECT doc_id, source, n_tok,
@@ -924,7 +924,7 @@ _SC_MEAN_SPAN = 3
     """,
     description="span-corruption masking plan (T5/UL2 denoising prep): deterministic non-overlapping mask spans at 15% corruption / mean span 3 — each doc cut into n_spans strata, one span per stratum with an md5(doc_id, span_idx)-derived offset, so the plan is epoch- and engine-stable and overlap is impossible by construction; one bounded per-doc explode, per-source span/mask-rate rollup pinned",
 )
-def a0201_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0128_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as X
 
     docs = load_table(spark, sf_dir, "documents")
@@ -997,7 +997,7 @@ def a0201_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0203 — Fellegi-Sunter record-linkage scoring: a deterministically
+# a0130 (ex-a0203) — Fellegi-Sunter record-linkage scoring: a deterministically
 # dirtied copy of the customer table (name truncated / acctbal nudged /
 # segment swapped on modular subsets) is linked back to the clean table
 # within nation blocks. Field agreement vectors -> m/u probabilities
@@ -1010,7 +1010,7 @@ def a0201_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a0203_fellegi_sunter",
+    "a0130_fellegi_sunter",
     oracle="""
     WITH dirty AS (
       SELECT c_custkey AS d_key, c_nationkey AS d_nat,
@@ -1053,7 +1053,7 @@ def a0201_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Fellegi-Sunter record-linkage scoring: a deterministically dirtied customer copy (name truncation / acctbal nudge / segment swap on modular subsets) linked within nation blocks; per-field agreement vectors -> m/u probabilities (from ground-truth labels; EM in production, identical scoring algebra) -> per-pair log2 match weights, epsilon-floored; match vs non-match weight separation at threshold 0 pinned; candidate pairs are BLOCK-local (nationkey), never a global cross product",
 )
-def a0203_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0130_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     dirty = c.select(
         F.col("c_custkey").alias("d_key"),

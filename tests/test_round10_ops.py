@@ -43,7 +43,7 @@ def test_hilbert_beats_zorder_on_misaligned_files(spark, sf_dir):
 
     rows = {
         r["layout"]: r
-        for r in all_queries()["a0183_hilbert_layout"].fn(spark, sf_dir).collect()
+        for r in all_queries()["a0110_hilbert_layout"].fn(spark, sf_dir).collect()
     }
     h, z = rows["hilbert"], rows["zorder"]
     assert h["avg_span_frac"] <= z["avg_span_frac"]
@@ -97,7 +97,7 @@ def test_isotonic_matches_reference_pav(spark, sf_dir):
         _iso_fixture_rows,
     )
 
-    rows = all_queries()["a0199_isotonic_calibration"].fn(spark, sf_dir).collect()
+    rows = all_queries()["a0126_isotonic_calibration"].fn(spark, sf_dir).collect()
     preds = [r["prediction"] for r in rows]
     bounds = [r["boundary"] for r in rows]
     assert preds == sorted(preds), "calibration map must be monotone"
