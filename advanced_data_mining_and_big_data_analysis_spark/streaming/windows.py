@@ -667,3 +667,65 @@ def read_state_metadata(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
     counts, and the committed batch-id range — what an ops runbook
     checks before a stateful upgrade."""
     return spark.read.format("state-metadata").load(checkpoint_dir)
+
+
+def streaming_drift_histogram(
+    events: DataFrame,
+    type_a: str = "view",
+    type_b: str = "click",
+    lo: float = 0.0,
+    hi: float = 400.0,
+    bins: int = 1024,
+) -> DataFrame:
+    """Streaming state for a two-sample drift monitor: fixed-domain
+    equi-width histogram counts per cohort — the streamable form of the
+    a0136 binned KS test. Streaming cannot take a data-dependent
+    min/max first, so the bin domain is CONFIGURED (exactly how
+    production drift monitors work: the reference window fixes the
+    domain); out-of-range values clamp into the edge bins. The
+    histogram is the only state (``bins`` rows, mergeable across
+    shards and triggers); the KS statistic itself is a bounded
+    computation over that state (``ks_from_histogram``), identical for
+    the streaming and batch paths.
+    """
+    width = (hi - lo) / bins
+    bin_col = F.greatest(
+        F.lit(0), F.least(F.floor((F.col("value") - lo) / width), F.lit(bins - 1))
+    ).alias("bin")
+    return (
+        events.filter(F.col("event_type").isin(type_a, type_b))
+        .select("event_type", bin_col)
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("event_type") == type_a, 1)).alias("n_a"),
+            F.count(F.when(F.col("event_type") == type_b, 1)).alias("n_b"),
+        )
+    )
+
+
+def ks_from_histogram(hist: DataFrame, bins: int = 1024) -> DataFrame:
+    """KS statistic + 5% drift call from a (bin, n_a, n_b) histogram —
+    one bounded cumulative window over <= ``bins`` rows. Works on the
+    batch histogram or on a streamed one (memory-sink table)."""
+    from pyspark.sql import Window
+
+    t = hist.agg(
+        F.sum("n_a").cast("double").alias("tot_a"), F.sum("n_b").cast("double").alias("tot_b")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = hist.crossJoin(F.broadcast(t)).select(
+        (F.sum("n_a").over(w) / F.col("tot_a")).alias("f_a"),
+        (F.sum("n_b").over(w) / F.col("tot_b")).alias("f_b"),
+        "tot_a",
+        "tot_b",
+    )
+    d = cdf.groupBy("tot_a", "tot_b").agg(F.max(F.abs(F.col("f_a") - F.col("f_b"))).alias("ks"))
+    return d.select(
+        F.col("tot_a").cast("long").alias("n_a"),
+        F.col("tot_b").cast("long").alias("n_b"),
+        F.round("ks", 6).alias("ks_stat"),
+        (
+            F.col("ks")
+            > 1.358 * F.sqrt((F.col("tot_a") + F.col("tot_b")) / (F.col("tot_a") * F.col("tot_b")))
+        ).alias("drift_at_5pct"),
+    )

@@ -618,3 +618,23 @@ def test_stateful_running_totals_tws_gate_or_parity(spark, event_files):
     for k in batch:
         assert got[k][0] == batch[k][0]
         assert abs(got[k][1] - batch[k][1]) < 1e-6
+
+
+def test_streaming_drift_histogram_equals_batch(spark, event_files, sf_dir):
+    """The drift monitor's histogram state built over a real stream
+    (availableNow) must equal the batch histogram on the same files,
+    and the KS statistic computed from either is identical — the
+    streaming twin of a0136's binned two-sample KS."""
+    src = ST.stream_from_directory(spark, f"{event_files}/events", SCHEMAS["events"])
+    streamed_hist = _run_to_memory(
+        spark, ST.streaming_drift_histogram(src), "t_drift_hist"
+    )
+    batch_hist = ST.streaming_drift_histogram(load_table(spark, sf_dir, "events"))
+    cols = ["bin", "n_a", "n_b"]
+    assert _rows(streamed_hist, cols) == _rows(batch_hist, cols)
+
+    ks_cols = ["n_a", "n_b", "ks_stat", "drift_at_5pct"]
+    s_ks = _rows(ST.ks_from_histogram(streamed_hist), ks_cols)
+    b_ks = _rows(ST.ks_from_histogram(batch_hist), ks_cols)
+    assert s_ks == b_ks
+    assert s_ks[0][0] > 0 and s_ks[0][1] > 0
