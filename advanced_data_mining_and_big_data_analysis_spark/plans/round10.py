@@ -1,4 +1,5 @@
-"""Round-10 declared queries (a0134-a0143, a0179-a0182).
+"""Round-10 declared queries, wave 1 (a0134-a0143 + a0106-a0109,
+the latter renamed from a0179-a0182 at round end for the window).
 
 Fourteen operators extending the SURVEY §2 + LLM-pipeline surface:
 sorted-neighborhood dedup, Kneser-Ney bigram LM, binned two-sample KS

@@ -1,9 +1,9 @@
-"""Round-10 second wave (a0183+): ranking-eval metrics, comparative
+"""Round-10 second wave (a0110-a0118, renamed from a0183+ at round
+end for the window): ranking-eval metrics, comparative
 text statistics, layout clustering, and experiment analytics.
 
-These sort AFTER a0182 so they sit outside the round-10 driver window
-(positions 51+) — locally oracle-verified now, window fodder for the
-next round.
+Renamed below a0133 at round end so the whole wave sits inside the
+round-10 driver window; locally oracle-verified at sf0.01 + sf0.001.
 """
 
 from __future__ import annotations

@@ -1,9 +1,10 @@
-"""Round-10 third wave (a0192+): Spark-4 SQL/API surface — Python
+"""Round-10 third+ waves (a0119-a0131, renamed from a0192+ at round
+end for the window): Spark-4 SQL/API surface — Python
 UDTFs, correlated LATERAL joins — plus lakehouse compaction planning
 and a G.711 mu-law codec audit.
 
-Window fodder for future rounds (sorts after a0191); locally
-oracle-verified now.
+Renamed below a0133 at round end so the whole wave sits inside the
+round-10 driver window; locally oracle-verified at sf0.01 + sf0.001.
 """
 
 from __future__ import annotations
