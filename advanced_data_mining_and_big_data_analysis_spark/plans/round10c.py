@@ -598,13 +598,58 @@ def a0125_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver merge of boundary violations) fit on a deterministic score →
 # outcome fixture with real violations to pool. Output is the fitted
 # step function (boundary, prediction) — the calibration map a scoring
-# service ships. PAV output is NOT SQL-expressible (the pooling
-# recursion has no bounded unrolling), so this is a rows-only driver
-# check; the exact values are pinned by tests/test_round10_ops.py
+# service ships. The pooling RECURSION has no bounded SQL unrolling,
+# but the isotonic FIT has a closed-form minimax characterization
+#   fit[i] = max_{s<=i} min_{t>=i} mean(y[s..t])
+# (Robertson/Wright/Dykstra, "Order Restricted Statistical Inference"),
+# which IS SQL-expressible via prefix sums + an O(n^3) segment CTE —
+# trivial for DuckDB at the fixture's n=200 — so this carries a full
+# value-hash oracle; the step function is recovered by grouping runs
+# of equal fitted values and emitting each block's min/max score.
+# Exact values are additionally pinned by tests/test_round10_ops.py
 # against a from-scratch reference PAV (1e-9 agreement).
 # ---------------------------------------------------------------------------
 
 _ISO_N = 200
+
+_ISO_ORACLE = f"""
+WITH pts AS (
+  SELECT i, i / {_ISO_N - 1}.0 AS x,
+         0.6 * (i / {_ISO_N - 1}.0) + 0.4 * (((i * 2654435761) % 97) / 96.0) AS y
+  FROM range({_ISO_N}) t(i)
+),
+pref AS (SELECT i, x, y, SUM(y) OVER (ORDER BY i) AS p FROM pts),
+seg AS (
+  SELECT a.i AS s, b.i AS t, (b.p - a.p + a.y) / (b.i - a.i + 1) AS avg_y
+  FROM pref a JOIN pref b ON a.i <= b.i
+),
+inner_min AS (
+  SELECT seg.s, pts.i, MIN(seg.avg_y) AS mn
+  FROM seg JOIN pts ON seg.s <= pts.i AND pts.i <= seg.t
+  GROUP BY seg.s, pts.i
+),
+fit AS (SELECT i, MAX(mn) AS fit_y FROM inner_min GROUP BY i),
+pf AS (SELECT f.i, p.x, f.fit_y FROM fit f JOIN pts p USING(i)),
+lagged AS (
+  SELECT i, x, fit_y,
+         CASE WHEN ABS(fit_y - LAG(fit_y) OVER (ORDER BY i)) < 1e-12
+              THEN 0 ELSE 1 END AS is_new
+  FROM pf
+),
+blk AS (SELECT i, x, fit_y, SUM(is_new) OVER (ORDER BY i) AS block_id FROM lagged),
+bounds AS (
+  SELECT block_id, MIN(x) AS xa, MAX(x) AS xb, MIN(fit_y) AS fy
+  FROM blk GROUP BY block_id
+),
+steps AS (
+  SELECT xa AS boundary, fy AS prediction FROM bounds
+  UNION ALL
+  SELECT xb, fy FROM bounds WHERE xb <> xa
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY boundary) - 1 AS BIGINT) AS step_idx,
+       ROUND(boundary, 6) AS boundary, ROUND(prediction, 6) AS prediction
+FROM steps ORDER BY step_idx
+"""
 
 
 def _iso_fixture_rows():
@@ -621,8 +666,8 @@ def _iso_fixture_rows():
 
 @query(
     "a0126_isotonic_calibration",
-    oracle=None,  # PAV pooling is not SQL-expressible; pytest pins exact values
-    description="isotonic calibration via distributed pool-adjacent-violators (pyspark.ml IsotonicRegression: parallel PAV over sorted partitions, driver merge of boundary violations) on a deterministic score->outcome fixture with genuine violations; returns the fitted monotone step function (boundary, prediction) — the calibration map a scoring service ships; rows-only driver check, exact values pinned by a from-scratch reference PAV in pytest (1e-9 agreement) since the pooling recursion has no bounded SQL unrolling",
+    oracle=_ISO_ORACLE,
+    description="isotonic calibration via distributed pool-adjacent-violators (pyspark.ml IsotonicRegression: parallel PAV over sorted partitions, driver merge of boundary violations) on a deterministic score->outcome fixture with genuine violations; returns the fitted monotone step function (boundary, prediction) — the calibration map a scoring service ships; full value-hash oracle via the minimax identity fit[i]=max_{s<=i} min_{t>=i} mean(y[s..t]) (prefix sums + O(n^3) segment CTE at n=200), plus a from-scratch reference PAV pin in pytest (1e-9 agreement)",
 )
 def a0126_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import VectorAssembler
