@@ -63,6 +63,7 @@ def all_queries() -> dict[str, QueryDef]:
         round10,
         round10b,
         round10c,
+        round10d,
         sessions,
         similarity,
         sources_ext,
