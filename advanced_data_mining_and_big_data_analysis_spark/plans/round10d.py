@@ -352,3 +352,544 @@ def a0096_rolling_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# a0097 — STL-lite classical additive decomposition of the daily revenue
+# series: trend = centered 7-day moving average (full windows only),
+# detrended = y − trend, seasonal = centered per-day-of-week mean of the
+# detrended series, residual = detrended − seasonal. Output is the 7
+# seasonal indices plus the variance share of each component. Daily y is
+# rounded to cents FIRST so the 7-term trend average is exact in both
+# engines (float-sum-order discipline). The only unpartitioned window
+# runs over the daily rollup — calendar-bounded, allowlisted.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a0097_stl_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, ROUND(SUM(o_totalprice), 2) AS y
+      FROM orders GROUP BY 1
+    ),
+    tr AS (
+      SELECT day, y,
+             AVG(y) OVER w AS trend, COUNT(*) OVER w AS n7,
+             dayofweek(day) AS dow
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (SELECT dow, day, y - trend AS det, trend FROM tr WHERE n7 = 7),
+    seas0 AS (SELECT dow, COUNT(*) AS n_days, AVG(det) AS s0 FROM det GROUP BY dow),
+    grand AS (SELECT AVG(s0) AS g FROM seas0),
+    seas AS (SELECT dow, n_days, s0 - g AS seasonal FROM seas0 CROSS JOIN grand),
+    resid AS (
+      SELECT d.trend, d.det - s.seasonal AS r, s.seasonal
+      FROM det d JOIN seas s ON d.dow = s.dow
+    ),
+    vars AS (
+      SELECT var_pop(trend) AS vt, var_pop(seasonal) AS vs, var_pop(r) AS vr,
+             COUNT(*) AS n FROM resid
+    )
+    SELECT 'dow_' || CAST(dow AS VARCHAR) AS part, CAST(n_days AS BIGINT) AS n,
+           ROUND(seasonal, 4) AS value
+    FROM seas
+    UNION ALL SELECT 'var_trend', n, ROUND(vt / (vt + vs + vr), 6) FROM vars
+    UNION ALL SELECT 'var_seasonal', n, ROUND(vs / (vt + vs + vr), 6) FROM vars
+    UNION ALL SELECT 'var_resid', n, ROUND(vr / (vt + vs + vr), 6) FROM vars
+    ORDER BY part
+    """,
+    description="STL-lite classical additive decomposition of daily revenue: centered 7-day moving-average trend (full windows only), centered day-of-week seasonal indices, residual = detrended − seasonal, plus the variance share of each component; daily totals rounded to cents before the window so the 7-term trend mean is bit-identical across engines; the one unpartitioned window runs over the calendar-bounded daily rollup",
+)
+def a0097_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = od.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("y")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "y",
+        F.avg("y").over(w).alias("trend"),
+        F.count("*").over(w).alias("n7"),
+        (F.dayofweek("day") - 1).alias("dow"),  # Spark Sun=1 -> DuckDB Sun=0
+    )
+    det = tr.filter(F.col("n7") == 7).select(
+        "dow", (F.col("y") - F.col("trend")).alias("det"), "trend"
+    ).localCheckpoint(eager=False)
+    seas0 = det.groupBy("dow").agg(F.count("*").alias("n_days"), F.avg("det").alias("s0"))
+    grand = seas0.select(F.avg("s0").alias("g"))
+    seas = seas0.crossJoin(F.broadcast(grand)).select(
+        "dow", "n_days", (F.col("s0") - F.col("g")).alias("seasonal")
+    ).localCheckpoint(eager=False)
+    resid = det.join(F.broadcast(seas.select("dow", "seasonal")), "dow").select(
+        "trend", (F.col("det") - F.col("seasonal")).alias("r"), "seasonal"
+    )
+    vars_ = resid.agg(
+        F.var_pop("trend").alias("vt"),
+        F.var_pop("seasonal").alias("vs"),
+        F.var_pop("r").alias("vr"),
+        F.count("*").alias("n"),
+    ).localCheckpoint(eager=False)
+    tot = F.col("vt") + F.col("vs") + F.col("vr")
+    dow_rows = seas.select(
+        F.concat(F.lit("dow_"), F.col("dow").cast("string")).alias("part"),
+        F.col("n_days").cast("long").alias("n"),
+        F.round("seasonal", 4).alias("value"),
+    )
+    var_rows = None
+    for label, col in (("var_trend", "vt"), ("var_seasonal", "vs"), ("var_resid", "vr")):
+        row = vars_.select(
+            F.lit(label).alias("part"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col(col) / tot, 6).alias("value"),
+        )
+        var_rows = row if var_rows is None else var_rows.unionByName(row)
+    return dow_rows.unionByName(var_rows).orderBy("part")
+
+
+# ---------------------------------------------------------------------------
+# a0098 — distributed parquet row-group audit: the engine writes a
+# lineitem mirror with maxRecordsPerFile=8192 (one task, sequential
+# split -> ceil(n/8192) files of exactly 8192 rows except the last),
+# builds a file inventory, and reads every parquet FOOTER in parallel
+# with pyarrow inside mapInPandas (Arrow-batched; the worker fn is a
+# closure -> pickled by value, no package import needed on executors).
+# The oracle reproduces the whole physical layout arithmetically from
+# COUNT(*): file count, per-file row counts, one row group per file
+# (8192 rows << the 128 MiB parquet block), 11 leaf columns. This is
+# the footer-stats primitive a compaction planner / scan scheduler
+# needs; at 100 TB the inventory is a DataFrame and footers are read
+# executor-side, never on the driver.
+# ---------------------------------------------------------------------------
+
+_RG_MAX_RECORDS = 8192
+
+
+@query(
+    "a0098_rowgroup_audit",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS c FROM lineitem)
+    SELECT CAST(i AS BIGINT) AS file_idx,
+           CAST(1 AS BIGINT) AS n_row_groups,
+           CAST(LEAST({_RG_MAX_RECORDS}, c - i * {_RG_MAX_RECORDS}) AS BIGINT) AS meta_rows,
+           CAST(11 AS BIGINT) AS n_cols
+    FROM (SELECT unnest(generate_series(0,
+            (SELECT CAST(CEIL(c * 1.0 / {_RG_MAX_RECORDS}) AS BIGINT) - 1 FROM n))) AS i)
+    CROSS JOIN n
+    ORDER BY file_idx
+    """,
+    description=f"distributed parquet row-group audit: write a lineitem mirror with maxRecordsPerFile={_RG_MAX_RECORDS} (sequential split, deterministic file sizes), then read every parquet footer executor-side via pyarrow inside mapInPandas over the file inventory — row-group count, metadata row count, and leaf-column count per file; the oracle reproduces the physical layout arithmetically from COUNT(*), so a wrong split, a surprise second row group, or a driver-side footer loop fails the hash",
+)
+def a0098_rowgroup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .sources_ext import _mirror_dir
+
+    mirror = _mirror_dir(sf_dir, "rowgroup_audit", "lineitem")
+    li = load_table(spark, sf_dir, "lineitem")
+    (
+        li.repartition(1)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", _RG_MAX_RECORDS)
+        .parquet(mirror)
+    )
+    files = sorted(
+        os.path.join(mirror, f) for f in os.listdir(mirror) if f.endswith(".parquet")
+    )
+    inv = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(files)], "file_idx long, path string"
+    ).repartition(min(len(files), 8))
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for idx, path in zip(pdf["file_idx"], pdf["path"]):
+                md = pq.ParquetFile(path).metadata
+                out.append((int(idx), md.num_row_groups, md.num_rows, md.num_columns))
+            yield pd.DataFrame(
+                out, columns=["file_idx", "n_row_groups", "meta_rows", "n_cols"]
+            )
+
+    return (
+        inv.mapInPandas(
+            read_footers,
+            "file_idx long, n_row_groups long, meta_rows long, n_cols long",
+        )
+        .orderBy("file_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0099 — rendezvous (highest-random-weight) sharding audit: every
+# document scores each shard with a deterministic md5 hash of
+# (doc_id, shard) and is assigned to the argmax — the consistent-
+# placement scheme that, when a shard is ADDED, moves only the docs the
+# new shard wins (≈1/(S+1)) and moves them only TO the new shard. The
+# audit assigns under S=8 and S=9 and proves the HRW invariant in data:
+# n_moved_other is identically 0 and total movement ≈ 1/9. Pure
+# projection + one 8-row aggregate, no shuffle before the groupBy.
+# ---------------------------------------------------------------------------
+
+_HRW_OLD = 8
+
+
+@query(
+    "a0099_rendezvous_sharding",
+    oracle=f"""
+    WITH h AS (
+      SELECT d.doc_id, s.s,
+             CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                                        CAST(s.s AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, {_HRW_OLD})) AS s) s
+    ),
+    a8 AS (
+      SELECT doc_id, s AS old_shard FROM (
+        SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY hv DESC, s DESC) AS rk
+        FROM h WHERE s < {_HRW_OLD}) WHERE rk = 1
+    ),
+    a9 AS (
+      SELECT doc_id, s AS new_shard FROM (
+        SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY hv DESC, s DESC) AS rk
+        FROM h) WHERE rk = 1
+    )
+    SELECT CAST(a8.old_shard AS BIGINT) AS old_shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN new_shard = {_HRW_OLD} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved_to_new,
+           CAST(SUM(CASE WHEN new_shard <> old_shard AND new_shard <> {_HRW_OLD}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_other,
+           ROUND(SUM(CASE WHEN new_shard <> old_shard THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS moved_share
+    FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id
+    GROUP BY a8.old_shard
+    ORDER BY old_shard
+    """,
+    description=f"rendezvous (HRW) sharding audit: md5(doc_id,shard) weight per shard, assignment = lexicographic argmax, computed under {_HRW_OLD} and {_HRW_OLD + 1} shards in one projection (array of structs, array_max — no explode, no shuffle); per-old-shard movement report proves the HRW invariant in data (n_moved_other ≡ 0, total movement ≈ 1/{_HRW_OLD + 1}) — the consistent-placement primitive for shard scale-out with minimal data motion",
+)
+def a0099_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def hv(s: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{s}"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    structs = [
+        F.struct(hv(s).alias("hv"), F.lit(s).cast("long").alias("s"))
+        for s in range(_HRW_OLD + 1)
+    ]
+    assigned = docs.select(
+        F.array_max(F.array(*structs[:_HRW_OLD]))["s"].alias("old_shard"),
+        F.array_max(F.array(*structs))["s"].alias("new_shard"),
+    )
+    new = F.lit(_HRW_OLD).cast("long")
+    return (
+        assigned.groupBy("old_shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("new_shard") == new, 1).otherwise(0))
+            .cast("long")
+            .alias("n_moved_to_new"),
+            F.sum(
+                F.when(
+                    (F.col("new_shard") != F.col("old_shard")) & (F.col("new_shard") != new),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved_other"),
+            F.round(
+                F.sum(F.when(F.col("new_shard") != F.col("old_shard"), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("moved_share"),
+        )
+        .orderBy("old_shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0100 — grid-density clustering (DENCLUE-style mode seeking on a CLIQUE
+# grid): project embeddings onto their first two coordinates, lay a 16×16
+# equal-width grid over the data range (broadcast 1-row min/max), call a
+# cell dense at count ≥ 3, point each dense cell at the densest cell in
+# its 3×3 neighborhood (ties → lowest cell id), and resolve each cell's
+# attractor by pointer DOUBLING — 8 rounds of self-joins compose next^256,
+# enough for any monotone climb on ≤256 cells (each non-fixpoint hop
+# strictly increases (density, −id), so paths can't cycle). Clusters are
+# the attractor fixpoints; sparse cells are noise. Every join after the
+# one groupBy runs on the ≤256-row CELL frame, never on points.
+# ---------------------------------------------------------------------------
+
+_GRID = 16
+_GRID_MINPTS = 3
+
+
+@query(
+    "a0100_grid_density_clusters",
+    oracle=f"""
+    WITH pts AS (
+      SELECT embedding[1] AS e0, embedding[2] AS e1 FROM embeddings
+    ),
+    rng AS (SELECT MIN(e0) AS mn0, MAX(e0) AS mx0, MIN(e1) AS mn1, MAX(e1) AS mx1 FROM pts),
+    cells AS (
+      SELECT LEAST({_GRID - 1}, CAST(FLOOR((e0 - mn0) / ((mx0 - mn0) / {_GRID})) AS BIGINT)) AS gx,
+             LEAST({_GRID - 1}, CAST(FLOOR((e1 - mn1) / ((mx1 - mn1) / {_GRID})) AS BIGINT)) AS gy,
+             COUNT(*) AS cnt
+      FROM pts CROSS JOIN rng GROUP BY 1, 2
+    ),
+    dense AS (SELECT gx * {_GRID} + gy AS cell_id, gx, gy, cnt FROM cells WHERE cnt >= {_GRID_MINPTS}),
+    nxt AS (
+      SELECT c, n FROM (
+        SELECT a.cell_id AS c, b.cell_id AS n,
+               ROW_NUMBER() OVER (PARTITION BY a.cell_id ORDER BY b.cnt DESC, b.cell_id ASC) AS rk
+        FROM dense a JOIN dense b
+          ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+      ) WHERE rk = 1
+    ),
+    j1 AS (SELECT l.c, r.n FROM nxt l JOIN nxt r ON l.n = r.c),
+    j2 AS (SELECT l.c, r.n FROM j1 l JOIN j1 r ON l.n = r.c),
+    j3 AS (SELECT l.c, r.n FROM j2 l JOIN j2 r ON l.n = r.c),
+    j4 AS (SELECT l.c, r.n FROM j3 l JOIN j3 r ON l.n = r.c),
+    j5 AS (SELECT l.c, r.n FROM j4 l JOIN j4 r ON l.n = r.c),
+    j6 AS (SELECT l.c, r.n FROM j5 l JOIN j5 r ON l.n = r.c),
+    j7 AS (SELECT l.c, r.n FROM j6 l JOIN j6 r ON l.n = r.c),
+    j8 AS (SELECT l.c, r.n FROM j7 l JOIN j7 r ON l.n = r.c),
+    labeled AS (
+      SELECT d.cell_id, j.n AS cluster, d.cnt FROM dense d JOIN j8 j ON d.cell_id = j.c
+    ),
+    clusters AS (
+      SELECT l.cluster AS cluster_cell, COUNT(*) AS n_cells, SUM(l.cnt) AS n_points,
+             MAX(p.cnt) AS peak_density
+      FROM labeled l JOIN dense p ON l.cluster = p.cell_id
+      GROUP BY l.cluster
+    ),
+    noise AS (
+      SELECT CAST(-1 AS BIGINT), COUNT(*), COALESCE(SUM(cnt), 0), COALESCE(MAX(cnt), 0)
+      FROM cells WHERE cnt < {_GRID_MINPTS}
+    )
+    SELECT CAST(cluster_cell AS BIGINT) AS cluster_cell, CAST(n_cells AS BIGINT) AS n_cells,
+           CAST(n_points AS BIGINT) AS n_points, CAST(peak_density AS BIGINT) AS peak_density
+    FROM (SELECT * FROM clusters UNION ALL SELECT * FROM noise)
+    ORDER BY cluster_cell
+    """,
+    description=f"grid-density clustering (DENCLUE mode seeking on a CLIQUE {_GRID}×{_GRID} grid) over the first two embedding coordinates: equal-width cells from a broadcast min/max frame, dense = count ≥ {_GRID_MINPTS}, each dense cell points at its densest 3×3 neighbor (tie → lowest id), attractors resolved by 8 rounds of pointer-DOUBLING self-joins (= next^256, provably past any monotone climb on ≤256 cells); per-cluster cell/point/peak counts plus a noise row — after the single point-level groupBy every operation runs on the bounded cell frame",
+)
+def a0100_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding")[0].alias("e0"), F.col("embedding")[1].alias("e1")
+    )
+    rng = emb.agg(
+        F.min("e0").alias("mn0"), F.max("e0").alias("mx0"),
+        F.min("e1").alias("mn1"), F.max("e1").alias("mx1"),
+    )
+    g = float(_GRID)
+    cells = (
+        emb.crossJoin(F.broadcast(rng))
+        .groupBy(
+            F.least(
+                F.lit(_GRID - 1),
+                F.floor((F.col("e0") - F.col("mn0")) / ((F.col("mx0") - F.col("mn0")) / g)),
+            ).cast("long").alias("gx"),
+            F.least(
+                F.lit(_GRID - 1),
+                F.floor((F.col("e1") - F.col("mn1")) / ((F.col("mx1") - F.col("mn1")) / g)),
+            ).cast("long").alias("gy"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    dense = cells.filter(F.col("cnt") >= _GRID_MINPTS).select(
+        (F.col("gx") * _GRID + F.col("gy")).alias("cell_id"), "gx", "gy", "cnt"
+    ).localCheckpoint(eager=False)
+    a, b = dense.alias("a"), dense.alias("b")
+    nxt = (
+        a.join(
+            b,
+            (F.abs(F.col("a.gx") - F.col("b.gx")) <= 1)
+            & (F.abs(F.col("a.gy") - F.col("b.gy")) <= 1),
+        )
+        .groupBy(F.col("a.cell_id").alias("c"))
+        # lexicographic max of (cnt, -cell_id) = densest neighbor, tie -> lowest id
+        .agg(F.max(F.struct(F.col("b.cnt"), (-F.col("b.cell_id")).alias("neg")))["neg"].alias("n"))
+        .select("c", (-F.col("n")).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    f = nxt
+    for _ in range(8):  # next^(2^8): past any monotone climb on <=256 cells
+        l, r = f.alias("l"), f.alias("r")
+        f = (
+            l.join(r, F.col("l.n") == F.col("r.c"))
+            .select(F.col("l.c").alias("c"), F.col("r.n").alias("n"))
+            .localCheckpoint(eager=False)
+        )
+    labeled = dense.join(f, dense["cell_id"] == f["c"]).select(
+        F.col("n").alias("cluster"), "cnt"
+    )
+    peaks = dense.select(F.col("cell_id").alias("cluster"), F.col("cnt").alias("pcnt"))
+    clusters = (
+        labeled.groupBy("cluster")
+        .agg(F.count("*").alias("n_cells"), F.sum("cnt").alias("n_points"))
+        .join(F.broadcast(peaks), "cluster")
+        .select(
+            F.col("cluster").cast("long").alias("cluster_cell"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+            F.col("n_points").cast("long").alias("n_points"),
+            F.col("pcnt").cast("long").alias("peak_density"),
+        )
+    )
+    noise = cells.filter(F.col("cnt") < _GRID_MINPTS).agg(
+        F.lit(-1).cast("long").alias("cluster_cell"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_points"),
+        F.coalesce(F.max("cnt"), F.lit(0)).cast("long").alias("peak_density"),
+    )
+    return clusters.unionByName(noise).orderBy("cluster_cell")
+
+
+# ---------------------------------------------------------------------------
+# a0101 — heavy-change detection between adjacent time windows (the
+# exact baseline of the sketch-based deltoid problem): per
+# (user_id, event_type) key, event counts in the first vs second half
+# of the month, traffic-share delta |n_a/T_a − n_b/T_b|, top-15 movers
+# with tie-free ordering. One scan, one key-level aggregate, global
+# top-k via TakeOrderedAndProject — the monitoring primitive that at
+# 100 TB is fed by the same group-by with a CMS sketch in front.
+# ---------------------------------------------------------------------------
+
+_HC_TOP = 15
+_HC_SPLIT = "2024-01-16"
+
+
+@query(
+    "a0101_heavy_change",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT user_id, event_type,
+             SUM(CASE WHEN ts < TIMESTAMP '{_HC_SPLIT} 00:00:00' THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN ts >= TIMESTAMP '{_HC_SPLIT} 00:00:00' THEN 1 ELSE 0 END) AS n_b
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM keyed)
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(abs(n_a * 1.0 / ta - n_b * 1.0 / tb) * 1e4, 6) AS delta_share_bp
+    FROM keyed CROSS JOIN tot
+    ORDER BY abs(n_a * 1.0 / ta - n_b * 1.0 / tb) DESC, user_id, event_type
+    LIMIT {_HC_TOP}
+    """,
+    description=f"heavy-change detection between adjacent halves of the event month (exact deltoid baseline): per (user, event_type) counts in window A vs B, traffic-share delta in basis points, top-{_HC_TOP} movers with tie-free order; one scan + one key aggregate + TakeOrderedAndProject — the same group-by a CMS-fronted deltoid sketch feeds at 100 TB",
+)
+def a0101_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    split = F.lit(_HC_SPLIT).cast("timestamp_ntz")
+    keyed = ev.groupBy("user_id", "event_type").agg(
+        F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("ts") >= split, 1).otherwise(0)).alias("n_b"),
+    )
+    tot = keyed.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    delta = F.abs(F.col("n_a") * 1.0 / F.col("ta") - F.col("n_b") * 1.0 / F.col("tb"))
+    return (
+        keyed.crossJoin(F.broadcast(tot))
+        .orderBy(delta.desc(), "user_id", "event_type")
+        .limit(_HC_TOP)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_type",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(delta * 1e4, 6).alias("delta_share_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0102 — ordered funnel conversion (signup → view → click → purchase):
+# each stage's timestamp is the user's FIRST qualifying event strictly
+# after their previous-stage timestamp, so out-of-order events never
+# count. Four user-keyed conditional aggregates chained by broadcast
+# joins of the shrinking per-user frame; timestamps are only compared,
+# never subtracted (NTZ-safe, engine-identical). Output: per-stage user
+# counts with step and cumulative conversion rates.
+# ---------------------------------------------------------------------------
+
+_FUNNEL = ("signup", "view", "click", "purchase")
+
+
+@query(
+    "a0102_funnel_conversion",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = '{_FUNNEL[0]}' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts > s1.t1 GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts > s2.t2 GROUP BY 1
+    ),
+    s4 AS (
+      SELECT e.user_id, MIN(e.ts) AS t4 FROM events e JOIN s3 ON e.user_id = s3.user_id
+      WHERE e.event_type = '{_FUNNEL[3]}' AND e.ts > s3.t3 GROUP BY 1
+    ),
+    counts AS (
+      SELECT 1 AS stage_idx, '{_FUNNEL[0]}' AS stage, (SELECT COUNT(*) FROM s1) AS n_users
+      UNION ALL SELECT 2, '{_FUNNEL[1]}', (SELECT COUNT(*) FROM s2)
+      UNION ALL SELECT 3, '{_FUNNEL[2]}', (SELECT COUNT(*) FROM s3)
+      UNION ALL SELECT 4, '{_FUNNEL[3]}', (SELECT COUNT(*) FROM s4)
+    )
+    SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+           CAST(n_users AS BIGINT) AS n_users,
+           ROUND(n_users * 1.0 / NULLIF(lag(n_users, 1, n_users)
+                 OVER (ORDER BY stage_idx), 0), 6) AS conv_from_prev,
+           ROUND(n_users * 1.0 / NULLIF(first_value(n_users)
+                 OVER (ORDER BY stage_idx), 0), 6) AS conv_from_start
+    FROM counts ORDER BY stage_idx
+    """,
+    description="ordered funnel conversion over the event stream (signup → view → click → purchase): each stage timestamp is the user's first qualifying event STRICTLY AFTER the previous stage's, so out-of-order events never convert; four chained user-keyed conditional MIN aggregates, NTZ-safe pure timestamp comparisons, per-stage users + step and cumulative conversion rates (the 4-row rate window runs on the stage frame, not data)",
+)
+def a0102_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    stage_frames = []
+    prev = None
+    for i, etype in enumerate(_FUNNEL, start=1):
+        cur = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            cur = cur.join(F.broadcast(prev), "user_id").filter(F.col("ts") > F.col("t_prev"))
+        frame = cur.groupBy("user_id").agg(F.min("ts").alias("t_prev")).localCheckpoint(eager=False)
+        stage_frames.append((i, etype, frame))
+        prev = frame
+    counts = None
+    for i, etype, frame in stage_frames:
+        row = frame.agg(F.count("*").alias("n_users")).select(
+            F.lit(i).cast("long").alias("stage_idx"), F.lit(etype).alias("stage"), "n_users"
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    w = Window.orderBy("stage_idx")  # 4-row stage frame, never data rows
+    return counts.select(
+        "stage_idx",
+        "stage",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.round(
+            F.col("n_users")
+            / F.nullif(F.coalesce(F.lag("n_users", 1).over(w), F.col("n_users")), F.lit(0)),
+            6,
+        ).alias("conv_from_prev"),
+        F.round(
+            F.col("n_users") / F.nullif(F.first("n_users").over(w), F.lit(0)), 6
+        ).alias("conv_from_start"),
+    ).orderBy("stage_idx")

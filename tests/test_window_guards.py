@@ -38,6 +38,8 @@ ALLOWED_UNPARTITIONED: dict[str, str] = {
     "q126_quantile_sketch": "cumulative count over the merged histogram (<= 512 bin rows)",
     "q135_anomaly_flags": "trailing 7-day stats over the daily revenue rollup (calendar-bounded)",
     "a0136_ks_drift_test": "CDF cumulative sum over the merged histogram (<= 1024 bin rows)",
+    "a0097_stl_decompose": "centered 7-day MA over the daily revenue rollup (calendar-bounded)",
+    "a0102_funnel_conversion": "conversion-rate lag over the 4-row stage-count frame, never events",
     "a0122_compaction_plan": "next-fit cumsum over the FILE INVENTORY frame (one row per partition file, never data rows)",
     "a0129_inbatch_negatives": "deterministic batching row_number — the oracle-parity twin of the scale path (batch = md5 mod n_batches, no sort; documented in-code)",
     "a0131_curriculum_shards": "curriculum ntile over the score order — the oracle-parity twin of repartitionByRange(score) (sampled boundaries are not engine-reproducible)",
