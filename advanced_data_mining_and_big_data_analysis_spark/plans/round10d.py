@@ -893,3 +893,270 @@ def a0102_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_users") / F.nullif(F.first("n_users").over(w), F.lit(0)), 6
         ).alias("conv_from_start"),
     ).orderBy("stage_idx")
+
+
+# ---------------------------------------------------------------------------
+# a0103 — Adamic-Adar link prediction on the customer co-purchase graph:
+# customers are linked to the parts they ordered (orders ⋈ lineitem,
+# distinct), and a candidate customer pair's score is
+#   Σ_{part ∈ common} 1 / ln(deg(part))
+# — common neighbors weighted inversely by the popularity of the shared
+# item (Adamic & Adar 2003). Pair generation is PART-KEYED (self-join on
+# the part, c1 < c2), and parts are degree-capped to [2, 50] so the pair
+# stage is bounded by Σ deg² with deg ≤ 50 — never an all-pairs blowup,
+# the same salting-free skew bound the LSH dedup family uses.
+# ---------------------------------------------------------------------------
+
+_AA_DEG_MIN, _AA_DEG_MAX, _AA_TOP = 2, 50, 20
+
+
+@query(
+    "a0103_adamic_adar",
+    oracle=f"""
+    WITH cp AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS pk
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    deg AS (
+      SELECT pk, COUNT(*) AS d FROM cp GROUP BY pk
+      HAVING COUNT(*) BETWEEN {_AA_DEG_MIN} AND {_AA_DEG_MAX}
+    ),
+    pairs AS (
+      SELECT a.cust AS c1, b.cust AS c2, SUM(1.0 / ln(d.d)) AS score,
+             COUNT(*) AS n_common
+      FROM cp a JOIN cp b ON a.pk = b.pk AND a.cust < b.cust
+      JOIN deg d ON a.pk = d.pk
+      GROUP BY a.cust, b.cust
+    )
+    SELECT CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+           CAST(n_common AS BIGINT) AS n_common, ROUND(score, 6) AS aa_score
+    FROM pairs
+    ORDER BY score DESC, c1, c2
+    LIMIT {_AA_TOP}
+    """,
+    description=f"Adamic-Adar link prediction on the customer co-purchase bipartite graph: score(c1,c2) = Σ 1/ln(deg(part)) over shared parts, part degrees capped to [{_AA_DEG_MIN}, {_AA_DEG_MAX}] so the part-keyed pair self-join is bounded by Σ deg² (never all-pairs), top-{_AA_TOP} candidate links with tie-free order — the classic common-neighbor predictor, generated the skew-safe way",
+)
+def a0103_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        od.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        cp.groupBy("pk")
+        .agg(F.count("*").alias("d"))
+        .filter(F.col("d").between(_AA_DEG_MIN, _AA_DEG_MAX))
+        .select(F.col("pk").alias("dpk"), "d")  # rename: deg derives from cp, avoid self-join ambiguity
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.cust") < F.col("b.cust")))
+        .join(deg, F.col("a.pk") == F.col("dpk"))
+        .groupBy(F.col("a.cust").alias("c1"), F.col("b.cust").alias("c2"))
+        .agg((F.sum(1.0 / F.log(F.col("d")))).alias("score"), F.count("*").alias("n_common"))
+    )
+    return (
+        pairs.orderBy(F.desc("score"), "c1", "c2")
+        .limit(_AA_TOP)
+        .select(
+            F.col("c1").cast("long").alias("c1"),
+            F.col("c2").cast("long").alias("c2"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round("score", 6).alias("aa_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0104 — SAX motif mining over the daily revenue series (Lin/Keogh
+# symbolic aggregate approximation): z-normalize the cents-rounded daily
+# totals against broadcast population stats, slide an 8-day window (as
+# 7 leads over the calendar-bounded daily spine), reduce it to 4 PAA
+# segments of 2 days, map each segment mean to {{a,b,c,d}} via the
+# Gaussian quartile breakpoints ±0.6745/0, and count identical SAX
+# words — the most frequent words are the series' motifs. Everything is
+# window algebra + one word-level aggregate; no UDF, no iteration.
+# ---------------------------------------------------------------------------
+
+_SAX_TOP = 10
+_SAX_BP = 0.6745
+
+
+@query(
+    "a0104_sax_motifs",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, ROUND(SUM(o_totalprice), 2) AS y
+      FROM orders GROUP BY 1
+    ),
+    stats AS (SELECT AVG(y) AS mu, stddev_pop(y) AS sd FROM daily),
+    z AS (SELECT day, (y - mu) / sd AS z FROM daily CROSS JOIN stats),
+    led AS (
+      SELECT day, z AS z0,
+             lead(z, 1) OVER w AS z1, lead(z, 2) OVER w AS z2, lead(z, 3) OVER w AS z3,
+             lead(z, 4) OVER w AS z4, lead(z, 5) OVER w AS z5, lead(z, 6) OVER w AS z6,
+             lead(z, 7) OVER w AS z7
+      FROM z WINDOW w AS (ORDER BY day)
+    ),
+    words AS (
+      SELECT day,
+             (CASE WHEN (z0+z1)/2 < -{_SAX_BP} THEN 'a' WHEN (z0+z1)/2 < 0 THEN 'b'
+                   WHEN (z0+z1)/2 < {_SAX_BP} THEN 'c' ELSE 'd' END) ||
+             (CASE WHEN (z2+z3)/2 < -{_SAX_BP} THEN 'a' WHEN (z2+z3)/2 < 0 THEN 'b'
+                   WHEN (z2+z3)/2 < {_SAX_BP} THEN 'c' ELSE 'd' END) ||
+             (CASE WHEN (z4+z5)/2 < -{_SAX_BP} THEN 'a' WHEN (z4+z5)/2 < 0 THEN 'b'
+                   WHEN (z4+z5)/2 < {_SAX_BP} THEN 'c' ELSE 'd' END) ||
+             (CASE WHEN (z6+z7)/2 < -{_SAX_BP} THEN 'a' WHEN (z6+z7)/2 < 0 THEN 'b'
+                   WHEN (z6+z7)/2 < {_SAX_BP} THEN 'c' ELSE 'd' END) AS word
+      FROM led WHERE z7 IS NOT NULL
+    )
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n_windows, MIN(day) AS first_day
+    FROM words GROUP BY word
+    ORDER BY n_windows DESC, word
+    LIMIT {_SAX_TOP}
+    """,
+    description=f"SAX motif mining (Lin/Keogh symbolic aggregate approximation) over daily revenue: z-normalized cents-rounded series, 8-day sliding windows as 7 leads over the calendar-bounded daily spine, 4 two-day PAA segments mapped to a 4-letter alphabet at the Gaussian quartile breakpoints ±{_SAX_BP}, top-{_SAX_TOP} most frequent SAX words with first occurrence — motif discovery as pure window algebra, no UDF",
+)
+def a0104_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = od.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("y")
+    )
+    stats = daily.agg(F.avg("y").alias("mu"), F.stddev_pop("y").alias("sd"))
+    z = daily.crossJoin(F.broadcast(stats)).select(
+        "day", ((F.col("y") - F.col("mu")) / F.col("sd")).alias("z")
+    )
+    w = Window.orderBy("day")  # daily rollup spine, calendar-bounded
+    led = z.select(
+        "day",
+        F.col("z").alias("z0"),
+        *[F.lead("z", i).over(w).alias(f"z{i}") for i in range(1, 8)],
+    ).filter(F.col("z7").isNotNull())
+
+    def letter(seg):
+        return (
+            F.when(seg < -_SAX_BP, "a")
+            .when(seg < 0, "b")
+            .when(seg < _SAX_BP, "c")
+            .otherwise("d")
+        )
+
+    word = F.concat(
+        *[letter((F.col(f"z{2 * k}") + F.col(f"z{2 * k + 1}")) / 2) for k in range(4)]
+    )
+    return (
+        led.select("day", word.alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n_windows"), F.min("day").alias("first_day"))
+        .orderBy(F.desc("n_windows"), "word")
+        .limit(_SAX_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0105 — range-partition planning from an equi-width key histogram (how
+# a shuffle planner picks RangePartitioner boundaries without a global
+# sort): build a 256-bucket histogram of l_orderkey, cumulative counts
+# over the BUCKET frame (≤256 rows — the whole point: order statistics
+# against the histogram, never against data), then for each of 16 target
+# partitions pick the first bucket whose cumulative count reaches
+# ceil(j·n/16) and report the planned rows and skew vs the ideal n/16.
+# This is the AQE/range-exchange planning primitive: at 100 TB the
+# histogram is one map-side-combined aggregate and the plan is 16 rows.
+# ---------------------------------------------------------------------------
+
+_RP_BUCKETS = 256
+_RP_PARTS = 16
+
+
+@query(
+    "a0105_range_partition_plan",
+    oracle=f"""
+    WITH rng AS (SELECT MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx, COUNT(*) AS n FROM lineitem),
+    hist AS (
+      SELECT LEAST({_RP_BUCKETS - 1},
+                   CAST(FLOOR((l_orderkey - mn) * {_RP_BUCKETS}.0 / (mx - mn + 1)) AS BIGINT))
+               AS bucket,
+             COUNT(*) AS cnt
+      FROM lineitem CROSS JOIN rng GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, SUM(cnt) OVER (ORDER BY bucket
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+      FROM hist
+    ),
+    targets AS (
+      SELECT CAST(j AS BIGINT) AS part_id,
+             CAST(CEIL(n * j * 1.0 / {_RP_PARTS}) AS BIGINT) AS tgt, n
+      FROM (SELECT unnest(generate_series(1, {_RP_PARTS})) AS j) CROSS JOIN rng
+    ),
+    bounds AS (
+      SELECT t.part_id, t.n, MIN(c.bucket) AS ub_bucket
+      FROM targets t JOIN cum c ON c.cum >= t.tgt
+      GROUP BY t.part_id, t.n
+    ),
+    planned AS (
+      SELECT b.part_id, b.ub_bucket, b.n,
+             c.cum - COALESCE(lag(c.cum) OVER (ORDER BY b.part_id), 0) AS planned_rows
+      FROM bounds b JOIN cum c ON b.ub_bucket = c.bucket
+    )
+    SELECT part_id, CAST(ub_bucket AS BIGINT) AS ub_bucket,
+           CAST(planned_rows AS BIGINT) AS planned_rows,
+           ROUND(planned_rows * {_RP_PARTS}.0 / n, 6) AS skew_vs_ideal
+    FROM planned ORDER BY part_id
+    """,
+    description=f"range-partition planning from a {_RP_BUCKETS}-bucket equi-width key histogram (the RangePartitioner/AQE boundary-picking primitive without a global sort): cumulative counts over the bounded BUCKET frame, boundary for partition j = first bucket reaching ceil(j·n/{_RP_PARTS}), per-partition planned rows and skew vs the ideal n/{_RP_PARTS}; order statistics run against the histogram, never against data rows",
+)
+def a0105_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    rng = li.agg(
+        F.min("l_orderkey").alias("mn"), F.max("l_orderkey").alias("mx"), F.count("*").alias("n")
+    )
+    hist = (
+        li.crossJoin(F.broadcast(rng))
+        .groupBy(
+            F.least(
+                F.lit(_RP_BUCKETS - 1),
+                F.floor(
+                    (F.col("l_orderkey") - F.col("mn"))
+                    * float(_RP_BUCKETS)
+                    / (F.col("mx") - F.col("mn") + 1)
+                ),
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bucket", F.sum("cnt").over(wcum).alias("cum")).localCheckpoint(eager=False)
+    targets = (
+        spark.range(1, _RP_PARTS + 1)
+        .select(F.col("id").cast("long").alias("part_id"))
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "part_id",
+            F.ceil(F.col("n") * F.col("part_id") * 1.0 / _RP_PARTS).cast("long").alias("tgt"),
+            "n",
+        )
+    )
+    bounds = (
+        targets.join(cum, F.col("cum") >= F.col("tgt"))
+        .groupBy("part_id", "n")
+        .agg(F.min("bucket").alias("ub_bucket"))
+    )
+    wlag = Window.orderBy("part_id")  # 16-row plan frame
+    planned = (
+        bounds.join(cum, F.col("ub_bucket") == F.col("bucket"))
+        .select("part_id", "ub_bucket", "n", "cum")
+        .withColumn("planned_rows", F.col("cum") - F.coalesce(F.lag("cum").over(wlag), F.lit(0)))
+    )
+    return planned.select(
+        "part_id",
+        F.col("ub_bucket").cast("long").alias("ub_bucket"),
+        F.col("planned_rows").cast("long").alias("planned_rows"),
+        F.round(F.col("planned_rows") * float(_RP_PARTS) / F.col("n"), 6).alias("skew_vs_ideal"),
+    ).orderBy("part_id")

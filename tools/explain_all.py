@@ -139,6 +139,20 @@ HEADLINE = [
     "a0129_inbatch_negatives",
     "a0130_fellegi_sunter",
     "a0131_curriculum_shards",
+    # round-10 final wave (round10d)
+    "a0093_association_rules",
+    "a0094_weighted_reservoir",
+    "a0095_psi_drift",
+    "a0096_rolling_ols",
+    "a0097_stl_decompose",
+    "a0098_rowgroup_audit",
+    "a0099_rendezvous_sharding",
+    "a0100_grid_density_clusters",
+    "a0101_heavy_change",
+    "a0102_funnel_conversion",
+    "a0103_adamic_adar",
+    "a0104_sax_motifs",
+    "a0105_range_partition_plan",
 ]
 
 
