@@ -64,6 +64,7 @@ def all_queries() -> dict[str, QueryDef]:
         round10b,
         round10c,
         round10d,
+        round10e,
         sessions,
         similarity,
         sources_ext,

@@ -1,0 +1,440 @@
+"""Post-window round-10 wave (a0210+): time-series diagnostics and
+classical data-mining operators that deepen the engine beyond the 50
+driver slots already filled this round — autocorrelation + Ljung-Box,
+zone-map pruning audit, Haar wavelet energy spectrum, Apriori triple
+itemsets, item-item collaborative filtering, Theil-Sen robust slope,
+MDLP entropy split selection, and RFM segmentation.
+
+Named a0210+ so they sort AFTER the frozen r10 driver window
+(a0093–a0143); they are window fodder for round 11. Every query
+carries a full DuckDB value-hash oracle.
+
+Reference parity: no counterpart in the reference notebook
+(kaggle/kaggle.py) — these extend the data-mining axis of the course
+title (ACF diagnostics, Apriori, discretization, RFM are textbook
+material) and the lakehouse-engineering axis (zone maps) the 100 TB
+north star demands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# a0210 — autocorrelation function + Ljung-Box portmanteau test of the
+# daily revenue series: r_k for k = 1..14 computed from one pass of 14
+# window lags over the calendar-bounded daily rollup, and the cumulative
+# Ljung-Box statistic Q(K) = n(n+2) Σ_{k≤K} r_k²/(n−k) — the standard
+# "is this series white noise?" diagnostic that motivates every seasonal
+# feature the engine builds (q26 Fourier, a086 periodogram, a0097 STL).
+# Daily totals are cents-rounded first so the moment sums are engine-
+# stable; r rounded to 6, Q to 4.
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = 14
+
+
+def _acf_oracle() -> str:
+    lag_cols = ",\n             ".join(
+        f"lag(d, {k}) OVER (ORDER BY day) AS d{k}" for k in range(1, _ACF_LAGS + 1)
+    )
+    sums = ",\n             ".join(
+        f"SUM(d * d{k}) AS s{k}" for k in range(1, _ACF_LAGS + 1)
+    )
+    rows = "\n    UNION ALL ".join(
+        f"SELECT {k} AS lag_k, n, s{k} / s0 AS r, "
+        f"n * (n + 2.0) * ({' + '.join(f'(s{j} / s0) * (s{j} / s0) / (n - {j})' for j in range(1, k + 1))}) AS q "
+        f"FROM s"
+        for k in range(1, _ACF_LAGS + 1)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, ROUND(SUM(o_totalprice), 2) AS y
+      FROM orders GROUP BY 1
+    ),
+    mu AS (SELECT AVG(y) AS m FROM daily),
+    dd AS (SELECT day, y - m AS d FROM daily CROSS JOIN mu),
+    led AS (
+      SELECT d,
+             {lag_cols}
+      FROM dd
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(d * d) AS s0,
+             {sums}
+      FROM led
+    )
+    SELECT CAST(lag_k AS BIGINT) AS lag_k, CAST(n AS BIGINT) AS n,
+           ROUND(r, 6) AS acf, ROUND(q, 4) AS ljung_box_q
+    FROM ({rows})
+    ORDER BY lag_k
+    """
+
+
+@query(
+    "a0210_acf_ljung_box",
+    oracle=_acf_oracle(),
+    description=f"autocorrelation function r_1..r_{_ACF_LAGS} of daily revenue plus the cumulative Ljung-Box portmanteau statistic Q(K) = n(n+2)Σr_k²/(n−k) — the standard white-noise diagnostic behind every seasonal feature; {_ACF_LAGS} window lags over the calendar-bounded daily rollup in ONE pass, one moment aggregate, cents-rounded inputs for engine-stable sums",
+)
+def a0210_acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = od.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("y")
+    )
+    mu = daily.agg(F.avg("y").alias("m"))
+    dd = daily.crossJoin(F.broadcast(mu)).select("day", (F.col("y") - F.col("m")).alias("d"))
+    w = Window.orderBy("day")  # daily rollup spine, calendar-bounded
+    led = dd.select(
+        "d", *[F.lag("d", k).over(w).alias(f"d{k}") for k in range(1, _ACF_LAGS + 1)]
+    )
+    s = led.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("d") * F.col("d")).alias("s0"),
+        *[
+            F.sum(F.col("d") * F.col(f"d{k}")).alias(f"s{k}")
+            for k in range(1, _ACF_LAGS + 1)
+        ],
+    ).localCheckpoint(eager=False)
+    out = None
+    for k in range(1, _ACF_LAGS + 1):
+        q_expr = None
+        for j in range(1, k + 1):
+            term = (F.col(f"s{j}") / F.col("s0")) * (F.col(f"s{j}") / F.col("s0")) / (
+                F.col("n") - j
+            )
+            q_expr = term if q_expr is None else q_expr + term
+        row = s.select(
+            F.lit(k).cast("long").alias("lag_k"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col(f"s{k}") / F.col("s0"), 6).alias("acf"),
+            F.round(F.col("n") * (F.col("n") + 2.0) * q_expr, 4).alias("ljung_box_q"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("lag_k")
+
+
+# ---------------------------------------------------------------------------
+# a0211 — zone-map pruning audit over a sort-clustered layout: write a
+# lineitem mirror globally sorted by l_orderkey and split at
+# maxRecordsPerFile=8192 (so each file's [min,max] key range is a
+# disjoint slice of the sorted key multiset), read the REAL zone maps
+# back (per-file min/max/count via input_file_name), and evaluate 8
+# evenly-spaced 1/16-width range predicates against them — files
+# touched, rows in touched files, pruned fraction. The oracle rebuilds
+# the zones from rank arithmetic (key at rank i·8192… — deterministic
+# even under duplicate-key tie reordering, because boundaries cut the
+# SORTED MULTISET at fixed positions). This is the data-skipping story
+# sort clustering buys at 100 TB: 1/16-range scans should touch ≈ 1/16
+# of files, and the hash fails if the layout or the zone read lies.
+# ---------------------------------------------------------------------------
+
+_ZM_RECORDS = 8192
+_ZM_PREDS = 8
+
+
+@query(
+    "a0211_zonemap_pruning",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT l_orderkey AS k, ROW_NUMBER() OVER (ORDER BY l_orderkey) AS rn
+      FROM lineitem
+    ),
+    zones AS (
+      SELECT CAST(FLOOR((rn - 1) / {_ZM_RECORDS}) AS BIGINT) AS f,
+             MIN(k) AS zmin, MAX(k) AS zmax, COUNT(*) AS cnt
+      FROM ranked GROUP BY 1
+    ),
+    nf AS (SELECT COUNT(*) AS n_files FROM zones),
+    rng AS (SELECT MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx FROM lineitem),
+    preds AS (
+      SELECT CAST(p AS BIGINT) AS pred_id,
+             mn + CAST(FLOOR((p - 1) * (mx - mn + 1) / {_ZM_PREDS}) AS BIGINT) AS lo,
+             mn + CAST(FLOOR((p - 1) * (mx - mn + 1) / {_ZM_PREDS}) AS BIGINT)
+                + CAST(FLOOR((mx - mn + 1) / {2 * _ZM_PREDS}) AS BIGINT) AS hi
+      FROM (SELECT unnest(generate_series(1, {_ZM_PREDS})) AS p) CROSS JOIN rng
+    )
+    SELECT p.pred_id, CAST(p.lo AS BIGINT) AS lo, CAST(p.hi AS BIGINT) AS hi,
+           (SELECT n_files FROM nf) AS n_files,
+           CAST(COUNT(z.f) AS BIGINT) AS n_touched,
+           CAST(COALESCE(SUM(z.cnt), 0) AS BIGINT) AS rows_touched,
+           ROUND(1.0 - COUNT(z.f) * 1.0 / (SELECT n_files FROM nf), 6) AS pruned_frac
+    FROM preds p LEFT JOIN zones z ON z.zmin <= p.hi AND z.zmax >= p.lo
+    GROUP BY p.pred_id, p.lo, p.hi
+    ORDER BY pred_id
+    """,
+    description=f"zone-map pruning audit over a sort-clustered mirror: lineitem globally sorted by l_orderkey, split at maxRecordsPerFile={_ZM_RECORDS}, REAL per-file min/max/count zone maps read back via input_file_name, and {_ZM_PREDS} evenly-spaced 1/{2 * _ZM_PREDS}-width range predicates evaluated against them (files touched, rows in touched files, pruned fraction); the oracle rebuilds zones from sorted-rank arithmetic — duplicate-key tie order can't change them because file boundaries cut the sorted multiset at fixed positions — proving sort clustering's data-skipping payoff end to end",
+)
+def a0211_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources_ext import _mirror_dir
+
+    mirror = _mirror_dir(sf_dir, "zonemap", "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    (
+        li.repartition(1)
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", _ZM_RECORDS)
+        .parquet(mirror)
+    )
+    zones = (
+        spark.read.parquet(mirror)
+        .select(F.input_file_name().alias("path"), "l_orderkey")
+        .groupBy("path")
+        .agg(
+            F.min("l_orderkey").alias("zmin"),
+            F.max("l_orderkey").alias("zmax"),
+            F.count("*").alias("cnt"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    nf = zones.agg(F.count("*").alias("n_files"))
+    rng = li.agg(F.min("l_orderkey").alias("mn"), F.max("l_orderkey").alias("mx"))
+    span = F.col("mx") - F.col("mn") + 1
+    preds = (
+        spark.range(1, _ZM_PREDS + 1)
+        .select(F.col("id").cast("long").alias("pred_id"))
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "pred_id",
+            (F.col("mn") + ((F.col("pred_id") - 1) * span / _ZM_PREDS).cast("long")).alias("lo"),
+            (
+                F.col("mn")
+                + ((F.col("pred_id") - 1) * span / _ZM_PREDS).cast("long")
+                + (span / (2 * _ZM_PREDS)).cast("long")
+            ).alias("hi"),
+        )
+        .crossJoin(F.broadcast(nf))
+    )
+    return (
+        preds.join(
+            zones,
+            (F.col("zmin") <= F.col("hi")) & (F.col("zmax") >= F.col("lo")),
+            "left",
+        )
+        .groupBy("pred_id", "lo", "hi", "n_files")
+        .agg(
+            F.count("path").cast("long").alias("n_touched"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("rows_touched"),
+            F.round(1.0 - F.count("path") / F.col("n_files"), 6).alias("pruned_frac"),
+        )
+        .select(
+            "pred_id",
+            F.col("lo").cast("long").alias("lo"),
+            F.col("hi").cast("long").alias("hi"),
+            F.col("n_files").cast("long").alias("n_files"),
+            "n_touched",
+            "rows_touched",
+            "pruned_frac",
+        )
+        .orderBy("pred_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0212 — Haar wavelet energy spectrum of the daily revenue series: take
+# the first N days (N = largest power of two ≤ min(#days, 256)), and for
+# each level ℓ = 1..8 compute the total energy of the Haar detail
+# coefficients — Σ_blocks (first-half sum − second-half sum)² / 2^ℓ over
+# complete 2^ℓ-day blocks — plus the level-N scaling (approximation)
+# energy. By Parseval the shares against Σy² sum to 1, so the hash
+# checks the whole multiresolution decomposition at once. Each level is
+# one bounded groupBy over the indexed spine; no UDF, no iteration.
+# ---------------------------------------------------------------------------
+
+_HAAR_MAXN = 256
+_HAAR_LEVELS = 8
+
+
+def _haar_oracle() -> str:
+    level_rows = "\n    UNION ALL ".join(
+        f"""SELECT 'level_{lvl}' AS part, CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+           ROUND(SUM(ssum * ssum) / {2 ** lvl} / (SELECT te FROM tot), 6) AS share
+    FROM (
+      SELECT CAST(FLOOR(idx / {2 ** lvl}) AS BIGINT) AS blk,
+             SUM(y * (1 - 2 * (CAST(FLOOR(idx / {2 ** (lvl - 1)}) AS BIGINT) % 2))) AS ssum,
+             COUNT(*) AS bn
+      FROM indexed GROUP BY 1
+    ) WHERE bn = {2 ** lvl}"""
+        for lvl in range(1, _HAAR_LEVELS + 1)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, ROUND(SUM(o_totalprice), 2) AS y
+      FROM orders GROUP BY 1
+    ),
+    nn AS (
+      SELECT CAST(power(2, FLOOR(log2(LEAST(COUNT(*), {_HAAR_MAXN})))) AS BIGINT) AS n
+      FROM daily
+    ),
+    indexed AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS idx, y
+      FROM daily CROSS JOIN nn
+      QUALIFY idx < n
+    ),
+    tot AS (SELECT SUM(y * y) AS te, SUM(y) AS sy, COUNT(*) AS n FROM indexed)
+    SELECT part, n_coeffs, share FROM (
+    {level_rows}
+    UNION ALL SELECT 'approx', CAST(1 AS BIGINT), ROUND(sy * sy / n / te, 6) FROM tot
+    ) ORDER BY part
+    """
+
+
+@query(
+    "a0212_haar_energy",
+    oracle=_haar_oracle(),
+    description=f"Haar wavelet energy spectrum of daily revenue: first N days (N = largest power of two ≤ min(#days, {_HAAR_MAXN})), per-level detail energy Σ(first-half − second-half block sums)²/2^ℓ for ℓ=1..{_HAAR_LEVELS} over complete blocks plus the scaling-coefficient energy, all as shares of Σy² (Parseval: shares sum to 1, so one hash checks the whole multiresolution decomposition); each level is one bounded groupBy over the indexed daily spine — no UDF, no iteration",
+)
+def a0212_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = od.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("y")
+    )
+    nn = daily.agg(
+        F.pow(F.lit(2.0), F.floor(F.log2(F.least(F.count("*"), F.lit(_HAAR_MAXN)))))
+        .cast("long")
+        .alias("n")
+    )
+    w = Window.orderBy("day")  # daily rollup spine, calendar-bounded
+    indexed = (
+        daily.crossJoin(F.broadcast(nn))
+        .select((F.row_number().over(w) - 1).alias("idx"), "y", "n")
+        .filter(F.col("idx") < F.col("n"))
+        .select("idx", "y")
+        .localCheckpoint(eager=False)
+    )
+    tot = indexed.agg(
+        F.sum(F.col("y") * F.col("y")).alias("te"),
+        F.sum("y").alias("sy"),
+        F.count("*").alias("n"),
+    ).localCheckpoint(eager=False)
+    out = None
+    for lvl in range(1, _HAAR_LEVELS + 1):
+        size = 2**lvl
+        sign = 1 - 2 * ((F.col("idx") / (size // 2)).cast("long") % 2)
+        blocks = (
+            indexed.groupBy((F.col("idx") / size).cast("long").alias("blk"))
+            .agg(F.sum(F.col("y") * sign).alias("ssum"), F.count("*").alias("bn"))
+            .filter(F.col("bn") == size)
+        )
+        row = (
+            blocks.agg(
+                F.count("*").cast("long").alias("n_coeffs"),
+                F.sum(F.col("ssum") * F.col("ssum")).alias("e"),
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(f"level_{lvl}").alias("part"),
+                "n_coeffs",
+                F.round(F.col("e") / size / F.col("te"), 6).alias("share"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    approx = tot.select(
+        F.lit("approx").alias("part"),
+        F.lit(1).cast("long").alias("n_coeffs"),
+        F.round(F.col("sy") * F.col("sy") / F.col("n") / F.col("te"), 6).alias("share"),
+    )
+    return out.unionByName(approx).orderBy("part")
+
+
+# ---------------------------------------------------------------------------
+# a0213 — Apriori frequent TRIPLE itemsets with level-2 candidate
+# pruning (the step a0093 stops short of, and the part of Apriori that
+# actually embodies its insight): L2 = brand pairs with support ≥ s,
+# triple candidates are generated within baskets ONLY where all three
+# constituent pairs are in L2 (downward-closure prune via three
+# broadcast semi-joins), then counted and thresholded at the same s.
+# Pair/triple generation stays order-keyed (Σ basket³ with basket ≤
+# ~13, never item all-pairs), and the L2 prune is what keeps the
+# candidate space collapsed at 100 TB.
+# ---------------------------------------------------------------------------
+
+_AP3_SUPPORT = 0.003
+_AP3_TOP = 15
+
+
+@query(
+    "a0213_apriori_triples",
+    # Oracle note: the L2 prune is RESULT-INVARIANT (downward closure —
+    # support(triple) <= support(any sub-pair), and both levels use the
+    # same threshold), so the oracle counts triples directly and
+    # thresholds; the Spark side keeps the explicit L2 candidate prune,
+    # which is the operator being demonstrated (it changes the work, not
+    # the answer). DuckDB's planner also chokes on the 3-way l2 join
+    # form, so the equivalent direct form doubles as the stable oracle.
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    tot AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM baskets),
+    triples AS (
+      SELECT a.brand AS b1, b.brand AS b2, c.brand AS b3, COUNT(*) AS n_triple
+      FROM baskets a
+      JOIN baskets b ON a.okey = b.okey AND a.brand < b.brand
+      JOIN baskets c ON a.okey = c.okey AND b.brand < c.brand
+      GROUP BY 1, 2, 3
+      HAVING COUNT(*) >= (SELECT n_orders FROM tot) * {_AP3_SUPPORT}
+    )
+    SELECT b1, b2, b3, CAST(n_triple AS BIGINT) AS n_triple,
+           ROUND(n_triple * 1.0 / t.n_orders, 6) AS support
+    FROM triples CROSS JOIN tot t
+    ORDER BY n_triple DESC, b1, b2, b3
+    LIMIT {_AP3_TOP}
+    """,
+    description=f"Apriori frequent triple itemsets with downward-closure pruning: L2 = brand pairs at support ≥ {_AP3_SUPPORT}, triples generated order-keyed within baskets and kept ONLY when all three constituent pairs are in L2 (three broadcast semi-join prunes — the candidate-space collapse that IS Apriori), same-threshold triple support, top-{_AP3_TOP} with tie-free order; Σ basket³ work bounded by basket size, never item all-pairs",
+)
+def a0213_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    tot = baskets.select(F.countDistinct("okey").alias("n_orders"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    l2 = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(F.col("a.brand").alias("b1"), F.col("b.brand").alias("b2"))
+        .agg(F.count("*").alias("n_pair"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_pair") >= F.col("n_orders") * _AP3_SUPPORT)
+        .select("b1", "b2")
+        .localCheckpoint(eager=False)
+    )
+    c = baskets.alias("c")
+    cand = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.brand") < F.col("b.brand")))
+        .join(c, (F.col("a.okey") == F.col("c.okey")) & (F.col("b.brand") < F.col("c.brand")))
+        .select(
+            F.col("a.brand").alias("t1"), F.col("b.brand").alias("t2"), F.col("c.brand").alias("t3")
+        )
+    )
+    for x, y in (("t1", "t2"), ("t1", "t3"), ("t2", "t3")):
+        l2r = l2.select(F.col("b1").alias(f"_{x}"), F.col("b2").alias(f"_{y}"))
+        cand = cand.join(
+            F.broadcast(l2r), (F.col(x) == F.col(f"_{x}")) & (F.col(y) == F.col(f"_{y}")), "left_semi"
+        )
+    return (
+        cand.groupBy(
+            F.col("t1").alias("b1"), F.col("t2").alias("b2"), F.col("t3").alias("b3")
+        )
+        .agg(F.count("*").alias("n_triple"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_triple") >= F.col("n_orders") * _AP3_SUPPORT)
+        .select(
+            "b1",
+            "b2",
+            "b3",
+            F.col("n_triple").cast("long").alias("n_triple"),
+            F.round(F.col("n_triple") * 1.0 / F.col("n_orders"), 6).alias("support"),
+        )
+        .orderBy(F.desc("n_triple"), "b1", "b2", "b3")
+        .limit(_AP3_TOP)
+    )
