@@ -438,3 +438,452 @@ def a0213_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triple"), "b1", "b2", "b3")
         .limit(_AP3_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# a0214 — item-item collaborative filtering (the classic neighborhood
+# recommender): each brand's profile is its per-customer purchase-count
+# vector; brand-brand cosine = Σ_c cnt(c,b1)·cnt(c,b2) / (‖b1‖‖b2‖).
+# The dot products come from a CUSTOMER-KEYED self-join of the rating
+# frame (pairs bounded by Σ_c brands_c², brands_c ≤ 25 — the standard
+# "shard by user, emit co-rated pairs" CF layout), norms are a 25-row
+# broadcast. Integer dot products and IEEE sqrt keep the cosine
+# engine-exact at 6 decimals.
+# ---------------------------------------------------------------------------
+
+_CF_TOP = 15
+
+
+@query(
+    "a0214_itemitem_cf",
+    oracle=f"""
+    WITH cb AS (
+      SELECT o.o_custkey AS cust, p.p_brand AS brand, COUNT(*) AS cnt
+      FROM orders o
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    norms AS (SELECT brand, sqrt(SUM(cnt * cnt)) AS nrm FROM cb GROUP BY brand),
+    pairs AS (
+      SELECT a.brand AS b1, b.brand AS b2,
+             SUM(a.cnt * b.cnt) AS dot, COUNT(*) AS n_users
+      FROM cb a JOIN cb b ON a.cust = b.cust AND a.brand < b.brand
+      GROUP BY 1, 2
+    )
+    SELECT p.b1, p.b2, CAST(p.n_users AS BIGINT) AS n_users,
+           CAST(p.dot AS BIGINT) AS dot,
+           ROUND(p.dot / (n1.nrm * n2.nrm), 6) AS cosine
+    FROM pairs p JOIN norms n1 ON p.b1 = n1.brand JOIN norms n2 ON p.b2 = n2.brand
+    ORDER BY p.dot / (n1.nrm * n2.nrm) DESC, p.b1, p.b2
+    LIMIT {_CF_TOP}
+    """,
+    description=f"item-item collaborative filtering: brand-brand cosine over per-customer purchase-count vectors, dot products from a customer-keyed self-join (bounded by Σ per-customer brand-set², never item all-pairs), norms a 25-row broadcast, top-{_CF_TOP} most similar brand pairs with tie-free order — the classic neighborhood recommender in its shard-by-user distributed layout; integer dots + IEEE sqrt keep the cosine engine-exact",
+)
+def a0214_itemitem_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cb = (
+        od.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    norms = cb.groupBy("brand").agg(F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("nrm"))
+    a, b = cb.alias("a"), cb.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.cust") == F.col("b.cust")) & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(F.col("a.brand").alias("b1"), F.col("b.brand").alias("b2"))
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"), F.count("*").alias("n_users"))
+    )
+    n1 = norms.select(F.col("brand").alias("b1"), F.col("nrm").alias("nrm1"))
+    n2 = norms.select(F.col("brand").alias("b2"), F.col("nrm").alias("nrm2"))
+    cos = F.col("dot") / (F.col("nrm1") * F.col("nrm2"))
+    return (
+        pairs.join(F.broadcast(n1), "b1")
+        .join(F.broadcast(n2), "b2")
+        .orderBy(cos.desc(), "b1", "b2")
+        .limit(_CF_TOP)
+        .select(
+            "b1",
+            "b2",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("dot").cast("long").alias("dot"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0215 — Theil-Sen robust trend over the trailing 90 days of daily
+# revenue: the slope estimate is the MEDIAN of all C(90,2) ≈ 4.0k
+# pairwise slopes (yj−yi)/(xj−xi) — a 29%-breakdown-point estimator the
+# OLS slope (also reported, same window) cannot match when days spike.
+# The pair frame is a self-join of the bounded 90-row window, the
+# medians/quartiles are exact interpolated percentiles (cross-engine
+# parity pinned since q65), and the intercept is the median residual.
+# ---------------------------------------------------------------------------
+
+_TS_DAYS = 90
+
+
+@query(
+    "a0215_theil_sen",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, ROUND(SUM(o_totalprice), 2) AS y
+      FROM orders GROUP BY 1
+    ),
+    cut AS (SELECT MAX(day) AS mxd FROM daily),
+    w AS (
+      SELECT date_diff('day', DATE '1995-01-01', day) AS x, y
+      FROM daily CROSS JOIN cut WHERE day >= mxd - {_TS_DAYS - 1}
+    ),
+    slopes AS (
+      SELECT (b.y - a.y) / (b.x - a.x) AS s
+      FROM w a JOIN w b ON a.x < b.x
+    ),
+    med AS (
+      SELECT COUNT(*) AS n_pairs,
+             quantile_cont(s, 0.25) AS p25,
+             quantile_cont(s, 0.5) AS p50,
+             quantile_cont(s, 0.75) AS p75
+      FROM slopes
+    ),
+    ols AS (
+      SELECT COUNT(*) AS n_days,
+             (COUNT(*) * SUM(x * y) - SUM(x * 1.0) * SUM(y))
+               / (COUNT(*) * SUM(x * 1.0 * x) - SUM(x * 1.0) * SUM(x)) AS b1
+      FROM w
+    ),
+    icpt AS (
+      SELECT quantile_cont(w.y - m.p50 * w.x, 0.5) AS b0
+      FROM w CROSS JOIN med m
+    )
+    SELECT CAST(o.n_days AS BIGINT) AS n_days, CAST(m.n_pairs AS BIGINT) AS n_pairs,
+           ROUND(m.p25, 6) AS slope_p25, ROUND(m.p50, 6) AS ts_slope,
+           ROUND(m.p75, 6) AS slope_p75, ROUND(i.b0, 4) AS ts_intercept,
+           ROUND(o.b1, 6) AS ols_slope
+    FROM med m CROSS JOIN ols o CROSS JOIN icpt i
+    """,
+    description=f"Theil-Sen robust trend over the trailing {_TS_DAYS} days of daily revenue: slope = exact interpolated MEDIAN of all pairwise slopes from a self-join of the bounded {_TS_DAYS}-row window (with the quartiles of the slope distribution), intercept = median residual, OLS slope reported alongside for the robustness contrast — the 29%-breakdown estimator as pure relational algebra",
+)
+def a0215_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = od.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("y")
+    )
+    cut = daily.agg(F.max("day").alias("mxd"))
+    w = (
+        daily.crossJoin(F.broadcast(cut))
+        .filter(F.col("day") >= F.date_sub(F.col("mxd"), _TS_DAYS - 1))
+        .select(F.datediff("day", F.lit("1995-01-01")).alias("x"), "y")
+        .localCheckpoint(eager=False)
+    )
+    a, b = w.alias("a"), w.alias("b")
+    slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias("s")
+    )
+    med = slopes.agg(
+        F.count("*").alias("n_pairs"),
+        F.expr("percentile(s, 0.25)").alias("p25"),
+        F.expr("percentile(s, 0.5)").alias("p50"),
+        F.expr("percentile(s, 0.75)").alias("p75"),
+    ).localCheckpoint(eager=False)
+    ols = w.agg(
+        F.count("*").alias("n_days"),
+        (
+            (F.count("*") * F.sum(F.col("x") * F.col("y")) - F.sum(F.col("x") * 1.0) * F.sum("y"))
+            / (
+                F.count("*") * F.sum(F.col("x") * 1.0 * F.col("x"))
+                - F.sum(F.col("x") * 1.0) * F.sum(F.col("x") * 1.0)
+            )
+        ).alias("b1"),
+    )
+    icpt = (
+        w.crossJoin(F.broadcast(med))
+        .agg(F.expr("percentile(y - p50 * x, 0.5)").alias("b0"))
+    )
+    return (
+        med.crossJoin(F.broadcast(ols))
+        .crossJoin(F.broadcast(icpt))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round("p25", 6).alias("slope_p25"),
+            F.round("p50", 6).alias("ts_slope"),
+            F.round("p75", 6).alias("slope_p75"),
+            F.round("b0", 4).alias("ts_intercept"),
+            F.round("b1", 6).alias("ols_slope"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0216 — MDLP supervised split selection (Fayyad & Irani 1993, the
+# criterion behind entropy-based discretization in every classic DM
+# toolkit): candidate cuts are the 63 boundaries of a 64-bucket
+# equi-width histogram of document length, the class is the document
+# language, and for each cut the information gain and the MDL
+# acceptance threshold (log2(n−1) + log2(3^k−2) − kH + k_l H_l + k_r
+# H_r)/n are computed from per-(bucket,lang) cumulative counts — a
+# 64×|langs| bounded frame, so the whole search is one contingency
+# aggregate plus window algebra over it. Top-5 cuts by gain.
+# ---------------------------------------------------------------------------
+
+_MDLP_BUCKETS = 64
+_MDLP_TOP = 5
+
+
+@query(
+    "a0216_mdlp_split",
+    oracle=f"""
+    WITH rng AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents),
+    cont AS (
+      SELECT LEAST({_MDLP_BUCKETS - 1},
+                   CAST(FLOOR((n_chars - mn) * {_MDLP_BUCKETS}.0 / (mx - mn + 1)) AS BIGINT))
+               AS bucket,
+             lang, COUNT(*) AS cnt
+      FROM documents CROSS JOIN rng GROUP BY 1, 2
+    ),
+    langs AS (SELECT lang, SUM(cnt) AS n_lang FROM cont GROUP BY lang),
+    shell AS (
+      SELECT CAST(b AS BIGINT) AS bucket, lang, n_lang
+      FROM (SELECT unnest(generate_series(0, {_MDLP_BUCKETS - 1})) AS b) CROSS JOIN langs
+    ),
+    cum AS (
+      SELECT s.bucket, s.lang, s.n_lang,
+             SUM(COALESCE(c.cnt, 0)) OVER (PARTITION BY s.lang ORDER BY s.bucket) AS cl
+      FROM shell s LEFT JOIN cont c ON s.bucket = c.bucket AND s.lang = c.lang
+    ),
+    tot AS (
+      SELECT SUM(n_lang) AS n,
+             -SUM((n_lang * 1.0 / (SELECT SUM(n_lang) FROM langs))
+                  * log2(n_lang * 1.0 / (SELECT SUM(n_lang) FROM langs))) AS h_all,
+             COUNT(*) AS k
+      FROM langs
+    ),
+    pre AS (
+      SELECT bucket, cl, n_lang - cl AS crr,
+             SUM(cl) OVER (PARTITION BY bucket) AS snl,
+             SUM(n_lang - cl) OVER (PARTITION BY bucket) AS snr
+      FROM cum WHERE bucket < {_MDLP_BUCKETS - 1}
+    ),
+    per_t AS (
+      SELECT bucket AS t, MAX(snl) AS nl, MAX(snr) AS nr,
+             SUM(CASE WHEN cl > 0 THEN 1 ELSE 0 END) AS kl,
+             SUM(CASE WHEN crr > 0 THEN 1 ELSE 0 END) AS kr,
+             -SUM(CASE WHEN cl > 0 THEN (cl * 1.0 / snl) * log2(cl * 1.0 / snl)
+                       ELSE 0 END) AS hl,
+             -SUM(CASE WHEN crr > 0 THEN (crr * 1.0 / snr) * log2(crr * 1.0 / snr)
+                       ELSE 0 END) AS hr
+      FROM pre GROUP BY bucket
+    ),
+    scored AS (
+      SELECT p.t, p.nl, p.nr,
+             t2.h_all - (p.nl * 1.0 / t2.n) * p.hl - (p.nr * 1.0 / t2.n) * p.hr AS gain,
+             (log2(t2.n - 1.0)
+              + log2(power(3.0, t2.k) - 2.0)
+              - (t2.k * t2.h_all - p.kl * p.hl - p.kr * p.hr)) / t2.n AS mdl_thr
+      FROM per_t p CROSS JOIN tot t2
+      WHERE p.nl > 0 AND p.nr > 0
+    )
+    SELECT CAST(t AS BIGINT) AS t, CAST(nl AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right, ROUND(gain, 6) AS gain,
+           ROUND(mdl_thr, 6) AS mdl_threshold,
+           CAST(CASE WHEN gain > mdl_thr THEN 1 ELSE 0 END AS BIGINT) AS accepted
+    FROM scored
+    ORDER BY gain DESC, t
+    LIMIT {_MDLP_TOP}
+    """,
+    description=f"MDLP supervised split selection (Fayyad-Irani): {_MDLP_BUCKETS}-bucket equi-width histogram of document length vs language class, per-cut information gain and the MDL acceptance threshold (log2(n−1)+log2(3^k−2)−kH+k_lH_l+k_rH_r)/n from per-(bucket,lang) cumulative counts — the entire split search is one contingency aggregate plus window algebra over the bounded {_MDLP_BUCKETS}×|langs| frame; top-{_MDLP_TOP} cuts by gain with the accept/reject verdict",
+)
+def a0216_mdlp_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("n_chars", "lang")
+    rng = docs.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+    cont = (
+        docs.crossJoin(F.broadcast(rng))
+        .groupBy(
+            F.least(
+                F.lit(_MDLP_BUCKETS - 1),
+                F.floor(
+                    (F.col("n_chars") - F.col("mn"))
+                    * float(_MDLP_BUCKETS)
+                    / (F.col("mx") - F.col("mn") + 1)
+                ),
+            )
+            .cast("long")
+            .alias("bucket"),
+            "lang",
+        )
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    langs = cont.groupBy("lang").agg(F.sum("cnt").alias("n_lang"))
+    shell = (
+        spark.range(_MDLP_BUCKETS)
+        .select(F.col("id").cast("long").alias("bucket"))
+        .crossJoin(F.broadcast(langs))
+    )
+    wcum = Window.partitionBy("lang").orderBy("bucket")
+    cum = (
+        shell.join(cont, ["bucket", "lang"], "left")
+        .select("bucket", "lang", "n_lang", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+        .withColumn("cl", F.sum("cnt").over(wcum))
+        .localCheckpoint(eager=False)
+    )
+    n_total = F.sum("n_lang")
+    tot = langs.agg(
+        n_total.alias("n"), F.count("*").alias("k"), F.collect_list("n_lang").alias("_nl")
+    ).select(
+        "n",
+        "k",
+        (
+            -F.aggregate(
+                F.col("_nl"),
+                F.lit(0.0),
+                lambda acc, c: acc + (c / F.col("n")) * F.log2(c / F.col("n")),
+            )
+        ).alias("h_all"),
+    )
+    # per-candidate-cut entropies over the bounded (bucket x lang) frame
+    wt = Window.partitionBy("bucket")
+    cr = F.col("n_lang") - F.col("cl")
+    per_t = (
+        cum.filter(F.col("bucket") < _MDLP_BUCKETS - 1)
+        .withColumn("snl", F.sum("cl").over(wt))
+        .withColumn("snr", F.sum(cr).over(wt))
+        .groupBy(F.col("bucket").alias("t"))
+        .agg(
+            F.first("snl").alias("nl"),
+            F.first("snr").alias("nr"),
+            F.sum(F.when(F.col("cl") > 0, 1).otherwise(0)).alias("kl"),
+            F.sum(F.when(cr > 0, 1).otherwise(0)).alias("kr"),
+            (
+                -F.sum(
+                    F.when(
+                        F.col("cl") > 0,
+                        (F.col("cl") / F.col("snl")) * F.log2(F.col("cl") / F.col("snl")),
+                    ).otherwise(0.0)
+                )
+            ).alias("hl"),
+            (
+                -F.sum(
+                    F.when(cr > 0, (cr / F.col("snr")) * F.log2(cr / F.col("snr"))).otherwise(0.0)
+                )
+            ).alias("hr"),
+        )
+    )
+    gain = F.col("h_all") - (F.col("nl") / F.col("n")) * F.col("hl") - (
+        F.col("nr") / F.col("n")
+    ) * F.col("hr")
+    mdl_thr = (
+        F.log2(F.col("n") - 1.0)
+        + F.log2(F.pow(F.lit(3.0), F.col("k")) - 2.0)
+        - (F.col("k") * F.col("h_all") - F.col("kl") * F.col("hl") - F.col("kr") * F.col("hr"))
+    ) / F.col("n")
+    return (
+        per_t.crossJoin(F.broadcast(tot))
+        .filter((F.col("nl") > 0) & (F.col("nr") > 0))
+        .select(
+            F.col("t").cast("long").alias("t"),
+            F.col("nl").cast("long").alias("n_left"),
+            F.col("nr").cast("long").alias("n_right"),
+            F.round(gain, 6).alias("gain"),
+            F.round(mdl_thr, 6).alias("mdl_threshold"),
+            F.when(gain > mdl_thr, 1).otherwise(0).cast("long").alias("accepted"),
+        )
+        .orderBy(F.desc("gain"), "t")
+        .limit(_MDLP_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0217 — RFM customer segmentation (the marketing-analytics classic):
+# per-customer Recency (days since last order), Frequency (#orders),
+# Monetary (cents-rounded spend), each scored 1–5 against exact
+# interpolated quintile edges computed in ONE percentile aggregate
+# (recency reversed — recent = 5), segment = the 3-digit RFM code.
+# Edge membership is "count of edges ≤ x" (the a0158 rule — never an
+# ntile over the customer table). Top-20 segments by size with the
+# dust-free average spend (ROUND(SUM,2)/n, rounded at 6).
+# ---------------------------------------------------------------------------
+
+_RFM_TOP = 20
+_RFM_QS = [0.2, 0.4, 0.6, 0.8]
+
+
+@query(
+    "a0217_rfm_segments",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)), (SELECT mxd FROM mx)) AS r,
+             COUNT(*) AS f,
+             ROUND(SUM(o_totalprice), 2) AS m
+      FROM orders GROUP BY o_custkey
+    ),
+    edges AS (
+      SELECT quantile_cont(r, {_RFM_QS}) AS re,
+             quantile_cont(f, {_RFM_QS}) AS fe,
+             quantile_cont(m, {_RFM_QS}) AS me
+      FROM cust
+    ),
+    scored AS (
+      SELECT 5 - len(list_filter(re, e -> e <= r)) AS rs,
+             1 + len(list_filter(fe, e -> e <= f)) AS fs,
+             1 + len(list_filter(me, e -> e <= m)) AS ms,
+             m
+      FROM cust CROSS JOIN edges
+    )
+    SELECT CAST(rs AS VARCHAR) || CAST(fs AS VARCHAR) || CAST(ms AS VARCHAR) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(ROUND(SUM(m), 2) / COUNT(*), 6) AS avg_monetary
+    FROM scored
+    GROUP BY 1
+    ORDER BY n_customers DESC, segment
+    LIMIT {_RFM_TOP}
+    """,
+    description=f"RFM customer segmentation: per-customer recency/frequency/monetary scored 1-5 against exact interpolated quintile edges from ONE percentile aggregate (recency reversed), segment = 3-digit RFM code, membership = count-of-edges≤x (the a0158 scale rule — never ntile over the customer table), top-{_RFM_TOP} segments by size with dust-free average spend",
+)
+def a0217_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    mx = od.agg(F.max(F.col("o_orderdate").cast("date")).alias("mxd"))
+    cust = (
+        od.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("mxd"), F.max(F.col("o_orderdate").cast("date"))).alias("r"),
+            F.count("*").alias("f"),
+            F.round(F.sum("o_totalprice"), 2).alias("m"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    qs = ", ".join(str(q) for q in _RFM_QS)
+    edges = cust.agg(
+        F.expr(f"percentile(r, array({qs}))").alias("re"),
+        F.expr(f"percentile(f, array({qs}))").alias("fe"),
+        F.expr(f"percentile(m, array({qs}))").alias("me"),
+    )
+    scored = cust.crossJoin(F.broadcast(edges)).select(
+        (5 - F.size(F.filter(F.col("re"), lambda e: e <= F.col("r")))).alias("rs"),
+        (1 + F.size(F.filter(F.col("fe"), lambda e: e <= F.col("f")))).alias("fs"),
+        (1 + F.size(F.filter(F.col("me"), lambda e: e <= F.col("m")))).alias("ms"),
+        "m",
+    )
+    return (
+        scored.groupBy(
+            F.concat(
+                F.col("rs").cast("string"), F.col("fs").cast("string"), F.col("ms").cast("string")
+            ).alias("segment")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.round(F.sum("m"), 2) / F.count("*"), 6).alias("avg_monetary"),
+        )
+        .orderBy(F.desc("n_customers"), "segment")
+        .limit(_RFM_TOP)
+    )

@@ -153,6 +153,15 @@ HEADLINE = [
     "a0103_adamic_adar",
     "a0104_sax_motifs",
     "a0105_range_partition_plan",
+    # round-10 post-window wave (round10e, window fodder for r11)
+    "a0210_acf_ljung_box",
+    "a0211_zonemap_pruning",
+    "a0212_haar_energy",
+    "a0213_apriori_triples",
+    "a0214_itemitem_cf",
+    "a0215_theil_sen",
+    "a0216_mdlp_split",
+    "a0217_rfm_segments",
 ]
 
 
