@@ -887,3 +887,260 @@ def a0217_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_customers"), "segment")
         .limit(_RFM_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# a0218 — CART variance-reduction split finding (the regression twin of
+# a0216's MDLP, and the inner loop of every gradient-boosted tree): for
+# a 64-bucket equi-width histogram of l_quantity, accumulate the
+# sufficient statistics (n, Σy, Σy²) of l_extendedprice per bucket,
+# cumulative-sum them over the BUCKET frame, and score every candidate
+# cut by SSE reduction gain(t) = SSE_tot − SSE_left(t) − SSE_right(t),
+# each SSE from the closed form Σy² − (Σy)²/n. One data-level
+# aggregate; the split search is window algebra over ≤64 rows — exactly
+# how distributed GBT implementations (including Spark ML's) find
+# splits from histogram bins rather than sorted data.
+# ---------------------------------------------------------------------------
+
+_CART_BUCKETS = 64
+_CART_TOP = 5
+
+
+@query(
+    "a0218_cart_split",
+    oracle=f"""
+    WITH rng AS (SELECT MIN(l_quantity) AS mn, MAX(l_quantity) AS mx FROM lineitem),
+    hist AS (
+      SELECT LEAST({_CART_BUCKETS - 1},
+                   CAST(FLOOR((l_quantity - mn) * {_CART_BUCKETS}.0 / (mx - mn + 1)) AS BIGINT))
+               AS bucket,
+             COUNT(*) AS n, SUM(l_extendedprice) AS sy,
+             SUM(l_extendedprice * l_extendedprice) AS sy2
+      FROM lineitem CROSS JOIN rng GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(n) AS nt, SUM(sy) AS syt, SUM(sy2) AS sy2t,
+             SUM(sy2) - SUM(sy) * SUM(sy) / SUM(n) AS sse_tot
+      FROM hist
+    ),
+    cum AS (
+      SELECT bucket,
+             SUM(n) OVER w AS nl, SUM(sy) OVER w AS syl, SUM(sy2) OVER w AS sy2l
+      FROM hist
+      WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+    ),
+    scored AS (
+      SELECT c.bucket AS t, c.nl, t2.nt - c.nl AS nr,
+             t2.sse_tot
+               - (c.sy2l - c.syl * c.syl / c.nl)
+               - ((t2.sy2t - c.sy2l) - (t2.syt - c.syl) * (t2.syt - c.syl) / (t2.nt - c.nl))
+               AS gain
+      FROM cum c CROSS JOIN tot t2
+      WHERE c.nl > 0 AND t2.nt - c.nl > 0
+    )
+    SELECT CAST(t AS BIGINT) AS t, CAST(nl AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right,
+           ROUND(gain / (SELECT sse_tot FROM tot), 6) AS gain_share
+    FROM scored
+    ORDER BY gain DESC, t
+    LIMIT {_CART_TOP}
+    """,
+    description=f"CART variance-reduction split finding (the inner loop of distributed GBTs): {_CART_BUCKETS}-bucket histogram of l_quantity carrying (n, Σy, Σy²) of l_extendedprice, cumulative sufficient statistics over the bounded bucket frame, every cut scored by SSE reduction via the closed form Σy²−(Σy)²/n, top-{_CART_TOP} splits by gain share — split search as window algebra over histogram bins, never over sorted data",
+)
+def a0218_cart_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    rng = li.agg(F.min("l_quantity").alias("mn"), F.max("l_quantity").alias("mx"))
+    hist = (
+        li.crossJoin(F.broadcast(rng))
+        .groupBy(
+            F.least(
+                F.lit(_CART_BUCKETS - 1),
+                F.floor(
+                    (F.col("l_quantity") - F.col("mn"))
+                    * float(_CART_BUCKETS)
+                    / (F.col("mx") - F.col("mn") + 1)
+                ),
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_extendedprice").alias("sy"),
+            F.sum(F.col("l_extendedprice") * F.col("l_extendedprice")).alias("sy2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = hist.agg(
+        F.sum("n").alias("nt"),
+        F.sum("sy").alias("syt"),
+        F.sum("sy2").alias("sy2t"),
+        (F.sum("sy2") - F.sum("sy") * F.sum("sy") / F.sum("n")).alias("sse_tot"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("sy").over(w).alias("syl"),
+        F.sum("sy2").over(w).alias("sy2l"),
+    )
+    nr = F.col("nt") - F.col("nl")
+    gain = (
+        F.col("sse_tot")
+        - (F.col("sy2l") - F.col("syl") * F.col("syl") / F.col("nl"))
+        - (
+            (F.col("sy2t") - F.col("sy2l"))
+            - (F.col("syt") - F.col("syl")) * (F.col("syt") - F.col("syl")) / nr
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter((F.col("nl") > 0) & (nr > 0))
+        .select(
+            F.col("bucket").cast("long").alias("t"),
+            F.col("nl").cast("long").alias("n_left"),
+            nr.cast("long").alias("n_right"),
+            F.round(gain / F.col("sse_tot"), 6).alias("gain_share"),
+        )
+        .orderBy(F.desc(gain), "t")
+        .limit(_CART_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0219 — Benjamini-Hochberg FDR control over a family of two-proportion
+# tests: 64 deterministic user cohorts (md5 buckets), each testing
+# whether its purchase share changed between the two half-months;
+# two-sided p-values from the Abramowitz-Stegun 7.1.26 polynomial
+# normal CDF (identical literal constants on both engines — no erf
+# needed), then the BH step-up: reject the k smallest p-values where
+# k = max{{i : p_(i) ≤ i·α/m}}. The step-up scan is window algebra over
+# the bounded 64-row hypothesis frame — the multiple-testing guard any
+# platform running thousands of concurrent experiments needs.
+# ---------------------------------------------------------------------------
+
+_BH_BUCKETS = 64
+_BH_ALPHA = 0.10
+_BH_SPLIT = "2024-01-16"
+_BH_TOP = 15
+# Abramowitz & Stegun 7.1.26 constants for Phi(x), x >= 0
+_AS_T = 0.2316419
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+
+
+def _phi_sql(x: str) -> str:
+    """1 - Phi(x) for x >= 0 via A&S 7.1.26 (SQL text, engine-shared)."""
+    t = f"(1.0 / (1.0 + {_AS_T} * {x}))"
+    poly = " + ".join(f"{b} * power({t}, {i})" for i, b in enumerate(_AS_B, start=1))
+    return f"(exp(-({x}) * ({x}) / 2.0) / sqrt(2.0 * pi()) * ({poly}))"
+
+
+@query(
+    "a0219_bh_fdr",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT)
+               % {_BH_BUCKETS} AS bucket,
+             CASE WHEN ts < TIMESTAMP '{_BH_SPLIT} 00:00:00' THEN 'a' ELSE 'b' END AS half,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+      FROM events
+    ),
+    agg AS (
+      SELECT bucket,
+             SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN half = 'a' THEN hit ELSE 0 END) AS ka,
+             SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS nb,
+             SUM(CASE WHEN half = 'b' THEN hit ELSE 0 END) AS kb
+      FROM ev GROUP BY bucket
+    ),
+    z AS (
+      SELECT bucket, na, ka, nb, kb,
+             CASE WHEN na = 0 OR nb = 0 OR ka + kb = 0 OR ka + kb = na + nb THEN 0.0
+                  ELSE (ka * 1.0 / na - kb * 1.0 / nb)
+                       / sqrt(((ka + kb) * 1.0 / (na + nb))
+                              * (1.0 - (ka + kb) * 1.0 / (na + nb))
+                              * (1.0 / na + 1.0 / nb))
+             END AS zs
+      FROM agg
+    ),
+    pv AS (SELECT bucket, zs, 2.0 * {_phi_sql("abs(zs)")} AS p FROM z),
+    ranked AS (
+      SELECT bucket, zs, p,
+             ROW_NUMBER() OVER (ORDER BY p, bucket) AS rk
+      FROM pv
+    ),
+    kstar AS (
+      SELECT COALESCE(MAX(CASE WHEN p <= rk * {_BH_ALPHA} / {_BH_BUCKETS}
+                               THEN rk END), 0) AS k
+      FROM ranked
+    )
+    SELECT CAST(r.bucket AS BIGINT) AS bucket, ROUND(r.zs, 4) AS z_stat,
+           ROUND(r.p, 6) AS p_value, CAST(r.rk AS BIGINT) AS p_rank,
+           ROUND(r.rk * {_BH_ALPHA} / {_BH_BUCKETS}, 6) AS bh_crit,
+           CAST(CASE WHEN r.rk <= (SELECT k FROM kstar) THEN 1 ELSE 0 END AS BIGINT)
+             AS rejected
+    FROM ranked r
+    ORDER BY r.rk
+    LIMIT {_BH_TOP}
+    """,
+    description=f"Benjamini-Hochberg FDR control over {_BH_BUCKETS} two-proportion tests (purchase-share change between half-months per md5 user cohort): two-sided p-values from the Abramowitz-Stegun 7.1.26 polynomial normal CDF (identical literals both engines, degenerate pools guarded), BH step-up reject k = max{{i : p_(i) ≤ iα/m}} at α={_BH_ALPHA} as window algebra over the bounded {_BH_BUCKETS}-row hypothesis frame; top-{_BH_TOP} by p — the multiple-testing guard for platforms running many concurrent experiments",
+)
+def a0219_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    split = F.lit(_BH_SPLIT).cast("timestamp_ntz")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10).cast("long")
+        % _BH_BUCKETS
+    )
+    hit = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    in_a = F.col("ts") < split
+    agg = ev.groupBy(bucket.alias("bucket")).agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(in_a, hit).otherwise(0)).alias("ka"),
+        F.sum(F.when(~in_a, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(~in_a, hit).otherwise(0)).alias("kb"),
+    )
+    pool = (F.col("ka") + F.col("kb")) * 1.0 / (F.col("na") + F.col("nb"))
+    zs = F.when(
+        (F.col("na") == 0)
+        | (F.col("nb") == 0)
+        | (F.col("ka") + F.col("kb") == 0)
+        | (F.col("ka") + F.col("kb") == F.col("na") + F.col("nb")),
+        F.lit(0.0),
+    ).otherwise(
+        (F.col("ka") * 1.0 / F.col("na") - F.col("kb") * 1.0 / F.col("nb"))
+        / F.sqrt(pool * (1.0 - pool) * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    )
+    z = agg.select("bucket", "na", "ka", "nb", "kb", zs.alias("zs"))
+    t = 1.0 / (1.0 + _AS_T * F.abs(F.col("zs")))
+    poly = None
+    for i, b in enumerate(_AS_B, start=1):
+        term = F.lit(b) * F.pow(t, F.lit(float(i)))
+        poly = term if poly is None else poly + term
+    upper_tail = (
+        F.exp(-F.abs(F.col("zs")) * F.abs(F.col("zs")) / 2.0)
+        / F.sqrt(F.lit(2.0) * F.lit(3.141592653589793))
+        * poly
+    )
+    pv = z.select("bucket", "zs", (2.0 * upper_tail).alias("p"))
+    wr = Window.orderBy("p", "bucket")  # 64-row hypothesis frame
+    ranked = pv.withColumn("rk", F.row_number().over(wr)).localCheckpoint(eager=False)
+    kstar = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("p") <= F.col("rk") * _BH_ALPHA / _BH_BUCKETS, F.col("rk"))),
+            F.lit(0),
+        ).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.round("zs", 4).alias("z_stat"),
+            F.round("p", 6).alias("p_value"),
+            F.col("rk").cast("long").alias("p_rank"),
+            F.round(F.col("rk") * _BH_ALPHA / _BH_BUCKETS, 6).alias("bh_crit"),
+            F.when(F.col("rk") <= F.col("k"), 1).otherwise(0).cast("long").alias("rejected"),
+        )
+        .orderBy("p_rank")
+        .limit(_BH_TOP)
+    )

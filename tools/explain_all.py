@@ -162,6 +162,8 @@ HEADLINE = [
     "a0215_theil_sen",
     "a0216_mdlp_split",
     "a0217_rfm_segments",
+    "a0218_cart_split",
+    "a0219_bh_fdr",
 ]
 
 
