@@ -3,7 +3,8 @@ classical data-mining operators that deepen the engine beyond the 50
 driver slots already filled this round — autocorrelation + Ljung-Box,
 zone-map pruning audit, Haar wavelet energy spectrum, Apriori triple
 itemsets, item-item collaborative filtering, Theil-Sen robust slope,
-MDLP entropy split selection, and RFM segmentation.
+MDLP entropy split selection, RFM segmentation, CART variance-reduction
+split finding, and Benjamini-Hochberg FDR control.
 
 Named a0210+ so they sort AFTER the frozen r10 driver window
 (a0093–a0143); they are window fodder for round 11. Every query
