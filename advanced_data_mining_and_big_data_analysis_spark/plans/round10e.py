@@ -1145,3 +1145,387 @@ def a0219_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_rank")
         .limit(_BH_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# a0220 — three unrolled EM iterations for a 1-D two-component Gaussian
+# mixture over document lengths: deterministic init (μ = exact 25th/75th
+# percentiles, σ² = var_pop, π = ½), then per round one E-step
+# projection (responsibilities from the component densities) and one
+# M-step aggregate (closed-form π, μ, σ² from Σr, Σrx, Σrx²) — the
+# canonical "EM at scale" shape: model state is a broadcast 1-row frame,
+# each iteration is ONE pass, nothing is collected. Log-likelihood
+# reported per component row to expose the fit.
+# ---------------------------------------------------------------------------
+
+_EM_ROUNDS = 3
+
+
+def _em_oracle() -> str:
+    prev = "init"
+    rounds = []
+    for r in range(1, _EM_ROUNDS + 1):
+        rounds.append(f"""
+    e{r} AS (
+      SELECT x,
+             (pi2 * exp(-(x - mu2) * (x - mu2) / (2 * s2b)) / sqrt(2 * pi() * s2b))
+             / ((1 - pi2) * exp(-(x - mu1) * (x - mu1) / (2 * s2a)) / sqrt(2 * pi() * s2a)
+                + pi2 * exp(-(x - mu2) * (x - mu2) / (2 * s2b)) / sqrt(2 * pi() * s2b)) AS r2,
+             (1 - pi2) * exp(-(x - mu1) * (x - mu1) / (2 * s2a)) / sqrt(2 * pi() * s2a)
+                + pi2 * exp(-(x - mu2) * (x - mu2) / (2 * s2b)) / sqrt(2 * pi() * s2b) AS lik
+      FROM d CROSS JOIN {prev}
+    ),
+    m{r} AS (
+      SELECT SUM(r2) / COUNT(*) AS pi2,
+             SUM((1 - r2) * x) / SUM(1 - r2) AS mu1,
+             SUM(r2 * x) / SUM(r2) AS mu2,
+             SUM((1 - r2) * x * x) / SUM(1 - r2)
+               - (SUM((1 - r2) * x) / SUM(1 - r2)) * (SUM((1 - r2) * x) / SUM(1 - r2)) AS s2a,
+             SUM(r2 * x * x) / SUM(r2)
+               - (SUM(r2 * x) / SUM(r2)) * (SUM(r2 * x) / SUM(r2)) AS s2b,
+             SUM(ln(lik)) AS loglik
+      FROM e{r}
+    )""")
+        prev = f"m{r}"
+    return f"""
+    WITH d AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents),
+    init AS (
+      SELECT 0.5 AS pi2, quantile_cont(x, 0.25) AS mu1, quantile_cont(x, 0.75) AS mu2,
+             var_pop(x) AS s2a, var_pop(x) AS s2b, 0.0 AS loglik
+      FROM d
+    ),{",".join(rounds)}
+    SELECT CAST(1 AS BIGINT) AS component, ROUND(1 - pi2, 6) AS pi,
+           ROUND(mu1, 4) AS mu, ROUND(s2a, 2) AS sigma2, ROUND(loglik, 4) AS loglik
+    FROM m{_EM_ROUNDS}
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), ROUND(pi2, 6), ROUND(mu2, 4), ROUND(s2b, 2), ROUND(loglik, 4)
+    FROM m{_EM_ROUNDS}
+    ORDER BY component
+    """
+
+
+@query(
+    "a0220_em_gmm_step",
+    oracle=_em_oracle(),
+    description=f"{_EM_ROUNDS} unrolled EM iterations for a 1-D two-component Gaussian mixture over document lengths (deterministic init: μ from exact quartiles, σ²=var_pop, π=½): each round is one E-step projection against the broadcast 1-row parameter frame plus one closed-form M-step aggregate (π, μ, σ² from Σr, Σrx, Σrx²) — the canonical distributed-EM shape (state broadcast, one pass per iteration, no collect); final parameters + log-likelihood per component",
+)
+def a0220_em_gmm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("n_chars").cast("double").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    params = d.agg(
+        F.lit(0.5).alias("pi2"),
+        F.expr("percentile(x, 0.25)").alias("mu1"),
+        F.expr("percentile(x, 0.75)").alias("mu2"),
+        F.var_pop("x").alias("s2a"),
+        F.var_pop("x").alias("s2b"),
+        F.lit(0.0).alias("loglik"),
+    ).localCheckpoint(eager=False)
+    two_pi = 2.0 * 3.141592653589793
+    for _ in range(_EM_ROUNDS):
+        n1 = (
+            (1 - F.col("pi2"))
+            * F.exp(-(F.col("x") - F.col("mu1")) * (F.col("x") - F.col("mu1")) / (2 * F.col("s2a")))
+            / F.sqrt(two_pi * F.col("s2a"))
+        )
+        n2 = (
+            F.col("pi2")
+            * F.exp(-(F.col("x") - F.col("mu2")) * (F.col("x") - F.col("mu2")) / (2 * F.col("s2b")))
+            / F.sqrt(two_pi * F.col("s2b"))
+        )
+        e = d.crossJoin(F.broadcast(params)).select(
+            "x", (n2 / (n1 + n2)).alias("r2"), (n1 + n2).alias("lik")
+        )
+        r1 = 1 - F.col("r2")
+        params = e.agg(
+            (F.sum("r2") / F.count("*")).alias("pi2"),
+            (F.sum(r1 * F.col("x")) / F.sum(r1)).alias("mu1"),
+            (F.sum(F.col("r2") * F.col("x")) / F.sum("r2")).alias("mu2"),
+            (
+                F.sum(r1 * F.col("x") * F.col("x")) / F.sum(r1)
+                - (F.sum(r1 * F.col("x")) / F.sum(r1)) * (F.sum(r1 * F.col("x")) / F.sum(r1))
+            ).alias("s2a"),
+            (
+                F.sum(F.col("r2") * F.col("x") * F.col("x")) / F.sum("r2")
+                - (F.sum(F.col("r2") * F.col("x")) / F.sum("r2"))
+                * (F.sum(F.col("r2") * F.col("x")) / F.sum("r2"))
+            ).alias("s2b"),
+            F.sum(F.log("lik")).alias("loglik"),
+        ).localCheckpoint(eager=False)
+    one = params.select(
+        F.lit(1).cast("long").alias("component"),
+        F.round(1 - F.col("pi2"), 6).alias("pi"),
+        F.round("mu1", 4).alias("mu"),
+        F.round("s2a", 2).alias("sigma2"),
+        F.round("loglik", 4).alias("loglik"),
+    )
+    two = params.select(
+        F.lit(2).cast("long").alias("component"),
+        F.round("pi2", 6).alias("pi"),
+        F.round("mu2", 4).alias("mu"),
+        F.round("s2b", 2).alias("sigma2"),
+        F.round("loglik", 4).alias("loglik"),
+    )
+    return one.unionByName(two).orderBy("component")
+
+
+# ---------------------------------------------------------------------------
+# a0221 — PCA via one covariance pass + unrolled power iteration: the
+# 4×4 covariance matrix of the first four embedding coordinates comes
+# from ONE covar_pop aggregate (the only data pass), then 16 power-
+# iteration rounds v ← normalize(Cv) run as chained projections over
+# the 1-row moment frame — "PCA at scale" is a stats pass plus bounded
+# matrix algebra, never an iterative job over data. Output: the first
+# principal component's loadings (sign-fixed), its eigenvalue, and the
+# explained-variance share of the 4-D trace.
+# ---------------------------------------------------------------------------
+
+_PCA_DIMS = 4
+_PCA_ROUNDS = 16
+
+
+def _pca_oracle() -> str:
+    covs = ",\n             ".join(
+        f"covar_pop(e{i}, e{j}) AS c{i}{j}"
+        for i in range(_PCA_DIMS)
+        for j in range(_PCA_DIMS)
+        if i <= j
+    )
+
+    def c(i: int, j: int) -> str:
+        return f"c{min(i, j)}{max(i, j)}"
+
+    init = ", ".join(f"0.5 AS v{i}" for i in range(_PCA_DIMS))
+    rounds = []
+    prev = "it0"
+    for r in range(1, _PCA_ROUNDS + 1):
+        us = ", ".join(
+            " + ".join(f"{c(i, j)} * v{j}" for j in range(_PCA_DIMS)) + f" AS u{i}"
+            for i in range(_PCA_DIMS)
+        )
+        nrm = " + ".join(f"u{i} * u{i}" for i in range(_PCA_DIMS))
+        vs = ", ".join(f"u{i} / sqrt({nrm}) AS v{i}" for i in range(_PCA_DIMS))
+        rounds.append(
+            f"""
+    u{r} AS (SELECT *, {us} FROM {prev}),
+    it{r} AS (SELECT c00, c01, c02, c03, c11, c12, c13, c22, c23, c33, {vs} FROM u{r})"""
+        )
+        prev = f"it{r}"
+    lam_num = " + ".join(
+        f"v{i} * ({' + '.join(f'{c(i, j)} * v{j}' for j in range(_PCA_DIMS))})"
+        for i in range(_PCA_DIMS)
+    )
+    trace = " + ".join(f"c{i}{i}" for i in range(_PCA_DIMS))
+    dims_rows = "\n    UNION ALL ".join(
+        f"SELECT {i} AS dim, sgn * v{i} AS loading, lam, shr FROM fin"
+        for i in range(_PCA_DIMS)
+    )
+    return f"""
+    WITH mom AS (
+      SELECT {covs}
+      FROM (SELECT embedding[1] AS e0, embedding[2] AS e1,
+                   embedding[3] AS e2, embedding[4] AS e3 FROM embeddings)
+    ),
+    it0 AS (SELECT *, {init} FROM mom),{",".join(rounds)},
+    fin AS (
+      SELECT v0, v1, v2, v3,
+             CASE WHEN v0 < 0 THEN -1.0 ELSE 1.0 END AS sgn,
+             {lam_num} AS lam,
+             ({lam_num}) / ({trace}) AS shr
+      FROM it{_PCA_ROUNDS}
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, ROUND(loading, 6) AS loading,
+           ROUND(lam, 6) AS eigenvalue, ROUND(shr, 6) AS explained_share
+    FROM ({dims_rows})
+    ORDER BY dim
+    """
+
+
+@query(
+    "a0221_pca_power",
+    oracle=_pca_oracle(),
+    description=f"PCA via one covariance pass + unrolled power iteration: {_PCA_DIMS}×{_PCA_DIMS} covar_pop matrix of the first {_PCA_DIMS} embedding coordinates from ONE aggregate (the only data pass), then {_PCA_ROUNDS} rounds of v ← normalize(Cv) as chained projections over the 1-row moment frame; first PC loadings (sign-fixed at v0 ≥ 0), eigenvalue, and explained-variance share of the trace — the scale shape where iteration touches bounded state, never data",
+)
+def a0221_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        *[F.col("embedding")[i].alias(f"e{i}") for i in range(_PCA_DIMS)]
+    )
+    mom = emb.agg(
+        *[
+            F.covar_pop(f"e{i}", f"e{j}").alias(f"c{i}{j}")
+            for i in range(_PCA_DIMS)
+            for j in range(_PCA_DIMS)
+            if i <= j
+        ]
+    ).localCheckpoint(eager=False)
+
+    def c(i: int, j: int):
+        return F.col(f"c{min(i, j)}{max(i, j)}")
+
+    it = mom.select("*", *[F.lit(0.5).alias(f"v{i}") for i in range(_PCA_DIMS)])
+    keep = [f"c{i}{j}" for i in range(_PCA_DIMS) for j in range(_PCA_DIMS) if i <= j]
+    for r in range(_PCA_ROUNDS):
+        us = [
+            sum(
+                (c(i, j) * F.col(f"v{j}") for j in range(1, _PCA_DIMS)),
+                c(i, 0) * F.col("v0"),
+            ).alias(f"u{i}")
+            for i in range(_PCA_DIMS)
+        ]
+        it = it.select("*", *us)
+        nrm = F.sqrt(
+            sum(
+                (F.col(f"u{i}") * F.col(f"u{i}") for i in range(1, _PCA_DIMS)),
+                F.col("u0") * F.col("u0"),
+            )
+        )
+        it = it.select(
+            *keep, *[(F.col(f"u{i}") / nrm).alias(f"v{i}") for i in range(_PCA_DIMS)]
+        )
+        if r % 4 == 3:
+            # the normalize step substitutes all four u-expressions into
+            # each v — unchecked, Catalyst's projection collapse grows the
+            # tree ~4x per round; an eager checkpoint of the 1-ROW frame
+            # every 4 rounds caps analysis cost (measured 43.6s -> 12.6s same-harness)
+            it = it.localCheckpoint(eager=True)
+    lam = sum(
+        (
+            F.col(f"v{i}")
+            * sum((c(i, j) * F.col(f"v{j}") for j in range(1, _PCA_DIMS)), c(i, 0) * F.col("v0"))
+            for i in range(1, _PCA_DIMS)
+        ),
+        F.col("v0") * sum((c(0, j) * F.col(f"v{j}") for j in range(1, _PCA_DIMS)), c(0, 0) * F.col("v0")),
+    )
+    trace = sum((c(i, i) for i in range(1, _PCA_DIMS)), c(0, 0))
+    fin = it.select(
+        *[F.col(f"v{i}") for i in range(_PCA_DIMS)],
+        F.when(F.col("v0") < 0, -1.0).otherwise(1.0).alias("sgn"),
+        lam.alias("lam"),
+        (lam / trace).alias("shr"),
+    ).localCheckpoint(eager=False)
+    out = None
+    for i in range(_PCA_DIMS):
+        row = fin.select(
+            F.lit(i).cast("long").alias("dim"),
+            F.round(F.col("sgn") * F.col(f"v{i}"), 6).alias("loading"),
+            F.round("lam", 6).alias("eigenvalue"),
+            F.round("shr", 6).alias("explained_share"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# a0222 — distance-based outlier detection (Knorr-Ng DB(ε, minpts)
+# outliers), grid-blocked and EXACT: points on the first two embedding
+# coordinates, a 16×16 equal-width grid, ε = min(cell width, cell
+# height) — so every ε-neighbor provably lies in the 3×3 cell
+# neighborhood and the blocked pair join loses nothing. A point is an
+# outlier when fewer than 3 other points sit within ε. The pair stage
+# is the same bounded block join the dedup/ANN family uses — never
+# all-pairs — and the weakest-neighborhood points are reported.
+# ---------------------------------------------------------------------------
+
+_DO_GRID = 16
+_DO_MINPTS = 3
+_DO_TOP = 20
+
+
+@query(
+    "a0222_distance_outliers",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id, embedding[1] AS e0, embedding[2] AS e1 FROM embeddings
+    ),
+    rng AS (
+      SELECT MIN(e0) AS mn0, MAX(e0) AS mx0, MIN(e1) AS mn1, MAX(e1) AS mx1,
+             LEAST((MAX(e0) - MIN(e0)) / {_DO_GRID},
+                   (MAX(e1) - MIN(e1)) / {_DO_GRID}) AS eps
+      FROM pts
+    ),
+    cells AS (
+      SELECT vec_id, e0, e1, eps,
+             LEAST({_DO_GRID - 1},
+                   CAST(FLOOR((e0 - mn0) / ((mx0 - mn0) / {_DO_GRID})) AS BIGINT)) AS gx,
+             LEAST({_DO_GRID - 1},
+                   CAST(FLOOR((e1 - mn1) / ((mx1 - mn1) / {_DO_GRID})) AS BIGINT)) AS gy
+      FROM pts CROSS JOIN rng
+    ),
+    nbr AS (
+      SELECT a.vec_id, COUNT(b.vec_id) AS n_neighbors
+      FROM cells a LEFT JOIN cells b
+        ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+       AND a.vec_id <> b.vec_id
+       AND (a.e0 - b.e0) * (a.e0 - b.e0) + (a.e1 - b.e1) * (a.e1 - b.e1)
+           <= a.eps * a.eps
+      GROUP BY a.vec_id
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(n_neighbors AS BIGINT) AS n_neighbors,
+           CAST(CASE WHEN n_neighbors < {_DO_MINPTS} THEN 1 ELSE 0 END AS BIGINT)
+             AS is_outlier
+    FROM nbr
+    ORDER BY n_neighbors, vec_id
+    LIMIT {_DO_TOP}
+    """,
+    description=f"distance-based outlier detection (Knorr-Ng DB(ε,{_DO_MINPTS})), grid-blocked and EXACT: {_DO_GRID}×{_DO_GRID} grid over the first two embedding coordinates with ε = min cell dimension, so every ε-neighbor provably lies in the 3×3 neighborhood and the blocked pair join is lossless; outlier = fewer than {_DO_MINPTS} points within ε, top-{_DO_TOP} weakest neighborhoods — the same bounded block-join shape as the dedup/ANN family, never all-pairs",
+)
+def a0222_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding")[0].alias("e0"), F.col("embedding")[1].alias("e1")
+    )
+    g = float(_DO_GRID)
+    rng = pts.agg(
+        F.min("e0").alias("mn0"),
+        F.max("e0").alias("mx0"),
+        F.min("e1").alias("mn1"),
+        F.max("e1").alias("mx1"),
+        F.least(
+            (F.max("e0") - F.min("e0")) / g, (F.max("e1") - F.min("e1")) / g
+        ).alias("eps"),
+    )
+    cells = (
+        pts.crossJoin(F.broadcast(rng))
+        .select(
+            "vec_id",
+            "e0",
+            "e1",
+            "eps",
+            F.least(
+                F.lit(_DO_GRID - 1),
+                F.floor((F.col("e0") - F.col("mn0")) / ((F.col("mx0") - F.col("mn0")) / g)),
+            ).cast("long").alias("gx"),
+            F.least(
+                F.lit(_DO_GRID - 1),
+                F.floor((F.col("e1") - F.col("mn1")) / ((F.col("mx1") - F.col("mn1")) / g)),
+            ).cast("long").alias("gy"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    d2 = (F.col("a.e0") - F.col("b.e0")) * (F.col("a.e0") - F.col("b.e0")) + (
+        F.col("a.e1") - F.col("b.e1")
+    ) * (F.col("a.e1") - F.col("b.e1"))
+    nbr = (
+        a.join(
+            b,
+            (F.abs(F.col("a.gx") - F.col("b.gx")) <= 1)
+            & (F.abs(F.col("a.gy") - F.col("b.gy")) <= 1)
+            & (F.col("a.vec_id") != F.col("b.vec_id"))
+            & (d2 <= F.col("a.eps") * F.col("a.eps")),
+            "left",
+        )
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.count(F.col("b.vec_id")).alias("n_neighbors"))
+    )
+    return (
+        nbr.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("n_neighbors").cast("long").alias("n_neighbors"),
+            F.when(F.col("n_neighbors") < _DO_MINPTS, 1).otherwise(0).cast("long").alias("is_outlier"),
+        )
+        .orderBy("n_neighbors", "vec_id")
+        .limit(_DO_TOP)
+    )
