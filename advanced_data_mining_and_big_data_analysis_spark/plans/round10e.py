@@ -1529,3 +1529,349 @@ def a0222_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("n_neighbors", "vec_id")
         .limit(_DO_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# a0223 — multinomial naive Bayes language classifier, trained AND
+# scored distributed: deterministic md5 train/test split, training =
+# ONE (lang, token) count aggregate + Laplace smoothing over the train
+# vocabulary, scoring = explode test tokens (with multiplicity) against
+# the broadcast class frame, left-join the count table for
+# ln((c+1)/(tot+V)), sum per (doc, class), argmax with tie-break. The
+# confusion matrix is the output — and on THIS corpus it honestly shows
+# the lang labels are not text-derivable (shared vocabulary), which is
+# exactly what a label-leakage audit should surface. Same tokenizer as
+# the rest of the text stack (operators/text.py tokens()).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a0223_naive_bayes_langid",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS is_train,
+             unnest(list_filter(string_split_regex(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    counts AS (
+      SELECT lang, tok, COUNT(*) AS c FROM toks WHERE is_train GROUP BY lang, tok
+    ),
+    cls AS (
+      SELECT lang, SUM(c) AS tot FROM counts GROUP BY lang
+    ),
+    vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM counts),
+    priors AS (
+      SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
+             ln(COUNT(DISTINCT doc_id) * 1.0
+                / (SELECT COUNT(DISTINCT doc_id) FROM toks WHERE is_train)) AS lp
+      FROM toks WHERE is_train GROUP BY lang
+    ),
+    test_docs AS (SELECT DISTINCT doc_id, lang AS true_lang FROM toks WHERE NOT is_train),
+    tok_scores AS (
+      SELECT t.doc_id, cl.lang,
+             SUM(ln((COALESCE(c.c, 0) + 1.0) / (cl.tot + v.v))) AS ts
+      FROM toks t
+      CROSS JOIN cls cl
+      CROSS JOIN vocab v
+      LEFT JOIN counts c ON c.lang = cl.lang AND c.tok = t.tok
+      WHERE NOT t.is_train
+      GROUP BY t.doc_id, cl.lang
+    ),
+    scored AS (
+      SELECT d.doc_id, d.true_lang, p.lang AS pred,
+             p.lp + COALESCE(s.ts, 0.0) AS score
+      FROM test_docs d
+      CROSS JOIN priors p
+      LEFT JOIN tok_scores s ON s.doc_id = d.doc_id AND s.lang = p.lang
+    ),
+    best AS (
+      SELECT doc_id, true_lang, pred FROM (
+        SELECT doc_id, true_lang, pred,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, pred DESC) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT true_lang, pred AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM best GROUP BY true_lang, pred
+    ORDER BY true_lang, pred_lang
+    """,
+    description="multinomial naive Bayes language classifier trained and scored distributed: deterministic md5 train/test split, training = one (lang, token) count aggregate with Laplace smoothing over the train vocabulary, scoring = test-token explode against the broadcast class frame + left-join log-likelihoods + per-(doc,class) sum + tie-broken argmax; output = test confusion matrix — which on this shared-vocabulary corpus honestly exposes that lang labels are NOT text-derivable (a label-leakage audit); same tokenizer as the whole text stack",
+)
+def a0223_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8").alias("is_train"),
+        F.explode(X.tokens("text")).alias("tok"),
+    ).localCheckpoint(eager=False)
+    train = docs.filter(F.col("is_train"))
+    counts = train.groupBy("lang", "tok").agg(F.count("*").alias("c")).localCheckpoint(eager=False)
+    cls = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
+    vocab = counts.agg(F.countDistinct("tok").alias("v"))
+    n_train_docs = train.select("doc_id").distinct().count()  # 1 scalar, driver-safe
+    priors = (
+        train.groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .select("lang", F.log(F.col("n_docs") * 1.0 / n_train_docs).alias("lp"))
+    )
+    test = docs.filter(~F.col("is_train"))
+    test_docs = test.select("doc_id", F.col("lang").alias("true_lang")).distinct()
+    clsx = cls.crossJoin(F.broadcast(vocab)).select(
+        F.col("lang").alias("c_lang"), "tot", "v"
+    )
+    cnt = counts.select(F.col("lang").alias("k_lang"), F.col("tok").alias("k_tok"), "c")
+    tok_scores = (
+        test.crossJoin(F.broadcast(clsx))
+        .join(
+            F.broadcast(cnt),
+            (F.col("c_lang") == F.col("k_lang")) & (F.col("tok") == F.col("k_tok")),
+            "left",
+        )
+        .groupBy("doc_id", "c_lang")
+        .agg(
+            F.sum(F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("tot") + F.col("v"))))
+            .alias("ts")
+        )
+        # rename: tok_scores derives from the same docs scan as test_docs,
+        # so keep no shared attribute names across the upcoming join
+        .select(F.col("doc_id").alias("s_did"), F.col("c_lang").alias("s_lang"), "ts")
+    )
+    pr = priors.select(F.col("lang").alias("pred"), "lp")
+    scored = (
+        test_docs.crossJoin(F.broadcast(pr))
+        .join(
+            tok_scores,
+            (F.col("doc_id") == F.col("s_did")) & (F.col("pred") == F.col("s_lang")),
+            "left",
+        )
+        .select(
+            F.col("doc_id").alias("did"),
+            "true_lang",
+            "pred",
+            (F.col("lp") + F.coalesce(F.col("ts"), F.lit(0.0))).alias("score"),
+        )
+    )
+    best = (
+        scored.groupBy("did", "true_lang")
+        .agg(F.max(F.struct(F.col("score"), F.col("pred")))["pred"].alias("pred_lang"))
+    )
+    return (
+        best.groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0224 — stationary distribution of the session Markov chain by matrix
+# SQUARING: the row-stochastic event-type transition matrix (the exact
+# a0116 construction — 30-minute gap sessions, one lead window
+# partitioned by user×session) is raised to the 32nd power via five
+# squarings T→T² on the ≤|types|² bounded transition frame, and π =
+# uniform·T³² — the long-run next-action mix. Squaring doubles the
+# horizon per join (like a0100's pointer doubling), so convergence
+# costs log₂ rounds of bounded-frame joins, never passes over events.
+# ---------------------------------------------------------------------------
+
+_MK_SQUARINGS = 5
+
+
+def _mk_oracle() -> str:
+    prev = "t1"
+    sq = []
+    for r in range(_MK_SQUARINGS):
+        cur = f"t{2 ** (r + 1)}"
+        sq.append(
+            f"""
+    {cur} AS (
+      SELECT a.i, b.j, SUM(a.p * b.p) AS p
+      FROM {prev} a JOIN {prev} b ON a.j = b.i
+      GROUP BY a.i, b.j
+    )"""
+        )
+        prev = cur
+    return f"""
+    WITH o AS (SELECT user_id, ts, event_type,
+                      CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                > INTERVAL 30 MINUTES
+                           OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                           THEN 1 ELSE 0 END AS new_s,
+                      event_id
+               FROM events),
+    s AS (SELECT user_id, ts, event_id, event_type,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+          FROM o),
+    tr AS (SELECT event_type AS cur,
+                  LEAD(event_type) OVER (PARTITION BY user_id, sess ORDER BY ts, event_id) AS nxt
+           FROM s),
+    c AS (SELECT cur, nxt, COUNT(*) AS n FROM tr WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+    t1 AS (
+      SELECT c.cur AS i, c.nxt AS j, c.n * 1.0 / t.n_out AS p
+      FROM c JOIN (SELECT cur, SUM(n) AS n_out FROM c GROUP BY cur) t ON c.cur = t.cur
+    ),{",".join(sq)},
+    states AS (SELECT i FROM t1 GROUP BY i),
+    pi AS (
+      SELECT t.j AS state, SUM(t.p) / (SELECT COUNT(*) FROM states) AS prob
+      FROM {prev} t GROUP BY t.j
+    )
+    SELECT state, ROUND(prob, 6) AS stationary_prob
+    FROM pi ORDER BY state
+    """
+
+
+@query(
+    "a0224_markov_stationary",
+    oracle=_mk_oracle(),
+    description=f"stationary distribution of the session Markov chain via matrix squaring: the a0116 row-stochastic transition matrix (30-min gap sessions, lead window partitioned by user×session) raised to 2^{_MK_SQUARINGS} with {_MK_SQUARINGS} T→T² joins on the bounded |types|² frame, π = uniform·T³² — the long-run next-action mix; horizon doubles per join, so convergence costs log₂ rounds over bounded state, never extra passes over events",
+)
+def a0224_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(wo).isNull()
+            | (F.col("ts") - F.lag("ts").over(wo) > F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    s = o.withColumn("sess", F.sum("new_s").over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+    tr = s.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id", "sess").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    )
+    c = (
+        tr.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tot = c.groupBy("cur").agg(F.sum("n").alias("n_out"))
+    t = (
+        c.join(tot, "cur")
+        .select(
+            F.col("cur").alias("i"), F.col("nxt").alias("j"), (F.col("n") / F.col("n_out")).alias("p")
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_states = t.select("i").distinct().count()  # bounded |event types|
+    for _ in range(_MK_SQUARINGS):
+        a, b = t.alias("a"), t.alias("b")
+        t = (
+            a.join(b, F.col("a.j") == F.col("b.i"))
+            .groupBy(F.col("a.i").alias("i"), F.col("b.j").alias("j"))
+            .agg(F.sum(F.col("a.p") * F.col("b.p")).alias("p"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        t.groupBy(F.col("j").alias("state"))
+        .agg(F.round(F.sum("p") / n_states, 6).alias("stationary_prob"))
+        .orderBy("state")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0225 — frequent 2-sequences (GSP/PrefixSpan level 2): within each
+# 30-minute gap-session, pattern "a … then later b" counts ONCE per
+# session if ANY ordered occurrence exists (subsequence semantics — NOT
+# a0116's adjacent transitions), support = containing sessions / total
+# sessions. The ordered-pair generation is a session-keyed self-join
+# (bounded by session length², the sequential-mining analog of the
+# basket joins), deduplicated per session before counting.
+# ---------------------------------------------------------------------------
+
+_SP_TOP = 15
+
+
+@query(
+    "a0225_sequence_patterns",
+    oracle="""
+    WITH o AS (SELECT user_id, ts, event_type,
+                      CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                > INTERVAL 30 MINUTES
+                           OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                           THEN 1 ELSE 0 END AS new_s,
+                      event_id
+               FROM events),
+    s AS (SELECT user_id, ts, event_id, event_type,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+          FROM o),
+    tot AS (SELECT COUNT(*) AS n_sessions FROM (SELECT DISTINCT user_id, sess FROM s)),
+    pat AS (
+      SELECT DISTINCT a.user_id, a.sess, a.event_type AS t1, b.event_type AS t2
+      FROM s a JOIN s b
+        ON a.user_id = b.user_id AND a.sess = b.sess
+       AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+    ),
+    cnt AS (SELECT t1, t2, COUNT(*) AS n_sessions_with FROM pat GROUP BY t1, t2)
+    SELECT t1, t2, CAST(n_sessions_with AS BIGINT) AS n_sessions_with,
+           ROUND(n_sessions_with * 1.0 / t.n_sessions, 6) AS support
+    FROM cnt CROSS JOIN tot t
+    ORDER BY n_sessions_with DESC, t1, t2
+    LIMIT 15
+    """,
+    description="frequent 2-sequences (GSP/PrefixSpan level 2) over 30-minute gap-sessions: pattern 'a … then later b' counts once per session when ANY ordered occurrence exists (subsequence semantics, not a0116's adjacent transitions), support = containing sessions / total sessions; ordered pairs from a session-keyed self-join bounded by session length², deduplicated per session — top-15 patterns with tie-free order",
+)
+def a0225_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(wo).isNull()
+            | (F.col("ts") - F.lag("ts").over(wo) > F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    s = o.withColumn(
+        "sess", F.sum("new_s").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    ).localCheckpoint(eager=False)
+    tot = s.select("user_id", "sess").distinct().agg(F.count("*").alias("n_sessions"))
+    a, b = s.alias("a"), s.alias("b")
+    pat = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sess") == F.col("b.sess"))
+            & (
+                (F.col("a.ts") < F.col("b.ts"))
+                | ((F.col("a.ts") == F.col("b.ts")) & (F.col("a.event_id") < F.col("b.event_id")))
+            ),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.sess").alias("sess"),
+            F.col("a.event_type").alias("t1"),
+            F.col("b.event_type").alias("t2"),
+        )
+        .distinct()
+    )
+    return (
+        pat.groupBy("t1", "t2")
+        .agg(F.count("*").alias("n_sessions_with"))
+        .crossJoin(F.broadcast(tot))
+        .orderBy(F.desc("n_sessions_with"), "t1", "t2")
+        .limit(_SP_TOP)
+        .select(
+            "t1",
+            "t2",
+            F.col("n_sessions_with").cast("long").alias("n_sessions_with"),
+            F.round(F.col("n_sessions_with") * 1.0 / F.col("n_sessions"), 6).alias("support"),
+        )
+    )

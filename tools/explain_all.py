@@ -164,6 +164,12 @@ HEADLINE = [
     "a0217_rfm_segments",
     "a0218_cart_split",
     "a0219_bh_fdr",
+    "a0220_em_gmm_step",
+    "a0221_pca_power",
+    "a0222_distance_outliers",
+    "a0223_naive_bayes_langid",
+    "a0224_markov_stationary",
+    "a0225_sequence_patterns",
 ]
 
 
