@@ -1272,55 +1272,62 @@ def a0220_em_gmm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a0221 — PCA via one covariance pass + unrolled power iteration: the
-# 4×4 covariance matrix of the first four embedding coordinates comes
-# from ONE covar_pop aggregate (the only data pass), then 16 power-
-# iteration rounds v ← normalize(Cv) run as chained projections over
-# the 1-row moment frame — "PCA at scale" is a stats pass plus bounded
-# matrix algebra, never an iterative job over data. Output: the first
-# principal component's loadings (sign-fixed), its eigenvalue, and the
-# explained-variance share of the 4-D trace.
+# a0221 — PCA via one covariance pass + MATRIX SQUARING: the 4×4
+# covariance matrix of the first four embedding coordinates comes from
+# ONE covar_pop aggregate (the only data pass); the dominant eigenvector
+# is then extracted by squaring the (trace-normalized) matrix 8 times —
+# C^256 — and applying it to a generic start vector. Squaring doubles
+# the power per round (vs +1 for vanilla power iteration), so even the
+# near-isotropic spectrum of random embeddings converges to machine
+# precision in 8 rounds of bounded 1-row matrix algebra; the per-round
+# trace normalization stops λ^2^k underflow. Output: first PC loadings
+# (sign-fixed), eigenvalue v'Cv, and explained-variance share.
 # ---------------------------------------------------------------------------
 
 _PCA_DIMS = 4
-_PCA_ROUNDS = 16
+_PCA_SQUARINGS = 8  # C^(2^8): (lambda2/lambda1)^256 kills even tiny eigengaps
 
 
 def _pca_oracle() -> str:
+    D = _PCA_DIMS
     covs = ",\n             ".join(
-        f"covar_pop(e{i}, e{j}) AS c{i}{j}"
-        for i in range(_PCA_DIMS)
-        for j in range(_PCA_DIMS)
-        if i <= j
+        f"covar_pop(e{i}, e{j}) AS c{i}{j}" for i in range(D) for j in range(D) if i <= j
     )
 
-    def c(i: int, j: int) -> str:
-        return f"c{min(i, j)}{max(i, j)}"
+    def m(pfx, i, j):
+        return f"{pfx}{min(i, j)}{max(i, j)}"
 
-    init = ", ".join(f"0.5 AS v{i}" for i in range(_PCA_DIMS))
+    trace0 = " + ".join(f"c{i}{i}" for i in range(D))
+    init = ", ".join(
+        f"c{i}{j} / ({trace0}) AS m{i}{j}" for i in range(D) for j in range(D) if i <= j
+    )
     rounds = []
-    prev = "it0"
-    for r in range(1, _PCA_ROUNDS + 1):
-        us = ", ".join(
-            " + ".join(f"{c(i, j)} * v{j}" for j in range(_PCA_DIMS)) + f" AS u{i}"
-            for i in range(_PCA_DIMS)
+    for r in range(1, _PCA_SQUARINGS + 1):
+        prods = ", ".join(
+            " + ".join(f"{m('m', i, k)} * {m('m', k, j)}" for k in range(D)) + f" AS q{i}{j}"
+            for i in range(D)
+            for j in range(D)
+            if i <= j
         )
-        nrm = " + ".join(f"u{i} * u{i}" for i in range(_PCA_DIMS))
-        vs = ", ".join(f"u{i} / sqrt({nrm}) AS v{i}" for i in range(_PCA_DIMS))
+        tq = " + ".join(f"q{i}{i}" for i in range(D))
+        norm = ", ".join(
+            f"q{i}{j} / ({tq}) AS m{i}{j}" for i in range(D) for j in range(D) if i <= j
+        )
         rounds.append(
             f"""
-    u{r} AS (SELECT *, {us} FROM {prev}),
-    it{r} AS (SELECT c00, c01, c02, c03, c11, c12, c13, c22, c23, c33, {vs} FROM u{r})"""
+    q{r} AS (SELECT *, {prods} FROM sq{r - 1}),
+    sq{r} AS (SELECT {", ".join(f"c{i}{j}" for i in range(D) for j in range(D) if i <= j)}, {norm} FROM q{r})"""
         )
-        prev = f"it{r}"
-    lam_num = " + ".join(
-        f"v{i} * ({' + '.join(f'{c(i, j)} * v{j}' for j in range(_PCA_DIMS))})"
-        for i in range(_PCA_DIMS)
+    uraw = ", ".join(
+        " + ".join(f"{m('m', i, j)} * 0.5" for j in range(D)) + f" AS u{i}" for i in range(D)
     )
-    trace = " + ".join(f"c{i}{i}" for i in range(_PCA_DIMS))
+    unrm = " + ".join(f"u{i} * u{i}" for i in range(D))
+    vs = ", ".join(f"u{i} / sqrt({unrm}) AS v{i}" for i in range(D))
+    lam = " + ".join(
+        f"v{i} * ({' + '.join(f'{m(chr(99), i, j)} * v{j}' for j in range(D))})" for i in range(D)
+    )
     dims_rows = "\n    UNION ALL ".join(
-        f"SELECT {i} AS dim, sgn * v{i} AS loading, lam, shr FROM fin"
-        for i in range(_PCA_DIMS)
+        f"SELECT {i} AS dim, sgn * v{i} AS loading, lam, shr FROM fin" for i in range(D)
     )
     return f"""
     WITH mom AS (
@@ -1328,13 +1335,15 @@ def _pca_oracle() -> str:
       FROM (SELECT embedding[1] AS e0, embedding[2] AS e1,
                    embedding[3] AS e2, embedding[4] AS e3 FROM embeddings)
     ),
-    it0 AS (SELECT *, {init} FROM mom),{",".join(rounds)},
+    sq0 AS (SELECT *, {init} FROM mom),{",".join(rounds)},
+    uv AS (SELECT *, {uraw} FROM sq{_PCA_SQUARINGS}),
+    vv AS (SELECT *, {vs} FROM uv),
     fin AS (
       SELECT v0, v1, v2, v3,
              CASE WHEN v0 < 0 THEN -1.0 ELSE 1.0 END AS sgn,
-             {lam_num} AS lam,
-             ({lam_num}) / ({trace}) AS shr
-      FROM it{_PCA_ROUNDS}
+             {lam} AS lam,
+             ({lam}) / ({trace0}) AS shr
+      FROM vv
     )
     SELECT CAST(dim AS BIGINT) AS dim, ROUND(loading, 6) AS loading,
            ROUND(lam, 6) AS eigenvalue, ROUND(shr, 6) AS explained_share
@@ -1346,67 +1355,78 @@ def _pca_oracle() -> str:
 @query(
     "a0221_pca_power",
     oracle=_pca_oracle(),
-    description=f"PCA via one covariance pass + unrolled power iteration: {_PCA_DIMS}×{_PCA_DIMS} covar_pop matrix of the first {_PCA_DIMS} embedding coordinates from ONE aggregate (the only data pass), then {_PCA_ROUNDS} rounds of v ← normalize(Cv) as chained projections over the 1-row moment frame; first PC loadings (sign-fixed at v0 ≥ 0), eigenvalue, and explained-variance share of the trace — the scale shape where iteration touches bounded state, never data",
+    description=f"PCA via one covariance pass + matrix squaring: {_PCA_DIMS}×{_PCA_DIMS} covar_pop matrix from ONE aggregate (the only data pass), dominant eigenvector from C^(2^{_PCA_SQUARINGS}) built by {_PCA_SQUARINGS} trace-normalized squarings over the 1-row moment frame (squaring doubles the power per round, so near-isotropic spectra still converge to machine precision; normalization stops underflow); first PC loadings sign-fixed at v0 ≥ 0, eigenvalue v'Cv, explained share of trace — iteration touches bounded state, never data",
 )
 def a0221_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    D = _PCA_DIMS
     emb = load_table(spark, sf_dir, "embeddings").select(
-        *[F.col("embedding")[i].alias(f"e{i}") for i in range(_PCA_DIMS)]
+        *[F.col("embedding")[i].alias(f"e{i}") for i in range(D)]
     )
     mom = emb.agg(
         *[
             F.covar_pop(f"e{i}", f"e{j}").alias(f"c{i}{j}")
-            for i in range(_PCA_DIMS)
-            for j in range(_PCA_DIMS)
+            for i in range(D)
+            for j in range(D)
             if i <= j
         ]
     ).localCheckpoint(eager=False)
+    keep = [f"c{i}{j}" for i in range(D) for j in range(D) if i <= j]
 
-    def c(i: int, j: int):
+    def cc(i, j):
         return F.col(f"c{min(i, j)}{max(i, j)}")
 
-    it = mom.select("*", *[F.lit(0.5).alias(f"v{i}") for i in range(_PCA_DIMS)])
-    keep = [f"c{i}{j}" for i in range(_PCA_DIMS) for j in range(_PCA_DIMS) if i <= j]
-    for r in range(_PCA_ROUNDS):
-        us = [
-            sum(
-                (c(i, j) * F.col(f"v{j}") for j in range(1, _PCA_DIMS)),
-                c(i, 0) * F.col("v0"),
-            ).alias(f"u{i}")
-            for i in range(_PCA_DIMS)
+    def mm(i, j):
+        return F.col(f"m{min(i, j)}{max(i, j)}")
+
+    trace0 = sum((cc(i, i) for i in range(1, D)), cc(0, 0))
+    it = mom.select(
+        "*", *[(cc(i, j) / trace0).alias(f"m{i}{j}") for i in range(D) for j in range(D) if i <= j]
+    )
+    for r in range(_PCA_SQUARINGS):
+        qs = [
+            sum((mm(i, k) * mm(k, j) for k in range(1, D)), mm(i, 0) * mm(0, j)).alias(f"q{i}{j}")
+            for i in range(D)
+            for j in range(D)
+            if i <= j
         ]
-        it = it.select("*", *us)
-        nrm = F.sqrt(
-            sum(
-                (F.col(f"u{i}") * F.col(f"u{i}") for i in range(1, _PCA_DIMS)),
-                F.col("u0") * F.col("u0"),
-            )
-        )
+        it = it.select(*keep, *qs)
+        tq = sum((F.col(f"q{i}{i}") for i in range(1, D)), F.col("q00"))
         it = it.select(
-            *keep, *[(F.col(f"u{i}") / nrm).alias(f"v{i}") for i in range(_PCA_DIMS)]
+            *keep,
+            *[
+                (F.col(f"q{i}{j}") / tq).alias(f"m{i}{j}")
+                for i in range(D)
+                for j in range(D)
+                if i <= j
+            ],
         )
-        if r % 4 == 3:
-            # the normalize step substitutes all four u-expressions into
-            # each v — unchecked, Catalyst's projection collapse grows the
-            # tree ~4x per round; an eager checkpoint of the 1-ROW frame
-            # every 4 rounds caps analysis cost (measured 43.6s -> 12.6s same-harness)
+        if r % 3 == 2:
+            # each squaring substitutes every m-entry 4x into the next —
+            # eager-checkpoint the 1-ROW frame every 3 rounds to cap
+            # Catalyst analysis cost (same lesson as the EM/Hilbert chains)
             it = it.localCheckpoint(eager=True)
+    u = [
+        sum((mm(i, j) * F.lit(0.5) for j in range(1, D)), mm(i, 0) * F.lit(0.5)).alias(f"u{i}")
+        for i in range(D)
+    ]
+    it = it.select(*keep, *u)
+    unrm = F.sqrt(sum((F.col(f"u{i}") * F.col(f"u{i}") for i in range(1, D)), F.col("u0") * F.col("u0")))
+    it = it.select(*keep, *[(F.col(f"u{i}") / unrm).alias(f"v{i}") for i in range(D)])
     lam = sum(
         (
-            F.col(f"v{i}")
-            * sum((c(i, j) * F.col(f"v{j}") for j in range(1, _PCA_DIMS)), c(i, 0) * F.col("v0"))
-            for i in range(1, _PCA_DIMS)
+            F.col(f"v{i}") * sum((cc(i, j) * F.col(f"v{j}") for j in range(1, D)), cc(i, 0) * F.col("v0"))
+            for i in range(1, D)
         ),
-        F.col("v0") * sum((c(0, j) * F.col(f"v{j}") for j in range(1, _PCA_DIMS)), c(0, 0) * F.col("v0")),
+        F.col("v0") * sum((cc(0, j) * F.col(f"v{j}") for j in range(1, D)), cc(0, 0) * F.col("v0")),
     )
-    trace = sum((c(i, i) for i in range(1, _PCA_DIMS)), c(0, 0))
     fin = it.select(
-        *[F.col(f"v{i}") for i in range(_PCA_DIMS)],
+        *[F.col(f"v{i}") for i in range(D)],
         F.when(F.col("v0") < 0, -1.0).otherwise(1.0).alias("sgn"),
         lam.alias("lam"),
-        (lam / trace).alias("shr"),
+        (lam / trace0).alias("shr"),
     ).localCheckpoint(eager=False)
     out = None
-    for i in range(_PCA_DIMS):
+    for i in range(D):
         row = fin.select(
             F.lit(i).cast("long").alias("dim"),
             F.round(F.col("sgn") * F.col(f"v{i}"), 6).alias("loading"),

@@ -103,3 +103,52 @@ def test_zonemap_partition_plan_consistency(spark, sf_dir):
     # skew ratios average to ~1 by construction
     avg_skew = sum(r["skew_vs_ideal"] for r in rows) / len(rows)
     assert abs(avg_skew - 1.0) < 0.01
+
+
+def test_pca_eigen_residual(spark, sf_dir):
+    """The power-iteration output must satisfy the eigen equation: the
+    loadings are unit-norm and Cv ≈ λv (residual small relative to λ) —
+    checked against a numpy covariance of the same four coordinates."""
+    import numpy as np
+
+    rows = QS["a0221_pca_power"].fn(spark, sf_dir).collect()
+    v = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim"])])
+    lam = rows[0]["eigenvalue"]
+    assert abs(float(np.dot(v, v)) - 1.0) < 1e-4
+    from advanced_data_mining_and_big_data_analysis_spark.sources import load_table
+
+    emb = np.array(
+        load_table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .toPandas()["embedding"]
+        .map(lambda a: list(a[:4]))
+        .tolist()
+    )
+    C = np.cov(emb.T, bias=True)
+    resid = np.linalg.norm(C @ v - lam * v)
+    assert resid < 1e-3 * max(lam, 1e-9), (resid, lam)
+
+
+def test_markov_stationary_sums_to_one(spark, sf_dir):
+    rows = QS["a0224_markov_stationary"].fn(spark, sf_dir).collect()
+    assert abs(sum(r["stationary_prob"] for r in rows) - 1.0) < 1e-4
+    assert all(r["stationary_prob"] > 0 for r in rows)
+
+
+def test_nb_confusion_mass(spark, sf_dir, duck):
+    """Confusion-matrix mass equals the md5 test split size — no doc is
+    dropped or double-counted through the explode/score/argmax chain."""
+    rows = QS["a0223_naive_bayes_langid"].fn(spark, sf_dir).collect()
+    n_test = duck.execute(
+        "SELECT COUNT(*) FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,1) >= '8'"
+    ).fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n_test
+
+
+def test_em_mixture_valid(spark, sf_dir):
+    rows = QS["a0220_em_gmm_step"].fn(spark, sf_dir).collect()
+    pis = {r["component"]: r["pi"] for r in rows}
+    assert abs(pis[1] + pis[2] - 1.0) < 1e-6
+    for r in rows:
+        assert 0 < r["pi"] < 1
+        assert r["sigma2"] > 0
