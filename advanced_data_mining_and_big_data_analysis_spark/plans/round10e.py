@@ -1895,3 +1895,264 @@ def a0225_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_sessions_with") * 1.0 / F.col("n_sessions"), 6).alias("support"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a0226 — logistic regression by unrolled Newton-Raphson (IRLS), the
+# GLM counterpart of a0220's EM: y = (lang = 'en') on the z-scored
+# document length, 6 Newton steps, each ONE pass computing the exact
+# gradient (Σ(y−p), Σ(y−p)x) and Hessian (Σw, Σwx, Σwx², w = p(1−p))
+# against the broadcast 2-parameter frame, with the closed-form 2×2
+# solve inline. Output: MLE coefficients, log-likelihood, and
+# McFadden's pseudo-R² against the base-rate null — distributed IRLS
+# with bounded state and zero collects.
+# ---------------------------------------------------------------------------
+
+_LOGIT_STEPS = 6
+
+
+def _logit_oracle() -> str:
+    prev = "p0"
+    rounds = []
+    for r in range(1, _LOGIT_STEPS + 1):
+        rounds.append(f"""
+    e{r} AS (
+      SELECT y, x, 1.0 / (1.0 + exp(-(b0 + b1 * x))) AS p
+      FROM d CROSS JOIN {prev}
+    ),
+    s{r} AS (
+      SELECT SUM(y - p) AS g0, SUM((y - p) * x) AS g1,
+             SUM(p * (1 - p)) AS h00, SUM(p * (1 - p) * x) AS h01,
+             SUM(p * (1 - p) * x * x) AS h11,
+             SUM(CASE WHEN y = 1 THEN ln(p) ELSE ln(1 - p) END) AS ll
+      FROM e{r}
+    ),
+    p{r} AS (
+      SELECT pp.b0 + (s.h11 * s.g0 - s.h01 * s.g1) / (s.h00 * s.h11 - s.h01 * s.h01) AS b0,
+             pp.b1 + (s.h00 * s.g1 - s.h01 * s.g0) / (s.h00 * s.h11 - s.h01 * s.h01) AS b1,
+             s.ll AS ll
+      FROM s{r} s CROSS JOIN {prev} pp
+    )""")
+        prev = f"p{r}"
+    return f"""
+    WITH raw AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, CAST(n_chars AS DOUBLE) AS v
+      FROM documents
+    ),
+    st AS (SELECT AVG(v) AS mu, stddev_pop(v) AS sd FROM raw),
+    d AS (SELECT y, (v - mu) / sd AS x FROM raw CROSS JOIN st),
+    p0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS ll),{",".join(rounds)},
+    base AS (
+      SELECT SUM(y) * ln(SUM(y) * 1.0 / COUNT(*))
+             + (COUNT(*) - SUM(y)) * ln(1 - SUM(y) * 1.0 / COUNT(*)) AS ll0,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM d
+    )
+    SELECT b.n, b.n_pos, ROUND(p.b0, 6) AS b0, ROUND(p.b1, 6) AS b1,
+           ROUND(p.ll, 4) AS loglik, ROUND(1 - p.ll / b.ll0, 6) AS mcfadden_r2
+    FROM p{_LOGIT_STEPS} p CROSS JOIN base b
+    """
+
+
+@query(
+    "a0226_logistic_newton",
+    oracle=_logit_oracle(),
+    description=f"logistic regression by {_LOGIT_STEPS} unrolled Newton-Raphson (IRLS) steps — y=(lang='en') on z-scored document length: each step is ONE pass computing the exact gradient and Hessian sums against the broadcast 2-parameter frame with the closed-form 2×2 solve inline; MLE coefficients, log-likelihood, and McFadden pseudo-R² vs the base-rate null — the distributed-GLM shape (bounded state, zero collects), and a0220's EM sibling",
+)
+def a0226_logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load_table(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.col("n_chars").cast("double").alias("v"),
+    )
+    st = raw.agg(F.avg("v").alias("mu"), F.stddev_pop("v").alias("sd"))
+    d = (
+        raw.crossJoin(F.broadcast(st))
+        .select("y", ((F.col("v") - F.col("mu")) / F.col("sd")).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    params = d.sparkSession.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("ll")
+    )
+    for _ in range(_LOGIT_STEPS):
+        p = 1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * F.col("x"))))
+        e = d.crossJoin(F.broadcast(params)).select(
+            "y", "x", p.alias("p"), "b0", "b1"
+        )
+        w = F.col("p") * (1 - F.col("p"))
+        s = e.agg(
+            F.first("b0").alias("b0"),
+            F.first("b1").alias("b1"),
+            F.sum(F.col("y") - F.col("p")).alias("g0"),
+            F.sum((F.col("y") - F.col("p")) * F.col("x")).alias("g1"),
+            F.sum(w).alias("h00"),
+            F.sum(w * F.col("x")).alias("h01"),
+            F.sum(w * F.col("x") * F.col("x")).alias("h11"),
+            F.sum(
+                F.when(F.col("y") == 1, F.log("p")).otherwise(F.log(1 - F.col("p")))
+            ).alias("ll"),
+        )
+        det = F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01")
+        params = s.select(
+            (F.col("b0") + (F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1")) / det).alias("b0"),
+            (F.col("b1") + (F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0")) / det).alias("b1"),
+            F.col("ll").alias("ll"),
+        ).localCheckpoint(eager=False)
+    base = d.agg(
+        (
+            F.sum("y") * F.log(F.sum("y") * 1.0 / F.count("*"))
+            + (F.count("*") - F.sum("y")) * F.log(1 - F.sum("y") * 1.0 / F.count("*"))
+        ).alias("ll0"),
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    return params.crossJoin(F.broadcast(base)).select(
+        "n",
+        "n_pos",
+        F.round("b0", 6).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round("ll", 4).alias("loglik"),
+        F.round(1 - F.col("ll") / F.col("ll0"), 6).alias("mcfadden_r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0227 — exact tie-corrected ROC-AUC via the Mann-Whitney U statistic:
+# AUC = (Σ_pos avg-rank − n⁺(n⁺+1)/2) / (n⁺n⁻), with average ranks over
+# ties taken from the cumulative counts of the DISTINCT-SCORE frame —
+# the scale-correct form (one groupBy on the score, window algebra over
+# the bounded distinct-value frame; for continuous scores you bucket
+# first, for integer scores like document length it is EXACT). Scorer:
+# document length predicting lang='en'; Gini = 2·AUC−1 alongside.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a0227_roc_auc",
+    oracle="""
+    WITH d AS (
+      SELECT n_chars AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents
+    ),
+    g AS (SELECT s, COUNT(*) AS cnt, SUM(y) AS pos FROM d GROUP BY s),
+    c AS (
+      SELECT s, cnt, pos,
+             COALESCE(SUM(cnt) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM g
+    ),
+    u AS (
+      SELECT SUM(pos * (cum_before + (cnt + 1) / 2.0)) AS rank_pos_sum,
+             SUM(pos) AS np, SUM(cnt - pos) AS nn
+      FROM c
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           ROUND((rank_pos_sum - np * (np + 1) / 2.0) / (np * nn), 6) AS auc,
+           ROUND(2 * (rank_pos_sum - np * (np + 1) / 2.0) / (np * nn) - 1, 6) AS gini
+    FROM u
+    """,
+    description="exact tie-corrected ROC-AUC via the Mann-Whitney U statistic (document length scoring lang='en'): average ranks over ties from cumulative counts of the DISTINCT-SCORE frame — one score-keyed groupBy plus window algebra over the bounded distinct-value frame (the scale-correct AUC: bucket first for continuous scores, exact for integer scores); Gini coefficient alongside",
+)
+def a0227_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    g = d.groupBy("s").agg(F.count("*").alias("cnt"), F.sum("y").alias("pos"))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "s", "cnt", "pos", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before")
+    )
+    u = c.agg(
+        F.sum(F.col("pos") * (F.col("cum_before") + (F.col("cnt") + 1) / 2.0)).alias(
+            "rank_pos_sum"
+        ),
+        F.sum("pos").alias("np"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("nn"),
+    )
+    auc = (F.col("rank_pos_sum") - F.col("np") * (F.col("np") + 1) / 2.0) / (
+        F.col("np") * F.col("nn")
+    )
+    return u.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(2 * auc - 1, 6).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0228 — cumulative gains and lift chart by score decile (the campaign-
+# targeting readout): documents ranked by length-score into exact
+# interpolated deciles (the a0158 count-of-edges rule — never ntile over
+# the table), positives = lang='en'; per decile from best down:
+# response rate, lift vs base rate, cumulative gains. The decile frame
+# is 10 rows, so the cumulative window never touches data.
+# ---------------------------------------------------------------------------
+
+_LIFT_QS = [i / 10 for i in range(1, 10)]
+
+
+@query(
+    "a0228_lift_gains",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(n_chars AS DOUBLE) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    q AS (SELECT quantile_cont(s, [{", ".join(str(q) for q in _LIFT_QS)}]) AS qs FROM d),
+    b AS (
+      SELECT y, len(list_filter((SELECT qs FROM q), e -> e <= s)) AS bin FROM d
+    ),
+    agg AS (
+      SELECT bin, COUNT(*) AS n, SUM(y) AS pos FROM b GROUP BY bin
+    ),
+    tot AS (SELECT SUM(n) AS nt, SUM(pos) AS pt FROM agg),
+    cum AS (
+      SELECT bin, n, pos,
+             SUM(n) OVER w AS cum_n, SUM(pos) OVER w AS cum_pos
+      FROM agg
+      WINDOW w AS (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT CAST(9 - bin AS BIGINT) AS decile_rank, CAST(n AS BIGINT) AS n_docs,
+           CAST(pos AS BIGINT) AS n_pos,
+           ROUND(pos * 1.0 / n / (t.pt * 1.0 / t.nt), 6) AS lift,
+           ROUND(cum_pos * 1.0 / t.pt, 6) AS cum_gains,
+           ROUND(cum_n * 1.0 / t.nt, 6) AS cum_share
+    FROM cum CROSS JOIN tot t
+    ORDER BY decile_rank
+    """,
+    description="cumulative gains and lift chart by score decile (campaign-targeting readout): document-length score cut at exact interpolated deciles via the count-of-edges rule (never ntile over the table), positives = lang='en'; per decile from best down the response lift vs base rate plus cumulative gains/share — the cumulative window runs over the 10-row decile frame only",
+)
+def a0228_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("double").alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    edges = d.agg(
+        F.expr(f"percentile(s, array({', '.join(str(q) for q in _LIFT_QS)}))").alias("qs")
+    )
+    b = d.crossJoin(F.broadcast(edges)).select(
+        "y", F.size(F.filter(F.col("qs"), lambda e: e <= F.col("s"))).alias("bin")
+    )
+    agg = b.groupBy("bin").agg(F.count("*").alias("n"), F.sum("y").alias("pos")).localCheckpoint(
+        eager=False
+    )
+    tot = agg.agg(F.sum("n").alias("nt"), F.sum("pos").alias("pt"))
+    w = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = agg.select(
+        "bin", "n", "pos", F.sum("n").over(w).alias("cum_n"), F.sum("pos").over(w).alias("cum_pos")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            (9 - F.col("bin")).cast("long").alias("decile_rank"),
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("pos").cast("long").alias("n_pos"),
+            F.round(
+                F.col("pos") * 1.0 / F.col("n") / (F.col("pt") * 1.0 / F.col("nt")), 6
+            ).alias("lift"),
+            F.round(F.col("cum_pos") * 1.0 / F.col("pt"), 6).alias("cum_gains"),
+            F.round(F.col("cum_n") * 1.0 / F.col("nt"), 6).alias("cum_share"),
+        )
+        .orderBy("decile_rank")
+    )

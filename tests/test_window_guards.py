@@ -46,6 +46,8 @@ ALLOWED_UNPARTITIONED: dict[str, str] = {
     "a0212_haar_energy": "row_number index over the daily revenue rollup (calendar-bounded, truncated to 256)",
     "a0218_cart_split": "cumulative sufficient statistics over the <=64-bucket histogram frame, never data rows",
     "a0219_bh_fdr": "BH step-up rank over the 64-row hypothesis frame, never events",
+    "a0227_roc_auc": "tie-rank cumulative counts over the DISTINCT-score frame (bounded by the integer score range; bucket first for continuous scores)",
+    "a0228_lift_gains": "cumulative gains over the 10-row decile frame, never documents",
     "a0122_compaction_plan": "next-fit cumsum over the FILE INVENTORY frame (one row per partition file, never data rows)",
     "a0129_inbatch_negatives": "deterministic batching row_number — the oracle-parity twin of the scale path (batch = md5 mod n_batches, no sort; documented in-code)",
     "a0131_curriculum_shards": "curriculum ntile over the score order — the oracle-parity twin of repartitionByRange(score) (sampled boundaries are not engine-reproducible)",

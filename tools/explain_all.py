@@ -170,6 +170,9 @@ HEADLINE = [
     "a0223_naive_bayes_langid",
     "a0224_markov_stationary",
     "a0225_sequence_patterns",
+    "a0226_logistic_newton",
+    "a0227_roc_auc",
+    "a0228_lift_gains",
 ]
 
 
