@@ -950,7 +950,12 @@ def a0103_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("d"))
         .filter(F.col("d").between(_AA_DEG_MIN, _AA_DEG_MAX))
         .select(F.col("pk").alias("dpk"), "d")  # rename: deg derives from cp, avoid self-join ambiguity
+        .localCheckpoint(eager=False)
     )
+    # prune BEFORE the pair self-join: the degree cap is a broadcast
+    # semi-join on the edge frame, so out-of-range parts never enter the
+    # pair explosion (interleaved A/B at sf1.0: 29.9s -> 23.6s median)
+    cp = cp.join(F.broadcast(deg.select(F.col("dpk").alias("pk"))), "pk", "left_semi")
     a, b = cp.alias("a"), cp.alias("b")
     pairs = (
         a.join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.cust") < F.col("b.cust")))
