@@ -392,29 +392,34 @@ _AP3_TOP = 15
 def a0213_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # ONE shuffle: sorted distinct-brand array per order; pair AND triple
+    # generation are ROW-LOCAL tail-slice explodes over the array (the
+    # q128/a0093 co-occurrence layout) — no basket self-joins at all
     baskets = (
         li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy("okey")
+        .agg(F.array_sort(F.collect_set("brand")).alias("bs"))
         .localCheckpoint(eager=False)
     )
-    tot = baskets.select(F.countDistinct("okey").alias("n_orders"))
-    a, b = baskets.alias("a"), baskets.alias("b")
+    tot = baskets.select(F.count("*").alias("n_orders"))
     l2 = (
-        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.brand") < F.col("b.brand")))
-        .groupBy(F.col("a.brand").alias("b1"), F.col("b.brand").alias("b2"))
+        baskets.select(F.posexplode("bs").alias("i", "b1"), "bs")
+        .select("b1", F.explode(F.slice("bs", F.col("i") + 2, F.size("bs"))).alias("b2"))
+        .groupBy("b1", "b2")
         .agg(F.count("*").alias("n_pair"))
         .crossJoin(F.broadcast(tot))
         .filter(F.col("n_pair") >= F.col("n_orders") * _AP3_SUPPORT)
         .select("b1", "b2")
         .localCheckpoint(eager=False)
     )
-    c = baskets.alias("c")
     cand = (
-        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.brand") < F.col("b.brand")))
-        .join(c, (F.col("a.okey") == F.col("c.okey")) & (F.col("b.brand") < F.col("c.brand")))
+        baskets.select(F.posexplode("bs").alias("i", "t1"), "bs")
+        .select("t1", F.posexplode(F.slice("bs", F.col("i") + 2, F.size("bs"))).alias("j", "t2"), F.col("i"), "bs")
         .select(
-            F.col("a.brand").alias("t1"), F.col("b.brand").alias("t2"), F.col("c.brand").alias("t3")
+            "t1",
+            "t2",
+            F.explode(F.slice("bs", F.col("i") + F.col("j") + 3, F.size("bs"))).alias("t3"),
         )
     )
     for x, y in (("t1", "t2"), ("t1", "t3"), ("t2", "t3")):
