@@ -2161,3 +2161,80 @@ def a0228_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# a0229 — skip-gram context-pair extraction (the word2vec / embedding
+# training-data prep): every token pairs with the next W tokens of its
+# document (forward window, so each unordered co-occurrence is emitted
+# once) weighted 1/distance — the classic distance-damped co-occurrence
+# statistic embedding trainers consume. Pair generation is ROW-LOCAL
+# (posexplode + tail slice over the token array, the a0093/a0213
+# layout): ONE scan, one pair-level aggregate, no self-join; top pairs
+# by damped weight with tie-free order. Same tokenizer as the text
+# stack.
+# ---------------------------------------------------------------------------
+
+_SG_WINDOW = 3
+_SG_TOP = 20
+
+
+@query(
+    "a0229_skipgram_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    centers AS (
+      SELECT doc_id, tk, i, tk[i] AS center
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i)
+    ),
+    pairs AS (
+      SELECT center, tk[i + j] AS context, j AS dist
+      FROM centers, LATERAL (SELECT unnest(generate_series(1, {_SG_WINDOW})) AS j)
+      WHERE i + j <= len(tk)
+    ),
+    agg AS (
+      SELECT center, context, COUNT(*) AS n_pairs,
+             SUM(1.0 / dist) AS w
+      FROM pairs WHERE center <> context
+      GROUP BY center, context
+    )
+    SELECT center, context, CAST(n_pairs AS BIGINT) AS n_pairs,
+           ROUND(w, 6) AS damped_weight
+    FROM agg
+    -- order on the ROUNDED weight: raw float sums differ across engines
+    -- at ~1e-12, which flips name-tiebreaks at the LIMIT boundary
+    ORDER BY ROUND(w, 6) DESC, center, context
+    LIMIT {_SG_TOP}
+    """,
+    description=f"skip-gram context-pair extraction (word2vec training-data prep): each token pairs with the next {_SG_WINDOW} tokens of its document, weighted 1/distance (forward window — each unordered co-occurrence emitted once); pair generation is row-local posexplode + tail slice over the token array (one scan, one aggregate, no self-join), top-{_SG_TOP} pairs by damped weight — the distance-damped co-occurrence statistic embedding trainers consume, on the shared text-stack tokenizer",
+)
+def a0229_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
+    toks = load_table(spark, sf_dir, "documents").select(X.tokens("text").alias("tk"))
+    pairs = (
+        toks.select(F.posexplode("tk").alias("i", "center"), "tk")
+        .select(
+            "center",
+            F.posexplode(F.slice("tk", F.col("i") + 2, _SG_WINDOW)).alias("j", "context"),
+        )
+        .filter(F.col("center") != F.col("context"))
+        .select("center", "context", (F.col("j") + 1).alias("dist"))
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count("*").alias("n_pairs"), F.sum(1.0 / F.col("dist")).alias("w"))
+        .orderBy(F.desc(F.round("w", 6)), "center", "context")
+        .limit(_SG_TOP)
+        .select(
+            "center",
+            "context",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round("w", 6).alias("damped_weight"),
+        )
+    )

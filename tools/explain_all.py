@@ -173,6 +173,7 @@ HEADLINE = [
     "a0226_logistic_newton",
     "a0227_roc_auc",
     "a0228_lift_gains",
+    "a0229_skipgram_pairs",
 ]
 
 
