@@ -34,20 +34,20 @@ from advanced_data_mining_and_big_data_analysis_spark.plans import all_queries
 
 STOPS = [
     ("association rules", "a0093_association_rules", 5),
-    ("Apriori triples", "a0213_apriori_triples", 5),
+    ("Apriori triples", "a0053_apriori_triples", 5),
     ("grid-density clusters", "a0100_grid_density_clusters", 6),
-    ("distance outliers", "a0222_distance_outliers", 5),
-    ("item-item CF", "a0214_itemitem_cf", 5),
-    ("RFM segments", "a0217_rfm_segments", 5),
+    ("distance outliers", "a0062_distance_outliers", 5),
+    ("item-item CF", "a0054_itemitem_cf", 5),
+    ("RFM segments", "a0057_rfm_segments", 5),
     ("funnel conversion", "a0102_funnel_conversion", 4),
-    ("ACF + Ljung-Box", "a0210_acf_ljung_box", 5),
+    ("ACF + Ljung-Box", "a0050_acf_ljung_box", 5),
     ("STL decomposition", "a0097_stl_decompose", 10),
     ("SAX motifs", "a0104_sax_motifs", 5),
-    ("Theil-Sen trend", "a0215_theil_sen", 1),
-    ("MDLP split", "a0216_mdlp_split", 3),
-    ("CART split", "a0218_cart_split", 3),
-    ("naive-Bayes confusion", "a0223_naive_bayes_langid", 8),
-    ("BH-FDR readout", "a0219_bh_fdr", 5),
+    ("Theil-Sen trend", "a0055_theil_sen", 1),
+    ("MDLP split", "a0056_mdlp_split", 3),
+    ("CART split", "a0058_cart_split", 3),
+    ("naive-Bayes confusion", "a0063_naive_bayes_langid", 8),
+    ("BH-FDR readout", "a0059_bh_fdr", 5),
 ]
 
 

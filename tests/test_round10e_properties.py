@@ -17,7 +17,7 @@ def test_haar_parseval(spark, sf_dir):
     the Haar basis is orthonormal, so Parseval fixes the total — a sign
     error, a wrong normalization, or a dropped block breaks this even
     if both engines agree."""
-    rows = QS["a0212_haar_energy"].fn(spark, sf_dir).collect()
+    rows = QS["a0052_haar_energy"].fn(spark, sf_dir).collect()
     assert math.isclose(sum(r["share"] for r in rows), 1.0, abs_tol=5e-6)
     # detail coefficient counts: level ell has N / 2^ell complete blocks
     by_part = {r["part"]: r for r in rows}
@@ -57,7 +57,7 @@ def test_apriori_downward_closure(spark, sf_dir, duck):
     """Every reported frequent triple's three sub-pairs must individually
     clear the same support threshold (the monotonicity that makes the
     L2 prune result-invariant — asserted against DuckDB pair supports)."""
-    rows = QS["a0213_apriori_triples"].fn(spark, sf_dir).collect()
+    rows = QS["a0053_apriori_triples"].fn(spark, sf_dir).collect()
     if not rows:
         return
     pairs = dict(
@@ -111,7 +111,7 @@ def test_pca_eigen_residual(spark, sf_dir):
     checked against a numpy covariance of the same four coordinates."""
     import numpy as np
 
-    rows = QS["a0221_pca_power"].fn(spark, sf_dir).collect()
+    rows = QS["a0061_pca_power"].fn(spark, sf_dir).collect()
     v = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim"])])
     lam = rows[0]["eigenvalue"]
     assert abs(float(np.dot(v, v)) - 1.0) < 1e-4
@@ -130,7 +130,7 @@ def test_pca_eigen_residual(spark, sf_dir):
 
 
 def test_markov_stationary_sums_to_one(spark, sf_dir):
-    rows = QS["a0224_markov_stationary"].fn(spark, sf_dir).collect()
+    rows = QS["a0064_markov_stationary"].fn(spark, sf_dir).collect()
     assert abs(sum(r["stationary_prob"] for r in rows) - 1.0) < 1e-4
     assert all(r["stationary_prob"] > 0 for r in rows)
 
@@ -138,7 +138,7 @@ def test_markov_stationary_sums_to_one(spark, sf_dir):
 def test_nb_confusion_mass(spark, sf_dir, duck):
     """Confusion-matrix mass equals the md5 test split size — no doc is
     dropped or double-counted through the explode/score/argmax chain."""
-    rows = QS["a0223_naive_bayes_langid"].fn(spark, sf_dir).collect()
+    rows = QS["a0063_naive_bayes_langid"].fn(spark, sf_dir).collect()
     n_test = duck.execute(
         "SELECT COUNT(*) FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,1) >= '8'"
     ).fetchone()[0]
@@ -146,7 +146,7 @@ def test_nb_confusion_mass(spark, sf_dir, duck):
 
 
 def test_em_mixture_valid(spark, sf_dir):
-    rows = QS["a0220_em_gmm_step"].fn(spark, sf_dir).collect()
+    rows = QS["a0060_em_gmm_step"].fn(spark, sf_dir).collect()
     pis = {r["component"]: r["pi"] for r in rows}
     assert abs(pis[1] + pis[2] - 1.0) < 1e-6
     for r in rows:

@@ -42,12 +42,12 @@ ALLOWED_UNPARTITIONED: dict[str, str] = {
     "a0102_funnel_conversion": "conversion-rate lag over the 4-row stage-count frame, never events",
     "a0104_sax_motifs": "8-day leads over the daily revenue rollup spine (calendar-bounded)",
     "a0105_range_partition_plan": "cumsum over the <=256-bucket histogram + lag over the 16-row plan frame, never data rows",
-    "a0210_acf_ljung_box": "14 lags over the daily revenue rollup (calendar-bounded)",
-    "a0212_haar_energy": "row_number index over the daily revenue rollup (calendar-bounded, truncated to 256)",
-    "a0218_cart_split": "cumulative sufficient statistics over the <=64-bucket histogram frame, never data rows",
-    "a0219_bh_fdr": "BH step-up rank over the 64-row hypothesis frame, never events",
-    "a0227_roc_auc": "tie-rank cumulative counts over the DISTINCT-score frame (bounded by the integer score range; bucket first for continuous scores)",
-    "a0228_lift_gains": "cumulative gains over the 10-row decile frame, never documents",
+    "a0050_acf_ljung_box": "14 lags over the daily revenue rollup (calendar-bounded)",
+    "a0052_haar_energy": "row_number index over the daily revenue rollup (calendar-bounded, truncated to 256)",
+    "a0058_cart_split": "cumulative sufficient statistics over the <=64-bucket histogram frame, never data rows",
+    "a0059_bh_fdr": "BH step-up rank over the 64-row hypothesis frame, never events",
+    "a0067_roc_auc": "tie-rank cumulative counts over the DISTINCT-score frame (bounded by the integer score range; bucket first for continuous scores)",
+    "a0068_lift_gains": "cumulative gains over the 10-row decile frame, never documents",
     "a0122_compaction_plan": "next-fit cumsum over the FILE INVENTORY frame (one row per partition file, never data rows)",
     "a0129_inbatch_negatives": "deterministic batching row_number — the oracle-parity twin of the scale path (batch = md5 mod n_batches, no sort; documented in-code)",
     "a0131_curriculum_shards": "curriculum ntile over the score order — the oracle-parity twin of repartitionByRange(score) (sampled boundaries are not engine-reproducible)",

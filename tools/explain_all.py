@@ -154,26 +154,26 @@ HEADLINE = [
     "a0104_sax_motifs",
     "a0105_range_partition_plan",
     # round-10 post-window wave (round10e, window fodder for r11)
-    "a0210_acf_ljung_box",
-    "a0211_zonemap_pruning",
-    "a0212_haar_energy",
-    "a0213_apriori_triples",
-    "a0214_itemitem_cf",
-    "a0215_theil_sen",
-    "a0216_mdlp_split",
-    "a0217_rfm_segments",
-    "a0218_cart_split",
-    "a0219_bh_fdr",
-    "a0220_em_gmm_step",
-    "a0221_pca_power",
-    "a0222_distance_outliers",
-    "a0223_naive_bayes_langid",
-    "a0224_markov_stationary",
-    "a0225_sequence_patterns",
-    "a0226_logistic_newton",
-    "a0227_roc_auc",
-    "a0228_lift_gains",
-    "a0229_skipgram_pairs",
+    "a0050_acf_ljung_box",
+    "a0051_zonemap_pruning",
+    "a0052_haar_energy",
+    "a0053_apriori_triples",
+    "a0054_itemitem_cf",
+    "a0055_theil_sen",
+    "a0056_mdlp_split",
+    "a0057_rfm_segments",
+    "a0058_cart_split",
+    "a0059_bh_fdr",
+    "a0060_em_gmm_step",
+    "a0061_pca_power",
+    "a0062_distance_outliers",
+    "a0063_naive_bayes_langid",
+    "a0064_markov_stationary",
+    "a0065_sequence_patterns",
+    "a0066_logistic_newton",
+    "a0067_roc_auc",
+    "a0068_lift_gains",
+    "a0069_skipgram_pairs",
 ]
 
 
