@@ -176,6 +176,15 @@ def a0051_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mirror = _mirror_dir(sf_dir, "zonemap", "lineitem")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    # Single-stream sorted write: file boundaries must cut the sorted
+    # multiset at exact global ranks i*8192 for the oracle's rank
+    # arithmetic to reproduce the zones (a distributed orderBy samples
+    # range boundaries non-deterministically, so DuckDB could not).
+    # This write IS the query's cost at sf1.0 — 11.1 s of the 12.3 s
+    # total; the zone read + 8-predicate audit is ~1.2 s. At 100 TB the
+    # sort-cluster write is a parallel repartitionByRange job whose
+    # zones any engine reads the same way; the single stream here is
+    # an oracle-determinism harness choice, not the scale design.
     (
         li.repartition(1)
         .sortWithinPartitions("l_orderkey")
@@ -452,11 +461,15 @@ def a0053_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a0054 — item-item collaborative filtering (the classic neighborhood
 # recommender): each brand's profile is its per-customer purchase-count
 # vector; brand-brand cosine = Σ_c cnt(c,b1)·cnt(c,b2) / (‖b1‖‖b2‖).
-# The dot products come from a CUSTOMER-KEYED self-join of the rating
-# frame (pairs bounded by Σ_c brands_c², brands_c ≤ 25 — the standard
-# "shard by user, emit co-rated pairs" CF layout), norms are a 25-row
-# broadcast. Integer dot products and IEEE sqrt keep the cosine
-# engine-exact at 6 decimals.
+# The dot products come from the shard-by-user basket layout: per
+# customer, collect the sorted (brand, cnt) struct array and emit
+# co-rated pairs as a ROW-LOCAL tail-slice explode (the q128/a0093
+# co-occurrence idiom — pairs bounded by Σ_c brands_c², brands_c ≤ 25,
+# map-side-combined into ~300 brand-pair groups, no self-join shuffle);
+# norms are a 25-row broadcast. Integer dot products and IEEE sqrt keep
+# the cosine engine-exact at 6 decimals. A/B at sf1.0 (interleaved,
+# warm median-of-3): basket explode 3.58 s vs customer self-join
+# 3.92 s, and one fewer shuffle of the rating frame.
 # ---------------------------------------------------------------------------
 
 _CF_TOP = 15
@@ -486,7 +499,7 @@ _CF_TOP = 15
     ORDER BY p.dot / (n1.nrm * n2.nrm) DESC, p.b1, p.b2
     LIMIT {_CF_TOP}
     """,
-    description=f"item-item collaborative filtering: brand-brand cosine over per-customer purchase-count vectors, dot products from a customer-keyed self-join (bounded by Σ per-customer brand-set², never item all-pairs), norms a 25-row broadcast, top-{_CF_TOP} most similar brand pairs with tie-free order — the classic neighborhood recommender in its shard-by-user distributed layout; integer dots + IEEE sqrt keep the cosine engine-exact",
+    description=f"item-item collaborative filtering: brand-brand cosine over per-customer purchase-count vectors, dot products from per-customer sorted (brand,cnt) arrays pair-exploded row-locally (bounded by Σ per-customer brand-set², never item all-pairs, no self-join shuffle), norms a 25-row broadcast, top-{_CF_TOP} most similar brand pairs with tie-free order — the classic neighborhood recommender in its shard-by-user distributed layout; integer dots + IEEE sqrt keep the cosine engine-exact",
 )
 def a0054_itemitem_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -497,14 +510,23 @@ def a0054_itemitem_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=False)
     )
-    norms = cb.groupBy("brand").agg(F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("nrm"))
-    a, b = cb.alias("a"), cb.alias("b")
+    # checkpoint the 150k-row basket frame, not the 3M-row rating frame:
+    # norms re-derive row-locally from the same arrays (A/B at sf1.0,
+    # interleaved warm: 3.35 s vs 3.58 s for the cb-checkpoint layout)
+    baskets = cb.groupBy("cust").agg(
+        F.array_sort(F.collect_list(F.struct("brand", "cnt"))).alias("bs")
+    ).localCheckpoint(eager=False)
+    norms = (
+        baskets.select(F.explode("bs").alias("s"))
+        .groupBy(F.col("s.brand").alias("brand"))
+        .agg(F.sqrt(F.sum(F.col("s.cnt") * F.col("s.cnt"))).alias("nrm"))
+    )
     pairs = (
-        a.join(b, (F.col("a.cust") == F.col("b.cust")) & (F.col("a.brand") < F.col("b.brand")))
-        .groupBy(F.col("a.brand").alias("b1"), F.col("b.brand").alias("b2"))
-        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"), F.count("*").alias("n_users"))
+        baskets.select(F.posexplode("bs").alias("i", "s1"), "bs")
+        .select("s1", F.explode(F.slice("bs", F.col("i") + 2, F.size("bs"))).alias("s2"))
+        .groupBy(F.col("s1.brand").alias("b1"), F.col("s2.brand").alias("b2"))
+        .agg(F.sum(F.col("s1.cnt") * F.col("s2.cnt")).alias("dot"), F.count("*").alias("n_users"))
     )
     n1 = norms.select(F.col("brand").alias("b1"), F.col("nrm").alias("nrm1"))
     n2 = norms.select(F.col("brand").alias("b2"), F.col("nrm").alias("nrm2"))
