@@ -65,6 +65,7 @@ def all_queries() -> dict[str, QueryDef]:
         round10c,
         round10d,
         round10e,
+        round11,
         sessions,
         similarity,
         sources_ext,

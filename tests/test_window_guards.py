@@ -50,6 +50,9 @@ ALLOWED_UNPARTITIONED: dict[str, str] = {
     "a0068_lift_gains": "cumulative gains over the 10-row decile frame, never documents",
     "a0122_compaction_plan": "next-fit cumsum over the FILE INVENTORY frame (one row per partition file, never data rows)",
     "a0129_inbatch_negatives": "deterministic batching row_number — the oracle-parity twin of the scale path (batch = md5 mod n_batches, no sort; documented in-code)",
+    "a0072_chi2_cramers": "marginal window sums over the <=|a|x|b| contingency CELL frame (tens of rows), never fact rows",
+    "a0073_mannwhitney_u": "exclusive offset cumsum over the <=128-row price-bucket frame (the in-data prefix sum is PARTITIONED by bucket)",
+    "a0074_binseg_changepoint": "prefix sums over the daily revenue rollup (calendar-bounded)",
     "a0131_curriculum_shards": "curriculum ntile over the score order — the oracle-parity twin of repartitionByRange(score) (sampled boundaries are not engine-reproducible)",
 }
 

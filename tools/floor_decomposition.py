@@ -90,6 +90,42 @@ WEAK = [
     "q41_minhash_neardup",
     # round-10: the new headline member gets the same evidence
     "a0142_flagship_pipeline",
+    # round-11 (VERDICT r10 item 4): the r10d/r10e mining waves get the
+    # same floor/slope/data_ratio evidence — every registry family now
+    # has either a headline row or a floor row.
+    "a0050_acf_ljung_box",
+    "a0051_zonemap_pruning",
+    "a0052_haar_energy",
+    "a0053_apriori_triples",
+    "a0054_itemitem_cf",
+    "a0055_theil_sen",
+    "a0056_mdlp_split",
+    "a0057_rfm_segments",
+    "a0058_cart_split",
+    "a0059_bh_fdr",
+    "a0060_em_gmm_step",
+    "a0061_pca_power",
+    "a0062_distance_outliers",
+    "a0063_naive_bayes_langid",
+    "a0064_markov_stationary",
+    "a0065_sequence_patterns",
+    "a0066_logistic_newton",
+    "a0067_roc_auc",
+    "a0068_lift_gains",
+    "a0069_skipgram_pairs",
+    "a0093_association_rules",
+    "a0094_weighted_reservoir",
+    "a0095_psi_drift",
+    "a0096_rolling_ols",
+    "a0097_stl_decompose",
+    "a0098_rowgroup_audit",
+    "a0099_rendezvous_sharding",
+    "a0100_grid_density_clusters",
+    "a0101_heavy_change",
+    "a0102_funnel_conversion",
+    "a0103_adamic_adar",
+    "a0104_sax_motifs",
+    "a0105_range_partition_plan",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
