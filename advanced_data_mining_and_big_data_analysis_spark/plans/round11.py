@@ -683,3 +683,494 @@ def a0076_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("fd")
+
+
+# ---------------------------------------------------------------------------
+# a0077 — per-node local clustering coefficient on the user
+# co-occurrence graph (same edge construction as q128_triangle_count:
+# (event_type, hour) buckets, <=20-user hub cap, row-local oriented
+# pair explode — the skew-guarded graph build). Per node: degree,
+# triangle membership from the canonical oriented two-join, coefficient
+# 2T/(deg(deg−1)); top-20 by (coeff desc, node). Every join is an
+# equi-join on node ids; the coefficient frame is node-sized.
+# ---------------------------------------------------------------------------
+
+_CC_CAP = 20
+_CC_TOP = 20
+
+
+@query(
+    "a0077_clustering_coeff",
+    oracle=f"""
+    WITH e AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS b
+               FROM events),
+    bs AS (SELECT event_type, b, COUNT(*) AS n FROM e GROUP BY 1, 2),
+    kept AS (SELECT event_type, b FROM bs WHERE n <= {_CC_CAP}),
+    ek AS (SELECT e.user_id, e.event_type, e.b FROM e JOIN kept USING (event_type, b)),
+    ed AS (SELECT DISTINCT a.user_id AS u, k.user_id AS v
+           FROM ek a JOIN ek k ON a.event_type = k.event_type AND a.b = k.b
+                             AND a.user_id < k.user_id),
+    deg AS (SELECT node, COUNT(*) * 1.0 AS d
+            FROM (SELECT u AS node FROM ed UNION ALL SELECT v FROM ed) t GROUP BY node),
+    tri AS (SELECT e1.u AS a, e1.v AS bb, e2.v AS c
+            FROM ed e1 JOIN ed e2 ON e1.v = e2.u
+                       JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+    ntri AS (SELECT node, COUNT(*) AS t
+             FROM (SELECT a AS node FROM tri UNION ALL SELECT bb FROM tri
+                   UNION ALL SELECT c FROM tri) x GROUP BY node)
+    SELECT CAST(deg.node AS BIGINT) AS node, CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(ntri.t, 0) AS BIGINT) AS triangles,
+           ROUND(2.0 * COALESCE(ntri.t, 0) / (deg.d * (deg.d - 1)), 6) AS coeff
+    FROM deg LEFT JOIN ntri ON deg.node = ntri.node
+    WHERE deg.d >= 2
+    ORDER BY coeff DESC, node
+    LIMIT {_CC_TOP}
+    """,
+    description=f"per-node local clustering coefficient 2T/(deg(deg−1)) on the q128 user co-occurrence graph ((event_type,hour) buckets, <={_CC_CAP}-user hub cap, row-local oriented pair explode): triangle membership from the canonical oriented two-join exploded to all three corners, node-sized coefficient frame, top-{_CC_TOP} by (coeff desc, node) — the local-density metric behind community detection",
+)
+def a0077_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("b")
+    )
+    ba = ev.groupBy("event_type", "b").agg(
+        F.array_sort(F.collect_set("user_id")).alias("us")
+    )
+    us = F.col("us")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(us) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(us)),
+                lambda j: F.struct(
+                    F.element_at(us, i).alias("u"), F.element_at(us, j).alias("v")
+                ),
+            ),
+        )
+    )
+    guarded = F.when(F.size(us) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<u:bigint,v:bigint>>")
+    )
+    ed = (
+        ba.filter(F.size(us) <= _CC_CAP)
+        .select(F.explode(guarded).alias("p"))
+        .select("p.u", "p.v")
+        .distinct()
+        .localCheckpoint(eager=False)  # deg + 3-way triangle join reuse it
+    )
+    deg = (
+        ed.select(F.col("u").alias("node"))
+        .unionAll(ed.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg((F.count("*") * 1.0).alias("d"))
+    )
+    e2 = ed.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = ed.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    tri = (
+        ed.join(e2, "v")
+        .join(e3, (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")))
+        .select("u", "v", "w")
+    )
+    ntri = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("t"))
+    )
+    return (
+        deg.join(ntri, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("triangles"),
+            F.round(
+                2.0 * F.coalesce("t", F.lit(0)) / (F.col("d") * (F.col("d") - 1)), 6
+            ).alias("coeff"),
+        )
+        .orderBy(F.desc("coeff"), "node")
+        .limit(_CC_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0078 — KMV (k-minimum-values / bottom-k theta) sketch set operations
+# over the distinct-buyer sets of the five order priorities: the
+# mergeable-sketch family member (next to HLL q117, CMS q119, quantile
+# q126) that supports UNION **and INTERSECTION** estimates. Sketch =
+# the k smallest md5-derived hash points of each set, built
+# HIERARCHICALLY (per-(priority, key-bucket) bottom-k, then a bounded
+# merge of 16 k-arrays — the two-level shape that never collects a
+# full vocabulary per group); union = bottom-k of the member union,
+# intersection = |common below θ|/θ with θ = min(θ_a, θ_b) — the
+# standard theta-sketch estimators, audited against exact counts.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_BUCKETS = 16
+_KMV_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+_KMV_U_DUCK = (
+    "CAST(CAST(CONCAT('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " AS DOUBLE) / power(2, 60)"
+)
+
+
+def _kmv_pair_duck(a: str, b: str) -> str:
+    k = _KMV_K
+    est = lambda s: f"CASE WHEN len({s}) >= {k} THEN ({k} - 1.0) / {s}[{k}] ELSE len({s}) * 1.0 END"  # noqa: E731
+    union = f"list_sort(list_distinct(sa.sk || sb.sk))[:{k}]"
+    theta = f"LEAST(CASE WHEN len(sa.sk) >= {k} THEN sa.sk[{k}] ELSE 1.0 END, CASE WHEN len(sb.sk) >= {k} THEN sb.sk[{k}] ELSE 1.0 END)"
+    return f"""
+      SELECT '{a}|{b}' AS pair, sa.n_exact AS n_a, sb.n_exact AS n_b,
+             ROUND({est('sa.sk')}, 2) AS est_a, ROUND({est('sb.sk')}, 2) AS est_b,
+             x.u_{_KMV_PRIOS.index(a)}_{_KMV_PRIOS.index(b)} AS exact_union,
+             ROUND({est(union)}, 2) AS est_union,
+             x.i_{_KMV_PRIOS.index(a)}_{_KMV_PRIOS.index(b)} AS exact_intersect,
+             ROUND(len(list_filter(list_intersect(sa.sk, sb.sk), z -> z < {theta}))
+                   / {theta}, 2) AS est_intersect
+      FROM (SELECT * FROM sk WHERE prio = '{a}') sa,
+           (SELECT * FROM sk WHERE prio = '{b}') sb, x
+    """
+
+
+def _kmv_oracle() -> str:
+    prios = _KMV_PRIOS
+    flag_cols = ", ".join(
+        f"MAX(CASE WHEN prio = '{p}' THEN 1 ELSE 0 END) AS f{i}"
+        for i, p in enumerate(prios)
+    )
+    pair_aggs = []
+    for i in range(len(prios)):
+        for j in range(i + 1, len(prios)):
+            pair_aggs.append(
+                f"CAST(SUM(CASE WHEN f{i} = 1 OR f{j} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u_{i}_{j}"
+            )
+            pair_aggs.append(
+                f"CAST(SUM(f{i} * f{j}) AS BIGINT) AS i_{i}_{j}"
+            )
+    pair_sqls = "\nUNION ALL\n".join(
+        _kmv_pair_duck(prios[i], prios[j])
+        for i in range(len(prios))
+        for j in range(i + 1, len(prios))
+    )
+    return f"""
+    WITH d AS (SELECT DISTINCT o_orderpriority AS prio, o_custkey,
+                      {_KMV_U_DUCK} AS u
+               FROM orders),
+    sk AS (SELECT prio, (list_sort(list(u)))[:{_KMV_K}] AS sk,
+                  CAST(COUNT(*) AS BIGINT) AS n_exact
+           FROM (SELECT DISTINCT prio, u, o_custkey FROM d) GROUP BY prio),
+    fl AS (SELECT o_custkey, {flag_cols} FROM d GROUP BY o_custkey),
+    x AS (SELECT {', '.join(pair_aggs)} FROM fl)
+    SELECT * FROM ({pair_sqls}) ORDER BY pair
+    """
+
+
+@query(
+    "a0078_kmv_theta_setops",
+    oracle=_kmv_oracle(),
+    description=f"KMV/theta bottom-{_KMV_K} sketch set operations over the distinct-buyer sets of the 5 order priorities: hierarchical build (per-(priority, key-bucket) bottom-k, bounded {_KMV_BUCKETS}-array merge — never a full per-group collect), union estimate = bottom-k of member union, intersection = |common below θ|/θ with θ = min(θ_a,θ_b), both audited against exact distinct counts per pair — completes the mergeable-sketch family (HLL/CMS/quantile) with the INTERSECTION estimator only theta sketches give",
+)
+def a0078_kmv_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _KMV_K
+    orders = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    u = (
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.pow(F.lit(2.0), F.lit(60.0))
+    )
+    d = orders.select(
+        F.col("o_orderpriority").alias("prio"), F.col("o_custkey").alias("ck"), u.alias("u")
+    ).distinct()
+    # hierarchical bottom-k: per-(prio, bucket) k smallest, then a
+    # bounded merge of <=16 k-arrays per priority (KMV sketches merge
+    # by union + truncate — the property that makes them distributable)
+    s1 = d.groupBy("prio", (F.col("ck") % _KMV_BUCKETS).alias("bkt")).agg(
+        F.slice(F.array_sort(F.collect_set("u")), 1, k).alias("bk")
+    )
+    sk = s1.groupBy("prio").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("bk"))), 1, k).alias("sk")
+    )
+    n_exact = d.groupBy("prio").agg(F.countDistinct("ck").alias("n_exact"))
+    sk = sk.join(n_exact, "prio").localCheckpoint(eager=True)  # 5-row frame
+
+    # exact per-pair union/intersection audit: one customer-keyed flag
+    # frame, one agg row with all 20 pair counts
+    flags = d.groupBy("ck").agg(
+        *[
+            F.max(F.when(F.col("prio") == p, 1).otherwise(0)).alias(f"f{i}")
+            for i, p in enumerate(_KMV_PRIOS)
+        ]
+    )
+    pair_aggs = []
+    for i in range(len(_KMV_PRIOS)):
+        for j in range(i + 1, len(_KMV_PRIOS)):
+            pair_aggs.append(
+                F.sum(
+                    F.when((F.col(f"f{i}") == 1) | (F.col(f"f{j}") == 1), 1).otherwise(0)
+                ).cast("long").alias(f"u_{i}_{j}")
+            )
+            pair_aggs.append(
+                F.sum(F.col(f"f{i}") * F.col(f"f{j}")).cast("long").alias(f"i_{i}_{j}")
+            )
+    x = flags.agg(*pair_aggs)
+
+    def est(s: Column) -> Column:
+        return F.when(F.size(s) >= k, (k - 1.0) / F.element_at(s, k)).otherwise(
+            F.size(s) * 1.0
+        )
+
+    def theta_of(s: Column) -> Column:
+        return F.when(F.size(s) >= k, F.element_at(s, k)).otherwise(F.lit(1.0))
+
+    sa = sk.select(
+        F.col("prio").alias("pa"), F.col("sk").alias("ska"), F.col("n_exact").alias("n_a")
+    )
+    sb = sk.select(
+        F.col("prio").alias("pb"), F.col("sk").alias("skb"), F.col("n_exact").alias("n_b")
+    )
+    pairs = (
+        sa.crossJoin(sb)
+        .filter(F.col("pa") < F.col("pb"))
+        .crossJoin(F.broadcast(x))
+    )
+    union_sk = F.slice(F.array_sort(F.array_distinct(F.concat("ska", "skb"))), 1, k)
+    theta = F.least(theta_of(F.col("ska")), theta_of(F.col("skb")))
+    common = F.size(F.filter(F.array_intersect("ska", "skb"), lambda z: z < theta))
+    exact_u = None
+    exact_i = None
+    for i in range(len(_KMV_PRIOS)):
+        for j in range(i + 1, len(_KMV_PRIOS)):
+            cond = (F.col("pa") == _KMV_PRIOS[i]) & (F.col("pb") == _KMV_PRIOS[j])
+            eu = F.when(cond, F.col(f"u_{i}_{j}"))
+            ei = F.when(cond, F.col(f"i_{i}_{j}"))
+            exact_u = eu if exact_u is None else F.coalesce(exact_u, eu)
+            exact_i = ei if exact_i is None else F.coalesce(exact_i, ei)
+    return (
+        pairs.select(
+            F.concat_ws("|", "pa", "pb").alias("pair"),
+            "n_a",
+            "n_b",
+            F.round(est(F.col("ska")), 2).alias("est_a"),
+            F.round(est(F.col("skb")), 2).alias("est_b"),
+            exact_u.alias("exact_union"),
+            F.round(est(union_sk), 2).alias("est_union"),
+            exact_i.alias("exact_intersect"),
+            F.round(common / theta, 2).alias("est_intersect"),
+        )
+        .orderBy("pair")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0079 — RAKE keyword extraction (Rose et al. 2010) over the English
+# corpus: candidate phrases are maximal stopword-free token runs
+# (gaps-and-islands: island = pos − rank among non-stop tokens, a
+# DOC-PARTITIONED window), capped at 4 words; word score =
+# corpus degree/frequency where degree sums the lengths of phrases
+# containing the word; phrase score = Σ member word scores. The word-
+# score frame is vocabulary-sized and broadcast back onto phrase
+# members — the corpus is scanned once.
+# ---------------------------------------------------------------------------
+
+_RAKE_STOP = ("a", "the", "of", "to", "and", "in", "is", "on", "for", "with")
+_RAKE_MAX_LEN = 4
+_RAKE_TOP = 20
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+_RAKE_TOKS = (
+    "list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +'), x -> x <> '')"
+)
+
+
+@query(
+    "a0079_rake_keywords",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_RAKE_TOKS} AS toks FROM documents WHERE lang = 'en'),
+    pos AS (
+      SELECT doc_id, s['p'] AS pos, s['w'] AS w
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) + 1),
+                                         i -> {{'p': i, 'w': toks[i]}})) AS s
+            FROM t)
+    ),
+    ns AS (
+      SELECT doc_id, pos, w,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM pos WHERE w NOT IN ({_RAKE_STOP_SQL})
+    ),
+    ph AS (
+      SELECT doc_id, island, list(w ORDER BY pos) AS ws
+      FROM ns GROUP BY doc_id, island
+      HAVING COUNT(*) <= {_RAKE_MAX_LEN}
+    ),
+    members AS (SELECT doc_id, island, len(ws) AS plen, unnest(ws) AS w FROM ph),
+    wstat AS (
+      SELECT w, COUNT(*) * 1.0 AS freq, SUM(plen) * 1.0 AS degree
+      FROM members GROUP BY w
+    ),
+    inst AS (
+      SELECT m.doc_id, m.island, array_to_string(any_value(ph.ws), ' ') AS phrase,
+             SUM(ws2.degree / ws2.freq) AS score
+      FROM members m
+      JOIN wstat ws2 ON m.w = ws2.w
+      JOIN ph ON ph.doc_id = m.doc_id AND ph.island = m.island
+      GROUP BY m.doc_id, m.island
+    )
+    SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(len(string_split(phrase, ' ')) AS BIGINT) AS n_words,
+           ROUND(MAX(score), 6) AS score
+    FROM inst GROUP BY phrase
+    ORDER BY ROUND(MAX(score), 6) DESC, phrase
+    LIMIT {_RAKE_TOP}
+    """,
+    description=f"RAKE keyword extraction over the English corpus: maximal stopword-free token runs (gaps-and-islands with a DOC-partitioned window) capped at {_RAKE_MAX_LEN} words, corpus word scores degree/freq (degree = Σ lengths of containing phrases), phrase score = Σ member scores; vocabulary-sized score frame broadcast onto phrase members, one corpus scan; top-{_RAKE_TOP} by (score, phrase)",
+)
+def a0079_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    pos = docs.select(
+        "doc_id", F.posexplode(X.tokens("text")).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    ns = pos.filter(~F.col("w").isin(*_RAKE_STOP)).withColumn(
+        "island",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    ph = (
+        ns.groupBy("doc_id", "island")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+            ).alias("ws")
+        )
+        .filter(F.size("ws") <= _RAKE_MAX_LEN)
+        .localCheckpoint(eager=False)  # members + instance join reuse it
+    )
+    members = ph.select(
+        "doc_id", "island", F.size("ws").alias("plen"), F.explode("ws").alias("w")
+    )
+    wstat = members.groupBy("w").agg(
+        (F.count("*") * 1.0).alias("freq"), (F.sum("plen") * 1.0).alias("degree")
+    )
+    inst = (
+        members.join(F.broadcast(wstat), "w")
+        .groupBy("doc_id", "island")
+        .agg(F.sum(F.col("degree") / F.col("freq")).alias("score"))
+        .join(ph, ["doc_id", "island"])
+        .select(F.concat_ws(" ", "ws").alias("phrase"), "score")
+    )
+    return (
+        inst.groupBy("phrase")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.round(F.max("score"), 6).alias("score"),
+        )
+        .select(
+            "phrase",
+            "n_occ",
+            F.size(F.split("phrase", " ")).cast("long").alias("n_words"),
+            "score",
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(_RAKE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0080 — winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the
+# MOSS algorithm): 7-char-gram rolling hashes over the canonical token
+# string, minimum per 4-gram window, distinct selected hashes per doc —
+# ALL ROW-LOCAL array algebra (no shuffle before the fingerprint
+# explode); candidate doc pairs share a fingerprint bucket, capped at
+# the 8 lowest doc_ids per bucket (the LSH-cap lesson), ranked by
+# shared-fingerprint count. The guarantee winnowing adds over plain
+# k-gram sampling: any match ≥ k+w−1 chars is always detected.
+# ---------------------------------------------------------------------------
+
+_WIN_K = 7  # gram length (chars)
+_WIN_W = 4  # winnowing window (grams)
+_WIN_CAP = 8
+_WIN_TOP = 20
+
+
+@query(
+    "a0080_winnow_fingerprints",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, array_to_string({_RAKE_TOKS}, ' ') AS s FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, length(s) - {_WIN_K - 1} + 1),
+               i -> CAST(CONCAT('0x', substr(md5(substr(s, CAST(i AS INT), {_WIN_K})), 1, 8)) AS BIGINT)) AS hs
+      FROM t WHERE length(s) >= {_WIN_K + _WIN_W - 1}
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, unnest(
+        list_distinct(list_transform(range(1, len(hs) - {_WIN_W - 1} + 1),
+          j -> list_min(hs[CAST(j AS INT):CAST(j + {_WIN_W - 1} AS INT)])))) AS f
+      FROM h
+    ),
+    capped AS (
+      SELECT f, doc_id
+      FROM (SELECT f, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+            FROM fp)
+      WHERE rn <= {_WIN_CAP}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM capped a JOIN capped b ON a.f = b.f AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, CAST(shared AS BIGINT) AS shared
+    FROM pairs ORDER BY shared DESC, d1, d2 LIMIT {_WIN_TOP}
+    """,
+    description=f"winnowing document fingerprints (MOSS, Schleimer 2003): {_WIN_K}-char-gram md5 hashes over the canonical token string, min per {_WIN_W}-gram window, distinct selections per doc — all row-local array algebra, zero shuffle before the fingerprint explode; doc pairs share a bucket capped at the {_WIN_CAP} lowest doc_ids (LSH-cap lesson), top-{_WIN_TOP} by shared count — guarantees any match ≥ k+w−1 chars is detected, the substring-robust tier between exact hash and MinHash dedup",
+)
+def a0080_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.concat_ws(" ", X.tokens("text")).alias("s")).filter(
+        F.length("s") >= _WIN_K + _WIN_W - 1
+    )
+    hs = F.transform(
+        F.sequence(F.lit(1), F.length("s") - (_WIN_K - 1)),
+        lambda i: F.conv(F.substring(F.md5(F.col("s").substr(i, F.lit(_WIN_K))), 1, 8), 16, 10).cast(
+            "long"
+        ),
+    )
+    h = t.select("doc_id", hs.alias("hs"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - (_WIN_W - 1)),
+            lambda j: F.array_min(F.slice(F.col("hs"), j, _WIN_W)),
+        )
+    )
+    fp = h.select("doc_id", F.explode(fps).alias("f")).distinct()
+    capped = (
+        fp.groupBy("f")
+        .agg(F.slice(F.array_sort(F.collect_set("doc_id")), 1, _WIN_CAP).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    ds = F.col("ds")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ds) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(ds)),
+                lambda j: F.struct(
+                    F.element_at(ds, i).alias("d1"), F.element_at(ds, j).alias("d2")
+                ),
+            ),
+        )
+    )
+    return (
+        capped.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        .agg(F.count("*").cast("long").alias("shared"))
+        .orderBy(F.desc("shared"), "d1", "d2")
+        .limit(_WIN_TOP)
+    )
