@@ -1174,3 +1174,394 @@ def a0080_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shared"), "d1", "d2")
         .limit(_WIN_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# a0081 — iterative Grubbs outlier rounds on daily revenue: three
+# unrolled rounds of (mean, sd, G = max|y−μ|/s), removing the argmax
+# deviation each round — the classical ESD-family screen. The argmax
+# key is the EXACT integer |n·yc − s| (cents scaled by the count), so
+# tie-breaks are engine-free; only the reported mean/sd/G touch floats
+# (second moment summed in doubles, rel error ~1e−12, invisible at the
+# emitted rounding). Each round is one aggregate + one TakeOrdered(1)
+# over the calendar-bounded daily frame.
+# ---------------------------------------------------------------------------
+
+_GRUBBS_ROUNDS = 3
+
+
+def _grubbs_round_duck(frame: str, r: int) -> str:
+    return f"""
+    st{r} AS (
+      SELECT COUNT(*) * 1.0 AS n, CAST(SUM(yc) AS DOUBLE) AS s,
+             SUM(CAST(yc AS DOUBLE) * yc) AS ss
+      FROM {frame}
+    ),
+    pick{r} AS (
+      SELECT day, yc, n, s, ss FROM (
+        SELECT f.day, f.yc, st.n, st.s, st.ss,
+               ROW_NUMBER() OVER (ORDER BY abs(st.n * f.yc - st.s) DESC, f.day) AS rn
+        FROM {frame} f CROSS JOIN st{r} st
+      ) WHERE rn = 1
+    ),
+    out{r} AS (
+      SELECT {r} AS round, day AS day_removed, CAST(n AS BIGINT) AS n,
+             ROUND(s / n / 100.0, 2) AS mean,
+             ROUND(sqrt((ss - s * s / n) / (n - 1)) / 100.0, 4) AS sd,
+             ROUND(abs(n * yc - s) / n / sqrt((ss - s * s / n) / (n - 1)), 4) AS g_stat
+      FROM pick{r}
+    ),
+    f{r + 1} AS (SELECT f.day, f.yc FROM {frame} f
+                 WHERE f.day <> (SELECT day FROM pick{r}))
+    """
+
+
+@query(
+    "a0081_grubbs_outliers",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT) AS yc
+      FROM orders GROUP BY 1
+    ),
+    f1 AS (SELECT day, yc FROM daily),
+    {', '.join(_grubbs_round_duck(f'f{r}', r) for r in range(1, _GRUBBS_ROUNDS + 1))}
+    SELECT CAST(round AS BIGINT) AS round, day_removed, n, mean, sd, g_stat
+    FROM (SELECT * FROM out1 UNION ALL SELECT * FROM out2 UNION ALL SELECT * FROM out3)
+    ORDER BY round
+    """,
+    description=f"iterative Grubbs/ESD outlier screen on daily revenue: {_GRUBBS_ROUNDS} unrolled rounds of (mean, sample sd, G = max|y−μ|/s) each removing the argmax-deviation day — argmax keyed on the EXACT integer |n·yc−s| (no float tie-break), second moment in doubles (rel err ~1e−12, invisible at emitted rounding); one aggregate + one TakeOrdered(1) per round over the calendar-bounded daily frame",
+)
+def a0081_grubbs_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    frame = (
+        od.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.round(F.sum("o_totalprice") * 100, 0).cast("long").alias("yc"))
+        .localCheckpoint(eager=False)  # 3 rounds re-filter the same rollup
+    )
+    out = None
+    for r in range(1, _GRUBBS_ROUNDS + 1):
+        st = frame.agg(
+            (F.count("*") * 1.0).alias("n"),
+            F.sum("yc").cast("double").alias("s"),
+            F.sum(F.col("yc").cast("double") * F.col("yc")).alias("ss"),
+        )
+        dev = F.abs(F.col("n") * F.col("yc") - F.col("s"))
+        pick = (
+            frame.crossJoin(F.broadcast(st))
+            .orderBy(F.desc(dev), "day")
+            .limit(1)
+            .localCheckpoint(eager=True)  # 1-row frame, reused twice
+        )
+        var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+        row = pick.select(
+            F.lit(r).cast("long").alias("round"),
+            F.col("day").alias("day_removed"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("s") / F.col("n") / 100.0, 2).alias("mean"),
+            F.round(F.sqrt(var) / 100.0, 4).alias("sd"),
+            F.round(dev / F.col("n") / F.sqrt(var), 4).alias("g_stat"),
+        )
+        out = row if out is None else out.unionByName(row)
+        frame = frame.join(F.broadcast(pick.select("day")), "day", "left_anti")
+    return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# a0082 — Bloom-filter semi-join reduction (the runtime-filter pattern
+# every distributed engine applies to selective joins): the BUILDING-
+# segment customer keys collapse to a 4096-bit Bloom bitmap (m/64 = 64
+# long words, a driver-bounded literal); the orders fact probes it as a
+# PURE PROJECTION inside the scan's codegen span — no join, no shuffle
+# — and only bloom-passing rows would reach the real join. The query
+# audits exactly what the optimizer would want to know: pass rate,
+# true-semi-join rate, and the measured false-positive rate vs the
+# (1−e^(−kn/m))^k theory. Bloom machinery shared with q115
+# (operators/dedup.py bloom_*, single-digest k<=4 positions).
+# ---------------------------------------------------------------------------
+
+_BSJ_M, _BSJ_K = 4096, 3
+
+
+def _bsj_pos_sql(g: str, j: str) -> str:
+    return f"CAST(CONCAT('0x', substr(md5({g}), 1 + 8 * {j}, 8)) AS BIGINT) % {_BSJ_M}"
+
+
+@query(
+    "a0082_bloom_semijoin",
+    oracle=f"""
+    WITH dim AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS key, c_custkey
+                 FROM customer WHERE c_mktsegment = 'BUILDING'),
+    bl AS (SELECT DISTINCT {_bsj_pos_sql('key', 'r.j')} AS pos
+           FROM dim CROSS JOIN range(0, {_BSJ_K}) r(j)),
+    probe AS (
+      SELECT o_orderkey, o_custkey,
+             SUM(CASE WHEN {_bsj_pos_sql("CAST(o_custkey AS VARCHAR)", 'r.j')}
+                          IN (SELECT pos FROM bl) THEN 1 ELSE 0 END) AS h
+      FROM orders CROSS JOIN range(0, {_BSJ_K}) r(j)
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT COUNT(*) * 1.0 AS n_fact,
+             SUM(CASE WHEN h = {_BSJ_K} THEN 1 ELSE 0 END) * 1.0 AS n_pass,
+             SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM dim) THEN 1 ELSE 0 END) * 1.0 AS n_true
+      FROM probe
+    )
+    SELECT CAST(n_fact AS BIGINT) AS n_fact,
+           CAST((SELECT COUNT(*) FROM dim) AS BIGINT) AS n_dim,
+           CAST(n_pass AS BIGINT) AS n_pass_bloom,
+           CAST(n_true AS BIGINT) AS n_true_semi,
+           CAST(n_pass - n_true AS BIGINT) AS n_false_pos,
+           ROUND((n_pass - n_true) / (n_fact - n_true), 6) AS fp_rate,
+           ROUND(n_pass / n_fact, 6) AS pass_rate,
+           ROUND(POWER(1.0 - EXP(-{_BSJ_K}.0 * (SELECT COUNT(*) FROM dim) / {_BSJ_M}.0), {_BSJ_K}.0), 6) AS fpr_theory
+    FROM m
+    """,
+    description=f"Bloom-filter semi-join reduction audit (the runtime-filter pattern for selective joins): BUILDING-segment customer keys collapse to a {_BSJ_M}-bit bitmap ({_BSJ_M // 64} long words, driver-bounded literal) probed as a PURE PROJECTION in the orders scan's codegen span — no join, no shuffle on the fact side; reports pass rate, true semi-join rate, measured FP rate vs the (1−e^(−kn/m))^k theory; bloom machinery shared with q115",
+)
+def a0082_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").cast("string").alias("key"), "c_custkey"
+    )
+    bits = D.bloom_bits(D.bloom_bitset(dim, "key", _BSJ_M, _BSJ_K), _BSJ_M)
+    n_dim = dim.count()  # scalar: dim-side cardinality (bounded)
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    passes = D.bloom_maybe(F.col("o_custkey").cast("string"), bits, _BSJ_M, _BSJ_K)
+    truth = orders.join(
+        F.broadcast(dim.select("c_custkey").distinct()),
+        orders.o_custkey == F.col("c_custkey"),
+        "left",
+    ).select(
+        passes.cast("int").alias("p"), F.col("c_custkey").isNotNull().cast("int").alias("t")
+    )
+    m = truth.agg(
+        (F.count("*") * 1.0).alias("n_fact"),
+        (F.sum("p") * 1.0).alias("n_pass"),
+        (F.sum("t") * 1.0).alias("n_true"),
+    )
+    import math
+
+    fpr_theory = round(
+        (1.0 - math.exp(-_BSJ_K * n_dim / _BSJ_M)) ** _BSJ_K, 6
+    )
+    return m.select(
+        F.col("n_fact").cast("long").alias("n_fact"),
+        F.lit(n_dim).cast("long").alias("n_dim"),
+        F.col("n_pass").cast("long").alias("n_pass_bloom"),
+        F.col("n_true").cast("long").alias("n_true_semi"),
+        (F.col("n_pass") - F.col("n_true")).cast("long").alias("n_false_pos"),
+        F.round((F.col("n_pass") - F.col("n_true")) / (F.col("n_fact") - F.col("n_true")), 6).alias("fp_rate"),
+        F.round(F.col("n_pass") / F.col("n_fact"), 6).alias("pass_rate"),
+        F.lit(fpr_theory).alias("fpr_theory"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0083 — one batch-gradient step of rank-1 matrix factorization
+# (Funk-SVD) on the (customer, brand) implicit-rating matrix r =
+# ln(1 + dollars): from uniform init p=q=0.1, the summed-gradient
+# updates p' = p + lr(Σ_i e·q − reg·p), q' = q + lr(Σ_u e·p − reg·q)
+# (parallel update, both against OLD factors — order-independent, so
+# the step is pure relational algebra: two keyed aggregates + two
+# joins). Factors are rounded to 6 dp BEFORE the post-step RMSE so the
+# audit is engine-stable. The user-factor join shuffles on the rating
+# key it already has; the 25-row brand-factor frame broadcasts.
+# ---------------------------------------------------------------------------
+
+_MF_LR = 0.05
+_MF_REG = 0.02
+_MF_INIT = 0.1
+_MF_TOP = 10
+
+
+@query(
+    "a0083_mf_gradient_step",
+    oracle=f"""
+    WITH ratings AS (
+      SELECT o_custkey AS u, p_brand AS b,
+             round(ln(1.0 + CAST(ROUND(SUM(l_extendedprice) * 100, 0) AS BIGINT) / 100.0), 6) AS r
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                  JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ),
+    e0 AS (SELECT u, b, r, r - {_MF_INIT} * {_MF_INIT} AS e FROM ratings),
+    p1 AS (SELECT u, round({_MF_INIT} + {_MF_LR} * (SUM(e * {_MF_INIT}) - {_MF_REG} * {_MF_INIT}), 6) AS p
+           FROM e0 GROUP BY u),
+    q1 AS (SELECT b, round({_MF_INIT} + {_MF_LR} * (SUM(e * {_MF_INIT}) - {_MF_REG} * {_MF_INIT}), 6) AS q,
+                  CAST(COUNT(*) AS BIGINT) AS n_ratings
+           FROM e0 GROUP BY b),
+    m AS (
+      SELECT round(sqrt(AVG(e0.e * e0.e)), 6) AS rmse_before,
+             round(sqrt(AVG((e0.r - p1.p * q1.q) * (e0.r - p1.p * q1.q))), 6) AS rmse_after
+      FROM e0 JOIN p1 USING (u) JOIN q1 USING (b)
+    )
+    SELECT b AS brand, n_ratings, ROUND(q, 6) AS q_new, m.rmse_before, m.rmse_after
+    FROM q1 CROSS JOIN m
+    ORDER BY q_new DESC, brand
+    LIMIT {_MF_TOP}
+    """,
+    description=f"one batch-gradient Funk-SVD step (rank-1) on the (customer, brand) implicit-rating matrix r = ln(1+dollars): summed gradients p' = p + lr(Σe·q − reg·p), q' likewise against OLD factors — order-independent, so the step is two keyed aggregates + two joins (user factors shuffle on the key the ratings already carry; the 25-row brand frame broadcasts); factors rounded 6 dp before the post-step RMSE audit; top-{_MF_TOP} brands by updated factor",
+)
+def a0083_mf_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ratings = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("o_custkey").alias("u"), F.col("p_brand").alias("b"))
+        .agg(
+            F.round(
+                F.log(
+                    1.0
+                    + F.round(F.sum("l_extendedprice") * 100, 0).cast("long") / 100.0
+                ),
+                6,
+            ).alias("r")
+        )
+    )
+    e0 = ratings.withColumn("e", F.col("r") - _MF_INIT * _MF_INIT).localCheckpoint(
+        eager=False
+    )  # p1/q1/rmse passes reuse it
+    p1 = e0.groupBy("u").agg(
+        F.round(
+            _MF_INIT + _MF_LR * (F.sum(F.col("e") * _MF_INIT) - _MF_REG * _MF_INIT), 6
+        ).alias("p")
+    )
+    q1 = e0.groupBy("b").agg(
+        F.round(
+            _MF_INIT + _MF_LR * (F.sum(F.col("e") * _MF_INIT) - _MF_REG * _MF_INIT), 6
+        ).alias("q"),
+        F.count("*").cast("long").alias("n_ratings"),
+    ).localCheckpoint(eager=True)  # brand-dim frame, reused twice
+    joined = e0.join(p1, "u").join(F.broadcast(q1), "b")
+    e_after = F.col("r") - F.col("p") * F.col("q")
+    m = joined.agg(
+        F.round(F.sqrt(F.avg(F.col("e") * F.col("e"))), 6).alias("rmse_before"),
+        F.round(F.sqrt(F.avg(e_after * e_after)), 6).alias("rmse_after"),
+    )
+    return (
+        q1.crossJoin(F.broadcast(m))
+        .select(
+            F.col("b").alias("brand"),
+            "n_ratings",
+            F.round("q", 6).alias("q_new"),
+            "rmse_before",
+            "rmse_after",
+        )
+        .orderBy(F.desc("q_new"), "brand")
+        .limit(_MF_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0084 — uplift analysis by engagement segment (the two-model
+# difference test behind every treatment rollout): a deterministic
+# md5 coin assigns each user to treatment/control; outcome = heavy
+# purchaser (≥ threshold purchase events); segments = fixed
+# engagement tiers. Per tier: conversion rates, uplift, pooled
+# two-proportion z and its A&S p-value. One user-keyed aggregate,
+# then everything is tier-frame-sized.
+# ---------------------------------------------------------------------------
+
+_UPLIFT_HEAVY = 14
+_UPLIFT_T1, _UPLIFT_T2 = 60, 75
+
+
+@query(
+    "a0084_uplift_segments",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch,
+             CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2 AS trt
+      FROM events GROUP BY user_id
+    ),
+    seg AS (
+      SELECT CASE WHEN n_events < {_UPLIFT_T1} THEN '1-low'
+                  WHEN n_events < {_UPLIFT_T2} THEN '2-mid'
+                  ELSE '3-high' END AS tier,
+             trt, CASE WHEN n_purch >= {_UPLIFT_HEAVY} THEN 1 ELSE 0 END AS conv
+      FROM u
+    ),
+    agg AS (
+      SELECT tier,
+             SUM(CASE WHEN trt = 1 THEN 1 ELSE 0 END) * 1.0 AS nt,
+             SUM(CASE WHEN trt = 1 THEN conv ELSE 0 END) * 1.0 AS kt,
+             SUM(CASE WHEN trt = 0 THEN 1 ELSE 0 END) * 1.0 AS nc,
+             SUM(CASE WHEN trt = 0 THEN conv ELSE 0 END) * 1.0 AS kc
+      FROM seg GROUP BY tier
+    ),
+    z AS (
+      SELECT tier, nt, kt, nc, kc,
+             CASE WHEN nt = 0 OR nc = 0 OR kt + kc = 0 OR kt + kc = nt + nc THEN 0.0
+                  ELSE (kt / nt - kc / nc)
+                       / sqrt((kt + kc) / (nt + nc) * (1.0 - (kt + kc) / (nt + nc))
+                              * (1.0 / nt + 1.0 / nc))
+             END AS zs
+      FROM agg
+    )
+    SELECT tier, CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
+           CASE WHEN nt > 0 THEN ROUND(kt / nt, 6) END AS cr_treat,
+           CASE WHEN nc > 0 THEN ROUND(kc / nc, 6) END AS cr_ctrl,
+           CASE WHEN nt > 0 AND nc > 0 THEN ROUND(kt / nt - kc / nc, 6) END AS uplift,
+           ROUND(zs, 4) AS z_stat,
+           ROUND(2.0 * {_phi_upper_sql('abs(zs)')}, 6) AS p_value
+    FROM z ORDER BY tier
+    """,
+    description=f"uplift analysis by engagement tier: deterministic md5 coin assigns treatment, outcome = heavy purchaser (≥{_UPLIFT_HEAVY} purchase events), fixed engagement tiers (<{_UPLIFT_T1}/<{_UPLIFT_T2}/rest events); per tier conversion rates, uplift, pooled two-proportion z + A&S p-value — one user-keyed aggregate, then tier-frame-sized algebra; the two-model difference test behind treatment rollouts",
+)
+def a0084_uplift_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    u = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purch"),
+    )
+    trt = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10).cast("long")
+        % 2
+    )
+    seg = u.select(
+        F.when(F.col("n_events") < _UPLIFT_T1, "1-low")
+        .when(F.col("n_events") < _UPLIFT_T2, "2-mid")
+        .otherwise("3-high")
+        .alias("tier"),
+        trt.alias("trt"),
+        F.when(F.col("n_purch") >= _UPLIFT_HEAVY, 1).otherwise(0).alias("conv"),
+    )
+    agg = seg.groupBy("tier").agg(
+        (F.sum(F.when(F.col("trt") == 1, 1).otherwise(0)) * 1.0).alias("nt"),
+        (F.sum(F.when(F.col("trt") == 1, F.col("conv")).otherwise(0)) * 1.0).alias("kt"),
+        (F.sum(F.when(F.col("trt") == 0, 1).otherwise(0)) * 1.0).alias("nc"),
+        (F.sum(F.when(F.col("trt") == 0, F.col("conv")).otherwise(0)) * 1.0).alias("kc"),
+    )
+    pool = (F.col("kt") + F.col("kc")) / (F.col("nt") + F.col("nc"))
+    zs = F.when(
+        (F.col("nt") == 0)
+        | (F.col("nc") == 0)
+        | (F.col("kt") + F.col("kc") == 0)
+        | (F.col("kt") + F.col("kc") == F.col("nt") + F.col("nc")),
+        F.lit(0.0),
+    ).otherwise(
+        (F.col("kt") / F.col("nt") - F.col("kc") / F.col("nc"))
+        / F.sqrt(pool * (1.0 - pool) * (1.0 / F.col("nt") + 1.0 / F.col("nc")))
+    )
+    z = agg.withColumn("zs", zs)
+    return z.select(
+        "tier",
+        F.col("nt").cast("long").alias("n_treat"),
+        F.col("nc").cast("long").alias("n_ctrl"),
+        F.when(F.col("nt") > 0, F.round(F.col("kt") / F.col("nt"), 6)).alias("cr_treat"),
+        F.when(F.col("nc") > 0, F.round(F.col("kc") / F.col("nc"), 6)).alias("cr_ctrl"),
+        F.when(
+            (F.col("nt") > 0) & (F.col("nc") > 0),
+            F.round(F.col("kt") / F.col("nt") - F.col("kc") / F.col("nc"), 6),
+        ).alias("uplift"),
+        F.round("zs", 4).alias("z_stat"),
+        F.round(2.0 * _phi_upper_spark(F.abs(F.col("zs"))), 6).alias("p_value"),
+    ).orderBy("tier")
