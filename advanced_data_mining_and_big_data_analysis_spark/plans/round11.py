@@ -1565,3 +1565,361 @@ def a0084_uplift_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("zs", 4).alias("z_stat"),
         F.round(2.0 * _phi_upper_spark(F.abs(F.col("zs"))), 6).alias("p_value"),
     ).orderBy("tier")
+
+
+# ---------------------------------------------------------------------------
+# a0085 — TF-IDF keyword ranking per language: score(lang, w) =
+# Σ_docs tf(w, d)·idf(w) with tf = count/doc_len and idf = ln(N/df)
+# over the whole corpus — the classic term-weighting complement to
+# BM25 retrieval (a0168) and weighted log-odds (a0115). Shapes: one
+# corpus tokenize, a (doc, word) count, a vocabulary-sized df frame
+# broadcast back, and a per-lang top-10 via the rank-limit window
+# (WindowGroupLimit pushes the limit into the sort — no full vocab
+# sort materializes).
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOP = 10
+
+
+@query(
+    "a0085_tfidf_keywords",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, {_RAKE_TOKS} AS toks FROM documents),
+    n AS (SELECT COUNT(*) * 1.0 AS n_docs FROM d),
+    rows_w AS (SELECT doc_id, lang, len(toks) * 1.0 AS dlen, unnest(toks) AS w FROM d),
+    tf AS (SELECT doc_id, lang, w, dlen, COUNT(*) * 1.0 AS cnt
+           FROM rows_w GROUP BY doc_id, lang, w, dlen),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) * 1.0 AS df FROM rows_w GROUP BY w),
+    sc AS (
+      SELECT lang, w, CAST(ANY_VALUE(df.df) AS BIGINT) AS doc_freq,
+             ROUND(SUM(tf.cnt / tf.dlen * ln((SELECT n_docs FROM n) / df.df)), 6) AS score
+      FROM tf JOIN df USING (w)
+      GROUP BY lang, w
+    )
+    SELECT lang, w AS token, doc_freq, score,
+           CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, w) AS rk
+          FROM sc)
+    WHERE rk <= {_TFIDF_TOP}
+    ORDER BY lang, rank
+    """,
+    description=f"TF-IDF keyword ranking per language: Σ_docs (count/doc_len)·ln(N/df) — one corpus tokenize, (doc,word) counts, vocabulary-sized df frame broadcast back, per-lang top-{_TFIDF_TOP} via the rank-limit window (WindowGroupLimit — no full vocabulary sort); scores rounded to 6 BEFORE ranking with token tie-breaks, the a0229 float-tie lesson",
+)
+def a0085_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", X.tokens("text").alias("toks")
+    )
+    n = docs.agg((F.count("*") * 1.0).alias("n_docs"))
+    rows_w = docs.select(
+        "doc_id", "lang", (F.size("toks") * 1.0).alias("dlen"), F.explode("toks").alias("w")
+    ).localCheckpoint(eager=False)  # tf and df passes reuse one tokenize
+    tf = rows_w.groupBy("doc_id", "lang", "w", "dlen").agg((F.count("*") * 1.0).alias("cnt"))
+    df = rows_w.groupBy("w").agg((F.countDistinct("doc_id") * 1.0).alias("df"))
+    sc = (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n))
+        .groupBy("lang", "w")
+        .agg(
+            F.any_value("df").cast("long").alias("doc_freq"),
+            F.round(
+                F.sum(F.col("cnt") / F.col("dlen") * F.log(F.col("n_docs") / F.col("df"))),
+                6,
+            ).alias("score"),
+        )
+    )
+    wr = Window.partitionBy("lang").orderBy(F.desc("score"), "w")
+    return (
+        sc.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _TFIDF_TOP)
+        .select("lang", F.col("w").alias("token"), "doc_freq", "score", F.col("rk").cast("long").alias("rank"))
+        .orderBy("lang", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0086 — Spearman rank correlation over three lineitem column pairs:
+# Pearson on MID-ranks, the tie-correct formulation. Mid-ranks come
+# from the same sharded two-pass prefix sum as a0073 (per-bucket
+# running window + bounded offset cumsum), then join back onto the
+# fact rows as a value-keyed rank map — an equi-join on the value the
+# row already carries, so the fact table shuffles once per column.
+# Rank sums are 0.25-granular and stay exact in doubles at these
+# scales; ρ rounded to 6.
+# ---------------------------------------------------------------------------
+
+_SP_PAIRS = [
+    ("l_quantity", "l_discount", 10.0, 0.01),
+    ("l_quantity", "l_extendedprice", 10.0, 1000.0),
+    ("l_discount", "l_tax", 0.01, 0.01),
+]
+
+
+def _sp_rank_duck(col: str) -> str:
+    return f"""
+      SELECT val, COALESCE(SUM(cnt) OVER (ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (cnt + 1) / 2.0 AS mr
+      FROM (SELECT {col} AS val, COUNT(*) * 1.0 AS cnt FROM lineitem GROUP BY 1)
+    """
+
+
+def _sp_pair_duck(a: str, b: str) -> str:
+    return f"""
+      SELECT '{a}~{b}' AS pair, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND((COUNT(*) * SUM(ra.mr * rb.mr) - SUM(ra.mr) * SUM(rb.mr))
+                   / sqrt((COUNT(*) * SUM(ra.mr * ra.mr) - SUM(ra.mr) * SUM(ra.mr))
+                          * (COUNT(*) * SUM(rb.mr * rb.mr) - SUM(rb.mr) * SUM(rb.mr))), 6)
+               AS rho
+      FROM lineitem l
+      JOIN ({_sp_rank_duck(a)}) ra ON l.{a} = ra.val
+      JOIN ({_sp_rank_duck(b)}) rb ON l.{b} = rb.val
+    """
+
+
+@query(
+    "a0086_spearman_corr",
+    oracle="\nUNION ALL\n".join(_sp_pair_duck(a, b) for a, b, _, _ in _SP_PAIRS)
+    + "\nORDER BY pair",
+    description="Spearman rank correlation (Pearson on tie-correct MID-ranks) over three lineitem pairs: mid-ranks from the a0073 sharded two-pass prefix sum (bucket-partitioned running window + bounded offset cumsum), joined back as a value-keyed rank map (equi-join on the value the row carries — one fact shuffle per column); 0.25-granular rank sums stay exact in doubles, ρ rounded 6",
+)
+def a0086_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def rank_map(col: str, width: float) -> DataFrame:
+        vals = li.groupBy(F.col(col).alias("val")).agg((F.count("*") * 1.0).alias("cnt"))
+        b = vals.withColumn("bkt", F.floor(F.col("val") / width).cast("long"))
+        win_in = (
+            Window.partitionBy("bkt").orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
+        )
+        within = b.withColumn("run_in", F.coalesce(F.sum("cnt").over(win_in), F.lit(0.0)))
+        wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+        boff = (
+            b.groupBy("bkt")
+            .agg(F.sum("cnt").alias("btot"))
+            .select("bkt", F.coalesce(F.sum("btot").over(wb), F.lit(0.0)).alias("off"))
+        )
+        return within.join(F.broadcast(boff), "bkt").select(
+            "val", (F.col("off") + F.col("run_in") + (F.col("cnt") + 1) / 2.0).alias("mr")
+        )
+
+    out = None
+    for a, b, wa, wb_ in _SP_PAIRS:
+        ra = rank_map(a, wa).withColumnRenamed("mr", "ra").withColumnRenamed("val", "va")
+        rb = rank_map(b, wb_).withColumnRenamed("mr", "rb").withColumnRenamed("val", "vb")
+        j = (
+            li.select(F.col(a).alias("va"), F.col(b).alias("vb"))
+            .join(ra, "va")
+            .join(F.broadcast(rb) if b in ("l_discount", "l_tax") else rb, "vb")
+        )
+        s = j.agg(
+            F.count("*").alias("n"),
+            F.sum("ra").alias("sa"),
+            F.sum("rb").alias("sb"),
+            F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+            F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+            F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+        )
+        rho = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")) / F.sqrt(
+            (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+            * (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+        )
+        row = s.select(
+            F.lit(f"{a}~{b}").alias("pair"),
+            F.col("n").cast("long").alias("n"),
+            F.round(rho, 6).alias("rho"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("pair")
+
+
+# ---------------------------------------------------------------------------
+# a0087 — Kendall tau-b between daily revenue and daily order count:
+# the O(n²) concordance test run where it belongs — on the CALENDAR-
+# BOUNDED daily rollup (≤ ~2400 days → ≤ ~2.9M pairs regardless of
+# fact volume; the aggregate-first design that makes a quadratic
+# statistic 100 TB-safe). Pairs via a d1 < d2 self-join of the rollup
+# (broadcast nested-loop on the bounded frame), all counts exact
+# integers; tie-corrected τ_b rounded to 6.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a0087_kendall_tau_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT) AS yc,
+             COUNT(*) AS oc
+      FROM orders GROUP BY 1
+    ),
+    p AS (
+      SELECT CASE WHEN (b.yc - a.yc) * (b.oc - a.oc) > 0 THEN 1 ELSE 0 END AS conc,
+             CASE WHEN (b.yc - a.yc) * (b.oc - a.oc) < 0 THEN 1 ELSE 0 END AS disc,
+             CASE WHEN a.yc = b.yc THEN 1 ELSE 0 END AS tie_y,
+             CASE WHEN a.oc = b.oc THEN 1 ELSE 0 END AS tie_c
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    s AS (
+      SELECT COUNT(*) * 1.0 AS n0, SUM(conc) * 1.0 AS c, SUM(disc) * 1.0 AS d,
+             SUM(tie_y) * 1.0 AS ty, SUM(tie_c) * 1.0 AS tc,
+             CAST(SUM(conc) AS BIGINT) AS ci, CAST(SUM(disc) AS BIGINT) AS di,
+             CAST(SUM(tie_y) AS BIGINT) AS tyi, CAST(SUM(tie_c) AS BIGINT) AS tci
+      FROM p
+    )
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(n0 AS BIGINT) AS n_pairs, ci AS concordant, di AS discordant,
+           tyi AS ties_revenue, tci AS ties_count,
+           ROUND((c - d) / sqrt((n0 - ty) * (n0 - tc)), 6) AS tau_b
+    FROM s
+    """,
+    description="Kendall tau-b between daily revenue and daily order count: the quadratic concordance statistic computed AGGREGATE-FIRST on the calendar-bounded daily rollup (≤ ~2400 days → ≤ ~2.9M pairs regardless of fact volume — what makes an O(n²) test 100 TB-safe); d1<d2 self-join on the bounded frame, exact integer counts, tie-corrected τ_b rounded 6",
+)
+def a0087_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = (
+        od.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.round(F.sum("o_totalprice") * 100, 0).cast("long").alias("yc"),
+            F.count("*").alias("oc"),
+        )
+        .localCheckpoint(eager=False)  # both pair sides + the day count reuse it
+    )
+    a = daily.select(
+        F.col("day").alias("d1"), F.col("yc").alias("y1"), F.col("oc").alias("c1")
+    )
+    b = daily.select(
+        F.col("day").alias("d2"), F.col("yc").alias("y2"), F.col("oc").alias("c2")
+    )
+    p = a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+    prod = (F.col("y2") - F.col("y1")) * (F.col("c2") - F.col("c1"))
+    s = p.agg(
+        (F.count("*") * 1.0).alias("n0"),
+        (F.sum(F.when(prod > 0, 1).otherwise(0)) * 1.0).alias("c"),
+        (F.sum(F.when(prod < 0, 1).otherwise(0)) * 1.0).alias("d"),
+        (F.sum(F.when(F.col("y1") == F.col("y2"), 1).otherwise(0)) * 1.0).alias("ty"),
+        (F.sum(F.when(F.col("c1") == F.col("c2"), 1).otherwise(0)) * 1.0).alias("tc"),
+    )
+    n_days = daily.agg(F.count("*").alias("nd"))
+    return s.crossJoin(F.broadcast(n_days)).select(
+        F.col("nd").cast("long").alias("n_days"),
+        F.col("n0").cast("long").alias("n_pairs"),
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        F.col("ty").cast("long").alias("ties_revenue"),
+        F.col("tc").cast("long").alias("ties_count"),
+        F.round(
+            (F.col("c") - F.col("d"))
+            / F.sqrt((F.col("n0") - F.col("ty")) * (F.col("n0") - F.col("tc"))),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0088 — Lorenz curve deciles + Gini coefficient of customer spend
+# concentration: the inequality audit behind every "top-X% of
+# customers drive Y% of revenue" claim. Ranks over the spend-value
+# frame come from the sharded two-pass prefix sum (a0073 pattern);
+# Gini uses the exact mid-rank mean-difference identity
+# G = 2·Σ r_i·x_i / (n·Σx) − (n+1)/n — one aggregate, no pair
+# expansion; deciles cut the EXCLUSIVE cumulative population count
+# (exact integers, engine-free boundaries).
+# ---------------------------------------------------------------------------
+
+_LZ_BUCKET_W = 1e7  # cents (= $100k) per rank bucket
+
+
+@query(
+    "a0088_lorenz_gini",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey, CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT) AS sc
+      FROM orders GROUP BY 1
+    ),
+    vals AS (SELECT sc, COUNT(*) * 1.0 AS cnt FROM cust GROUP BY sc),
+    ranked AS (
+      SELECT sc, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY sc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl,
+             COALESCE(SUM(cnt) OVER (ORDER BY sc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (cnt + 1) / 2.0 AS mr
+      FROM vals
+    ),
+    tot AS (SELECT SUM(cnt) AS n, SUM(sc * cnt) AS s,
+                   SUM(mr * sc * cnt) AS rs
+            FROM ranked),
+    dec AS (
+      SELECT LEAST(10, CAST(FLOOR(10.0 * cum_excl / (SELECT n FROM tot)) AS BIGINT) + 1) AS decile,
+             SUM(cnt) AS n_customers, SUM(sc * cnt) AS spend
+      FROM ranked GROUP BY 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           ROUND(spend / (SELECT s FROM tot), 6) AS spend_share,
+           ROUND(SUM(spend) OVER (ORDER BY decile) / (SELECT s FROM tot), 6) AS cum_share,
+           ROUND(2.0 * (SELECT rs FROM tot) / ((SELECT n FROM tot) * (SELECT s FROM tot))
+                 - ((SELECT n FROM tot) + 1) / (SELECT n FROM tot), 6) AS gini
+    FROM dec
+    ORDER BY decile
+    """,
+    description="Lorenz deciles + Gini of customer spend concentration: value-frame mid-ranks from the sharded two-pass prefix sum (a0073 pattern), exact mean-difference identity G = 2Σr·x/(nΣx) − (n+1)/n (one aggregate, no pair expansion), deciles cut the exclusive cumulative population count (exact integer boundaries); cumulative shares over the 10-row decile frame",
+)
+def a0088_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = od.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 100, 0).cast("long").alias("sc")
+    )
+    vals = cust.groupBy("sc").agg((F.count("*") * 1.0).alias("cnt"))
+    b = vals.withColumn("bkt", F.floor(F.col("sc") / _LZ_BUCKET_W).cast("long"))
+    win_in = (
+        Window.partitionBy("bkt").orderBy("sc").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = b.withColumn("run_in", F.coalesce(F.sum("cnt").over(win_in), F.lit(0.0)))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = (
+        b.groupBy("bkt")
+        .agg(F.sum("cnt").alias("btot"))
+        .select("bkt", F.coalesce(F.sum("btot").over(wb), F.lit(0.0)).alias("off"))
+    )
+    ranked = (
+        within.join(F.broadcast(boff), "bkt")
+        .select(
+            "sc",
+            "cnt",
+            (F.col("off") + F.col("run_in")).alias("cum_excl"),
+            (F.col("off") + F.col("run_in") + (F.col("cnt") + 1) / 2.0).alias("mr"),
+        )
+        .localCheckpoint(eager=False)  # totals + decile rollup reuse it
+    )
+    tot = ranked.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("sc") * F.col("cnt")).alias("s"),
+        F.sum(F.col("mr") * F.col("sc") * F.col("cnt")).alias("rs"),
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.least(
+                F.lit(10), F.floor(10.0 * F.col("cum_excl") / F.col("n")).cast("long") + 1
+            ).alias("decile")
+        )
+        .agg(F.sum("cnt").alias("n_customers"), F.sum(F.col("sc") * F.col("cnt")).alias("spend"))
+    )
+    wd = Window.orderBy("decile")  # 10-row decile frame
+    gini = (
+        2.0 * F.col("rs") / (F.col("n") * F.col("s")) - (F.col("n") + 1) / F.col("n")
+    )
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.round(F.col("spend") / F.col("s"), 6).alias("spend_share"),
+            F.round(F.sum("spend").over(wd) / F.col("s"), 6).alias("cum_share"),
+            F.round(gini, 6).alias("gini"),
+        )
+        .orderBy("decile")
+    )

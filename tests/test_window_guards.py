@@ -53,6 +53,8 @@ ALLOWED_UNPARTITIONED: dict[str, str] = {
     "a0072_chi2_cramers": "marginal window sums over the <=|a|x|b| contingency CELL frame (tens of rows), never fact rows",
     "a0073_mannwhitney_u": "exclusive offset cumsum over the <=128-row price-bucket frame (the in-data prefix sum is PARTITIONED by bucket)",
     "a0074_binseg_changepoint": "prefix sums over the daily revenue rollup (calendar-bounded)",
+    "a0086_spearman_corr": "exclusive offset cumsum over the bounded value-bucket frame (in-data prefix is bucket-PARTITIONED, a0073 pattern)",
+    "a0088_lorenz_gini": "exclusive offset cumsum over the bounded spend-bucket frame + cumulative share over the 10-row decile frame",
     "a0131_curriculum_shards": "curriculum ntile over the score order — the oracle-parity twin of repartitionByRange(score) (sampled boundaries are not engine-reproducible)",
 }
 
