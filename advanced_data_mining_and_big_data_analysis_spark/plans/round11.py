@@ -1923,3 +1923,156 @@ def a0088_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# a0089 — distributed MRL quantile summary (Manku-Rajagopalan-Lindsay,
+# SIGMOD '98 — the batch ancestor of KLL): each of S=32 md5 shards
+# sorts locally and keeps every ⌈n_s/k⌉-th value with that weight
+# (rank error ≤ n_s/k per shard); the merged S·k-row summary (a
+# CONSTANT-bounded frame) answers any quantile with rank error
+# ≤ N/k + S·step/2 ≈ N(1/k + 1/(2·⌈N/S⌉/k·S))… bounded by 2N/k. The
+# whole construction is RELATIONAL (shard-partitioned rank window +
+# modular sampling + bounded-frame cumulative weights), so the DuckDB
+# oracle replays it EXACTLY — unlike randomized KLL, the sketch is
+# value-hash-verifiable, and the query also audits the true rank error
+# of every estimate against the exact distribution.
+# ---------------------------------------------------------------------------
+
+_MRL_SHARDS = 32
+_MRL_K = 64
+_MRL_QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@query(
+    "a0089_mrl_quantile_summary",
+    oracle=f"""
+    WITH rows_in AS (
+      SELECT l_extendedprice AS val,
+             CAST(CONCAT('0x', substr(md5(CAST(l_orderkey AS VARCHAR) || '#' ||
+                                          CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {_MRL_SHARDS} AS shard,
+             l_orderkey AS k1, l_linenumber AS k2
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT val, shard,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY val, k1, k2) AS rn,
+             COUNT(*) OVER (PARTITION BY shard) AS ns
+      FROM rows_in
+    ),
+    sampled AS (
+      SELECT val, shard, CAST(CEIL(ns * 1.0 / {_MRL_K}) AS BIGINT) AS step
+      FROM ranked
+      WHERE (rn - 1) % CAST(CEIL(ns * 1.0 / {_MRL_K}) AS BIGINT)
+            = CAST(FLOOR((CAST(CEIL(ns * 1.0 / {_MRL_K}) AS BIGINT) - 1) / 2) AS BIGINT)
+    ),
+    merged AS (
+      SELECT val, step,
+             SUM(step) OVER (ORDER BY val, shard, step
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      FROM sampled
+    ),
+    tot AS (SELECT COUNT(*) * 1.0 AS n FROM rows_in),
+    est AS (
+      SELECT q, MIN(val) AS est
+      FROM merged CROSS JOIN tot
+      CROSS JOIN (SELECT unnest([{', '.join(str(q) for q in _MRL_QS)}]) AS q)
+      WHERE cw >= q * n
+      GROUP BY q
+    )
+    SELECT est.q, est.est AS est_value,
+           CAST((SELECT COUNT(*) FROM rows_in r WHERE r.val < est.est) AS BIGINT) AS true_rank,
+           ROUND(abs((SELECT COUNT(*) FROM rows_in r WHERE r.val < est.est)
+                     - est.q * tot.n) / tot.n, 6) AS rank_err,
+           CAST(CASE WHEN abs((SELECT COUNT(*) FROM rows_in r WHERE r.val < est.est)
+                              - est.q * tot.n) <= 2.0 * tot.n / {_MRL_K} + {_MRL_SHARDS}
+                     THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+    FROM est CROSS JOIN tot
+    ORDER BY q
+    """,
+    description=f"distributed MRL quantile summary (Manku-Rajagopalan-Lindsay — the deterministic batch ancestor of KLL): {_MRL_SHARDS} md5 shards each keep every ⌈n_s/{_MRL_K}⌉-th locally-sorted value with that weight, the merged {_MRL_SHARDS}×{_MRL_K}-row CONSTANT-bounded summary answers {len(_MRL_QS)} quantiles via cumulative weights; fully relational (shard-PARTITIONED rank window + modular sampling), so the oracle replays the sketch exactly — value-hash-verified where randomized KLL can only bounds-check; true rank error audited ≤ 2N/k + S",
+)
+def a0089_mrl_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _MRL_SHARDS
+    )
+    rows_in = li.select(
+        F.col("l_extendedprice").alias("val"),
+        shard.alias("shard"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+    ).localCheckpoint(eager=False)  # summary build + exact-rank audit reuse it
+    ws = Window.partitionBy("shard").orderBy("val", "k1", "k2")
+    wn = Window.partitionBy("shard")
+    ranked = rows_in.select(
+        "val",
+        "shard",
+        F.row_number().over(ws).alias("rn"),
+        F.count("*").over(wn).alias("ns"),
+    )
+    step = F.ceil(F.col("ns") * 1.0 / _MRL_K).cast("long")
+    sampled = ranked.filter(
+        (F.col("rn") - 1) % step == F.floor((step - 1) / 2).cast("long")
+    ).select("val", "shard", step.alias("step"))
+    # cumulative weights over the <= S*k-row summary frame (constant-bounded)
+    wm = Window.orderBy("val", "shard", "step").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    merged = sampled.select("val", "step", F.sum("step").over(wm).alias("cw"))
+    tot = rows_in.agg((F.count("*") * 1.0).alias("n"))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _MRL_QS])).alias("q")
+    )
+    est = (
+        merged.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cw") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("val").alias("est"))
+    )
+    # exact-rank audit: one broadcast of the 7-row estimate frame against
+    # the corpus — count of values strictly below each estimate
+    ranks = (
+        rows_in.crossJoin(F.broadcast(est))
+        .groupBy("q", "est")
+        .agg(F.sum(F.when(F.col("val") < F.col("est"), 1).otherwise(0)).alias("true_rank"))
+    )
+    return (
+        ranks.crossJoin(F.broadcast(tot))
+        .select(
+            "q",
+            F.col("est").alias("est_value"),
+            F.col("true_rank").cast("long").alias("true_rank"),
+            F.round(F.abs(F.col("true_rank") - F.col("q") * F.col("n")) / F.col("n"), 6).alias(
+                "rank_err"
+            ),
+            F.when(
+                F.abs(F.col("true_rank") - F.col("q") * F.col("n"))
+                <= 2.0 * F.col("n") / _MRL_K + _MRL_SHARDS,
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("within_bound"),
+        )
+        .orderBy("q")
+    )

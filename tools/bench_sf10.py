@@ -1,0 +1,135 @@
+"""sf10 spot-check of the dedup/retrieval heavies (VERDICT r10 item 7).
+
+Runs the capped-dedup and mining headliners at /tmp/spark_graft_sf10
+(100x sf0.1: 60M lineitem / 500k documents / 200k embeddings / 10M
+events, built by tools/make_sf.py — duplicate groups replicated 100x,
+the adversarial case for every pair-generating operator). Per query:
+cold wall, one warm re-run, and the same-machine DuckDB oracle time
+under a hard alarm cap. Also records the single-JVM peak RSS (VmHWM)
+— the whole local[32] engine's high-water mark. Writes BENCH_SF10.json.
+
+With sf0.1 and sf1.0 (BENCH_SF1.json) this gives three measured decades
+for the 100 TB extrapolation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from advanced_data_mining_and_big_data_analysis_spark import get_spark
+from advanced_data_mining_and_big_data_analysis_spark.plans import all_queries
+
+SF_DIR = "/tmp/spark_graft_sf10"
+DUCK_CAP_S = 600
+QUERIES = [
+    "q41_minhash_neardup",
+    "q108_incremental_dedup",
+    "q114_semdedup",
+    "q130_prefix_filter_simjoin",
+    "a0053_apriori_triples",
+]
+
+
+def jvm_peak_rss_gib(spark) -> float:
+    pid = spark._jvm.java.lang.ProcessHandle.current().pid()
+    with open(f"/proc/{pid}/status") as f:
+        for line in f:
+            if line.startswith("VmHWM"):
+                return round(int(line.split()[1]) / 1024 / 1024, 2)
+    return -1.0
+
+
+class _Alarm(Exception):
+    pass
+
+
+def duck_time(sql: str) -> float | str:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    def _raise(signum, frame):
+        raise _Alarm
+
+    signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(DUCK_CAP_S)
+    t0 = time.time()
+    try:
+        con.execute(sql).fetchall()
+        dt = round(time.time() - t0, 1)
+    except _Alarm:
+        dt = f">{DUCK_CAP_S} (did not finish)"
+    except Exception as e:  # noqa: BLE001
+        dt = f"error: {type(e).__name__}"
+    finally:
+        signal.alarm(0)
+        try:
+            con.interrupt()
+        except Exception:
+            pass
+        try:
+            con.close()
+        except Exception:
+            pass
+    return dt
+
+
+def main() -> None:
+    spark = get_spark("bench_sf10")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    out = {
+        "note": (
+            "sf10 spot-check (100x sf0.1 replica: 60M lineitem / 500k docs / "
+            "200k embeddings / 10M events; duplicate groups replicated 100x). "
+            "Spark cold + one warm fresh-plan re-run per query on local[32]; "
+            f"DuckDB runs the registered oracle SQL, {DUCK_CAP_S}s alarm cap, "
+            "fresh in-process connection per query. peak_rss_gib = the single "
+            "local-mode JVM's VmHWM after all Spark runs (driver+executors in "
+            "one process here)."
+        ),
+        "spark_cold_sec": {},
+        "spark_warm_sec": {},
+        "duckdb_sec": {},
+        "errors": {},
+    }
+    for name in QUERIES:
+        try:
+            t0 = time.time()
+            n = qs[name].fn(spark, SF_DIR).count()
+            cold = round(time.time() - t0, 1)
+            t0 = time.time()
+            qs[name].fn(spark, SF_DIR).count()
+            warm = round(time.time() - t0, 1)
+            out["spark_cold_sec"][name] = cold
+            out["spark_warm_sec"][name] = warm
+            print(f"{name}: cold {cold}s warm {warm}s rows {n}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            out["errors"][name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"{name}: ERROR {e}", flush=True)
+    out["peak_rss_gib"] = jvm_peak_rss_gib(spark)
+    out["n_errors"] = len(out["errors"])
+    spark.stop()
+    for name in QUERIES:
+        if name in out["errors"]:
+            continue
+        out["duckdb_sec"][name] = duck_time(qs[name].oracle)
+        print(f"{name}: duckdb {out['duckdb_sec'][name]}", flush=True)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "BENCH_SF10.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote BENCH_SF10.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()
