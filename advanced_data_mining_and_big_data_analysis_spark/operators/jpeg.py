@@ -757,8 +757,14 @@ def _sof_marker(content: bytes) -> int:
 
 
 def _parse(content: bytes) -> tuple[int, int, list[np.ndarray]]:
-    """Dispatch on frame type: baseline SOF0 or progressive SOF2."""
-    return (_parse_progressive if _sof_marker(content) == 0xC2 else _parse_baseline)(content)
+    """Dispatch on frame type: baseline SOF0, progressive SOF2, or
+    lossless SOF3 (Annex H DPCM — see the lossless section below)."""
+    sof = _sof_marker(content)
+    if sof == 0xC2:
+        return _parse_progressive(content)
+    if sof == 0xC3:
+        return _parse_lossless(content)
+    return _parse_baseline(content)
 
 
 def decode_jpeg_gray(content: bytes) -> list[float]:
@@ -1352,3 +1358,152 @@ def make_jpeg_progressive(
     for sos, w in scans:
         out += sos + bytes(w.out)
     return out + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (SOF3, T.81 Annex H) — the DPCM mode of the standard:
+# no DCT, no quantization; each sample is predicted from its causal
+# neighbours A (left), B (above), C (above-left) by one of seven fixed
+# predictors, and the prediction DIFFERENCE is Huffman-coded with the
+# same SSSS-category + appended-bits scheme the DCT modes use for DC
+# terms. Boundary rules per H.1.1: the first sample of the image is
+# predicted by 2^(P-1) (= 128 at 8-bit, point transform 0); the rest of
+# the first line falls back to predictor 1 (A); the first sample of
+# every other line uses predictor 2 (B). Shifts in predictors 5-7 are
+# integer right-shifts. Because the mode is lossless, ANY fixture image
+# round-trips bit-exactly — no quant-divisibility construction needed.
+# ---------------------------------------------------------------------------
+
+
+def _lossless_predict(
+    img: np.ndarray, x: int, y: int, psel: int, precision: int = 8
+) -> int:
+    """Causal prediction for sample (y, x) per T.81 H.1 (Pt = 0)."""
+    if x == 0 and y == 0:
+        return 1 << (precision - 1)
+    if y == 0:
+        return int(img[0, x - 1])  # rest of first line: predictor 1
+    if x == 0:
+        return int(img[y - 1, 0])  # first column: predictor 2
+    a = int(img[y, x - 1])
+    b = int(img[y - 1, x])
+    c = int(img[y - 1, x - 1])
+    if psel == 1:
+        return a
+    if psel == 2:
+        return b
+    if psel == 3:
+        return c
+    if psel == 4:
+        return a + b - c
+    if psel == 5:
+        return a + ((b - c) >> 1)
+    if psel == 6:
+        return b + ((a - c) >> 1)
+    if psel == 7:
+        return (a + b) >> 1
+    raise ValueError(f"invalid lossless predictor {psel}")
+
+
+def make_jpeg_lossless(width: int, height: int, pixel, predictor: int = 4) -> bytes:
+    """Encode an 8-bit grayscale image LOSSLESSLY (SOF3, one scan,
+    predictor selector carried in the SOS Ss field per T.81 H.2).
+    ``pixel(x, y) -> 0..255``. Uses the Annex K.3 luminance DC table
+    (diff categories 0..8 at 8-bit precision), carried in a DHT segment
+    so decoder interop does not depend on it."""
+    import struct
+
+    img = np.zeros((height, width), dtype=np.int64)
+    for y in range(height):
+        for x in range(width):
+            img[y, x] = int(pixel(x, y)) & 0xFF
+    dc_codes = _canonical_codes(DC_BITS, DC_VALUES)
+    bw = _BitWriter()
+    for y in range(height):
+        for x in range(width):
+            px = _lossless_predict(img, x, y, predictor)
+            size, bits = _magnitude(int(img[y, x]) - px)
+            code, ln = dc_codes[size]
+            bw.put(code, ln)
+            bw.put(bits, size)
+    bw.flush()
+    dht = bytes([0x00] + DC_BITS[1:] + DC_VALUES)
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0))
+    sos = bytes((1, 1, 0x00, predictor, 0, 0))
+    return (
+        b"\xff\xd8"
+        + _seg(0xFFE0, _APP0)
+        + _seg(0xFFC4, dht)
+        + _seg(0xFFC3, sof)
+        + _seg(0xFFDA, sos)
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+
+
+def _parse_lossless(content: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Decode a single-component 8-bit lossless (SOF3) stream: DHT-driven
+    SSSS decode + EXTEND + causal prediction, raster order (the lossless
+    MCU is one sample). Returns the plane un-rounded like the DCT-mode
+    parsers (values are already exact integers here)."""
+    import struct
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file")
+    pos = 2
+    huff: dict[int, dict[tuple[int, int], int]] = {}
+    width = height = 0
+    psel = 0
+    data_start = -1
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = content[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        (length,) = struct.unpack_from(">H", content, pos + 2)
+        seg = content[pos + 4 : pos + 2 + length]
+        if marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc_th = seg[off]
+                bits = [0] + list(seg[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + n])
+                codes: dict[tuple[int, int], int] = {}
+                code = 0
+                k = 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln]):
+                        codes[(ln, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[tc_th & 0x0F] = codes
+                off += 17 + n
+        elif marker == 0xC3:  # SOF3
+            precision, height, width, nf = struct.unpack_from(">BHHB", seg, 0)
+            if precision != 8 or nf != 1:
+                raise ValueError("lossless decoder handles 8-bit single-component")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            if ns != 1:
+                raise ValueError("lossless decoder handles one-component scans")
+            td = seg[2] >> 4
+            psel = seg[1 + 2 * ns]
+            data_start = pos + 2 + length
+            dc_tbl = huff[td]
+            break
+        pos += 2 + length
+    if data_start < 0:
+        raise ValueError("JPEG missing SOS")
+    end = _entropy_end(content, data_start)
+    br = _BitReader(content[data_start:end])
+    img = np.zeros((height, width), dtype=np.int64)
+    for y in range(height):
+        for x in range(width):
+            size = _decode_huffman(br, dc_tbl)
+            diff = _extend(br.bits(size), size)
+            img[y, x] = _lossless_predict(img, x, y, psel) + diff
+    return width, height, [img.astype(np.float64)]

@@ -592,7 +592,7 @@ def formula_jpeg_color_420_ycbcr(m: int, x: int, y: int) -> tuple[int, int, int]
     )
 
 
-def formula_media_df(spark, n_audio: int = 8, n_image: int = 8, n_png: int = 0, n_jpeg: int = 0, n_jpeg_color: int = 0, n_jpeg_420: int = 0, n_jpeg_prog: int = 0) -> DataFrame:
+def formula_media_df(spark, n_audio: int = 8, n_image: int = 8, n_png: int = 0, n_jpeg: int = 0, n_jpeg_color: int = 0, n_jpeg_420: int = 0, n_jpeg_prog: int = 0, n_jpeg_lossless: int = 0) -> DataFrame:
     """Real WAV + BMP + PNG blobs generated from the closed-form formulas
     above. Tiny driver-side dim (n rows of <=10 KB) — the 100 TB shape is
     the downstream mapInPandas scan, not this fixture."""
@@ -651,6 +651,20 @@ def formula_media_df(spark, n_audio: int = 8, n_image: int = 8, n_png: int = 0, 
             colorspace="ycbcr",
         )
         rows.append((6000 + m, f"mem://jpegp/{m}", "image/jpeg", blob))
+    for m in range(n_jpeg_lossless):
+        from . import jpeg
+
+        # lossless mode round-trips ANY image bit-exactly — the fixture
+        # formula needs no quant-divisibility construction; predictor
+        # cycles 1..7 across media ids so every Annex-H predictor is
+        # oracle-pinned
+        blob = jpeg.make_jpeg_lossless(
+            16,
+            16,
+            lambda x, y, m=m: (m * 7 + 5 * x + 3 * y) % 256,
+            predictor=1 + (m % 7),
+        )
+        rows.append((7000 + m, f"mem://jpegl/{m}", "image/jpeg", blob))
     for m in range(n_image):
         w, h = formula_bmp_dims(m)
         blob = make_bmp(

@@ -2076,3 +2076,56 @@ def a0089_mrl_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+# ---------------------------------------------------------------------------
+# a0090 — LOSSLESS JPEG decode (SOF3, T.81 Annex H — the DPCM mode:
+# causal prediction + Huffman-coded differences, no DCT, no quant),
+# hash-checked: fixtures cycle through ALL SEVEN Annex-H predictors
+# (A, B, C, A+B−C, A+(B−C)>>1, B+(A−C)>>1, (A+B)>>1) across media ids,
+# and because the mode is lossless the decoded plane equals the
+# generating formula EXACTLY — the oracle recomputes mean/top-left in
+# closed form, so a wrong predictor, wrong H.1.1 boundary rule (first
+# sample 2^(P−1), first line → A, first column → B), or a broken
+# SSSS/EXTEND path skips the hash. Completes the codec family's T.81
+# mode coverage next to baseline/progressive/restart/4:2:0.
+# ---------------------------------------------------------------------------
+
+_N_JPEG_LL = 14  # 2 fixtures per predictor
+
+
+@query(
+    "a0090_jpeg_lossless_decode",
+    oracle=f"""
+    WITH jm AS (SELECT m FROM range(0, {_N_JPEG_LL}) t(m)),
+    px AS (
+      SELECT jm.m, (jm.m*7 + 5*x.i + 3*y.i) % 256 AS v, x.i AS x, y.i AS y
+      FROM jm, range(0, 16) x(i), range(0, 16) y(i))
+    SELECT 7000 + m AS media_id, 'jpeg_lossless' AS kind,
+           CAST(256 AS BIGINT) AS n_units,
+           ROUND(AVG(v), 6) AS mean_gray,
+           CAST(MIN(CASE WHEN x = 0 AND y = 0 THEN v END) AS DOUBLE) AS topleft
+    FROM px GROUP BY m ORDER BY media_id
+    """,
+    description=f"REAL lossless JPEG decode (SOF3, T.81 Annex H DPCM): causal prediction + SSSS-category Huffman differences, {_N_JPEG_LL} fixtures cycling ALL 7 Annex-H predictors with the H.1.1 boundary rules (first sample 2^(P−1), first line→A, first column→B); decode runs in the mapInPandas extractor and the oracle recomputes the EXACT decoded plane stats from the generating formula — lossless means any fixture pins the full codec path, completing T.81 mode coverage next to baseline/progressive/restart/4:2:0",
+)
+def a0090_jpeg_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    feats = MM.extract_features(
+        MM.formula_media_df(
+            spark, n_audio=0, n_image=0, n_png=0, n_jpeg_lossless=_N_JPEG_LL
+        )
+    )
+    el = F.element_at
+    return (
+        feats.filter(F.col("mime") == "image/jpeg")
+        .select(
+            "media_id",
+            F.lit("jpeg_lossless").alias("kind"),
+            (el("feature", 1) * el("feature", 2)).cast("long").alias("n_units"),
+            F.round(el("feature", 3), 6).alias("mean_gray"),
+            el("feature", 6).alias("topleft"),
+        )
+        .orderBy("media_id")
+    )
