@@ -767,15 +767,36 @@ def _parse(content: bytes) -> tuple[int, int, list[np.ndarray]]:
     return _parse_baseline(content)
 
 
+def _sof_precision(content: bytes) -> int:
+    """Sample precision P from the frame header (first byte of the SOF
+    payload) — 8 for every DCT mode here, 8 or 12 for lossless."""
+    import struct
+
+    pos = 2
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = content[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        (length,) = struct.unpack_from(">H", content, pos + 2)
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            return content[pos + 4]
+        pos += 2 + length
+    raise ValueError("JPEG missing SOF")
+
+
 def decode_jpeg_gray(content: bytes) -> list[float]:
-    """REAL JPEG decode (8-bit grayscale, baseline OR progressive):
+    """REAL JPEG decode (grayscale; baseline, progressive, or lossless):
     [width, height, mean, mean, mean, topleft] — the image feature
     shape of decode_bmp/decode_png with r=g=b=luma. Tables come from
-    the stream (DQT/DHT); multi-component or 12-bit streams raise."""
+    the stream (DQT/DHT); the clip bound follows the frame precision
+    (8-bit DCT modes, 8/12-bit lossless)."""
     width, height, planes = _parse(content)
     if len(planes) != 1:
-        raise ValueError("decode_jpeg_gray handles 8-bit single-component JPEGs")
-    img = np.clip(np.rint(planes[0]), 0, 255)
+        raise ValueError("decode_jpeg_gray handles single-component JPEGs")
+    img = np.clip(np.rint(planes[0]), 0, (1 << _sof_precision(content)) - 1)
     mean = float(img.mean())
     return [float(width), float(height), mean, mean, mean, float(img[0, 0])]
 
@@ -789,7 +810,7 @@ def decode_jpeg(content: bytes) -> list[float]:
     B = Y + 1.772 Cb'; primed = centered), rounded then clipped."""
     width, height, planes = _parse(content)
     if len(planes) == 1:
-        img = np.clip(np.rint(planes[0]), 0, 255)
+        img = np.clip(np.rint(planes[0]), 0, (1 << _sof_precision(content)) - 1)
         mean = float(img.mean())
         return [float(width), float(height), mean, mean, mean, float(img[0, 0])]
     y, cb, cr = planes
@@ -1405,30 +1426,58 @@ def _lossless_predict(
     raise ValueError(f"invalid lossless predictor {psel}")
 
 
-def make_jpeg_lossless(width: int, height: int, pixel, predictor: int = 4) -> bytes:
-    """Encode an 8-bit grayscale image LOSSLESSLY (SOF3, one scan,
-    predictor selector carried in the SOS Ss field per T.81 H.2).
-    ``pixel(x, y) -> 0..255``. Uses the Annex K.3 luminance DC table
-    (diff categories 0..8 at 8-bit precision), carried in a DHT segment
-    so decoder interop does not depend on it."""
+# A canonical table for 12-bit lossless diffs: categories 0..16 (the
+# K.3 DC table stops at 11; lossless SSSS runs to 16 per Table H.2 —
+# predictors like A+B−C can push the raw difference past ±(2^P−1), and
+# H.1.2.3 codes differences MODULO 65536, so the category space is the
+# full signed-16-bit range with SSSS=16 ≡ 32768 carrying no appended
+# bits). Not an Annex-K table — lossless streams always carry their own
+# DHT, so the decoder interop contract is the segment, not the
+# constants.
+DC_L12_BITS = [0, 0, 1, 3, 3, 2, 1, 1, 1, 1, 0, 1, 1, 1, 1, 0, 0]
+DC_L12_VALUES = list(range(17))
+
+
+def make_jpeg_lossless(
+    width: int, height: int, pixel, predictor: int = 4, precision: int = 8
+) -> bytes:
+    """Encode a grayscale image LOSSLESSLY (SOF3, one scan, predictor
+    selector carried in the SOS Ss field per T.81 H.2) at 8- or 12-bit
+    precision. ``pixel(x, y) -> 0..2^precision-1``. 8-bit uses the
+    Annex K.3 luminance DC table (diff categories 0..8); 12-bit uses a
+    13-category canonical table — either way the table rides in the DHT
+    segment, so decoder interop does not depend on the constants."""
     import struct
 
+    if precision not in (8, 12):
+        raise ValueError("lossless encoder supports precision 8 or 12")
+    mask = (1 << precision) - 1
     img = np.zeros((height, width), dtype=np.int64)
     for y in range(height):
         for x in range(width):
-            img[y, x] = int(pixel(x, y)) & 0xFF
-    dc_codes = _canonical_codes(DC_BITS, DC_VALUES)
+            img[y, x] = int(pixel(x, y)) & mask
+    bits_t, vals_t = (
+        (DC_BITS, DC_VALUES) if precision == 8 else (DC_L12_BITS, DC_L12_VALUES)
+    )
+    dc_codes = _canonical_codes(bits_t, vals_t)
     bw = _BitWriter()
     for y in range(height):
         for x in range(width):
-            px = _lossless_predict(img, x, y, predictor)
-            size, bits = _magnitude(int(img[y, x]) - px)
+            px = _lossless_predict(img, x, y, predictor, precision)
+            # H.1.2.3: differences are coded modulo 65536 (the raw
+            # difference can exceed ±(2^P−1) under predictors 4-7)
+            d = ((int(img[y, x]) - px + 32768) & 0xFFFF) - 32768
+            if d == -32768:  # ≡ 32768 (mod 2^16): SSSS=16, no bits
+                code, ln = dc_codes[16]
+                bw.put(code, ln)
+                continue
+            size, bits = _magnitude(d)
             code, ln = dc_codes[size]
             bw.put(code, ln)
             bw.put(bits, size)
     bw.flush()
-    dht = bytes([0x00] + DC_BITS[1:] + DC_VALUES)
-    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0))
+    dht = bytes([0x00] + bits_t[1:] + vals_t)
+    sof = struct.pack(">BHHB", precision, height, width, 1) + bytes((1, 0x11, 0))
     sos = bytes((1, 1, 0x00, predictor, 0, 0))
     return (
         b"\xff\xd8"
@@ -1484,8 +1533,8 @@ def _parse_lossless(content: bytes) -> tuple[int, int, list[np.ndarray]]:
                 off += 17 + n
         elif marker == 0xC3:  # SOF3
             precision, height, width, nf = struct.unpack_from(">BHHB", seg, 0)
-            if precision != 8 or nf != 1:
-                raise ValueError("lossless decoder handles 8-bit single-component")
+            if precision not in (8, 12) or nf != 1:
+                raise ValueError("lossless decoder handles 8/12-bit single-component")
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             if ns != 1:
@@ -1504,6 +1553,12 @@ def _parse_lossless(content: bytes) -> tuple[int, int, list[np.ndarray]]:
     for y in range(height):
         for x in range(width):
             size = _decode_huffman(br, dc_tbl)
-            diff = _extend(br.bits(size), size)
-            img[y, x] = _lossless_predict(img, x, y, psel) + diff
+            # SSSS=16 carries no appended bits and means 32768 (H.2)
+            diff = 32768 if size == 16 else _extend(br.bits(size), size)
+            # reconstruction is modulo 65536 (H.1.2.3); the unique
+            # representative of sample mod 2^16 in [0, 65535] IS the
+            # sample for any precision <= 16
+            img[y, x] = (
+                _lossless_predict(img, x, y, psel, precision) + diff
+            ) & 0xFFFF
     return width, height, [img.astype(np.float64)]

@@ -592,7 +592,7 @@ def formula_jpeg_color_420_ycbcr(m: int, x: int, y: int) -> tuple[int, int, int]
     )
 
 
-def formula_media_df(spark, n_audio: int = 8, n_image: int = 8, n_png: int = 0, n_jpeg: int = 0, n_jpeg_color: int = 0, n_jpeg_420: int = 0, n_jpeg_prog: int = 0, n_jpeg_lossless: int = 0) -> DataFrame:
+def formula_media_df(spark, n_audio: int = 8, n_image: int = 8, n_png: int = 0, n_jpeg: int = 0, n_jpeg_color: int = 0, n_jpeg_420: int = 0, n_jpeg_prog: int = 0, n_jpeg_lossless: int = 0, n_jpeg_lossless12: int = 0) -> DataFrame:
     """Real WAV + BMP + PNG blobs generated from the closed-form formulas
     above. Tiny driver-side dim (n rows of <=10 KB) — the 100 TB shape is
     the downstream mapInPandas scan, not this fixture."""
@@ -665,6 +665,20 @@ def formula_media_df(spark, n_audio: int = 8, n_image: int = 8, n_png: int = 0, 
             predictor=1 + (m % 7),
         )
         rows.append((7000 + m, f"mem://jpegl/{m}", "image/jpeg", blob))
+    for m in range(n_jpeg_lossless12):
+        from . import jpeg
+
+        # 12-bit precision (T.81 allows 2-16 for lossless): differences
+        # code modulo 65536 with SSSS up to 16, so predictors 4-7 may
+        # overshoot the sample range and still round-trip exactly
+        blob = jpeg.make_jpeg_lossless(
+            16,
+            16,
+            lambda x, y, m=m: (m * 97 + 37 * x + 113 * y) % 4096,
+            predictor=1 + (m % 7),
+            precision=12,
+        )
+        rows.append((7100 + m, f"mem://jpegl12/{m}", "image/jpeg", blob))
     for m in range(n_image):
         w, h = formula_bmp_dims(m)
         blob = make_bmp(

@@ -2129,3 +2129,54 @@ def a0090_jpeg_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# a0091 — 12-BIT lossless JPEG decode: the second sample precision
+# T.81 admits for DPCM (P=2..16; DCT modes are 8/12 only). At 12-bit,
+# predictors 4-7 can overshoot the sample range, so differences code
+# MODULO 65536 with SSSS categories up to 16 (Table H.2's no-bits
+# 32768 case included) — exactly the path an 8-bit-only codec never
+# exercises. Fixtures cycle all 7 predictors; the oracle recomputes
+# the exact decoded plane stats (lossless) from the generating
+# formula over the 0..4095 range.
+# ---------------------------------------------------------------------------
+
+_N_JPEG_L12 = 14
+
+
+@query(
+    "a0091_jpeg_lossless12_decode",
+    oracle=f"""
+    WITH jm AS (SELECT m FROM range(0, {_N_JPEG_L12}) t(m)),
+    px AS (
+      SELECT jm.m, (jm.m*97 + 37*x.i + 113*y.i) % 4096 AS v, x.i AS x, y.i AS y
+      FROM jm, range(0, 16) x(i), range(0, 16) y(i))
+    SELECT 7100 + m AS media_id, 'jpeg_lossless12' AS kind,
+           CAST(256 AS BIGINT) AS n_units,
+           ROUND(AVG(v), 6) AS mean_gray,
+           CAST(MIN(CASE WHEN x = 0 AND y = 0 THEN v END) AS DOUBLE) AS topleft
+    FROM px GROUP BY m ORDER BY media_id
+    """,
+    description=f"REAL 12-bit lossless JPEG decode (SOF3, precision 12): differences coded MODULO 65536 with SSSS categories to 16 per T.81 H.1.2.3/H.2 — the overshoot path (predictors 4-7 past the sample range) an 8-bit codec never exercises; {_N_JPEG_L12} fixtures cycle all 7 predictors, precision-aware clip bound, oracle recomputes the exact decoded 0..4095 plane stats from the generating formula",
+)
+def a0091_jpeg_lossless12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    feats = MM.extract_features(
+        MM.formula_media_df(
+            spark, n_audio=0, n_image=0, n_png=0, n_jpeg_lossless12=_N_JPEG_L12
+        )
+    )
+    el = F.element_at
+    return (
+        feats.filter(F.col("mime") == "image/jpeg")
+        .select(
+            "media_id",
+            F.lit("jpeg_lossless12").alias("kind"),
+            (el("feature", 1) * el("feature", 2)).cast("long").alias("n_units"),
+            F.round(el("feature", 3), 6).alias("mean_gray"),
+            el("feature", 6).alias("topleft"),
+        )
+        .orderBy("media_id")
+    )

@@ -81,3 +81,48 @@ def test_lossless_predictor_boundary_rules() -> None:
     blob = jpeg.make_jpeg_lossless(5, 5, lambda x, y: 37, predictor=4)
     _, _, planes = jpeg._parse(blob)
     assert (planes[0] == 37).all()
+
+
+@pytest.mark.parametrize("pred", range(1, 8))
+def test_lossless12_jpeg_roundtrip(pred: int) -> None:
+    """12-bit precision: gradient + extreme 0/4095 checkerboard (forces
+    mod-65536 overshoot diffs and the widest SSSS categories)."""
+    blob = jpeg.make_jpeg_lossless(
+        16, 16, lambda x, y: (37 * x + 113 * y + 2048) % 4096,
+        predictor=pred, precision=12,
+    )
+    _, _, planes = jpeg._parse(blob)
+    want = np.array(
+        [[(37 * x + 113 * y + 2048) % 4096 for x in range(16)] for y in range(16)]
+    )
+    assert (planes[0].astype(np.int64) == want).all()
+    blob = jpeg.make_jpeg_lossless(
+        9, 7, lambda x, y: 4095 * ((x + y) % 2), predictor=pred, precision=12
+    )
+    _, _, planes = jpeg._parse(blob)
+    want = np.array([[4095 * ((x + y) % 2) for x in range(9)] for y in range(7)])
+    assert (planes[0].astype(np.int64) == want).all()
+
+
+def test_lossless12_random_roundtrip() -> None:
+    """hypothesis: arbitrary 12-bit images round-trip for every
+    predictor (mod-65536 difference coding is the invariant)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=1, max_value=7),
+        st.lists(st.integers(min_value=0, max_value=4095), min_size=81, max_size=81),
+    )
+    def check(w: int, h: int, pred: int, vals: list[int]) -> None:
+        img = np.array(vals[: w * h]).reshape(h, w)
+        blob = jpeg.make_jpeg_lossless(
+            w, h, lambda x, y: int(img[y, x]), predictor=pred, precision=12
+        )
+        _, _, planes = jpeg._parse(blob)
+        assert (planes[0].astype(np.int64) == img).all()
+
+    check()
