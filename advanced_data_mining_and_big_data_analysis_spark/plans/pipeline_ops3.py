@@ -1003,11 +1003,18 @@ def q130_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # exact verify: |intersection| via gram-key join restricted to the
-    # candidate pairs (broadcast — the prefix filter made it small)
+    # candidate pairs. NO broadcast hint: the candidate set is
+    # DATA-GROWN — quadratic in duplicate-group size — and a forced
+    # broadcast OOMed the driver at sf10 (500k docs, 100x-replicated
+    # dup groups -> millions of pairs; BENCH_SF10 r11 finding). AQE
+    # still picks a broadcast when the runtime size is under the
+    # threshold (it is at sf<=1.0) and falls back to a shuffle join
+    # when it is not — the strategy choice belongs to the optimizer,
+    # not the plan.
     e1 = e.select(F.col("doc_id").alias("d1"), "g")
     e2 = e.select(F.col("doc_id").alias("d2"), "g")
     inter = (
-        F.broadcast(cand)
+        cand
         .join(e1, "d1")
         .join(e2, ["d2", "g"])
         .groupBy("d1", "d2")

@@ -85,6 +85,10 @@ def duck_time(sql: str) -> float | str:
 
 
 def main() -> None:
+    # optional argv names: re-measure just those and merge into the
+    # existing BENCH_SF10.json (after reshaping one query the whole
+    # spot-check need not re-run)
+    only = set(sys.argv[1:])
     spark = get_spark("bench_sf10")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
@@ -103,7 +107,15 @@ def main() -> None:
         "duckdb_sec": {},
         "errors": {},
     }
-    for name in QUERIES:
+    if only:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        try:
+            with open(os.path.join(root, "BENCH_SF10.json")) as f:
+                out = json.load(f)
+            out.setdefault("errors", {})
+        except FileNotFoundError:
+            pass
+    for name in [n for n in QUERIES if not only or n in only]:
         try:
             t0 = time.time()
             n = qs[name].fn(spark, SF_DIR).count()
@@ -113,14 +125,15 @@ def main() -> None:
             warm = round(time.time() - t0, 1)
             out["spark_cold_sec"][name] = cold
             out["spark_warm_sec"][name] = warm
+            out["errors"].pop(name, None)
             print(f"{name}: cold {cold}s warm {warm}s rows {n}", flush=True)
         except Exception as e:  # noqa: BLE001
             out["errors"][name] = f"{type(e).__name__}: {e}"[:300]
             print(f"{name}: ERROR {e}", flush=True)
-    out["peak_rss_gib"] = jvm_peak_rss_gib(spark)
+    out["peak_rss_gib"] = max(out.get("peak_rss_gib", 0.0), jvm_peak_rss_gib(spark))
     out["n_errors"] = len(out["errors"])
     spark.stop()
-    for name in QUERIES:
+    for name in [n for n in QUERIES if not only or n in only]:
         if name in out["errors"]:
             continue
         out["duckdb_sec"][name] = duck_time(qs[name].oracle)
