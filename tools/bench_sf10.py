@@ -70,7 +70,12 @@ def duck_time(sql: str) -> float | str:
     except _Alarm:
         dt = f">{DUCK_CAP_S} (did not finish)"
     except Exception as e:  # noqa: BLE001
-        dt = f"error: {type(e).__name__}"
+        # the alarm can surface as DuckDB's own "query interrupted"
+        # RuntimeError instead of our exception — classify by elapsed
+        if time.time() - t0 >= DUCK_CAP_S - 5:
+            dt = f">{DUCK_CAP_S} (did not finish)"
+        else:
+            dt = f"error: {type(e).__name__}"
     finally:
         signal.alarm(0)
         try:

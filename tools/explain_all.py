@@ -174,6 +174,29 @@ HEADLINE = [
     "a0067_roc_auc",
     "a0068_lift_gains",
     "a0069_skipgram_pairs",
+    # round-11 wave (round11.py)
+    "a0070_kmeans_lloyd",
+    "a0071_centroid_silhouette",
+    "a0072_chi2_cramers",
+    "a0073_mannwhitney_u",
+    "a0074_binseg_changepoint",
+    "a0075_benford_audit",
+    "a0076_fd_discovery",
+    "a0077_clustering_coeff",
+    "a0078_kmv_theta_setops",
+    "a0079_rake_keywords",
+    "a0080_winnow_fingerprints",
+    "a0081_grubbs_outliers",
+    "a0082_bloom_semijoin",
+    "a0083_mf_gradient_step",
+    "a0084_uplift_segments",
+    "a0085_tfidf_keywords",
+    "a0086_spearman_corr",
+    "a0087_kendall_tau_daily",
+    "a0088_lorenz_gini",
+    "a0089_mrl_quantile_summary",
+    "a0090_jpeg_lossless_decode",
+    "a0091_jpeg_lossless12_decode",
 ]
 
 
