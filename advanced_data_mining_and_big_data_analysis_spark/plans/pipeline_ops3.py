@@ -969,23 +969,41 @@ def q130_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    # Everything runs on EXPLODED distinct gram rows via zip_ngram_rows
-    # (the q105/q115 fast path: arrays_zip of offset slices, flat
-    # codegen, no HOFs). Per-doc shingle ARRAYS are never materialized —
-    # an array-based formulation here re-inlines the shingle expression
-    # at every operator boundary (Filter pushdown / Generate
-    # substitution duplicated the tokens() regex ~6x; measured 35x
-    # slower), and per-pair array_intersect is the wrong verify shape at
-    # scale anyway: intersections come from a gram-key join instead.
+    # Per-doc shingle ARRAYS are materialized ONCE behind a
+    # localCheckpoint (r11 reshape): the r6 finding that an array
+    # formulation was 35x slower came from Catalyst re-inlining the
+    # shingle expression at every operator boundary — the checkpoint
+    # removes the re-inline, and the array frame is what makes the
+    # VERIFY stage scale (see below). Gram rows for the prefix filter
+    # explode back out of the checkpointed arrays (one corpus scan
+    # total).
     with_t = docs.select("doc_id", F.split(F.trim(X.normalize("text")), " +").alias("_toks"))
-    e = X.zip_ngram_rows(with_t, "_toks", 5, "g", ["doc_id"], " ", True)
-    nn = e.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # grams via the zip_ngram fast path (arrays_zip of offset slices,
+    # flat codegen — an interpreted word_shingles HOF here measured
+    # 50s vs 2s for the whole tt build at sf0.1), regrouped to arrays
+    # once; array order is irrelevant to size/array_intersect
+    e0 = X.zip_ngram_rows(with_t, "_toks", 5, "g", ["doc_id"], " ", True)
+    tt = (
+        e0.groupBy("doc_id")
+        .agg(F.collect_list("g").alias("sh"), F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    e = tt.select("doc_id", F.explode("sh").alias("g"))
+    nn = tt.select("doc_id", "n")
     freq = e.groupBy("g").agg(F.count("*").alias("f"))
 
     # rarest-first rank WITHIN each doc (partitioned window — never a
     # global rank over the vocabulary, which grows with the corpus)
     rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("f", "g"))
     p = (F.col("n") - ((3 * F.col("n") + 4) / 5).cast("long") + 1).cast("int")
+    # EVERY join side here grows with the corpus (gram rows, the gram-
+    # frequency vocabulary, per-doc counts, candidate pairs) — hint
+    # "merge" so the STATIC planner never commits to a broadcast off a
+    # misestimate; AQE upgrades SMJ->broadcast at runtime when the
+    # materialized side is actually small (it is at sf<=1.0), and at
+    # sf10 (500k docs, 100x dup groups) the shuffle join is what
+    # survives. The r11 first sf10 run OOMed the driver twice on these
+    # broadcasts (BENCH_SF10 note).
     prefix = (
         e.join(freq, "g")
         .withColumn("rn", rn)
@@ -1002,28 +1020,28 @@ def q130_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # exact verify: |intersection| via gram-key join restricted to the
-    # candidate pairs. NO broadcast hint: the candidate set is
-    # DATA-GROWN — quadratic in duplicate-group size — and a forced
-    # broadcast OOMed the driver at sf10 (500k docs, 100x-replicated
-    # dup groups -> millions of pairs; BENCH_SF10 r11 finding). AQE
-    # still picks a broadcast when the runtime size is under the
-    # threshold (it is at sf<=1.0) and falls back to a shuffle join
-    # when it is not — the strategy choice belongs to the optimizer,
-    # not the plan.
-    e1 = e.select(F.col("doc_id").alias("d1"), "g")
-    e2 = e.select(F.col("doc_id").alias("d2"), "g")
-    inter = (
-        cand
-        .join(e1, "d1")
-        .join(e2, ["d2", "g"])
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("i"))
+    # exact verify: ROW-LOCAL array_intersect against the checkpointed
+    # per-doc shingle arrays — the intermediate stays CANDIDATE-PAIR-
+    # sized. The r6 shape (gram-key join + count per pair) multiplies
+    # every candidate by its ~100 grams before re-collapsing: at sf10
+    # (100x-replicated dup groups, ~25M true pairs) that is ~2.5B
+    # in-flight rows and exhausted the execution-memory pool
+    # (BENCH_SF10 r11 finding — after the first run OOMed the DRIVER
+    # on a forced broadcast of the candidate set). NO broadcast hints
+    # anywhere: every side is data-grown, so the joins are hinted
+    # "merge" and AQE upgrades to broadcast only when the runtime size
+    # is actually small.
+    t1 = tt.select(
+        F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"), F.col("n").alias("n1")
     )
-    n1 = nn.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    n2 = nn.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
-    v = inter.join(n1, "d1").join(n2, "d2").withColumn(
-        "u", F.col("n1") + F.col("n2") - F.col("i")
+    t2 = tt.select(
+        F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"), F.col("n").alias("n2")
+    )
+    i = F.size(F.array_intersect("sh1", "sh2"))
+    v = (
+        cand.join(t1, "d1")
+        .join(t2, "d2")
+        .select("d1", "d2", i.alias("i"), (F.col("n1") + F.col("n2") - i).alias("u"))
     )
     return (
         v.filter(10 * F.col("i") >= 6 * F.col("u"))
