@@ -1005,16 +1005,16 @@ def q130_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survives. The r11 first sf10 run OOMed the driver twice on these
     # broadcasts (BENCH_SF10 note).
     prefix = (
-        e.join(freq, "g")
+        e.join(freq.hint("merge"), "g")
         .withColumn("rn", rn)
-        .join(nn, "doc_id")
+        .join(nn.hint("merge"), "doc_id")
         .filter(F.col("rn") <= p)
         .select("doc_id", "g")
     )
 
     other = prefix.select(F.col("doc_id").alias("d2"), "g")
     cand = (
-        prefix.join(other, "g")
+        prefix.join(other.hint("merge"), "g")
         .filter(F.col("doc_id") < F.col("d2"))
         .select(F.col("doc_id").alias("d1"), "d2")
         .distinct()
@@ -1039,8 +1039,8 @@ def q130_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     i = F.size(F.array_intersect("sh1", "sh2"))
     v = (
-        cand.join(t1, "d1")
-        .join(t2, "d2")
+        cand.join(t1.hint("merge"), "d1")
+        .join(t2.hint("merge"), "d2")
         .select("d1", "d2", i.alias("i"), (F.col("n1") + F.col("n2") - i).alias("u"))
     )
     return (
