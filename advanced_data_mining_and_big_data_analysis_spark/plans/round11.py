@@ -2180,3 +2180,226 @@ def a0091_jpeg_lossless12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# a0092 — Kleinberg burst detection (2-state automaton, Poisson rates)
+# solved as an EXACT distributed Viterbi: the sequential DP
+# D_t = D_{t−1} ⊗ M_t (min-plus matrix product) is ASSOCIATIVE, so the
+# whole forward pass is a parallel prefix scan — ⌈log2(T)⌉ rounds of
+# 2×2 min-plus combines via window lags over the calendar-bounded
+# daily frame — and the backward pass is the mirrored suffix scan.
+# The optimal path is recovered forward-backward style: state s is on
+# an optimal path at t iff fwd_t(s) + sfx_t(s) equals the global
+# optimum. Costs are INTEGER fixed-point (round(1e6·(λ_s − n_t·ln λ_s)))
+# so min-plus arithmetic is exact and the scan's association order is
+# provably irrelevant — the DuckDB oracle replays the SAME DP
+# sequentially (recursive CTEs) and must agree bit-for-bit. Burst
+# episodes come out of a gaps-and-islands pass over the labeled days.
+# This is the pattern that distributes ANY bounded-state sequential
+# DP (HMM/Viterbi, regex matching, sessionization with penalties):
+# pointer-doubled min-plus scans, the a0064/a0100 doubling trick
+# applied to dynamic programming.
+# ---------------------------------------------------------------------------
+
+_KB_S = 1.6  # burst rate multiplier lambda1 = s * lambda0
+_KB_GAMMA = 3_000_000  # state 0->1 transition cost (x1e6 fixed point)
+_KB_INF = 10**15
+
+
+def _kb_oracle() -> str:
+    return f"""
+    WITH RECURSIVE daily0 AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS c FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily0),
+    spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+              FROM bounds),
+    daily AS (SELECT s.day, COALESCE(d.c, 0) AS c,
+                     ROW_NUMBER() OVER (ORDER BY s.day) AS rn
+              FROM spine s LEFT JOIN daily0 d USING (day)),
+    lam AS (SELECT AVG(c) AS l0, AVG(c) * {_KB_S} AS l1 FROM daily),
+    cost AS (
+      SELECT rn, day, c,
+             CAST(ROUND(1e6 * (l0 - c * ln(l0)), 0) AS BIGINT) AS c0,
+             CAST(ROUND(1e6 * (l1 - c * ln(l1)), 0) AS BIGINT) AS c1
+      FROM daily CROSS JOIN lam
+    ),
+    tmax AS (SELECT MAX(rn) AS t FROM cost),
+    fwd AS (
+      SELECT rn, c0 AS f0, LEAST({_KB_INF}, {_KB_GAMMA} + c1) AS f1 FROM cost WHERE rn = 1
+      UNION ALL
+      SELECT c.rn,
+             LEAST(f.f0, f.f1) + c.c0 AS f0,
+             LEAST(f.f0 + {_KB_GAMMA}, f.f1) + c.c1 AS f1
+      FROM fwd f JOIN cost c ON c.rn = f.rn + 1
+    ),
+    bwd AS (
+      SELECT rn, CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1
+      FROM cost WHERE rn = (SELECT t FROM tmax)
+      UNION ALL
+      SELECT c.rn,
+             LEAST(b.b0 + c2.c0, {_KB_GAMMA} + b.b1 + c2.c1) AS b0,
+             LEAST(b.b0 + c2.c0, b.b1 + c2.c1) AS b1
+      FROM bwd b
+      JOIN cost c ON c.rn = b.rn - 1
+      JOIN cost c2 ON c2.rn = b.rn
+    ),
+    tot AS (SELECT LEAST(f0, f1) AS opt FROM fwd WHERE rn = (SELECT t FROM tmax)),
+    lab AS (
+      SELECT c.rn, c.day, c.c,
+             CASE WHEN f.f0 + b.b0 <= (SELECT opt FROM tot) THEN 0 ELSE 1 END AS state
+      FROM cost c JOIN fwd f USING (rn) JOIN bwd b USING (rn)
+    ),
+    isl AS (
+      SELECT day, c, rn - ROW_NUMBER() OVER (ORDER BY rn) AS island
+      FROM lab WHERE state = 1
+    )
+    SELECT MIN(day) AS episode_start, MAX(day) AS episode_end,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(c) AS BIGINT) AS total_events
+    FROM isl GROUP BY island
+    ORDER BY episode_start
+    """
+
+
+def _kb_combine(a: dict, b: dict) -> dict:
+    """2x2 min-plus product C = A (x) B over integer cost columns."""
+    return {
+        "m00": F.least(a["m00"] + b["m00"], a["m01"] + b["m10"]),
+        "m01": F.least(a["m00"] + b["m01"], a["m01"] + b["m11"]),
+        "m10": F.least(a["m10"] + b["m00"], a["m11"] + b["m10"]),
+        "m11": F.least(a["m10"] + b["m01"], a["m11"] + b["m11"]),
+    }
+
+
+@query(
+    "a0092_burst_detection",
+    oracle=_kb_oracle(),
+    description=f"Kleinberg 2-state burst detection (Poisson rates λ, {_KB_S}λ; γ={_KB_GAMMA / 1e6} fixed-point) solved as an EXACT distributed Viterbi: the sequential min-plus DP distributed as ⌈log2 T⌉ pointer-doubling prefix/suffix scans of 2×2 integer cost matrices over the calendar-bounded daily frame, optimal path by the forward+backward = global-optimum test; integer fixed-point costs make the scan association-order-free, so the oracle's sequential recursive-CTE replay agrees bit-for-bit — the pattern that distributes any bounded-state sequential DP",
+)
+def a0092_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select("o_orderdate")
+    daily0 = od.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    bounds = daily0.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    w = Window.orderBy("day")  # calendar-bounded daily spine
+    daily = (
+        spine.join(daily0, "day", "left")
+        .select("day", F.coalesce("c", F.lit(0)).alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    lam = daily.agg(F.avg("c").alias("l0"), (F.avg("c") * _KB_S).alias("l1"))
+    cost = (
+        daily.crossJoin(F.broadcast(lam))
+        .select(
+            "rn",
+            "day",
+            "c",
+            F.round(1e6 * (F.col("l0") - F.col("c") * F.log("l0")), 0)
+            .cast("long")
+            .alias("c0"),
+            F.round(1e6 * (F.col("l1") - F.col("c") * F.log("l1")), 0)
+            .cast("long")
+            .alias("c1"),
+        )
+        .localCheckpoint(eager=False)  # both scans + labeling reuse it
+    )
+    inf = F.lit(_KB_INF)
+    g = F.lit(_KB_GAMMA)
+    # per-day transition matrix M_t[s', s] = trans(s', s) + c_s(t)
+    m = cost.select(
+        "rn",
+        "day",
+        "c",
+        F.col("c0").alias("m00"),
+        (g + F.col("c1")).alias("m01"),
+        F.col("c0").alias("m10"),
+        F.col("c1").alias("m11"),
+    )
+    n_days = m.count()  # scalar: calendar length, bounds the doubling rounds
+    rounds = max(1, (n_days - 1).bit_length())
+
+    wr = Window.orderBy("rn")
+    # FUSED forward+backward scans: one frame carries both the prefix
+    # product P (combined with lag — new element on the right) and the
+    # suffix product Q (combined with lead — new element on the left),
+    # so each doubling round is ONE window stage instead of two; eager
+    # checkpoints every 3 rounds cap the chained-select analysis cost
+    # (the a0061 lesson).
+    pq = m.select(
+        "rn",
+        "day",
+        "c",
+        *[F.col(x).alias(f"p{x[1:]}") for x in ["m00", "m01", "m10", "m11"]],
+        *[F.col(x).alias(f"q{x[1:]}") for x in ["m00", "m01", "m10", "m11"]],
+    )
+    idx = ("00", "01", "10", "11")
+    for k in range(rounds):
+        lag = {i: F.lag(f"p{i}", 1 << k).over(wr) for i in idx}
+        lead = {i: F.lead(f"q{i}", 1 << k).over(wr) for i in idx}
+        curp = {i: F.col(f"p{i}") for i in idx}
+        curq = {i: F.col(f"q{i}") for i in idx}
+        combp = _kb_combine({f"m{i}": lag[i] for i in idx}, {f"m{i}": curp[i] for i in idx})
+        combq = _kb_combine({f"m{i}": curq[i] for i in idx}, {f"m{i}": lead[i] for i in idx})
+        pq = pq.select(
+            "rn",
+            "day",
+            "c",
+            *[
+                F.when(lag["00"].isNull(), F.col(f"p{i}")).otherwise(combp[f"m{i}"]).alias(f"p{i}")
+                for i in idx
+            ],
+            *[
+                F.when(lead["00"].isNull(), F.col(f"q{i}")).otherwise(combq[f"m{i}"]).alias(f"q{i}")
+                for i in idx
+            ],
+        )
+        if k % 3 == 2:
+            pq = pq.localCheckpoint(eager=True)
+    # init = (0, INF): forward cost vector is row 0 of P, clamped
+    fwd = pq.select(
+        "rn", "day", "c",
+        F.col("p00").alias("f0"),
+        F.least(F.col("p01"), inf).alias("f1"),
+    )
+    q = pq.select("rn", "q00", "q01", "q10", "q11")
+
+    # sfx_t(s) = min over end states of (M_{t+1} (x) ... (x) M_T)[s, .]; 0 at T
+    sfx_next = q.select(
+        (F.col("rn") - 1).alias("rn"),
+        F.least("q00", "q01").alias("b0"),
+        F.least("q10", "q11").alias("b1"),
+    )
+    lab = (
+        fwd.join(sfx_next, "rn", "left")
+        .select(
+            "rn",
+            "day",
+            "c",
+            (F.col("f0") + F.coalesce("b0", F.lit(0))).alias("t0"),
+            (F.col("f1") + F.coalesce("b1", F.lit(0))).alias("t1"),
+        )
+    )
+    opt = lab.agg(F.min(F.least("t0", "t1")).alias("opt"))
+    labeled = lab.crossJoin(F.broadcast(opt)).select(
+        "rn", "day", "c", F.when(F.col("t0") <= F.col("opt"), 0).otherwise(1).alias("state")
+    )
+    isl = labeled.filter(F.col("state") == 1).withColumn(
+        "island", F.col("rn") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("island")
+        .agg(
+            F.min("day").alias("episode_start"),
+            F.max("day").alias("episode_end"),
+            F.count("*").alias("n_days"),
+            F.sum("c").cast("long").alias("total_events"),
+        )
+        .drop("island")
+        .orderBy("episode_start")
+    )

@@ -56,6 +56,7 @@ ALLOWED_UNPARTITIONED: dict[str, str] = {
     "a0086_spearman_corr": "exclusive offset cumsum over the bounded value-bucket frame (in-data prefix is bucket-PARTITIONED, a0073 pattern)",
     "a0088_lorenz_gini": "exclusive offset cumsum over the bounded spend-bucket frame + cumulative share over the 10-row decile frame",
     "a0089_mrl_quantile_summary": "cumulative weights over the merged MRL summary (CONSTANT-bounded <= shards*k = 2048 rows; per-shard ranks are shard-PARTITIONED)",
+    "a0092_burst_detection": "min-plus doubling scans (lag/lead) over the calendar-bounded daily spine — log2(T) rounds, never data rows",
     "a0131_curriculum_shards": "curriculum ntile over the score order — the oracle-parity twin of repartitionByRange(score) (sampled boundaries are not engine-reproducible)",
 }
 
