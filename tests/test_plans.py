@@ -229,3 +229,16 @@ def test_q114_lineage_truncated_by_checkpoints(spark, sf_dir):
     plan = plan_of("q114_semdedup", spark, sf_dir)
     assert plan.count("Exchange (") <= 3
     assert "ExistingRDD" in plan
+
+
+def test_q130_no_static_broadcast_of_data_grown_frames(spark, sf_dir):
+    """r11 sf10 regression guard: q130's first 100x run OOMed twice on
+    broadcasts of data-grown frames — the candidate-pair set (explicit
+    hint) and the checkpointed shingle-array frame (static-planner
+    misestimate). Every join in q130 is now pinned to merge, so the
+    INITIAL physical plan must contain NO BroadcastExchange; AQE may
+    still upgrade at runtime from ACTUAL sizes, which is the only safe
+    direction (a statically-chosen broadcast cannot be demoted)."""
+    plan = plan_of("q130_prefix_filter_simjoin", spark, sf_dir)
+    assert "BroadcastExchange" not in plan, "static broadcast crept back into q130"
+    assert "SortMergeJoin" in plan
