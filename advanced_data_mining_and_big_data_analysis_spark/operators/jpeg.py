@@ -1500,7 +1500,7 @@ def _parse_lossless(content: bytes) -> tuple[int, int, list[np.ndarray]]:
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file")
     pos = 2
-    huff: dict[int, dict[tuple[int, int], int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = 0
     psel = 0
     data_start = -1
@@ -1529,7 +1529,10 @@ def _parse_lossless(content: bytes) -> tuple[int, int, list[np.ndarray]]:
                         code += 1
                         k += 1
                     code <<= 1
-                huff[tc_th & 0x0F] = codes
+                # key by (table class, id): a stream may carry a DC and an
+                # AC table with the same Th (legal per T.81 B.2.4.2) — a
+                # Th-only key would let the AC table overwrite the DC one
+                huff[(tc_th >> 4, tc_th & 0x0F)] = codes
                 off += 17 + n
         elif marker == 0xC3:  # SOF3
             precision, height, width, nf = struct.unpack_from(">BHHB", seg, 0)
@@ -1542,7 +1545,7 @@ def _parse_lossless(content: bytes) -> tuple[int, int, list[np.ndarray]]:
             td = seg[2] >> 4
             psel = seg[1 + 2 * ns]
             data_start = pos + 2 + length
-            dc_tbl = huff[td]
+            dc_tbl = huff[(0, td)]  # lossless scans use DC-class tables
             break
         pos += 2 + length
     if data_start < 0:

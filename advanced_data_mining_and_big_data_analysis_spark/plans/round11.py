@@ -1,4 +1,4 @@
-"""Round-11 wave (a0070–a0089): classical data-mining and statistics
+"""Round-11 wave (a0070–a0092): classical data-mining and statistics
 operators that deepen the engine's analytics axis — Lloyd k-means,
 centroid silhouette, chi-square/Cramér's V association, Mann-Whitney U,
 binary-segmentation changepoint, Benford first-digit audit, approximate
@@ -6,10 +6,11 @@ functional-dependency discovery, per-node clustering coefficient,
 KMV/theta sketch set operations, RAKE keyword extraction, winnowing
 fingerprints, Grubbs outlier rounds, bloom semi-join reduction, rank-1
 matrix-factorization gradient step, uplift segmentation, TF-IDF keyword
-ranking, Spearman/Kendall rank correlation, and Lorenz/Gini
-concentration.
+ranking, Spearman/Kendall rank correlation, Lorenz/Gini concentration,
+an MRL quantile summary, lossless JPEG (T.81 Annex H) decode audits at
+8 and 12 bit, and Kleinberg burst detection via distributed Viterbi.
 
-Named a0070–a0089 so they sort INSIDE the driver's 50-slot correctness
+Named a0070–a0092 so they sort INSIDE the driver's 50-slot correctness
 window (after the renamed a0050–a0069 fodder, before the already-dated
 a0093 block) — see COVERAGE.md for the window mechanics.
 
@@ -292,7 +293,10 @@ def a0072_chi2_cramers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderpriority", "o_orderstatus"
     )
-    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+    # customer is data-grown (linear in SF): pin merge and let AQE upgrade
+    # to broadcast from RUNTIME sizes — a static F.broadcast is a driver
+    # memory risk at sf100+ and can never be demoted (the q130 sf10 lesson)
+    joined = orders.join(cust.hint("merge"), orders.o_custkey == cust.c_custkey).select(
         "c_mktsegment", "o_orderpriority", "o_orderstatus"
     ).localCheckpoint(eager=False)  # 3 pair scans reuse one fact join
 
@@ -1331,7 +1335,9 @@ def a0082_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
     passes = D.bloom_maybe(F.col("o_custkey").cast("string"), bits, _BSJ_M, _BSJ_K)
     truth = orders.join(
-        F.broadcast(dim.select("c_custkey").distinct()),
+        # dim is a data-grown customer subset: merge-pin, AQE upgrades to
+        # broadcast at runtime while small (the q130 sf10 lesson)
+        dim.select("c_custkey").distinct().hint("merge"),
         orders.o_custkey == F.col("c_custkey"),
         "left",
     ).select(
@@ -1413,7 +1419,9 @@ def a0083_mf_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ratings = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part is data-grown (linear in SF): merge-pin, AQE upgrades to
+        # broadcast at runtime while small (the q130 sf10 lesson)
+        .join(part.hint("merge"), li.l_partkey == part.p_partkey)
         .groupBy(F.col("o_custkey").alias("u"), F.col("p_brand").alias("b"))
         .agg(
             F.round(

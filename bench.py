@@ -243,15 +243,19 @@ def main() -> None:
         pass
     compact = {
         "metric": "declared_query_wall_time",
-        "value": round(total, 3),
+        # value == sum(queries): both are warm medians, so the compact line
+        # is self-consistent (the r11 line carried the cold single-sample
+        # total under "value" next to warm per-query entries — ADVICE r11).
+        # Cold singles stay in BENCH_DETAIL.json's "queries"/"total".
+        "value": round(sum(warm.values()), 3),
         "unit": "sec",
         # warm medians, not the cold single samples: the r10 driver run
         # recorded q108 at 3.54 s (one sample under shared-box load) while
         # the same round's median-of-3 warm was 2.55 s (VERDICT r10 #6).
-        # The driver-visible per-query numbers must be the load-robust ones;
-        # cold singles stay in BENCH_DETAIL.json's "queries".
+        # The driver-visible per-query numbers must be the load-robust ones.
         "queries": warm,
         "warm_total": round(sum(warm.values()), 3),
+        "cold_total": round(total, 3),
         "duckdb_total": round(sum(duck.values()), 3),
         "n_errors": len(errors),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
