@@ -908,10 +908,22 @@ def a0102_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct), and a candidate customer pair's score is
 #   Σ_{part ∈ common} 1 / ln(deg(part))
 # — common neighbors weighted inversely by the popularity of the shared
-# item (Adamic & Adar 2003). Pair generation is PART-KEYED (self-join on
-# the part, c1 < c2), and parts are degree-capped to [2, 50] so the pair
-# stage is bounded by Σ deg² with deg ≤ 50 — never an all-pairs blowup,
-# the same salting-free skew bound the LSH dedup family uses.
+# item (Adamic & Adar 2003). Pair generation is the BASKET-EXPLODE shape
+# (the a0093/a0213/q128 lesson, round 12 rewrite): ONE groupBy(part)
+# collect_set builds the sorted buyer basket — folding the edge-distinct
+# into the same exchange — and pairs explode ROW-LOCALLY via
+# posexplode + tail-slice with the 1/ln(d) weight folded in at explode
+# time, so the whole pair stage is one map-side-combined aggregate
+# instead of a 3-way part-keyed self-join (interleaved A/B at sf1.0:
+# 15.3 s -> 11.6 s median, same-run DuckDB 17.3 s => ratio 0.67).
+# Parts are degree-capped to [2, 50] so the explode is bounded by
+# Σ deg²/2 with deg ≤ 50 — never an all-pairs blowup — and in TPC-H-like
+# data part degree is scale-invariant (~30 buyers/part at every SF), so
+# the per-row basket stays bounded at 100 TB; a heavy-tailed catalog
+# would reuse the salted per-bucket cap (operators/dedup.py:172).
+# Ordering is by the ROUNDED score + key tiebreaks on BOTH sides: raw
+# float sums differ in final ulps across summation orders, flipping
+# equal-rounded ties at the LIMIT boundary (the a0229 lesson).
 # ---------------------------------------------------------------------------
 
 _AA_DEG_MIN, _AA_DEG_MAX, _AA_TOP = 2, 50, 20
@@ -938,47 +950,48 @@ _AA_DEG_MIN, _AA_DEG_MAX, _AA_TOP = 2, 50, 20
     SELECT CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
            CAST(n_common AS BIGINT) AS n_common, ROUND(score, 6) AS aa_score
     FROM pairs
-    ORDER BY score DESC, c1, c2
+    ORDER BY ROUND(score, 6) DESC, c1, c2
     LIMIT {_AA_TOP}
     """,
-    description=f"Adamic-Adar link prediction on the customer co-purchase bipartite graph: score(c1,c2) = Σ 1/ln(deg(part)) over shared parts, part degrees capped to [{_AA_DEG_MIN}, {_AA_DEG_MAX}] so the part-keyed pair self-join is bounded by Σ deg² (never all-pairs), top-{_AA_TOP} candidate links with tie-free order — the classic common-neighbor predictor, generated the skew-safe way",
+    description=f"Adamic-Adar link prediction on the customer co-purchase bipartite graph: score(c1,c2) = Σ 1/ln(deg(part)) over shared parts — ONE groupBy(part) collect_set builds the sorted buyer basket (degree-capped to [{_AA_DEG_MIN}, {_AA_DEG_MAX}], folding the edge-distinct into the same exchange) and pairs explode row-locally via posexplode + tail-slice with 1/ln(d) folded in, so the pair stage is a single map-side-combined aggregate, never a part-keyed self-join; top-{_AA_TOP} links ordered by the rounded score + key tiebreaks (ulp-stable across engines)",
 )
 def a0103_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    cp = (
-        od.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("pk"))
-        .distinct()
-        .localCheckpoint(eager=False)
+    edges = od.join(li, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("pk")
     )
-    deg = (
-        cp.groupBy("pk")
-        .agg(F.count("*").alias("d"))
+    # ONE shuffle builds the per-part buyer basket: collect_set dedupes
+    # (cust, pk) edges inside the same exchange the degree needs anyway
+    baskets = (
+        edges.groupBy("pk")
+        .agg(F.sort_array(F.collect_set("cust")).alias("cs"))
+        .select("cs", F.size("cs").alias("d"))
         .filter(F.col("d").between(_AA_DEG_MIN, _AA_DEG_MAX))
-        .select(F.col("pk").alias("dpk"), "d")  # rename: deg derives from cp, avoid self-join ambiguity
-        .localCheckpoint(eager=False)
+        .select("cs", "d", (1.0 / F.log(F.col("d"))).alias("w"))
     )
-    # prune BEFORE the pair self-join: the degree cap is a broadcast
-    # semi-join on the edge frame, so out-of-range parts never enter the
-    # pair explosion (interleaved A/B at sf1.0: 29.9s -> 23.6s median)
-    cp = cp.join(F.broadcast(deg.select(F.col("dpk").alias("pk"))), "pk", "left_semi")
-    a, b = cp.alias("a"), cp.alias("b")
+    # row-local pair explode: c1 at position i pairs with the sorted tail
+    # slice(cs, i+2, d) (1-based start; length d safely over-covers), so
+    # c1 < c2 by construction and the weight rides along — no join
     pairs = (
-        a.join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.cust") < F.col("b.cust")))
-        .join(deg, F.col("a.pk") == F.col("dpk"))
-        .groupBy(F.col("a.cust").alias("c1"), F.col("b.cust").alias("c2"))
-        .agg((F.sum(1.0 / F.log(F.col("d")))).alias("score"), F.count("*").alias("n_common"))
+        baskets.select("w", "d", "cs", F.posexplode("cs").alias("i", "c1"))
+        .select(
+            "w",
+            "c1",
+            F.explode(F.slice("cs", F.col("i") + F.lit(2), F.col("d"))).alias("c2"),
+        )
+        .groupBy("c1", "c2")
+        .agg(F.sum("w").alias("score"), F.count("*").alias("n_common"))
     )
     return (
-        pairs.orderBy(F.desc("score"), "c1", "c2")
-        .limit(_AA_TOP)
-        .select(
+        pairs.select(
             F.col("c1").cast("long").alias("c1"),
             F.col("c2").cast("long").alias("c2"),
             F.col("n_common").cast("long").alias("n_common"),
             F.round("score", 6).alias("aa_score"),
         )
+        .orderBy(F.desc("aa_score"), "c1", "c2")
+        .limit(_AA_TOP)
     )
 
 
