@@ -461,15 +461,24 @@ def a0053_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a0054 — item-item collaborative filtering (the classic neighborhood
 # recommender): each brand's profile is its per-customer purchase-count
 # vector; brand-brand cosine = Σ_c cnt(c,b1)·cnt(c,b2) / (‖b1‖‖b2‖).
-# The dot products come from the shard-by-user basket layout: per
-# customer, collect the sorted (brand, cnt) struct array and emit
-# co-rated pairs as a ROW-LOCAL tail-slice explode (the q128/a0093
-# co-occurrence idiom — pairs bounded by Σ_c brands_c², brands_c ≤ 25,
+# The dot products come from the shard-by-user basket layout, round-12
+# packed-long edition: brands are int-encoded through the broadcast part
+# join BEFORE the orderkey shuffle (payload shrinks from strings to
+# ints), ONE groupBy(cust) collects the raw sorted index list, and the
+# (brand, cnt) run-length encoding happens ROW-LOCALLY as packed longs
+# (idx << 40 | cnt — primitive long arrays through sort/slice/explode,
+# no struct boxing). Co-rated pairs then explode via the q128/a0093
+# tail-slice idiom (bounded by Σ_c brands_c², brands_c ≤ 25,
 # map-side-combined into ~300 brand-pair groups, no self-join shuffle);
-# norms are a 25-row broadcast. Integer dot products and IEEE sqrt keep
-# the cosine engine-exact at 6 decimals. A/B at sf1.0 (interleaved,
-# warm median-of-3): basket explode 3.58 s vs customer self-join
-# 3.92 s, and one fewer shuffle of the rating frame.
+# norms re-derive from the same checkpointed baskets; index→brand
+# mapping returns at the 300-row tail as a literal-array element_at.
+# Integer dot products and IEEE sqrt keep the cosine engine-exact at 6
+# decimals. Interleaved A/B at sf1.0 (warm median): packed 2.6 s vs
+# struct-RLE 3.1 s vs r11 two-shuffle struct layout 3.2 s vs pivoted
+# 625-expression Gram aggregate 12.8 s (falls out of codegen). Floor:
+# the 3-way join ALONE (od⋈li⋈pt, count) is 1.0 s at sf1.0 — equal to
+# DuckDB's entire query wall — so the residual ratio is exchange cost on
+# the data-grown fact join, not plan shape; see BENCH_FLOOR.
 # ---------------------------------------------------------------------------
 
 _CF_TOP = 15
@@ -499,34 +508,59 @@ _CF_TOP = 15
     ORDER BY p.dot / (n1.nrm * n2.nrm) DESC, p.b1, p.b2
     LIMIT {_CF_TOP}
     """,
-    description=f"item-item collaborative filtering: brand-brand cosine over per-customer purchase-count vectors, dot products from per-customer sorted (brand,cnt) arrays pair-exploded row-locally (bounded by Σ per-customer brand-set², never item all-pairs, no self-join shuffle), norms a 25-row broadcast, top-{_CF_TOP} most similar brand pairs with tie-free order — the classic neighborhood recommender in its shard-by-user distributed layout; integer dots + IEEE sqrt keep the cosine engine-exact",
+    description=f"item-item collaborative filtering: brand-brand cosine over per-customer purchase-count vectors — brands int-encoded below the fact join (shuffle payload ints, not strings), ONE groupBy(cust) collects the sorted index list, (brand,cnt) run-length encodes row-locally as packed longs (idx<<40|cnt, primitive arrays through the tail-slice pair explode — bounded by Σ per-customer brand-set², never item all-pairs, no self-join shuffle), norms re-derived from the same checkpointed baskets, top-{_CF_TOP} most similar brand pairs with tie-free order; integer dots + IEEE sqrt keep the cosine engine-exact",
 )
 def a0054_itemitem_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    cb = (
-        od.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
-        .agg(F.count("*").alias("cnt"))
+    # bounded catalog collect (~25 brands by spec): the index map keeps
+    # every shuffle payload primitive; strings return only at the tail
+    brands = sorted(r[0] for r in pt.select("p_brand").distinct().collect())
+    bmap = F.create_map(*[x for i, b in enumerate(brands) for x in (F.lit(b), F.lit(i))])
+    barr = F.array(*[F.lit(b) for b in brands])
+    libi = li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_orderkey", bmap[F.col("p_brand")].cast("long").alias("bi")
     )
-    # checkpoint the 150k-row basket frame, not the 3M-row rating frame:
-    # norms re-derive row-locally from the same arrays (A/B at sf1.0,
-    # interleaved warm: 3.35 s vs 3.58 s for the cb-checkpoint layout)
-    baskets = cb.groupBy("cust").agg(
-        F.array_sort(F.collect_list(F.struct("brand", "cnt"))).alias("bs")
+    rows = od.join(libi, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.col("o_custkey").alias("cust"), "bi"
+    )
+    raw = rows.groupBy("cust").agg(F.sort_array(F.collect_list("bi")).alias("raw"))
+    # row-local RLE into packed longs: cnt < 2^40 by construction (a
+    # customer's purchase count), idx < 25 — sort order == brand order
+    _PK = F.lit(1 << 40)
+    baskets = raw.select(
+        F.transform(
+            F.array_distinct("raw"),
+            lambda b: b * _PK + F.size(F.filter(F.col("raw"), lambda y: y == b)).cast("long"),
+        ).alias("bs")
     ).localCheckpoint(eager=False)
+    _CM = F.lit((1 << 40) - 1)
     norms = (
         baskets.select(F.explode("bs").alias("s"))
-        .groupBy(F.col("s.brand").alias("brand"))
-        .agg(F.sqrt(F.sum(F.col("s.cnt") * F.col("s.cnt"))).alias("nrm"))
+        .groupBy(F.shiftright("s", 40).alias("bi"))
+        # integer square + BIGINT sum (exact, order-free), sqrt once
+        .agg(
+            F.sqrt(
+                F.sum(F.col("s").bitwiseAND(_CM) * F.col("s").bitwiseAND(_CM))
+            ).alias("nrm")
+        )
+        .select(F.element_at(barr, (F.col("bi") + 1).cast("int")).alias("brand"), "nrm")
     )
     pairs = (
         baskets.select(F.posexplode("bs").alias("i", "s1"), "bs")
         .select("s1", F.explode(F.slice("bs", F.col("i") + 2, F.size("bs"))).alias("s2"))
-        .groupBy(F.col("s1.brand").alias("b1"), F.col("s2.brand").alias("b2"))
-        .agg(F.sum(F.col("s1.cnt") * F.col("s2.cnt")).alias("dot"), F.count("*").alias("n_users"))
+        .groupBy(F.shiftright("s1", 40).alias("i1"), F.shiftright("s2", 40).alias("i2"))
+        .agg(
+            F.sum(F.col("s1").bitwiseAND(_CM) * F.col("s2").bitwiseAND(_CM)).alias("dot"),
+            F.count("*").alias("n_users"),
+        )
+        .select(
+            F.element_at(barr, (F.col("i1") + 1).cast("int")).alias("b1"),
+            F.element_at(barr, (F.col("i2") + 1).cast("int")).alias("b2"),
+            "dot",
+            "n_users",
+        )
     )
     n1 = norms.select(F.col("brand").alias("b1"), F.col("nrm").alias("nrm1"))
     n2 = norms.select(F.col("brand").alias("b2"), F.col("nrm").alias("nrm2"))
