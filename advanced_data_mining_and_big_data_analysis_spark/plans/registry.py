@@ -66,6 +66,7 @@ def all_queries() -> dict[str, QueryDef]:
         round10d,
         round10e,
         round11,
+        round12,
         sessions,
         similarity,
         sources_ext,
