@@ -84,7 +84,20 @@ HEADLINE = [
     "q130_prefix_filter_simjoin",
     # round-10 addition: the composed end-to-end corpus pipeline
     "a0142_flagship_pipeline",
+    # round-12 additions (VERDICT r11 item 7): exercise the newest plan
+    # families in the driver-visible number — the multi-stage Viterbi
+    # burst detector, the MRL mergeable quantile sketch, and the
+    # DuckDB-DNF Apriori flagship
+    "a0092_burst_detection",
+    "a0089_mrl_quantile_summary",
+    "a0053_apriori_triples",
 ]
+
+# queries whose DuckDB denominator is not a like-for-like comparison
+# (a0053: DNF-class planner behavior on the basket family — a real win,
+# reported separately; a0092: the oracle replays a linear Viterbi as an
+# O(n^2) recursive CTE — an artifact). Excluded from the *_core totals.
+_FLAGSHIP_DENOM = {"a0053_apriori_triples", "a0092_burst_detection"}
 
 
 def duckdb_timings(sf_dir: str, names: list[str], qs) -> dict[str, float]:
@@ -230,6 +243,20 @@ def main() -> None:
         "duckdb_total": round(sum(duck.values()), 3),
         "errors": errors,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "_notes": {
+            "a0053_apriori_triples": (
+                "DuckDB's ~190s at sf0.1 is a REAL comparative result (its "
+                "planner struggles on the basket self-join family; DNF >580s "
+                "at sf1.0) — but it dominates duckdb_total, so compare the "
+                "aggregate with and without this query when judging the ratio"
+            ),
+            "a0092_burst_detection": (
+                "DuckDB's ~60s is mostly a closed-form-oracle ARTIFACT: the "
+                "oracle replays the Viterbi DP as an O(n^2) recursive CTE; "
+                "the comparative signal is the Spark wall, not this ratio "
+                "(same class as the BENCH_FLOOR _notes entries)"
+            ),
+        },
     }
     # Full breakdown goes to a file; stdout gets a compact single line.
     # The driver keeps only the tail of stdout, so the printed line must
@@ -257,6 +284,17 @@ def main() -> None:
         "warm_total": round(sum(warm.values()), 3),
         "cold_total": round(total, 3),
         "duckdb_total": round(sum(duck.values()), 3),
+        # _core = excluding a0053/a0092, whose DuckDB walls dominate the
+        # denominator (real DNF-class result resp. recursive-CTE oracle
+        # artifact — see BENCH_DETAIL _notes). The honest like-for-like
+        # ratio is warm_core/duckdb_core; the flagship wins are reported
+        # separately rather than averaged into the gate.
+        "warm_core": round(
+            sum(v for k, v in warm.items() if k not in _FLAGSHIP_DENOM), 3
+        ),
+        "duckdb_core": round(
+            sum(v for k, v in duck.items() if k not in _FLAGSHIP_DENOM), 3
+        ),
         "n_errors": len(errors),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

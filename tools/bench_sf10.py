@@ -1,12 +1,20 @@
-"""sf10 spot-check of the dedup/retrieval heavies (VERDICT r10 item 7).
+"""sf10 per-round benchmark of the dedup/retrieval heavies.
 
-Runs the capped-dedup and mining headliners at /tmp/spark_graft_sf10
-(100x sf0.1: 60M lineitem / 500k documents / 200k embeddings / 10M
-events, built by tools/make_sf.py — duplicate groups replicated 100x,
-the adversarial case for every pair-generating operator). Per query:
-cold wall, one warm re-run, and the same-machine DuckDB oracle time
-under a hard alarm cap. Also records the single-JVM peak RSS (VmHWM)
-— the whole local[32] engine's high-water mark. Writes BENCH_SF10.json.
+Promoted from spot-check to per-round artifact in round 12 (VERDICT r11
+item 5): decade-scale regressions are the class sf0.1 cannot see, so the
+pinned suite re-runs each round and writes BENCH_SF10.json plus a
+round-stamped BENCH_SF10_r{N}.json when --round N is given.
+
+Runs at /tmp/spark_graft_sf10 (100x sf0.1: 60M lineitem / 500k
+documents / 200k embeddings / 10M events, built by tools/make_sf.py —
+duplicate groups replicated 100x, the adversarial case for every
+pair-generating operator). Per query: cold wall, warm MEDIAN-OF-3
+fresh-plan re-runs (single warm for q114, whose oracle-pinned fixed-k
+regime is the known quadratic the a0001 twin exists to fix), and the
+same-machine DuckDB oracle time under a hard alarm cap. DuckDB entries
+already recorded as >cap DNF carry forward unless the query is named on
+argv — re-burning the cap to reproduce a DNF string is wasted wall.
+Also records the single-JVM peak RSS (VmHWM).
 
 With sf0.1 and sf1.0 (BENCH_SF1.json) this gives three measured decades
 for the 100 TB extrapolation.
@@ -33,7 +41,14 @@ QUERIES = [
     "q114_semdedup",
     "q130_prefix_filter_simjoin",
     "a0053_apriori_triples",
+    # round-12 additions (VERDICT r11 item 5)
+    "a0103_adamic_adar",
+    "a0054_itemitem_cf",
+    "a0001_semdedup_autok",
 ]
+# q114's oracle-pinned fixed-k regime is quadratic per decade (the a0001
+# twin carries the production rule): one warm rep, not three
+SINGLE_WARM = {"q114_semdedup"}
 
 
 def jvm_peak_rss_gib(spark) -> float:
@@ -92,8 +107,14 @@ def duck_time(sql: str) -> float | str:
 def main() -> None:
     # optional argv names: re-measure just those and merge into the
     # existing BENCH_SF10.json (after reshaping one query the whole
-    # spot-check need not re-run)
-    only = set(sys.argv[1:])
+    # suite need not re-run). --round N also writes BENCH_SF10_r{N}.json.
+    args = sys.argv[1:]
+    round_no = None
+    if "--round" in args:
+        i = args.index("--round")
+        round_no = int(args[i + 1])
+        args = args[:i] + args[i + 2 :]
+    only = set(args)
     spark = get_spark("bench_sf10")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
@@ -101,7 +122,8 @@ def main() -> None:
         "note": (
             "sf10 spot-check (100x sf0.1 replica: 60M lineitem / 500k docs / "
             "200k embeddings / 10M events; duplicate groups replicated 100x). "
-            "Spark cold + one warm fresh-plan re-run per query on local[32]; "
+            "Spark cold + warm median-of-3 fresh-plan re-runs per query on "
+            "local[32] (single warm for q114's known fixed-k quadratic); "
             f"DuckDB runs the registered oracle SQL, {DUCK_CAP_S}s alarm cap, "
             "fresh in-process connection per query. peak_rss_gib = the single "
             "local-mode JVM's VmHWM after all Spark runs (driver+executors in "
@@ -112,26 +134,39 @@ def main() -> None:
         "duckdb_sec": {},
         "errors": {},
     }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prior = {}
+    try:
+        with open(os.path.join(root, "BENCH_SF10.json")) as f:
+            prior = json.load(f)
+    except FileNotFoundError:
+        pass
     if only:
-        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        try:
-            with open(os.path.join(root, "BENCH_SF10.json")) as f:
-                out = json.load(f)
-            out.setdefault("errors", {})
-        except FileNotFoundError:
-            pass
+        out = prior or out
+        out.setdefault("errors", {})
+    elif prior.get("scale_reading"):
+        # keep the per-query scale commentary across full refreshes
+        # (updated by hand when a query's story changes)
+        out["scale_reading"] = prior["scale_reading"]
+    out.setdefault("rows", {})
+    out.setdefault("warm_reps_sec", {})
     for name in [n for n in QUERIES if not only or n in only]:
         try:
             t0 = time.time()
             n = qs[name].fn(spark, SF_DIR).count()
             cold = round(time.time() - t0, 1)
-            t0 = time.time()
-            qs[name].fn(spark, SF_DIR).count()
-            warm = round(time.time() - t0, 1)
+            reps = []
+            for _ in range(1 if name in SINGLE_WARM else 3):
+                t0 = time.time()
+                qs[name].fn(spark, SF_DIR).count()
+                reps.append(round(time.time() - t0, 1))
+            warm = sorted(reps)[len(reps) // 2]
             out["spark_cold_sec"][name] = cold
             out["spark_warm_sec"][name] = warm
+            out["warm_reps_sec"][name] = reps
+            out["rows"][name] = n
             out["errors"].pop(name, None)
-            print(f"{name}: cold {cold}s warm {warm}s rows {n}", flush=True)
+            print(f"{name}: cold {cold}s warm_med {warm}s reps {reps} rows {n}", flush=True)
         except Exception as e:  # noqa: BLE001
             out["errors"][name] = f"{type(e).__name__}: {e}"[:300]
             print(f"{name}: ERROR {e}", flush=True)
@@ -141,12 +176,21 @@ def main() -> None:
     for name in [n for n in QUERIES if not only or n in only]:
         if name in out["errors"]:
             continue
+        have = out["duckdb_sec"].get(name, prior.get("duckdb_sec", {}).get(name))
+        if have is not None and name not in only:
+            # carry forward: a recorded cap-DNF (or a prior real time)
+            # need not be re-burned every round
+            out["duckdb_sec"][name] = have
+            continue
         out["duckdb_sec"][name] = duck_time(qs[name].oracle)
         print(f"{name}: duckdb {out['duckdb_sec'][name]}", flush=True)
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "BENCH_SF10.json"), "w") as f:
         json.dump(out, f, indent=1)
     print("wrote BENCH_SF10.json", flush=True)
+    if round_no is not None:
+        with open(os.path.join(root, f"BENCH_SF10_r{round_no:02d}.json"), "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote BENCH_SF10_r{round_no:02d}.json", flush=True)
 
 
 if __name__ == "__main__":
