@@ -87,24 +87,46 @@ def _km_d2_spark(v: Column, cv: Column) -> Column:
 
 
 def _km_assign_spark(emb: DataFrame, cb: DataFrame) -> DataFrame:
-    """Row-local argmin against a 1-row broadcast of all k centroids."""
-    cb_row = cb.agg(
-        F.collect_list(F.struct(F.col("cid"), F.col("cv"))).alias("cbs")
-    )
-    scored = emb.crossJoin(F.broadcast(cb_row)).select(
-        "vec_id",
-        "v",
-        F.array_min(
-            F.transform(
-                F.col("cbs"),
-                lambda c: F.struct(
-                    _km_d2_spark(F.col("v"), c["cv"]).alias("d2"),
-                    c["cid"].alias("cid"),
-                ),
+    """Nearest-centroid assignment via the a0001 BLAS kernel.
+
+    The k-row collect is bounded by the k = _KM_K literal (the Lloyd
+    loop materializes each 8-row centroid frame eagerly anyway); the
+    collected codebook rides into one Arrow-batched dgemm per batch —
+    |x|^2 - 2 xC' + |c|^2, rounded to 9 dp like the oracle's d2, with
+    np.argmin's first-minimum tie matching ORDER BY d2, cid (codebook
+    rows sorted by cid). The r11 variant broadcast a 1-row struct array
+    and ran the unrolled d2 inside a transform() lambda — higher-order
+    lambdas evaluate INTERPRETED per row x centroid (12.9 s warm at
+    sf1.0); a literal-unrolled 8x64 expression tree was A/B'd too and
+    is ANALYSIS-bound (1.8 MiB task binaries, 17.5 s). Round-9 absorbs
+    the dgemm reassociation exactly as in a0001, and the downstream
+    inertia/mean aggregates round at 4/6 dp — far above ulp noise."""
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted((r["cid"], list(r["cv"])) for r in cb.collect())
+    sids = np.array([c for c, _ in cents], dtype=np.int64)
+    cmat = np.array([v for _, v in cents], dtype=np.float64)
+    c2 = (cmat * cmat).sum(axis=1)[None, :]
+
+    def assign(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            xm = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            x2 = (xm * xm).sum(axis=1, keepdims=True)
+            acc = np.round(x2 - 2.0 * (xm @ cmat.T) + c2, 9)
+            best = np.argmin(acc, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "cid": sids[best],
+                    "d2": acc[np.arange(len(best)), best],
+                }
             )
-        ).alias("m"),
-    )
-    return scored.select("vec_id", "v", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
+
+    return emb.mapInPandas(assign, "vec_id long, v array<double>, cid long, d2 double")
 
 
 def _km_update_spark(assigned: DataFrame) -> DataFrame:
@@ -1412,42 +1434,53 @@ _MF_TOP = 10
     description=f"one batch-gradient Funk-SVD step (rank-1) on the (customer, brand) implicit-rating matrix r = ln(1+dollars): summed gradients p' = p + lr(Σe·q − reg·p), q' likewise against OLD factors — order-independent, so the step is two keyed aggregates + two joins (user factors shuffle on the key the ratings already carry; the 25-row brand frame broadcasts); factors rounded 6 dp before the post-step RMSE audit; top-{_MF_TOP} brands by updated factor",
 )
 def a0083_mf_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round-12 reshape (interleaved A/B at sf1.0: 5.9 -> 4.05 s warm in
+    # one session): (1) brands int-encode and prices become EXACT cent
+    # longs BELOW the orderkey shuffle — per-row round(x*100) longs sum
+    # to the same integer as round(SUM(x)*100) because prices are
+    # cent-valued (drift ~1e-10 around an integer, never near .5) — so
+    # the shuffle payload is (okey, int, long) and the rating agg is a
+    # long sum; (2) the user factor p attaches as a u-PARTITIONED WINDOW
+    # over the rating frame instead of groupBy(u) + SMJ join-back — one
+    # exchange replaces an exchange + two sorts + a join; q stays a
+    # 25-group map-side-combined agg + broadcast (a window over b would
+    # sort 3M rows into 25 partitions — worse).
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_extendedprice"
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # bounded catalog collect (~25 brands by spec), same as a0054
+    brands = sorted(r[0] for r in part.select("p_brand").distinct().collect())
+    bmap = F.create_map(*[x for i, b in enumerate(brands) for x in (F.lit(b), F.lit(i))])
+    barr = F.array(*[F.lit(b) for b in brands])
+    libi = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey",
+        bmap[F.col("p_brand")].cast("int").alias("bi"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
     ratings = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        # part is data-grown (linear in SF): merge-pin, AQE upgrades to
-        # broadcast at runtime while small (the q130 sf10 lesson)
-        .join(part.hint("merge"), li.l_partkey == part.p_partkey)
-        .groupBy(F.col("o_custkey").alias("u"), F.col("p_brand").alias("b"))
-        .agg(
-            F.round(
-                F.log(
-                    1.0
-                    + F.round(F.sum("l_extendedprice") * 100, 0).cast("long") / 100.0
-                ),
-                6,
-            ).alias("r")
-        )
+        libi.join(orders, libi.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("u"), "bi")
+        .agg(F.round(F.log(1.0 + F.sum("cents") / 100.0), 6).alias("r"))
     )
-    e0 = ratings.withColumn("e", F.col("r") - _MF_INIT * _MF_INIT).localCheckpoint(
-        eager=False
-    )  # p1/q1/rmse passes reuse it
-    p1 = e0.groupBy("u").agg(
+    e0 = ratings.withColumn("e", F.col("r") - _MF_INIT * _MF_INIT)
+    wu = Window.partitionBy("u")
+    withp = e0.withColumn(
+        "p",
         F.round(
-            _MF_INIT + _MF_LR * (F.sum(F.col("e") * _MF_INIT) - _MF_REG * _MF_INIT), 6
-        ).alias("p")
-    )
-    q1 = e0.groupBy("b").agg(
+            _MF_INIT
+            + _MF_LR * (F.sum(F.col("e") * _MF_INIT).over(wu) - _MF_REG * _MF_INIT),
+            6,
+        ),
+    ).localCheckpoint(eager=False)  # q1 + rmse passes reuse it
+    q1 = withp.groupBy("bi").agg(
         F.round(
             _MF_INIT + _MF_LR * (F.sum(F.col("e") * _MF_INIT) - _MF_REG * _MF_INIT), 6
         ).alias("q"),
         F.count("*").cast("long").alias("n_ratings"),
     ).localCheckpoint(eager=True)  # brand-dim frame, reused twice
-    joined = e0.join(p1, "u").join(F.broadcast(q1), "b")
+    joined = withp.join(F.broadcast(q1), "bi")
     e_after = F.col("r") - F.col("p") * F.col("q")
     m = joined.agg(
         F.round(F.sqrt(F.avg(F.col("e") * F.col("e"))), 6).alias("rmse_before"),
@@ -1456,7 +1489,7 @@ def a0083_mf_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         q1.crossJoin(F.broadcast(m))
         .select(
-            F.col("b").alias("brand"),
+            F.element_at(barr, F.col("bi") + 1).alias("brand"),
             "n_ratings",
             F.round("q", 6).alias("q_new"),
             "rmse_before",

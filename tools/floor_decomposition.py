@@ -126,6 +126,34 @@ WEAK = [
     "a0103_adamic_adar",
     "a0104_sax_motifs",
     "a0105_range_partition_plan",
+    # round-12 (VERDICT r11 item 4): the round-11 mining/stats wave gets
+    # the same 3-SF ladder + data_ratio_01 evidence, plus the new
+    # SemDeDup scale twin. a0092's duckdb_01 is the O(n^2) recursive-CTE
+    # oracle replay, not a comparative number — see _notes.
+    "a0070_kmeans_lloyd",
+    "a0071_centroid_silhouette",
+    "a0072_chi2_cramers",
+    "a0073_mannwhitney_u",
+    "a0074_binseg_changepoint",
+    "a0075_benford_audit",
+    "a0076_fd_discovery",
+    "a0077_clustering_coeff",
+    "a0078_kmv_theta_setops",
+    "a0079_rake_keywords",
+    "a0080_winnow_fingerprints",
+    "a0081_grubbs_outliers",
+    "a0082_bloom_semijoin",
+    "a0083_mf_gradient_step",
+    "a0084_uplift_segments",
+    "a0085_tfidf_keywords",
+    "a0086_spearman_corr",
+    "a0087_kendall_tau_daily",
+    "a0088_lorenz_gini",
+    "a0089_mrl_quantile_summary",
+    "a0090_jpeg_lossless_decode",
+    "a0091_jpeg_lossless12_decode",
+    "a0092_burst_detection",
+    "a0001_semdedup_autok",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
