@@ -200,3 +200,210 @@ def a0001_semdedup_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("removed_id"), F.col("cluster").alias("kept_id"))
         .orderBy("removed_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# a0002 — HDBSCAN-style density-level hierarchy over the customer
+# feature grid (the VERDICT r11 item-8 stretch, next to a0070 k-means
+# and a0100 grid mode-seeking). Points are customers embedded at
+# (x, y) = (ln(1+total spend), ln(1+order count)), snapped to an
+# h-sized grid; for each density level tau in _DLH_TAUS the level set
+# is DBSCAN*-flat: dense cells (count >= tau) merge through 8-way
+# adjacency into clusters (Campello/Moulavi/Sander's hierarchy read at
+# fixed lambdas — the condensed-tree profile n_clusters(tau) is what
+# HDBSCAN builds its stability measure on).
+#
+# Scale shape: the ONLY data-sized work is one groupBy(cell) count —
+# the cell graph is bounded by GRID EXTENT (~(range/h)^2 cells, and the
+# feature range grows logarithmically with data), NOT by N, so the
+# level sets, adjacency and connected components all run on a frame
+# that stays ~10^4 rows at any corpus size. Compare a0001/q114: density
+# clustering that materializes point-pair neighborhoods inherits a
+# quadratic cell-occupancy term; aggregating to cell counts FIRST is
+# what survives 100 TB.
+#
+# CC on the cell graph is hook+jump min-label propagation: each round
+# takes the neighbor minimum, then COMPOSES the label map with itself
+# (label := label-of-label), so convergence needs O(log diameter)
+# rounds instead of O(diameter); _DLH_ROUNDS = 8 covers diameter 2^8 on
+# a graph whose true diameter is bounded by the grid extent, and a
+# final fixpoint assertion raises rather than return partial labels
+# (the near_dup_clusters discipline, dedup.py:470).
+# ---------------------------------------------------------------------------
+
+_DLH_H = 0.05  # grid cell side in feature units
+_DLH_TAUS = (4, 16, 64, 256)
+_DLH_ROUNDS = 8
+
+
+def _dlh_feats_sql() -> str:
+    return f"""
+      SELECT o_custkey AS id,
+             ROUND(LN(1 + CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT) / 100.0), 6) AS x,
+             ROUND(LN(1 + COUNT(*)), 6) AS y
+      FROM orders GROUP BY 1
+    """
+
+
+@query(
+    "a0002_density_level_hierarchy",
+    oracle=f"""
+    WITH RECURSIVE f AS ({_dlh_feats_sql()}),
+    g AS (
+      SELECT CAST(FLOOR(x / {_DLH_H}) AS BIGINT) AS cx,
+             CAST(FLOOR(y / {_DLH_H}) AS BIGINT) AS cy,
+             COUNT(*) AS n
+      FROM f GROUP BY 1, 2),
+    tot AS (SELECT COUNT(*) AS n_pts FROM f),
+    lv(tau) AS (VALUES (4), (16), (64), (256)),
+    dc AS (SELECT lv.tau, cx, cy, n, cx * 100000 + cy AS cid
+           FROM g CROSS JOIN lv WHERE n >= lv.tau),
+    ed AS (
+      SELECT a.tau, a.cid AS ca, b.cid AS cb
+      FROM dc a JOIN dc b
+        ON a.tau = b.tau AND abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+       AND a.cid <> b.cid),
+    reach(tau, id, lab) AS (
+      SELECT tau, cid, cid FROM dc
+      UNION
+      SELECT ed.tau, ed.ca, reach.lab
+      FROM ed JOIN reach ON ed.tau = reach.tau AND ed.cb = reach.id),
+    labels AS (SELECT tau, id, MIN(lab) AS lab FROM reach GROUP BY 1, 2),
+    sizes AS (
+      SELECT l.tau, l.lab, SUM(dc.n) AS pts
+      FROM labels l JOIN dc ON dc.tau = l.tau AND dc.cid = l.id
+      GROUP BY 1, 2),
+    lvl AS (
+      SELECT s.tau,
+             COUNT(*) AS n_clusters,
+             MAX(s.pts) AS largest_cluster_pts,
+             SUM(s.pts) AS dense_pts,
+             (SELECT COUNT(*) FROM dc WHERE dc.tau = s.tau) AS n_dense_cells
+      FROM sizes s GROUP BY s.tau)
+    SELECT lv.tau,
+           CAST(COALESCE(l.n_dense_cells, 0) AS BIGINT) AS n_dense_cells,
+           CAST(COALESCE(l.n_clusters, 0) AS BIGINT) AS n_clusters,
+           CAST(COALESCE(l.largest_cluster_pts, 0) AS BIGINT) AS largest_cluster_pts,
+           CAST(t.n_pts - COALESCE(l.dense_pts, 0) AS BIGINT) AS noise_pts
+    FROM lv LEFT JOIN lvl l ON l.tau = lv.tau CROSS JOIN tot t
+    ORDER BY lv.tau
+    """,
+    description=f"HDBSCAN-style density-level hierarchy (condensed-tree profile): customers embed at (ln spend, ln orders) on an h={_DLH_H} grid, and each density level tau in {_DLH_TAUS} reads the DBSCAN* flat clustering — dense cells (>= tau points) merged through 8-way adjacency — reporting n_dense_cells / n_clusters / largest cluster / noise per level; the only data-sized work is ONE groupBy(cell) count (the cell graph is bounded by grid extent, not N), and the CC is hook+jump min-label propagation converging in O(log diameter) rounds with a fixpoint assertion",
+)
+def a0002_density_level_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    feats = orders.groupBy("o_custkey").agg(
+        F.round(
+            F.log(
+                1.0 + F.round(F.sum("o_totalprice") * 100, 0).cast("long") / 100.0
+            ),
+            6,
+        ).alias("x"),
+        F.round(F.log(1.0 + F.count("*")), 6).alias("y"),
+    )
+    cells = (
+        feats.groupBy(
+            F.floor(F.col("x") / _DLH_H).cast("long").alias("cx"),
+            F.floor(F.col("y") / _DLH_H).cast("long").alias("cy"),
+        )
+        .agg(F.count("*").alias("n"))
+        .withColumn("cid", F.col("cx") * 100000 + F.col("cy"))
+        .localCheckpoint(eager=False)  # every level set reuses the counts
+    )
+    tot = feats.agg(F.count("*").alias("n_pts"))
+    taus = F.array(*[F.lit(t) for t in _DLH_TAUS])
+    dc = (
+        cells.select("cx", "cy", "n", "cid", F.explode(taus).alias("tau"))
+        .filter(F.col("n") >= F.col("tau"))
+        .localCheckpoint(eager=False)  # edges + sizes + CC reuse it
+    )
+    # 8-way adjacency as an equi-join: each dense cell probes its 9-cell
+    # neighborhood (cell frame is grid-extent-bounded, never data-sized)
+    nine = F.array(*[F.lit(d) for d in range(-1, 2)])
+    probes = dc.select(
+        "tau",
+        F.col("cid").alias("ca"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    nine,
+                    lambda dx: F.transform(
+                        nine, lambda dy: (F.col("cx") + dx) * 100000 + F.col("cy") + dy
+                    ),
+                )
+            )
+        ).alias("nk"),
+    ).filter(F.col("nk") != F.col("ca"))
+    dcb = dc.select(F.col("tau").alias("tb"), F.col("cid").alias("cb"))
+    edges = probes.join(
+        dcb, (F.col("nk") == F.col("cb")) & (F.col("tau") == F.col("tb"))
+    ).select("tau", "ca", "cb")
+    both = edges.unionAll(
+        edges.select("tau", F.col("cb").alias("ca"), F.col("ca").alias("cb"))
+    ).localCheckpoint(eager=False)
+    labels = dc.select("tau", F.col("cid").alias("id"), F.col("cid").alias("lab"))
+    for r in range(_DLH_ROUNDS):
+        nmin = (
+            both.join(labels, (both.tau == labels.tau) & (both.cb == labels.id))
+            .groupBy(both.tau.alias("tau"), F.col("ca").alias("id"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        hooked = (
+            labels.join(nmin, ["tau", "id"], "left")
+            .select("tau", "id", F.least("lab", "nlab").alias("lab"))
+        )
+        # jump: label := label-of-label (labels are themselves cell ids)
+        jm = hooked.select(
+            F.col("tau").alias("jtau"), F.col("id").alias("jid"), F.col("lab").alias("jlab")
+        )
+        labels = (
+            hooked.join(
+                jm, (hooked.tau == jm.jtau) & (hooked.lab == jm.jid), "left"
+            )
+            .select("tau", "id", F.least("lab", "jlab").alias("lab"))
+            .localCheckpoint(eager=False)
+        )
+    # fixpoint assertion: one more hook round must change nothing
+    verify = (
+        both.join(labels, (both.tau == labels.tau) & (both.cb == labels.id))
+        .groupBy(both.tau.alias("tau"), F.col("ca").alias("id"))
+        .agg(F.min("lab").alias("nlab"))
+        .join(labels, ["tau", "id"])
+        .filter(F.col("nlab") < F.col("lab"))
+        .count()
+    )
+    if verify != 0:
+        raise RuntimeError(
+            f"density-level CC did not converge in {_DLH_ROUNDS} hook+jump rounds"
+        )
+    sizes = (
+        labels.join(
+            dc.select("tau", F.col("cid").alias("id"), "n"), ["tau", "id"]
+        )
+        .groupBy("tau", "lab")
+        .agg(F.sum("n").alias("pts"))
+    )
+    lvl = sizes.groupBy("tau").agg(
+        F.count("*").alias("n_clusters"),
+        F.max("pts").alias("largest_cluster_pts"),
+        F.sum("pts").alias("dense_pts"),
+    )
+    ncells = dc.groupBy("tau").agg(F.count("*").alias("n_dense_cells"))
+    lv = dc.sparkSession.createDataFrame([(t,) for t in _DLH_TAUS], "tau int")
+    return (
+        lv.join(F.broadcast(ncells), "tau", "left")
+        .join(F.broadcast(lvl), "tau", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tau",
+            F.coalesce("n_dense_cells", F.lit(0)).cast("long").alias("n_dense_cells"),
+            F.coalesce("n_clusters", F.lit(0)).cast("long").alias("n_clusters"),
+            F.coalesce("largest_cluster_pts", F.lit(0))
+            .cast("long")
+            .alias("largest_cluster_pts"),
+            (F.col("n_pts") - F.coalesce("dense_pts", F.lit(0)))
+            .cast("long")
+            .alias("noise_pts"),
+        )
+        .orderBy("tau")
+    )
