@@ -261,8 +261,15 @@ def near_dup_pairs(
         id_col,
         max_bucket_size,
     )
+    # every join below pairs two DATA-GROWN sides (bucket assignments;
+    # the shingle-SET frame is GBs at sf10): pin merge so neither the
+    # static planner nor a post-agg stats misestimate can pick broadcast
+    # — at sf10 the r12 bench caught exactly that, a ~1 GiB broadcast
+    # build of the collect_set frame OOMing stage materialization (the
+    # q130 lesson; AQE can still locally optimize, it just can't demote
+    # a static broadcast, so merge is the safe pin)
     a = buckets.alias("a")
-    b = buckets.alias("b")
+    b = buckets.hint("merge").alias("b")
     cand = (
         a.join(
             b,
@@ -274,7 +281,7 @@ def near_dup_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    sh = base.select(F.col(id_col).alias("_id"), F.col("_sh"))
+    sh = base.select(F.col(id_col).alias("_id"), F.col("_sh")).hint("merge")
     pairs = (
         cand.join(sh.select(F.col("_id"), F.col("_sh").alias("sh_a")), F.col("id_a") == F.col("_id"))
         .drop("_id")

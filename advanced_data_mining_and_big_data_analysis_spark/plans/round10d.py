@@ -973,6 +973,23 @@ def a0103_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row-local pair explode: c1 at position i pairs with the sorted tail
     # slice(cs, i+2, d) (1-based start; length d safely over-covers), so
     # c1 < c2 by construction and the weight rides along — no join
+    # size the pair exchange by fact cardinality: the explode emits
+    # ~Σ deg²/2 rows (~870M at sf10) whose (c1,c2) groups are nearly all
+    # distinct, so the aggregate's hash state is pair-count-sized — under
+    # the local harness's 64-partition ceiling one partition's state is
+    # ~14M keys and the sf10 run OOMed the heap. A real cluster's default
+    # parallelism scales with input; locally we reproduce that by scaling
+    # the exchange width with the lineitem file size (≈8 MiB per
+    # partition; the same signal spark.sql.files.maxPartitionBytes uses).
+    # repartition(N, c1, c2) SATISFIES the groupBy's clustering, so this
+    # is the same single shuffle, just wider at scale.
+    import os as _os
+
+    try:
+        _bytes = _os.path.getsize(_os.path.join(sf_dir, "lineitem.parquet"))
+    except OSError:
+        _bytes = 0
+    n_part = max(32, min(1024, _bytes // (8 << 20)))
     pairs = (
         baskets.select("w", "d", "cs", F.posexplode("cs").alias("i", "c1"))
         .select(
@@ -980,6 +997,7 @@ def a0103_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c1",
             F.explode(F.slice("cs", F.col("i") + F.lit(2), F.col("d"))).alias("c2"),
         )
+        .repartition(n_part, "c1", "c2")
         .groupBy("c1", "c2")
         .agg(F.sum("w").alias("score"), F.count("*").alias("n_common"))
     )

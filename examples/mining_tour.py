@@ -36,6 +36,8 @@ STOPS = [
     ("association rules", "a0093_association_rules", 5),
     ("Apriori triples", "a0053_apriori_triples", 5),
     ("grid-density clusters", "a0100_grid_density_clusters", 6),
+    ("density-level hierarchy (HDBSCAN profile)", "a0002_density_level_hierarchy", 4),
+    ("Lloyd k-means", "a0070_kmeans_lloyd", 8),
     ("distance outliers", "a0062_distance_outliers", 5),
     ("item-item CF", "a0054_itemitem_cf", 5),
     ("RFM segments", "a0057_rfm_segments", 5),
