@@ -91,8 +91,12 @@ def test_driver_window_is_exactly_the_renamed_block():
 
     renamed = sorted(n for n in q if n.startswith("a"))
     # r11: a0050–a0069 (the renamed r10e wave) + a0070–a0091 (round-11
-    # additions) join the historical a052+ blocks
-    renamed_nums = set(range(50, 100)) | set(range(138, 144)) | set(range(144, 200))
+    # additions) join the historical a052+ blocks; r12: new queries are
+    # born in the a0001–a0049 range so they LEAD the window (VERDICT r11
+    # item 6) — every future round's additions belong in that range too
+    renamed_nums = (
+        set(range(1, 50)) | set(range(50, 100)) | set(range(138, 144)) | set(range(144, 200))
+    )
     for a in renamed:
         num = int(a[1:].split("_", 1)[0])
         # round 10: a0133 (ex-q132 warclite) + a0134–a0204 additions
