@@ -115,13 +115,40 @@ def duckdb_timings(sf_dir: str, names: list[str], qs) -> dict[str, float]:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     out: dict[str, float] = {}
+    # per-oracle alarm cap: a0053's basket family runs ~190s in DuckDB at
+    # sf0.1 and a0092's recursive-CTE replay ~60s — real results, but the
+    # whole bench must stay inside the driver's window, so a capped entry
+    # records the cap (a LOWER bound on DuckDB's time: the Spark/DuckDB
+    # ratio can only be UNDERSTATED by this, never flattered). Both
+    # queries are excluded from the *_core gate ratio anyway.
+    import signal
+
+    cap_s = int(os.environ.get("SPARK_GRAFT_DUCK_CAP_S", "90"))
+
+    class _Alarm(Exception):
+        pass
+
+    def _raise(signum, frame):
+        raise _Alarm
+
+    signal.signal(signal.SIGALRM, _raise)
     for name in names:
         sql = qs[name].oracle
         if sql is None:
             continue
         t0 = time.time()
-        con.execute(sql).fetchall()
-        out[name] = round(time.time() - t0, 3)
+        signal.alarm(cap_s)
+        try:
+            con.execute(sql).fetchall()
+            out[name] = round(time.time() - t0, 3)
+        except Exception:  # noqa: BLE001 — alarm or duck interrupt
+            out[name] = float(cap_s)
+            try:
+                con.interrupt()
+            except Exception:
+                pass
+        finally:
+            signal.alarm(0)
     con.close()
     return out
 
@@ -245,10 +272,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "_notes": {
             "a0053_apriori_triples": (
-                "DuckDB's ~190s at sf0.1 is a REAL comparative result (its "
-                "planner struggles on the basket self-join family; DNF >580s "
-                "at sf1.0) — but it dominates duckdb_total, so compare the "
-                "aggregate with and without this query when judging the ratio"
+                "DuckDB's recorded time is the 90s ALARM CAP (its true wall "
+                "is ~190s at sf0.1; DNF >580s at sf1.0) — a real comparative "
+                "result that would otherwise dominate duckdb_total AND the "
+                "bench wall, so the cap keeps the run bounded and the ratio "
+                "can only be UNDERSTATED; excluded from the *_core gate"
             ),
             "a0092_burst_detection": (
                 "DuckDB's ~60s is mostly a closed-form-oracle ARTIFACT: the "
