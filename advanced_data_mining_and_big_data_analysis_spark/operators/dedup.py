@@ -267,7 +267,9 @@ def near_dup_pairs(
     # — at sf10 the r12 bench caught exactly that, a ~1 GiB broadcast
     # build of the collect_set frame OOMing stage materialization (the
     # q130 lesson; AQE can still locally optimize, it just can't demote
-    # a static broadcast, so merge is the safe pin)
+    # a static broadcast, so merge is the safe pin). Measured cost of
+    # the pin at sf0.1: ~0.2 s on q41 (hint-noop A/B, 2.2 vs 2.0 warm)
+    # against an sf10 run that does not finish at all unpinned.
     a = buckets.alias("a")
     b = buckets.hint("merge").alias("b")
     cand = (
