@@ -677,6 +677,15 @@ def _parse_baseline(content: bytes) -> tuple[int, int, list[np.ndarray]]:
                 cid = payload[1 + 2 * si]
                 tbls = payload[2 + 2 * si]
                 scan.append((cid, tbls >> 4, tbls & 0x0F))
+            # validate table references at parse time (T.81 B.2.4.2):
+            # an AC table sharing the same Th must not satisfy a DC
+            # lookup, so a missing class/id pair is a ValueError here,
+            # not a KeyError deep inside the MCU loop
+            for cid, dc_id, ac_id in scan:
+                if (0, dc_id) not in huff:
+                    raise ValueError(f"missing DC Huffman table {dc_id}")
+                if (1, ac_id) not in huff:
+                    raise ValueError(f"missing AC Huffman table {ac_id}")
             data_start = pos + 2 + length
             break
         pos += 2 + length
@@ -1099,6 +1108,14 @@ def _parse_progressive(content: bytes) -> tuple[int, int, list[np.ndarray]]:
                 scan_comps.append((cid, tbls >> 4, tbls & 0x0F))
             ss, se, a = payload[1 + 2 * ns : 4 + 2 * ns]
             ah, al = a >> 4, a & 0x0F
+            # parse-time table validation (T.81 B.2.4.2): only the scans
+            # that consult a table need it defined — first DC scans read
+            # (0, Td); AC scans (first and refinement) read (1, Ta)
+            for cid, dc_id, ac_id in scan_comps:
+                if ss == 0 and ah == 0 and (0, dc_id) not in huff:
+                    raise ValueError(f"missing DC Huffman table {dc_id}")
+                if ss != 0 and (1, ac_id) not in huff:
+                    raise ValueError(f"missing AC Huffman table {ac_id}")
             data_start = pos + 2 + length
             data_end = _entropy_end(content, data_start)
             br = _BitReader(content[data_start:data_end])
@@ -1545,7 +1562,13 @@ def _parse_lossless(content: bytes) -> tuple[int, int, list[np.ndarray]]:
             td = seg[2] >> 4
             psel = seg[1 + 2 * ns]
             data_start = pos + 2 + length
-            dc_tbl = huff[(0, td)]  # lossless scans use DC-class tables
+            # lossless scans use DC-class tables; an SOS naming a table
+            # id never defined as DC class is malformed (T.81 B.2.4.2) —
+            # raise the module's ValueError convention, not a KeyError
+            # (an AC table with the same Th must NOT satisfy the lookup)
+            if (0, td) not in huff:
+                raise ValueError(f"missing DC Huffman table {td}")
+            dc_tbl = huff[(0, td)]
             break
         pos += 2 + length
     if data_start < 0:

@@ -118,10 +118,46 @@ _AK_CAP = 200  # salted per-cell cap: per-task matmul never exceeds cap^2
     description=f"SemDeDup at the PRODUCTION scaling rules (q114's scale twin): k = ceil(N/{_AK_TARGET}) stride-seeded coarse cells, broadcast-codebook nearest-seed assignment (one Arrow-batched pass, d2 rounded 9 with ties to the lowest seed id), PLUS the salted per-cell cap (rank by md5(cell||id), salt = (rank-1) div {_AK_CAP} — the a083/LSH guard, both engines replay it) so a 100x-replicated duplicate clique can never re-inflate a cell past cap^2, then q114's blocked-matmul epsilon-ball pairs + connected components — total cost LINEAR in N per decade, the measured fix for q114's fixed-k quadratic regime at sf10",
 )
 def a0001_semdedup_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    salted = _ak_salted_assign(spark, sf_dir)
+    thr = _SD_THR
+
     import numpy as np
     import pandas as pd
 
-    from ..operators import dedup as D
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one dense matmul per ~target-sized cell (the q114 kernel,
+        # similarity.py:447): n x 64 -> n x n cosines, float64 so
+        # round(cos, 9) agrees with the SQL oracle
+        ids = pdf["vec_id"].to_numpy()
+        xm = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(xm, axis=1)
+        norms[norms == 0.0] = 1.0
+        cos = (xm @ xm.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = np.round(cos[iu, ju], 9) >= thr
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame({"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)})
+
+    pairs = salted.groupBy("cluster", "salt").applyInPandas(
+        cluster_pairs, "id_a long, id_b long"
+    )
+    labels = D.near_dup_clusters(pairs)
+    return (
+        labels.filter(F.col("id") != F.col("cluster"))
+        .select(F.col("id").alias("removed_id"), F.col("cluster").alias("kept_id"))
+        .orderBy("removed_id")
+    )
+
+
+def _ak_salted_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The a0001 coarse-quantize + salted-cap frame (vec_id, cluster, v,
+    salt), exposed separately so tests can pin the OOM-guard invariant —
+    max per-(cluster, salt) group size <= _AK_CAP — on the REAL frame
+    (planted rows included) rather than re-deriving it."""
+    import numpy as np
+    import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", SIM.as_double("embedding").alias("v"))
@@ -171,34 +207,8 @@ def a0001_semdedup_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.col("cluster").cast("string"), F.col("vec_id").cast("string"))),
         "vec_id",
     )
-    salted = assign.withColumn(
+    return assign.withColumn(
         "salt", F.floor((F.row_number().over(wc) - 1) / _AK_CAP).cast("long")
-    )
-
-    thr = _SD_THR
-
-    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one dense matmul per ~target-sized cell (the q114 kernel,
-        # similarity.py:447): n x 64 -> n x n cosines, float64 so
-        # round(cos, 9) agrees with the SQL oracle
-        ids = pdf["vec_id"].to_numpy()
-        xm = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(xm, axis=1)
-        norms[norms == 0.0] = 1.0
-        cos = (xm @ xm.T) / np.outer(norms, norms)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = np.round(cos[iu, ju], 9) >= thr
-        a, b = ids[iu[keep]], ids[ju[keep]]
-        return pd.DataFrame({"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)})
-
-    pairs = salted.groupBy("cluster", "salt").applyInPandas(
-        cluster_pairs, "id_a long, id_b long"
-    )
-    labels = D.near_dup_clusters(pairs)
-    return (
-        labels.filter(F.col("id") != F.col("cluster"))
-        .select(F.col("id").alias("removed_id"), F.col("cluster").alias("kept_id"))
-        .orderBy("removed_id")
     )
 
 

@@ -141,12 +141,21 @@ def duckdb_timings(sf_dir: str, names: list[str], qs) -> dict[str, float]:
         try:
             con.execute(sql).fetchall()
             out[name] = round(time.time() - t0, 3)
-        except Exception:  # noqa: BLE001 — alarm or duck interrupt
+        except _Alarm:
+            # genuine timeout: the cap is a LOWER bound on DuckDB's time,
+            # so the Spark/DuckDB ratio can only be understated
             out[name] = float(cap_s)
             try:
                 con.interrupt()
             except Exception:
                 pass
+        except Exception as e:  # noqa: BLE001
+            # a FAILING oracle (syntax, OOM, schema drift) must never be
+            # logged as if DuckDB spent cap_s on it — that would inflate
+            # duckdb_core and flatter the gate ratio. Record an explicit
+            # error entry instead (bench_sf1_mining.py does the same);
+            # main() drops non-numeric entries from every total.
+            out[name] = f"error: {type(e).__name__}: {e}"[:200]
         finally:
             signal.alarm(0)
     con.close()
@@ -252,6 +261,11 @@ def main() -> None:
         duck = duckdb_timings(sf_dir, [n for n in names if n in timings], qs)
     except Exception:
         duck = {}
+    # error-string entries (failing oracles) are excluded from every
+    # total/ratio — only genuine timings (incl. the alarm-cap lower
+    # bounds) may enter the denominator
+    duck_num = {k: v for k, v in duck.items() if isinstance(v, (int, float))}
+    duck_err = {k: v for k, v in duck.items() if not isinstance(v, (int, float))}
 
     try:
         spark.stop()
@@ -267,7 +281,8 @@ def main() -> None:
         "warm_queries": warm,
         "warm_total": round(sum(warm.values()), 3),
         "duckdb_queries": duck,
-        "duckdb_total": round(sum(duck.values()), 3),
+        "duckdb_total": round(sum(duck_num.values()), 3),
+        "duckdb_errors": duck_err,
         "errors": errors,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "_notes": {
@@ -311,7 +326,7 @@ def main() -> None:
         "queries": warm,
         "warm_total": round(sum(warm.values()), 3),
         "cold_total": round(total, 3),
-        "duckdb_total": round(sum(duck.values()), 3),
+        "duckdb_total": round(sum(duck_num.values()), 3),
         # _core = excluding a0053/a0092, whose DuckDB walls dominate the
         # denominator (real DNF-class result resp. recursive-CTE oracle
         # artifact — see BENCH_DETAIL _notes). The honest like-for-like
@@ -321,9 +336,10 @@ def main() -> None:
             sum(v for k, v in warm.items() if k not in _FLAGSHIP_DENOM), 3
         ),
         "duckdb_core": round(
-            sum(v for k, v in duck.items() if k not in _FLAGSHIP_DENOM), 3
+            sum(v for k, v in duck_num.items() if k not in _FLAGSHIP_DENOM), 3
         ),
         "n_errors": len(errors),
+        "n_oracle_errors": len(duck_err),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     line = json.dumps(compact, separators=(",", ":"))

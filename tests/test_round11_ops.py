@@ -126,3 +126,20 @@ def test_lossless12_random_roundtrip() -> None:
         assert (planes[0].astype(np.int64) == img).all()
 
     check()
+
+
+def test_lossless_jpeg_missing_dc_table_is_valueerror() -> None:
+    """An SOS whose Td names a table defined only as AC class must fail
+    with the module's ValueError convention, not a KeyError — and an AC
+    table sharing the same Th must NOT satisfy the DC lookup
+    (T.81 B.2.4.2 keys tables by (class, id))."""
+    blob = bytearray(
+        jpeg.make_jpeg_lossless(8, 8, lambda x, y: (x + y) % 256, predictor=1)
+    )
+    dht = blob.find(b"\xff\xc4")
+    assert dht >= 0
+    tc_th = dht + 4  # marker(2) + length(2) -> Tc/Th byte
+    assert blob[tc_th] >> 4 == 0  # encoder writes a DC-class table
+    blob[tc_th] |= 0x10  # reclassify as AC, same id
+    with pytest.raises(ValueError, match="missing DC Huffman table"):
+        jpeg._parse(bytes(blob))

@@ -33,39 +33,45 @@ def test_a0001_removed_always_to_smaller_keeper(spark, sf_dir):
 def test_a0001_cells_respect_salted_cap(spark, sf_dir):
     """No (cluster, salt) cell may exceed the cap — the property that
     kept sf10's 100x-replicated corpus from OOMing the matmul workers.
-    Rebuilds the assignment exactly as the query does (count, stride
-    seeds, BLAS argmin, md5-ranked salt) and checks cell sizes."""
-    import numpy as np
+    Collects the REAL salted frame (planted +100000 copies included)
+    and (a) checks every (cluster, salt) group size directly, (b)
+    replays the md5-ranked salting in pure Python and asserts the
+    query's salts match — so a broken window spec (wrong partitionBy,
+    wrong order keys, off-by-one in the floor) fails here even while
+    the small-SF oracle hash stays green."""
+    import hashlib
+    from collections import Counter, defaultdict
 
     from advanced_data_mining_and_big_data_analysis_spark.plans import round12 as R
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    rows = (
+        R._ak_salted_assign(spark, sf_dir)
+        .select("vec_id", "cluster", "salt")
+        .collect()
     )
-    n = base.count()
-    k = -(-n // R._AK_TARGET)
-    step = -(-n // k)
-    seed_rows = base.filter(F.col("vec_id") % step == 0).orderBy("vec_id").collect()
-    cmat = np.array([r["v"] for r in seed_rows], dtype=np.float64)
-    sids = np.array([r["vec_id"] for r in seed_rows], dtype=np.int64)
-    pts = base.collect()
-    xm = np.array([r["v"] for r in pts], dtype=np.float64)
-    acc = np.round(
-        (xm * xm).sum(1, keepdims=True)
-        - 2.0 * (xm @ cmat.T)
-        + (cmat * cmat).sum(1)[None, :],
-        9,
-    )
-    cl = sids[np.argmin(acc, axis=1)]
-    from collections import Counter
+    n_base = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) > n_base, "planted +100000 copies must be in the frame"
 
-    sizes = Counter(cl)
-    # the salt shards each cluster into ceil(size/cap) cells of <= cap
-    for c, s in sizes.items():
-        shards = -(-s // R._AK_CAP)
-        assert shards >= 1
-        assert s <= shards * R._AK_CAP
+    # (a) the OOM guard itself, on the actual frame
+    sizes = Counter((r["cluster"], r["salt"]) for r in rows)
+    assert max(sizes.values()) <= R._AK_CAP
+    # at least one cluster must actually have been sharded at bench SFs
+    # (otherwise the cap is untested dead code at this SF)
+    per_cluster = Counter(r["cluster"] for r in rows)
+    assert any(s > R._AK_CAP for s in per_cluster.values()) == any(
+        r["salt"] > 0 for r in rows
+    )
+
+    # (b) replay the salt rule: rank by (md5(cluster||vec_id), vec_id)
+    # within each cluster, salt = (rank-1) // cap
+    by_cluster = defaultdict(list)
+    for r in rows:
+        key = hashlib.md5(f"{r['cluster']}{r['vec_id']}".encode()).hexdigest()
+        by_cluster[r["cluster"]].append((key, r["vec_id"], r["salt"]))
+    for members in by_cluster.values():
+        members.sort(key=lambda t: (t[0], t[1]))
+        for rank0, (_, vid, got_salt) in enumerate(members):
+            assert got_salt == rank0 // R._AK_CAP, (vid, got_salt, rank0)
 
 
 def test_a0002_level_monotonicity(spark, sf_dir):

@@ -177,9 +177,12 @@ def main() -> None:
         if name in out["errors"]:
             continue
         have = out["duckdb_sec"].get(name, prior.get("duckdb_sec", {}).get(name))
-        if have is not None and name not in only:
-            # carry forward: a recorded cap-DNF (or a prior real time)
-            # need not be re-burned every round
+        if isinstance(have, str) and name not in only:
+            # carry forward ONLY recorded cap-DNF strings — re-burning the
+            # cap to reproduce a DNF is wasted wall. NUMERIC prior timings
+            # are re-measured on every full refresh so the DuckDB
+            # denominators never go stale across data/oracle changes
+            # (ADVICE r12: the old branch also reused numeric entries).
             out["duckdb_sec"][name] = have
             continue
         out["duckdb_sec"][name] = duck_time(qs[name].oracle)
