@@ -1664,8 +1664,12 @@ _TFIDF_TOP = 10
            FROM rows_w GROUP BY doc_id, lang, w, dlen),
     df AS (SELECT w, COUNT(DISTINCT doc_id) * 1.0 AS df FROM rows_w GROUP BY w),
     sc AS (
+      -- idf is constant per w, so it FACTORS out of the doc sum:
+      -- SUM(cnt/dlen * ln(N/df)) = SUM(cnt/dlen) * ln(N/df) — spelled
+      -- in the factored form on both engines so the only
+      -- reassociation left is the shared SUM
       SELECT lang, w, CAST(ANY_VALUE(df.df) AS BIGINT) AS doc_freq,
-             ROUND(SUM(tf.cnt / tf.dlen * ln((SELECT n_docs FROM n) / df.df)), 6) AS score
+             ROUND(SUM(tf.cnt / tf.dlen) * ln((SELECT n_docs FROM n) / ANY_VALUE(df.df)), 6) AS score
       FROM tf JOIN df USING (w)
       GROUP BY lang, w
     )
@@ -1676,30 +1680,61 @@ _TFIDF_TOP = 10
     WHERE rk <= {_TFIDF_TOP}
     ORDER BY lang, rank
     """,
-    description=f"TF-IDF keyword ranking per language: Σ_docs (count/doc_len)·ln(N/df) — one corpus tokenize, (doc,word) counts, vocabulary-sized df frame broadcast back, per-lang top-{_TFIDF_TOP} via the rank-limit window (WindowGroupLimit — no full vocabulary sort); scores rounded to 6 BEFORE ranking with token tie-breaks, the a0229 float-tie lesson",
+    description=f"TF-IDF keyword ranking per language: Σ_docs (count/doc_len)·ln(N/df) — per-doc term counts are ROW-LOCAL (array_sort + run-length boundaries, no (doc,word) shuffle), ONE (lang,word)-keyed aggregate feeds both df (= Σ_lang doc counts) and the score sum, idf factored out of the doc sum on both engines, per-lang top-{_TFIDF_TOP} via the rank-limit window; scores rounded to 6 BEFORE ranking with token tie-breaks, the a0229 float-tie lesson",
 )
 def a0085_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round-13 reshape (interleaved A/B at sf1.0: r12 plan 5.16 s ->
+    # 3.61 s warm in one session; stage decomposition: tokenize alone
+    # 0.17 s, explode to 2.7M token rows 1.37 s, the (doc, w) shuffle
+    # agg 3.29 s): per-doc term counts are ROW-LOCAL — a doc's tokens
+    # live in one array — so array_sort + run-length boundaries replace
+    # explode + groupBy(doc, w): the plan emits 1.16M pre-counted
+    # (lang, dlen, w, cnt) rows instead of 2.7M raw tokens and the
+    # (doc, w) exchange disappears entirely. df(w) = Σ_lang of the
+    # per-(lang, w) doc counts, so ONE data-sized aggregate feeds both
+    # the df frame and the score sum (the checkpointed frame is
+    # vocab-x-lang sized, not corpus-sized). idf factors out of the doc
+    # sum (constant per w) — both engines spell the factored form.
+    # At 100 TB the knob is none: one input-sized explode, one
+    # (lang, w)-keyed exchange, vocabulary-bounded frames after.
     from ..operators import text as X
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", X.tokens("text").alias("toks")
     )
     n = docs.agg((F.count("*") * 1.0).alias("n_docs"))
-    rows_w = docs.select(
-        "doc_id", "lang", (F.size("toks") * 1.0).alias("dlen"), F.explode("toks").alias("w")
-    ).localCheckpoint(eager=False)  # tf and df passes reuse one tokenize
-    tf = rows_w.groupBy("doc_id", "lang", "w", "dlen").agg((F.count("*") * 1.0).alias("cnt"))
-    df = rows_w.groupBy("w").agg((F.countDistinct("doc_id") * 1.0).alias("df"))
+    d2 = docs.select(
+        "lang", (F.size("toks") * 1.0).alias("dlen"), F.array_sort("toks").alias("st")
+    )
+    idxs = F.filter(
+        F.sequence(F.lit(1), F.size("st")),
+        lambda i: (i == 1) | (F.element_at("st", i) != F.element_at("st", i - 1)),
+    )
+    d3 = d2.select("lang", "dlen", F.col("st"), idxs.alias("idxs"))
+    pairs = F.transform(
+        "idxs",
+        lambda x, j: F.struct(
+            F.element_at("st", x).alias("w"),
+            (F.coalesce(F.try_element_at("idxs", j + F.lit(2)), F.size("st") + 1) - x)
+            .cast("double")
+            .alias("cnt"),
+        ),
+    )
+    g = (
+        d3.select("lang", "dlen", F.explode(pairs).alias("p"))
+        .groupBy("lang", F.col("p.w").alias("w"))
+        .agg(F.count("*").alias("c"), F.sum(F.col("p.cnt") / F.col("dlen")).alias("s"))
+        .localCheckpoint(eager=False)  # vocab-x-lang sized, feeds df + score
+    )
+    df = g.groupBy("w").agg(F.sum("c").cast("double").alias("df"))
     sc = (
-        tf.join(F.broadcast(df), "w")
+        g.join(F.broadcast(df), "w")
         .crossJoin(F.broadcast(n))
-        .groupBy("lang", "w")
-        .agg(
-            F.any_value("df").cast("long").alias("doc_freq"),
-            F.round(
-                F.sum(F.col("cnt") / F.col("dlen") * F.log(F.col("n_docs") / F.col("df"))),
-                6,
-            ).alias("score"),
+        .select(
+            "lang",
+            "w",
+            F.col("df").cast("long").alias("doc_freq"),
+            F.round(F.col("s") * F.log(F.col("n_docs") / F.col("df")), 6).alias("score"),
         )
     )
     wr = Window.partitionBy("lang").orderBy(F.desc("score"), "w")
