@@ -41,6 +41,11 @@ _AR_MIN_SUPPORT = 0.01
 _AR_TOP = 15
 
 
+# Scale rule (100 TB): min-support is the pruning knob: the candidate
+# frame after the support filter is what pair-explodes, so at 100 TB
+# support rises (or the per-basket tail-slice cap tightens) to hold
+# candidate volume; the basket collect_set is degree-capped by
+# construction.
 @query(
     "a0093_association_rules",
     oracle=f"""
@@ -139,6 +144,9 @@ def a0093_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WRS_K = 25
 
 
+# Scale rule (100 TB): k is the sample size (output contract), not a cost
+# knob — one pass, one top-k by exponential key; at 100 TB k only changes
+# the per-partition heap size.
 @query(
     "a0094_weighted_reservoir",
     oracle=f"""
@@ -189,6 +197,9 @@ def a0094_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PSI_BINS = 10
 
 
+# Scale rule (100 TB): bin count is a convention constant (10 deciles);
+# boundaries come from the reference window's quantiles and the scoring
+# pass is one aggregate per window.
 @query(
     "a0095_psi_drift",
     oracle=f"""
@@ -294,6 +305,8 @@ def a0095_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OLS_W = 28
 
 
+# Scale rule (100 TB): the window length is a time constant (28 days)
+# over the calendar rollup — frame bounded by days, not N.
 @query(
     "a0096_rolling_ols",
     oracle=f"""
@@ -373,6 +386,9 @@ def a0096_rolling_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Scale rule (100 TB): seasonal period is a calendar constant (7); the
+# decomposition runs on the day rollup — time-bounded frame after one
+# data-sized aggregate.
 @query(
     "a0097_stl_decompose",
     oracle="""
@@ -644,6 +660,10 @@ _GRID = 16
 _GRID_MINPTS = 3
 
 
+# Scale rule (100 TB): the cell width h is the knob and it is RESOLUTION,
+# not cost: the cell frame is bounded by grid extent (~(range/h)^2), so
+# CC and mode-seeking never touch data-sized frames (a0002 generalizes
+# this to the level-set hierarchy).
 @query(
     "a0100_grid_density_clusters",
     oracle=f"""
@@ -780,6 +800,9 @@ _HC_TOP = 15
 _HC_SPLIT = "2024-01-16"
 
 
+# Scale rule (100 TB): top-N is the output contract; the change scores
+# come from two bounded sketch frames — the knob at 100 TB is the sketch
+# width (CMS lesson, q119), not N.
 @query(
     "a0101_heavy_change",
     oracle=f"""
@@ -1028,6 +1051,9 @@ _SAX_TOP = 10
 _SAX_BP = 0.6745
 
 
+# Scale rule (100 TB): alphabet size and word length are SAX resolution
+# constants; the motif count runs on the word-frame (days/word_len rows)
+# — time-bounded.
 @query(
     "a0104_sax_motifs",
     oracle=f"""
@@ -1115,6 +1141,9 @@ _RP_BUCKETS = 256
 _RP_PARTS = 16
 
 
+# Scale rule (100 TB): bucket count ~ target output partitions (cluster-
+# width knob): the histogram is one aggregate; boundaries are a bounded
+# frame at any corpus.
 @query(
     "a0105_range_partition_plan",
     oracle=f"""

@@ -1267,6 +1267,9 @@ def _em_oracle() -> str:
     """
 
 
+# Scale rule (100 TB): component count is a domain constant (model
+# order): responsibilities are one broadcast-parameter pass (N x k work),
+# the M-step a k-bounded aggregate — same shape rule as a0070.
 @query(
     "a0060_em_gmm_step",
     oracle=_em_oracle(),
@@ -1415,6 +1418,10 @@ def _pca_oracle() -> str:
     """
 
 
+# Scale rule (100 TB): rounds are log-bounded by construction (trace-
+# normalized matrix SQUARING: 8 squarings = C^256) and the only data-
+# sized stage is the one covariance aggregate; d x d frames are
+# dimension-bounded.
 @query(
     "a0061_pca_power",
     oracle=_pca_oracle(),
@@ -1516,6 +1523,9 @@ _DO_MINPTS = 3
 _DO_TOP = 20
 
 
+# Scale rule (100 TB): the grid width bounds each point's candidate
+# neighborhood (27 cells) — the knob is cell width ~ eps, and the per-
+# cell count cap is the skew guard; never all-pairs.
 @query(
     "a0062_distance_outliers",
     oracle=f"""
@@ -1806,6 +1816,9 @@ def _mk_oracle() -> str:
     """
 
 
+# Scale rule (100 TB): T^32 via 5 doublings is state-count-bounded
+# (transition matrix is |states|^2, a catalog frame); the only data-sized
+# stage is the transition-count aggregate.
 @query(
     "a0064_markov_stationary",
     oracle=_mk_oracle(),
@@ -2017,6 +2030,9 @@ def _logit_oracle() -> str:
     """
 
 
+# Scale rule (100 TB): Newton steps are fixed by quadratic convergence (3
+# suffice at any N since the Hessian is 3x3 — feature-bounded); each step
+# is ONE pass computing gradient+Hessian moments.
 @query(
     "a0066_logistic_newton",
     oracle=_logit_oracle(),

@@ -141,6 +141,12 @@ def _km_update_spark(assigned: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=True)  # 8-row frame: truncate the unrolled lineage
 
 
+# Scale rule (100 TB): k is fixed at 8 for oracle parity; in production k
+# is set by domain (clusters wanted), NOT by N — assignment stays one
+# dgemm per Arrow batch (cost ~ N*k*d) and the update a k x d aggregate,
+# so the plan SHAPE is k-invariant (no twin needed; the only k-sized
+# artifact is the collected codebook, the same documented bound as
+# a0001's).
 @query(
     "a0070_kmeans_lloyd",
     oracle=f"""
@@ -191,6 +197,10 @@ def a0070_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Scale rule (100 TB): inherits a0070's k rule — the per-point work is
+# one k-row distance fold against the broadcast centroid frame;
+# simplified silhouette (centroid form) is chosen precisely because the
+# pairwise form is O(N^2) and this is O(N*k).
 @query(
     "a0071_centroid_silhouette",
     oracle=f"""
@@ -304,6 +314,9 @@ def _chi2_duck(a: str, b: str) -> str:
     """
 
 
+# Scale rule (100 TB): no data-scaled parameter — the contingency frame
+# is bounded by category cardinality (flags x status), so everything
+# after the one fact aggregate is constant-sized at any corpus.
 @query(
     "a0072_chi2_cramers",
     oracle="\nUNION ALL\n".join(_chi2_duck(a, b) for a, b in _CHI_PAIRS)
@@ -395,6 +408,9 @@ def _phi_upper_spark(x: Column) -> Column:
     return F.exp(-x * x / 2.0) / F.sqrt(F.lit(2.0) * F.lit(3.141592653589793)) * poly
 
 
+# Scale rule (100 TB): the knob is the bucket width: keep the bucket
+# frame ~4x cluster width so the offset cumsum stays a bounded driver
+# frame; the data-sized work is one exchange either way.
 @query(
     "a0073_mannwhitney_u",
     oracle=f"""
@@ -539,6 +555,9 @@ _BS_MIN_SEG = 3
 _BS_TOP = 5
 
 
+# Scale rule (100 TB): no data-scaled parameter — the split search runs
+# on the calendar-day rollup, a time-bounded frame (one data-sized
+# aggregate feeds it); MIN_SEG/TOP are test-design constants.
 @query(
     "a0074_binseg_changepoint",
     oracle=f"""
@@ -636,6 +655,8 @@ def _benford_duck(table: str, col: str) -> str:
     """
 
 
+# Scale rule (100 TB): no data-scaled parameter — the digit frame is 9
+# rows; one fact aggregate is the only data-sized stage.
 @query(
     "a0075_benford_audit",
     oracle=f"""
@@ -719,6 +740,10 @@ def _fd_duck(table: str, lhs: str, rhs: str) -> str:
     """
 
 
+# Scale rule (100 TB): the candidate LIST is the knob (pairs to audit),
+# not the data: each FD check is two count-distinct aggregates over the
+# fact; at 100 TB prune candidates by column-profile heuristics before
+# auditing.
 @query(
     "a0076_fd_discovery",
     oracle="\nUNION ALL\n".join(_fd_duck(t, l, r) for t, l, r in _FD_CANDIDATES)
@@ -759,6 +784,10 @@ _CC_CAP = 20
 _CC_TOP = 20
 
 
+# Scale rule (100 TB): the degree cap IS the scale guard: per-node
+# neighbor lists are capped before the wedge explode, so pair work is
+# cap^2-bounded per node whatever the degree distribution (same family as
+# the LSH salt caps); raise the cap only with cluster width.
 @query(
     "a0077_clustering_coeff",
     oracle=f"""
@@ -925,6 +954,10 @@ def _kmv_oracle() -> str:
     """
 
 
+# Scale rule (100 TB): k controls ACCURACY (rank error ~ 1/sqrt(k)), not
+# data cost — the sketch build is one bottom-k per bucket and every
+# merged frame stays k-bounded; at 100 TB raise k for precision, never
+# for throughput.
 @query(
     "a0078_kmv_theta_setops",
     oracle=_kmv_oracle(),
@@ -1042,6 +1075,9 @@ _RAKE_TOKS = (
 )
 
 
+# Scale rule (100 TB): phrase length cap and stoplist are linguistic
+# constants; the only data-sized work is the tokenize + one
+# (phrase)-keyed aggregate — vocabulary-bounded after.
 @query(
     "a0079_rake_keywords",
     oracle=f"""
@@ -1154,6 +1190,9 @@ _WIN_CAP = 8
 _WIN_TOP = 20
 
 
+# Scale rule (100 TB): k/w are fingerprint-density constants (Schleimer's
+# guarantee needs them fixed); the per-bucket CAP is the scale guard
+# bounding the candidate join at cap^2 per fingerprint bucket.
 @query(
     "a0080_winnow_fingerprints",
     oracle=f"""
@@ -1276,6 +1315,9 @@ def _grubbs_round_duck(frame: str, r: int) -> str:
     """
 
 
+# Scale rule (100 TB): rounds are test-design (each round removes one
+# outlier); each round is one pass, so cost is rounds x one aggregate —
+# at 100 TB the knob is rounds, linearly.
 @query(
     "a0081_grubbs_outliers",
     oracle=f"""
@@ -1347,6 +1389,11 @@ def _bsj_pos_sql(g: str, j: str) -> str:
     return f"CAST(CONCAT('0x', substr(md5({g}), 1 + 8 * {j}, 8)) AS BIGINT) % {_BSJ_M}"
 
 
+# Scale rule (100 TB): m scales with DISTINCT probe keys (constant
+# bits/key at fixed fpr) — at 100 TB size m from an approx distinct count
+# and keep k = m/n*ln2; the filter stays a broadcast bitset as long as
+# m/8 fits an executor broadcast, else switch to the partitioned-bitset
+# variant (q115's layout).
 @query(
     "a0082_bloom_semijoin",
     oracle=f"""
@@ -1580,6 +1627,9 @@ _UPLIFT_HEAVY = 14
 _UPLIFT_T1, _UPLIFT_T2 = 60, 75
 
 
+# Scale rule (100 TB): tier thresholds and the heavy-purchaser cutoff are
+# domain constants; one user-keyed aggregate is the only data-sized
+# stage, and the tier frame is 3 rows at any corpus.
 @query(
     "a0084_uplift_segments",
     oracle=f"""
@@ -1820,6 +1870,9 @@ def _sp_pair_duck(a: str, b: str) -> str:
     """
 
 
+# Scale rule (100 TB): same two-pass prefix-sum machinery as a0073 — the
+# knob is the rank-bucket width (keep the offset frame driver-bounded);
+# rank join-back shuffles the fact once per column pair.
 @query(
     "a0086_spearman_corr",
     oracle="\nUNION ALL\n".join(_sp_pair_duck(a, b) for a, b, _, _ in _SP_PAIRS)
@@ -1887,6 +1940,9 @@ def a0086_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Scale rule (100 TB): no data-scaled parameter — tau-b runs on the
+# calendar-day rollup (time-bounded frame); the day-pair explode is
+# bounded by days^2, not N.
 @query(
     "a0087_kendall_tau_daily",
     oracle="""
@@ -1973,6 +2029,9 @@ def a0087_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LZ_BUCKET_W = 1e7  # cents (= $100k) per rank bucket
 
 
+# Scale rule (100 TB): the knob is the cent-bucket width (a0073's rule):
+# buckets ~4x cluster width keeps the offset cumsum bounded; the Lorenz
+# accumulation is exact integer cents below one exchange.
 @query(
     "a0088_lorenz_gini",
     oracle=f"""
@@ -2433,6 +2492,9 @@ def _kb_combine(a: dict, b: dict) -> dict:
     }
 
 
+# Scale rule (100 TB): no data-scaled parameter — the Viterbi DP runs per
+# (day) on the calendar rollup; gamma/s are Kleinberg model constants;
+# the one data-sized stage is the daily count aggregate.
 @query(
     "a0092_burst_detection",
     oracle=_kb_oracle(),

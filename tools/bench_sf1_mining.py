@@ -49,6 +49,8 @@ QUERIES = [
     "a0085_tfidf_keywords",
     "a0073_mannwhitney_u",
     "a0001_semdedup_autok",
+    # round-13 (VERDICT r12 item 4): a0002 gets an sf1.0 timing row
+    "a0002_density_level_hierarchy",
 ]
 
 

@@ -154,6 +154,8 @@ WEAK = [
     "a0091_jpeg_lossless12_decode",
     "a0092_burst_detection",
     "a0001_semdedup_autok",
+    # round-13: the density-level stretch gets the standard ladder too
+    "a0002_density_level_hierarchy",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
