@@ -67,6 +67,7 @@ def all_queries() -> dict[str, QueryDef]:
         round10e,
         round11,
         round12,
+        round13,
         sessions,
         similarity,
         sources_ext,

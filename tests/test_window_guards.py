@@ -51,13 +51,15 @@ ALLOWED_UNPARTITIONED: dict[str, str] = {
     "a0122_compaction_plan": "next-fit cumsum over the FILE INVENTORY frame (one row per partition file, never data rows)",
     "a0129_inbatch_negatives": "deterministic batching row_number — the oracle-parity twin of the scale path (batch = md5 mod n_batches, no sort; documented in-code)",
     "a0072_chi2_cramers": "marginal window sums over the <=|a|x|b| contingency CELL frame (tens of rows), never fact rows",
-    "a0073_mannwhitney_u": "exclusive offset cumsum over the <=128-row price-bucket frame (the in-data prefix sum is PARTITIONED by bucket)",
+    "a0073_mannwhitney_u": "r13: offsets now cumulate DRIVER-side from a bounded collect; in-data prefix windows are bucket-PARTITIONED (entry kept for the bounded-frame record)",
     "a0074_binseg_changepoint": "prefix sums over the daily revenue rollup (calendar-bounded)",
     "a0086_spearman_corr": "exclusive offset cumsum over the bounded value-bucket frame (in-data prefix is bucket-PARTITIONED, a0073 pattern)",
     "a0088_lorenz_gini": "exclusive offset cumsum over the bounded spend-bucket frame + cumulative share over the 10-row decile frame",
     "a0089_mrl_quantile_summary": "cumulative weights over the merged MRL summary (CONSTANT-bounded <= shards*k = 2048 rows; per-shard ranks are shard-PARTITIONED)",
     "a0092_burst_detection": "min-plus doubling scans (lag/lead) over the calendar-bounded daily spine — log2(T) rounds, never data rows",
     "a0131_curriculum_shards": "curriculum ntile over the score order — the oracle-parity twin of repartitionByRange(score) (sampled boundaries are not engine-reproducible)",
+    "a0005_zipf_fit": "spectrum rank over the (token,count) VOCABULARY frame (corpus-vocabulary-bounded, never token rows)",
+    "a0006_heaps_law": "cumulative tokens/vocab over the 10-row decile spine",
 }
 
 
