@@ -20,6 +20,7 @@ from pyspark.sql import Window
 
 from ..sources import load_table
 from .registry import query
+from .round12 import _dlh_feats_sql
 from .similarity import _DIMS, _SD_PLANT, _SD_THR
 
 # ---------------------------------------------------------------------------
@@ -407,4 +408,448 @@ def a0006_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0004 — grid-blocked kNN classification (the lazy-learning classic,
+# distributed the only way that scales: spatial blocking): customers
+# embed at the a0002 feature plane (x, y) = (ln(1+spend),
+# ln(1+orders)), labels are their market segment, test split is
+# custkey % 4 == 0. Train points EXPLODE into their 3x3 neighbor cells
+# (9 bounded copies), test points equi-join their own cell, so every
+# candidate pair shares a grid cell — no cross join, no global kd-tree.
+# k nearest by (d2 rounded 9, custkey) — both engines replay the exact
+# rank — majority vote with label tie-break, '(none)' when a test
+# point's neighborhood is empty. Output is the segment confusion
+# matrix (bounded at |segments|^2 rows).
+# Scale rule (100 TB): h trades candidate volume vs recall radius, and
+# the production guard for a viral cell is the same salted cap the
+# LSH/SemDeDup family uses; the 9x train explode is the constant that
+# buys equi-join blocking.
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+_KNN_H4 = 4.0  # cells per feature unit (h = 0.25)
+
+
+@query(
+    "a0004_knn_classify",
+    oracle=f"""
+    WITH f AS ({_dlh_feats_sql()}),
+    pts AS (
+      SELECT f.id, f.x, f.y,
+             CAST(FLOOR(f.x * {_KNN_H4}) AS BIGINT) AS cx,
+             CAST(FLOOR(f.y * {_KNN_H4}) AS BIGINT) AS cy,
+             c.c_mktsegment AS seg,
+             CASE WHEN f.id % 4 = 0 THEN 1 ELSE 0 END AS is_test
+      FROM f JOIN customer c ON c.c_custkey = f.id),
+    te AS (SELECT * FROM pts WHERE is_test = 1),
+    tr AS (SELECT * FROM pts WHERE is_test = 0),
+    cand AS (
+      SELECT te.id AS tid, te.seg AS tseg, tr.id AS rid, tr.seg AS rseg,
+             ROUND((te.x - tr.x) * (te.x - tr.x) + (te.y - tr.y) * (te.y - tr.y), 9) AS d2
+      FROM te JOIN tr
+        ON tr.cx BETWEEN te.cx - 1 AND te.cx + 1
+       AND tr.cy BETWEEN te.cy - 1 AND te.cy + 1),
+    knn AS (
+      SELECT tid, tseg, rseg
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY tid ORDER BY d2, rid) AS rk
+            FROM cand)
+      WHERE rk <= {_KNN_K}),
+    vote AS (SELECT tid, tseg, rseg, COUNT(*) AS c FROM knn GROUP BY 1, 2, 3),
+    pred AS (
+      SELECT tid, tseg, rseg AS pseg
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY tid ORDER BY c DESC, rseg) AS rk
+            FROM vote)
+      WHERE rk = 1)
+    SELECT te.seg AS true_seg, COALESCE(pred.pseg, '(none)') AS pred_seg,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM te LEFT JOIN pred ON pred.tid = te.id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    description=f"grid-blocked kNN classification of customer market segment on the (ln spend, ln orders) plane: train points explode into their 3x3 neighbor cells (9 bounded copies) so candidates equi-join on the shared cell — no cross join; k={_KNN_K} nearest by (d2 rounded 9, custkey), majority vote with label tie-break, '(none)' for empty neighborhoods; output the |segments|^2-bounded confusion matrix",
+)
+def a0004_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    f = orders.groupBy(F.col("o_custkey").alias("id")).agg(
+        F.round(
+            F.log(
+                1.0
+                + F.round(F.sum("o_totalprice") * 100, 0).cast("long") / 100.0
+            ),
+            6,
+        ).alias("x"),
+        F.round(F.log(1.0 + F.count("*")), 6).alias("y"),
+    )
+    pts = f.join(cust, f.id == cust.c_custkey).select(
+        "id",
+        "x",
+        "y",
+        F.floor(F.col("x") * _KNN_H4).cast("long").alias("cx"),
+        F.floor(F.col("y") * _KNN_H4).cast("long").alias("cy"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("id") % 4 == 0).alias("is_test"),
+    ).localCheckpoint(eager=False)  # one feature build feeds both splits
+    te = pts.filter(F.col("is_test")).select(
+        F.col("id").alias("tid"), F.col("x").alias("tx"), F.col("y").alias("ty"),
+        "cx", "cy", F.col("seg").alias("tseg"),
+    )
+    offs = F.expr(
+        "explode(flatten(transform(sequence(-1,1), dx -> "
+        "transform(sequence(-1,1), dy -> struct(dx, dy)))))"
+    )
+    tr9 = (
+        pts.filter(~F.col("is_test"))
+        .select("id", "x", "y", "cx", "cy", "seg", offs.alias("o"))
+        .select(
+            F.col("id").alias("rid"), F.col("x").alias("rx"), F.col("y").alias("ry"),
+            (F.col("cx") + F.col("o.dx")).alias("cx"),
+            (F.col("cy") + F.col("o.dy")).alias("cy"),
+            F.col("seg").alias("rseg"),
+        )
+    )
+    d2 = F.round(
+        (F.col("tx") - F.col("rx")) * (F.col("tx") - F.col("rx"))
+        + (F.col("ty") - F.col("ry")) * (F.col("ty") - F.col("ry")),
+        9,
+    )
+    cand = te.join(tr9, ["cx", "cy"]).select("tid", "tseg", "rid", "rseg", d2.alias("d2"))
+    wk = Window.partitionBy("tid").orderBy("d2", "rid")
+    knn = cand.withColumn("rk", F.row_number().over(wk)).filter(F.col("rk") <= _KNN_K)
+    vote = knn.groupBy("tid", "tseg", "rseg").agg(F.count("*").alias("c"))
+    wv = Window.partitionBy("tid").orderBy(F.desc("c"), "rseg")
+    pred = (
+        vote.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select("tid", F.col("rseg").alias("pseg"))
+    )
+    return (
+        te.join(pred, "tid", "left")
+        .groupBy(
+            F.col("tseg").alias("true_seg"),
+            F.coalesce(F.col("pseg"), F.lit("(none)")).alias("pred_seg"),
+        )
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("true_seg", "pred_seg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0007 — Burrows' Delta stylometry between language sub-corpora (the
+# authorship-attribution statistic, Burrows 2002): the F most frequent
+# tokens corpus-wide are the "function words"; each language's relative
+# frequency per 1000 tokens z-scores against the cross-language
+# mean/std per word, and Delta(a, b) is the mean |z_a - z_b| over the F
+# words — the distance a curator reads to see which sources share
+# register/template. One tokenize + one (lang, token) aggregate is the
+# only data-sized work; the function-word list is a bounded TakeOrdered
+# collect and every later frame is |langs| x F.
+# Scale rule (100 TB): F is a stylometric constant (classically
+# 30-150); frames after the corpus aggregate are |langs| x F whatever
+# the corpus.
+# ---------------------------------------------------------------------------
+
+_DELTA_F = 15
+
+
+@query(
+    "a0007_stylometry_delta",
+    oracle=f"""
+    WITH d AS (SELECT lang, {_TOKS_SQL} AS tk FROM documents),
+    g AS (SELECT lang, w, COUNT(*) * 1.0 AS c
+          FROM (SELECT lang, unnest(tk) AS w FROM d) GROUP BY 1, 2),
+    tot AS (SELECT lang, SUM(c) AS t FROM g GROUP BY lang),
+    topw AS (SELECT w FROM (SELECT w, SUM(c) AS cw FROM g GROUP BY w
+                            ORDER BY cw DESC, w LIMIT {_DELTA_F})),
+    dense AS (
+      SELECT tot.lang, topw.w, COALESCE(g.c, 0.0) / tot.t * 1000.0 AS f
+      FROM tot CROSS JOIN topw
+      LEFT JOIN g ON g.lang = tot.lang AND g.w = topw.w),
+    zz AS (
+      SELECT lang, w,
+             CASE WHEN SQRT(AVG(f * f) OVER (PARTITION BY w)
+                            - AVG(f) OVER (PARTITION BY w) * AVG(f) OVER (PARTITION BY w)) > 0
+                  THEN ROUND((f - AVG(f) OVER (PARTITION BY w))
+                             / SQRT(AVG(f * f) OVER (PARTITION BY w)
+                                    - AVG(f) OVER (PARTITION BY w) * AVG(f) OVER (PARTITION BY w)), 6)
+                  ELSE 0.0 END AS z
+      FROM dense)
+    SELECT a.lang AS lang_a, b.lang AS lang_b,
+           ROUND(AVG(ABS(a.z - b.z)), 6) AS delta
+    FROM zz a JOIN zz b ON a.w = b.w AND a.lang < b.lang
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    description=f"Burrows' Delta stylometric distance between language sub-corpora: top-{_DELTA_F} corpus-wide tokens as function words (bounded TakeOrdered), per-lang relative frequency per 1000 tokens densified over langs x words, z-scored against the cross-lang mean/population-std per word (rounded 6), Delta = mean |z_a - z_b| per language pair — one tokenize + one (lang, token) aggregate, everything after is |langs| x F",
+)
+def a0007_stylometry_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", F.explode(X.tokens("text")).alias("w"))
+        .groupBy("lang", "w")
+        .agg((F.count("*") * 1.0).alias("c"))
+        .localCheckpoint(eager=False)  # feeds totals, top words, and freqs
+    )
+    tot = g.groupBy("lang").agg(F.sum("c").alias("t"))
+    topw = (
+        g.groupBy("w")
+        .agg(F.sum("c").alias("cw"))
+        .orderBy(F.desc("cw"), "w")
+        .limit(_DELTA_F)
+        .select("w")
+    )
+    dense = (
+        tot.crossJoin(F.broadcast(topw))
+        .join(g, ["lang", "w"], "left")
+        .select(
+            "lang", "w", (F.coalesce(F.col("c"), F.lit(0.0)) / F.col("t") * 1000.0).alias("f")
+        )
+    )
+    ww = Window.partitionBy("w")
+    sd = F.sqrt(
+        F.avg(F.col("f") * F.col("f")).over(ww)
+        - F.avg("f").over(ww) * F.avg("f").over(ww)
+    )
+    zz = dense.select(
+        "lang",
+        "w",
+        F.when(sd > 0, F.round((F.col("f") - F.avg("f").over(ww)) / sd, 6))
+        .otherwise(0.0)
+        .alias("z"),
+    )
+    a = zz.select(F.col("lang").alias("lang_a"), "w", F.col("z").alias("za"))
+    b = zz.select(F.col("lang").alias("lang_b"), "w", F.col("z").alias("zb"))
+    return (
+        a.join(b, "w")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.round(F.avg(F.abs(F.col("za") - F.col("zb"))), 6).alias("delta"))
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0009 — PMI collocations (pointwise mutual information over adjacent
+# bigrams, the collocation-mining statistic behind phrase detection in
+# embedding pipelines): PMI(w1, w2) = ln(p(w1,w2) / (p(w1) p(w2))) with
+# bigram probabilities over the bigram count and unigram probabilities
+# over the token count, a minimum pair count against low-frequency
+# noise, top-K by (rounded PMI, w1, w2). Bigram emission is row-local
+# (a doc's adjacent pairs come from its own token array); the two
+# aggregates are the only data-sized stages and the ranked frame is
+# bigram-vocabulary-bounded. Both engines spell the PMI argument as ONE
+# product expression so the only float divergence is the shared ln.
+# Scale rule (100 TB): the min-count floor is the knob that bounds the
+# ranked frame; emission and aggregation are one-pass whatever the
+# corpus.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN = 5
+_PMI_TOP = 20
+
+
+@query(
+    "a0009_pmi_collocations",
+    oracle=f"""
+    WITH d AS (SELECT {_TOKS_SQL} AS tk FROM documents),
+    bi AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i)),
+    c12 AS (SELECT w1, w2, COUNT(*) * 1.0 AS c FROM bi GROUP BY 1, 2),
+    uni AS (SELECT w, COUNT(*) * 1.0 AS c FROM (SELECT unnest(tk) AS w FROM d) GROUP BY w),
+    nn AS (SELECT SUM(c) AS n FROM uni),
+    n2 AS (SELECT SUM(c) AS n2 FROM c12)
+    SELECT w1, w2, CAST(c12.c AS BIGINT) AS pair_count,
+           ROUND(ln(c12.c * nn.n * nn.n / (n2.n2 * u1.c * u2.c)), 6) AS pmi
+    FROM c12, nn, n2
+    JOIN uni u1 ON u1.w = c12.w1
+    JOIN uni u2 ON u2.w = c12.w2
+    WHERE c12.c >= {_PMI_MIN}
+    ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOP}
+    """,
+    description=f"PMI collocations over adjacent bigrams: row-local bigram emission from each doc's token array, one bigram-keyed and one token-keyed aggregate, PMI = ln(c12*N*N/(N2*c1*c2)) spelled as one product expression on both engines, pair count >= {_PMI_MIN}, top-{_PMI_TOP} by (rounded PMI, w1, w2) via TakeOrdered — the phrase-detection statistic for embedding pipelines",
+)
+def a0009_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
+    d = load_table(spark, sf_dir, "documents").select(
+        X.tokens("text").alias("tk")
+    ).localCheckpoint(eager=False)  # one tokenize feeds bigram + unigram passes
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 1),
+        lambda i: F.struct(
+            F.element_at("tk", i).alias("w1"),
+            F.element_at("tk", i + F.lit(1)).alias("w2"),
+        ),
+    )
+    bi = (
+        d.filter(F.size("tk") >= 2)
+        .select(F.explode(bigrams).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    c12 = bi.groupBy("w1", "w2").agg((F.count("*") * 1.0).alias("c"))
+    uni = (
+        d.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg((F.count("*") * 1.0).alias("cu"))
+        .localCheckpoint(eager=False)  # vocab-bounded; joined twice
+    )
+    n = float(uni.agg(F.sum("cu")).collect()[0][0])
+    n2 = float(c12.agg(F.sum("c")).collect()[0][0])
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cu").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cu").alias("c2"))
+    return (
+        c12.filter(F.col("c") >= _PMI_MIN)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("pair_count"),
+            F.round(
+                F.log(F.col("c") * n * n / (n2 * F.col("c1") * F.col("c2"))), 6
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0008 — k-core decomposition by iterative peeling (Seidman 1983; the
+# degeneracy layering every graph-ML sampler uses) on the q128 user
+# co-occurrence graph (same (event_type, hour) buckets, same <= 20-user
+# hub cap — graph.py:114). Peeling removes nodes with degree < k and
+# repeats on the induced subgraph; _KC_ROUNDS = 8 unrolled rounds with
+# a FIXPOINT ASSERTION after (the a0002 pattern: raise rather than
+# return a partial core). Each round is one degree aggregate + two
+# node-keyed semi-joins on a frame that only SHRINKS; the oracle
+# replays the identical 8 rounds as unrolled CTEs.
+# Scale rule (100 TB): rounds grow with peel depth, not N — each round
+# is edge-frame-sized and the frame is monotonically shrinking; the
+# hub cap bounds the starting edge count per bucket at cap^2.
+# ---------------------------------------------------------------------------
+
+_KC_K = 3
+_KC_ROUNDS = 8
+_KC_CAP = 20  # q128's hub cap (graph.py:114) — same graph, same guard
+
+
+def _kcore_rounds_sql() -> str:
+    parts = []
+    for r in range(1, _KC_ROUNDS + 1):
+        prev = f"e{r - 1}"
+        parts.append(
+            f"""
+    d{r} AS MATERIALIZED (SELECT node, COUNT(*) AS c
+             FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}) t
+             GROUP BY node),
+    k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE c >= {_KC_K}),
+    e{r} AS MATERIALIZED (SELECT e.u, e.v FROM {prev} e
+             JOIN k{r} a ON e.u = a.node JOIN k{r} b ON e.v = b.node)"""
+        )
+    return ",".join(parts)
+
+
+@query(
+    "a0008_kcore_peeling",
+    oracle=f"""
+    WITH ev AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS b
+                FROM events),
+    bs AS (SELECT event_type, b, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+    kept AS (SELECT event_type, b FROM bs WHERE n <= {_KC_CAP}),
+    ek AS (SELECT ev.user_id, ev.event_type, ev.b FROM ev JOIN kept USING (event_type, b)),
+    e0 AS MATERIALIZED (SELECT DISTINCT a.user_id AS u, k.user_id AS v
+           FROM ek a JOIN ek k ON a.event_type = k.event_type AND a.b = k.b
+                             AND a.user_id < k.user_id),
+    {_kcore_rounds_sql()},
+    fin AS (SELECT node, COUNT(*) AS c
+            FROM (SELECT u AS node FROM e{_KC_ROUNDS}
+                  UNION ALL SELECT v FROM e{_KC_ROUNDS}) t
+            GROUP BY node)
+    SELECT CAST({_KC_K} AS BIGINT) AS k,
+           CAST((SELECT COUNT(*) FROM fin) AS BIGINT) AS n_core_nodes,
+           CAST((SELECT COUNT(*) FROM e{_KC_ROUNDS}) AS BIGINT) AS n_core_edges,
+           CAST(COALESCE((SELECT MAX(c) FROM fin), 0) AS BIGINT) AS max_core_degree,
+           CAST((SELECT COALESCE(MIN(c), {_KC_K}) FROM fin) >= {_KC_K} AS BIGINT)
+             AS converged
+    """,
+    description=f"k-core decomposition (k={_KC_K}) by iterative peeling on the q128 user co-occurrence graph (same hub cap {_KC_CAP}): {_KC_ROUNDS} unrolled rounds of degree-filter + induced-subgraph semi-joins on a monotonically shrinking edge frame, fixpoint ASSERTED after the last round (raise, never a partial core) — core size, edges, max degree; the degeneracy layering graph-ML samplers consume",
+)
+def a0008_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("b")
+    )
+    ba = ev.groupBy("event_type", "b").agg(
+        F.array_sort(F.collect_set("user_id")).alias("us")
+    )
+    us = F.col("us")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(us) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(us)),
+                lambda j: F.struct(
+                    F.element_at(us, i).alias("u"), F.element_at(us, j).alias("v")
+                ),
+            ),
+        )
+    )
+    guarded = F.when(F.size(us) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<u:bigint,v:bigint>>")
+    )
+    edges = (
+        ba.filter(F.size(us) <= _KC_CAP)
+        .select(F.explode(guarded).alias("p"))
+        .select("p.u", "p.v")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("c"))
+        )
+
+    for _ in range(_KC_ROUNDS):
+        keep = degrees(edges).filter(F.col("c") >= _KC_K).select("node")
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)  # shrinking frame; caps plan depth
+        )
+    fin = degrees(edges).localCheckpoint(eager=False)
+    stats = fin.agg(
+        F.count("*").cast("long").alias("n_core_nodes"),
+        F.coalesce(F.max("c"), F.lit(0)).cast("long").alias("max_core_degree"),
+        F.coalesce(F.min("c"), F.lit(_KC_K)).alias("min_deg"),
+    ).collect()[0]
+    n_edges = edges.count()
+    # fixpoint assertion (the a0002 discipline): after _KC_ROUNDS peels
+    # every surviving node must already satisfy the core condition —
+    # raise rather than return a partial core
+    converged = int(stats["min_deg"]) >= _KC_K
+    if not converged:
+        raise RuntimeError(
+            f"k-core peeling did not converge in {_KC_ROUNDS} rounds "
+            f"(min surviving degree {stats['min_deg']} < {_KC_K})"
+        )
+    return spark.createDataFrame(
+        [
+            (
+                _KC_K,
+                int(stats["n_core_nodes"]),
+                int(n_edges),
+                int(stats["max_core_degree"]),
+                1,
+            )
+        ],
+        "k long, n_core_nodes long, n_core_edges long, max_core_degree long, converged long",
     )
