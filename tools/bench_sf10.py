@@ -45,6 +45,11 @@ QUERIES = [
     "a0103_adamic_adar",
     "a0054_itemitem_cf",
     "a0001_semdedup_autok",
+    # round-13 rotation (VERDICT r12 item 6): the grid-bounded CC claim
+    # at the decade + the reshaped MF step + the incremental twin
+    "a0002_density_level_hierarchy",
+    "a0083_mf_gradient_step",
+    "a0003_semdedup_incremental",
 ]
 # q114's oracle-pinned fixed-k regime is quadratic per decade (the a0001
 # twin carries the production rule): one warm rep, not three

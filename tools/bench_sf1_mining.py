@@ -51,6 +51,10 @@ QUERIES = [
     "a0001_semdedup_autok",
     # round-13 (VERDICT r12 item 4): a0002 gets an sf1.0 timing row
     "a0002_density_level_hierarchy",
+    # round-13 wave heavies
+    "a0003_semdedup_incremental",
+    "a0004_knn_classify",
+    "a0008_kcore_peeling",
 ]
 
 

@@ -197,6 +197,18 @@ HEADLINE = [
     "a0089_mrl_quantile_summary",
     "a0090_jpeg_lossless_decode",
     "a0091_jpeg_lossless12_decode",
+    # round-12 queries (missing from the r12 regeneration despite the
+    # commit message — caught r13)
+    "a0001_semdedup_autok",
+    "a0002_density_level_hierarchy",
+    # round-13 wave
+    "a0003_semdedup_incremental",
+    "a0004_knn_classify",
+    "a0005_zipf_fit",
+    "a0006_heaps_law",
+    "a0007_stylometry_delta",
+    "a0008_kcore_peeling",
+    "a0009_pmi_collocations",
 ]
 
 

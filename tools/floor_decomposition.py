@@ -156,6 +156,14 @@ WEAK = [
     "a0001_semdedup_autok",
     # round-13: the density-level stretch gets the standard ladder too
     "a0002_density_level_hierarchy",
+    # round-13 wave — every new query ships with the 3-SF ladder
+    "a0003_semdedup_incremental",
+    "a0004_knn_classify",
+    "a0005_zipf_fit",
+    "a0006_heaps_law",
+    "a0007_stylometry_delta",
+    "a0008_kcore_peeling",
+    "a0009_pmi_collocations",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
