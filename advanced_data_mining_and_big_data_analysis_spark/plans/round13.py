@@ -853,3 +853,157 @@ def a0008_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "k long, n_core_nodes long, n_core_edges long, max_core_degree long, converged long",
     )
+
+
+# ---------------------------------------------------------------------------
+# a0010 — Hill tail-index estimate of the user-activity distribution
+# (Hill 1975; the heavy-tail exponent behind skew planning): per-user
+# event counts, the top-(H+1) order statistics by (count DESC,
+# user_id), and alpha_hat = H / sum(ln(x_i / x_min)) over the H largest
+# with x_min = the (H+1)-th. The tail index is what says whether a
+# key's load distribution has finite variance — i.e. whether salting is
+# OPTIONAL or MANDATORY at 100 TB. One user-keyed aggregate is the only
+# data-sized stage; the order statistics come from a bounded
+# TakeOrdered (never a global rank window over users).
+# Scale rule (100 TB): H is an estimator constant (bias/variance
+# trade); the tail frame is H+1 rows whatever the corpus.
+# ---------------------------------------------------------------------------
+
+_HILL_H = 100
+
+
+@query(
+    "a0010_hill_tail_index",
+    oracle=f"""
+    WITH u AS (SELECT user_id, COUNT(*) * 1.0 AS c FROM events GROUP BY user_id),
+    top_h AS (SELECT c, user_id FROM u ORDER BY c DESC, user_id LIMIT {_HILL_H + 1}),
+    xmin AS (SELECT MIN(c) AS xm FROM top_h),
+    tail AS (
+      SELECT c FROM (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS rk
+                     FROM top_h)
+      WHERE rk <= {_HILL_H}),
+    m AS (SELECT COUNT(*) * 1.0 AS h, SUM(ln(tail.c / xmin.xm)) AS s
+          FROM tail, xmin)
+    SELECT CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_users,
+           CAST(m.h AS BIGINT) AS tail_points,
+           (SELECT xm FROM xmin) AS x_min,
+           ROUND(m.h / m.s, 6) AS hill_alpha,
+           ROUND(1.0 + m.h / m.s, 6) AS pareto_exponent
+    FROM m
+    """,
+    description=f"Hill tail-index of the user-activity distribution: per-user event counts (one data-sized aggregate), top-{_HILL_H + 1} order statistics via bounded TakeOrdered (never a global rank over users), alpha = H / sum ln(x_i/x_min) — the heavy-tail exponent that decides whether key salting is optional or mandatory at scale",
+)
+def a0010_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg((F.count("*") * 1.0).alias("c"))
+        .localCheckpoint(eager=False)  # census count + tail reuse it
+    )
+    n_users = u.count()
+    top = u.orderBy(F.desc("c"), "user_id").limit(_HILL_H + 1).collect()
+    xs = sorted(((r["c"], r["user_id"]) for r in top), key=lambda t: (-t[0], t[1]))
+    xm = xs[-1][0]
+    import math
+
+    tail = xs[:_HILL_H]  # rk <= H of however many rows exist (SQL parity)
+    h = float(len(tail))
+    s = sum(math.log(c / xm) for c, _ in tail)
+    return spark.createDataFrame(
+        [
+            (
+                n_users,
+                len(tail),
+                xm,
+                math.floor(h / s * 1e6 + 0.5) / 1e6,
+                math.floor((1.0 + h / s) * 1e6 + 0.5) / 1e6,
+            )
+        ],
+        "n_users long, tail_points long, x_min double, hill_alpha double, pareto_exponent double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0011 — n-gram novelty decay (the memorization/duplication curve a
+# curator reads before deciding how hard to dedup): for each document
+# in doc_id order, the share of its distinct word 3-grams whose FIRST
+# corpus occurrence is that document; aggregated per corpus decile.
+# A clean corpus decays slowly (novelty stays high); a template-heavy
+# or replicated corpus collapses toward 0 — this is the statistic that
+# quantifies what q40/q41/q116 then remove. Two data-sized stages: the
+# per-doc distinct-shingle explode and one (shingle)-keyed MIN(doc_id);
+# novelty = (shingles first seen here) / (distinct shingles), both
+# countable from the same aggregate, then a 10-row decile rollup.
+# Scale rule (100 TB): the decile count and the gram width n are
+# resolution constants; both passes are one-shuffle aggregates.
+# ---------------------------------------------------------------------------
+
+_NOV_N = 3
+
+
+@query(
+    "a0011_ngram_novelty_decay",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    nn AS (SELECT COUNT(*) * 1.0 AS nd FROM d),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS g
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(tk) - {_NOV_N - 1})) AS i)),
+    fo AS (SELECT g, MIN(doc_id) AS fdoc FROM sh GROUP BY g),
+    per_doc AS (
+      SELECT sh.doc_id,
+             COUNT(*) * 1.0 AS n_grams,
+             SUM(CASE WHEN fo.fdoc = sh.doc_id THEN 1 ELSE 0 END) * 1.0 AS n_novel
+      FROM sh JOIN fo ON fo.g = sh.g
+      GROUP BY sh.doc_id)
+    SELECT CAST(FLOOR(doc_id * 10.0 / nn.nd) AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+           CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+           ROUND(SUM(n_novel) / SUM(n_grams), 6) AS novelty
+    FROM per_doc, nn
+    GROUP BY 1 ORDER BY 1
+    """,
+    description=f"n-gram novelty decay: per document (doc_id order), the share of its distinct word {_NOV_N}-grams first seen in that document (MIN(doc_id) per shingle), rolled up per corpus decile — the memorization/duplication curve that quantifies what the dedup ladder then removes; two one-shuffle aggregates, 10-row output",
+)
+def a0011_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens("text").alias("tk")
+    )
+    nd = float(d.count())
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - (_NOV_N - 1)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("tk", i),
+            F.element_at("tk", i + F.lit(1)),
+            F.element_at("tk", i + F.lit(2)),
+        ),
+    )
+    sh = (
+        d.filter(F.size("tk") >= _NOV_N)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
+        .localCheckpoint(eager=False)  # first-occurrence + per-doc passes
+    )
+    fo = sh.groupBy("g").agg(F.min("doc_id").alias("fdoc"))
+    per_doc = (
+        sh.join(fo.hint("merge"), "g")  # data-grown both sides: pin SMJ, let AQE upgrade
+        .groupBy("doc_id")
+        .agg(
+            (F.count("*") * 1.0).alias("n_grams"),
+            F.sum((F.col("fdoc") == F.col("doc_id")).cast("int") * 1.0).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.groupBy(F.floor(F.col("doc_id") * 10.0 / nd).cast("long").alias("decile"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
+            F.round(F.sum("n_novel") / F.sum("n_grams"), 6).alias("novelty"),
+        )
+        .orderBy("decile")
+    )

@@ -91,6 +91,10 @@ HEADLINE = [
     "a0092_burst_detection",
     "a0089_mrl_quantile_summary",
     "a0053_apriori_triples",
+    # round-13 additions: the incremental-SemDeDup flagship and the
+    # grid-blocked kNN classifier join the driver-visible number
+    "a0003_semdedup_incremental",
+    "a0004_knn_classify",
 ]
 
 # queries whose DuckDB denominator is not a like-for-like comparison

@@ -113,3 +113,24 @@ def test_a0009_pmi_rows_respect_min_count(spark, sf_dir):
     # ranked by (pmi desc, w1, w2)
     keys = [(-r["pmi"], r["w1"], r["w2"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_a0010_hill_alpha_positive(spark, sf_dir):
+    row = QUERIES["a0010_hill_tail_index"].fn(spark, sf_dir).collect()[0]
+    assert row["tail_points"] <= 100
+    assert row["hill_alpha"] > 0
+    assert abs(row["pareto_exponent"] - (1.0 + row["hill_alpha"])) < 2e-6
+    assert row["x_min"] > 0
+
+
+def test_a0011_novelty_decays_from_one(spark, sf_dir):
+    """Decile 0 contains doc 0, whose grams are all first occurrences of
+    themselves or earlier docs in the SAME decile, so novelty is highest
+    at the start; every decile's novel count is bounded by its gram
+    count; totals are consistent."""
+    rows = QUERIES["a0011_ngram_novelty_decay"].fn(spark, sf_dir).collect()
+    assert [r["decile"] for r in rows] == list(range(10))
+    for r in rows:
+        assert 0.0 <= r["novelty"] <= 1.0
+        assert r["n_novel"] <= r["n_grams"]
+    assert rows[0]["novelty"] == max(r["novelty"] for r in rows)

@@ -209,6 +209,8 @@ HEADLINE = [
     "a0007_stylometry_delta",
     "a0008_kcore_peeling",
     "a0009_pmi_collocations",
+    "a0010_hill_tail_index",
+    "a0011_ngram_novelty_decay",
 ]
 
 

@@ -164,6 +164,8 @@ WEAK = [
     "a0007_stylometry_delta",
     "a0008_kcore_peeling",
     "a0009_pmi_collocations",
+    "a0010_hill_tail_index",
+    "a0011_ngram_novelty_decay",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
