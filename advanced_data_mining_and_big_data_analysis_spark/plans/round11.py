@@ -1557,9 +1557,22 @@ def a0083_mf_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         bmap[F.col("p_brand")].cast("int").alias("bi"),
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
     )
+    # size the u-exchange by input bytes (~8 MiB/partition — the
+    # maxPartitionBytes signal, a0103's sf10 lesson): the complete-mode
+    # agg's hash state is (u, bi)-count-sized, and a fixed 32-way width
+    # would put ~19M keys in one task's map at sf10 (the local-mode OOM
+    # class). repartition(N, u) still satisfies every downstream
+    # clustering — same single shuffle, wider at scale.
+    import os as _os
+
+    try:
+        _bytes = _os.path.getsize(_os.path.join(sf_dir, "lineitem.parquet"))
+    except OSError:
+        _bytes = 0
+    n_part = max(32, min(1024, _bytes // (8 << 20)))
     ratings = (
         libi.join(orders, libi.l_orderkey == orders.o_orderkey)
-        .repartition(F.col("o_custkey"))
+        .repartition(n_part, F.col("o_custkey"))
         .groupBy(F.col("o_custkey").alias("u"), "bi")
         .agg(F.round(F.log(1.0 + F.sum("cents") / 100.0), 6).alias("r"))
         .localCheckpoint(eager=False)  # q pass + u pass reuse it
