@@ -431,6 +431,7 @@ def a0006_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_K = 5
 _KNN_H4 = 4.0  # cells per feature unit (h = 0.25)
+_KNN_CAP = 64  # per-cell train cap (md5-ranked deterministic subsample)
 
 
 @query(
@@ -445,7 +446,18 @@ _KNN_H4 = 4.0  # cells per feature unit (h = 0.25)
              CASE WHEN f.id % 4 = 0 THEN 1 ELSE 0 END AS is_test
       FROM f JOIN customer c ON c.c_custkey = f.id),
     te AS (SELECT * FROM pts WHERE is_test = 1),
-    tr AS (SELECT * FROM pts WHERE is_test = 0),
+    tr AS (
+      -- salted per-cell train cap (the LSH/SemDeDup guard): the feature
+      -- plane is DENSE (2187 points in one cell at sf0.1), so uncapped
+      -- 3x3 blocking degenerates toward cartesian; an md5-ranked
+      -- deterministic subsample bounds candidates at 9*cap per test
+      -- point and both engines replay the identical rank
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cx, cy
+          ORDER BY md5(CAST(cx AS VARCHAR) || '_' || CAST(cy AS VARCHAR)
+                       || '_' || CAST(id AS VARCHAR)), id) AS crk
+        FROM pts WHERE is_test = 0)
+      WHERE crk <= {_KNN_CAP}),
     cand AS (
       SELECT te.id AS tid, te.seg AS tseg, tr.id AS rid, tr.seg AS rseg,
              ROUND((te.x - tr.x) * (te.x - tr.x) + (te.y - tr.y) * (te.y - tr.y), 9) AS d2
@@ -468,7 +480,7 @@ _KNN_H4 = 4.0  # cells per feature unit (h = 0.25)
     FROM te LEFT JOIN pred ON pred.tid = te.id
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
-    description=f"grid-blocked kNN classification of customer market segment on the (ln spend, ln orders) plane: train points explode into their 3x3 neighbor cells (9 bounded copies) so candidates equi-join on the shared cell — no cross join; k={_KNN_K} nearest by (d2 rounded 9, custkey), majority vote with label tie-break, '(none)' for empty neighborhoods; output the |segments|^2-bounded confusion matrix",
+    description=f"grid-blocked kNN classification of customer market segment on the (ln spend, ln orders) plane: md5-ranked per-cell train cap ({_KNN_CAP} — the LSH/SemDeDup salted-cap guard, both engines replay it) then train points explode into their 3x3 neighbor cells so candidates equi-join on the shared cell (<= 9*cap per test point, no cross join); k={_KNN_K} nearest by (d2 rounded 9, custkey), majority vote with label tie-break, '(none)' for empty neighborhoods; output the |segments|^2-bounded confusion matrix",
 )
 def a0004_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
@@ -500,8 +512,25 @@ def a0004_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "explode(flatten(transform(sequence(-1,1), dx -> "
         "transform(sequence(-1,1), dy -> struct(dx, dy)))))"
     )
+    # salted per-cell train cap BEFORE the 9-cell explode (see oracle
+    # note): candidates per test point are bounded at 9 * cap whatever
+    # the cell density — without it the sf0.1 run measured 24.6 s of
+    # near-cartesian candidate explosion (max cell 2187 points)
+    wcap = Window.partitionBy("cx", "cy").orderBy(
+        F.md5(
+            F.concat_ws(
+                "_",
+                F.col("cx").cast("string"),
+                F.col("cy").cast("string"),
+                F.col("id").cast("string"),
+            )
+        ),
+        "id",
+    )
     tr9 = (
         pts.filter(~F.col("is_test"))
+        .withColumn("crk", F.row_number().over(wcap))
+        .filter(F.col("crk") <= _KNN_CAP)
         .select("id", "x", "y", "cx", "cy", "seg", offs.alias("o"))
         .select(
             F.col("id").alias("rid"), F.col("x").alias("rx"), F.col("y").alias("ry"),
@@ -515,7 +544,12 @@ def a0004_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.col("ty") - F.col("ry")) * (F.col("ty") - F.col("ry")),
         9,
     )
-    cand = te.join(tr9, ["cx", "cy"]).select("tid", "tseg", "rid", "rseg", d2.alias("d2"))
+    # tr9 is GRID-EXTENT-bounded (<= cells * cap * 9 rows at any SF —
+    # cells grow with the log-scaled feature range, not N), so the
+    # broadcast is scale-correct, unlike broadcasting a data-grown frame
+    cand = te.join(F.broadcast(tr9), ["cx", "cy"]).select(
+        "tid", "tseg", "rid", "rseg", d2.alias("d2")
+    )
     wk = Window.partitionBy("tid").orderBy("d2", "rid")
     knn = cand.withColumn("rk", F.row_number().over(wk)).filter(F.col("rk") <= _KNN_K)
     vote = knn.groupBy("tid", "tseg", "rseg").agg(F.count("*").alias("c"))
