@@ -145,21 +145,24 @@ def duckdb_timings(sf_dir: str, names: list[str], qs) -> dict[str, float]:
         try:
             con.execute(sql).fetchall()
             out[name] = round(time.time() - t0, 3)
-        except _Alarm:
-            # genuine timeout: the cap is a LOWER bound on DuckDB's time,
-            # so the Spark/DuckDB ratio can only be understated
-            out[name] = float(cap_s)
+        except Exception as e:  # noqa: BLE001
+            # Classify: a genuine TIMEOUT records the cap (a LOWER bound
+            # on DuckDB's time — the ratio can only be understated); any
+            # other failing oracle (syntax, OOM, schema drift) records an
+            # explicit error entry excluded from every total, never the
+            # cap (that would inflate duckdb_core and flatter the gate).
+            # The alarm rarely surfaces as _Alarm here: raising inside
+            # DuckDB's C++ execute makes duckdb re-raise it as
+            # RuntimeError('Query interrupted') — match both.
+            timed_out = isinstance(e, _Alarm) or "interrupt" in str(e).lower()
+            if timed_out and time.time() - t0 >= cap_s - 1:
+                out[name] = float(cap_s)
+            else:
+                out[name] = f"error: {type(e).__name__}: {e}"[:200]
             try:
                 con.interrupt()
             except Exception:
                 pass
-        except Exception as e:  # noqa: BLE001
-            # a FAILING oracle (syntax, OOM, schema drift) must never be
-            # logged as if DuckDB spent cap_s on it — that would inflate
-            # duckdb_core and flatter the gate ratio. Record an explicit
-            # error entry instead (bench_sf1_mining.py does the same);
-            # main() drops non-numeric entries from every total.
-            out[name] = f"error: {type(e).__name__}: {e}"[:200]
         finally:
             signal.alarm(0)
     con.close()
