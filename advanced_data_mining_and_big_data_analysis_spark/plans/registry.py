@@ -68,6 +68,7 @@ def all_queries() -> dict[str, QueryDef]:
         round11,
         round12,
         round13,
+        round13b,
         sessions,
         similarity,
         sources_ext,
