@@ -45,7 +45,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_PKG_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _PKG_ROOT)
+# Python workers spawned by the JVM resolve package imports (the
+# mapInPandas kernels and the codec closures) through PYTHONPATH, not
+# the driver's sys.path — export it so the contract also holds when the
+# harness imports this file from a foreign cwd before starting Spark.
+if _PKG_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    _prev = os.environ.get("PYTHONPATH", "")
+    os.environ["PYTHONPATH"] = f"{_PKG_ROOT}{os.pathsep}{_prev}" if _prev else _PKG_ROOT
 
 from advanced_data_mining_and_big_data_analysis_spark.plans import all_queries  # noqa: E402
 

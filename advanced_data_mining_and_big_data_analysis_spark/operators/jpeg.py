@@ -19,10 +19,11 @@ approximation with DC/AC first + refinement scans, EOB runs, and
 restarts within any scan — T.81 Annex G), so it decodes any
 conforming baseline or progressive 1- or 3-component JPEG, not just
 this encoder's output; subsampled planes upsample by replication.
-Arithmetic-coded, hierarchical, lossless, and 12-bit streams raise,
-and an out-of-order or missing restart marker raises rather than
-resyncing — a poisoned blob should fail the task, not skew the
-corpus (same policy as decode_png).
+Arithmetic-coded sequential (SOF9) streams dispatch to the Annex D
+QM-coder decoder in ``jpeg_arith.py`` (r13); hierarchical and 12-bit
+DCT streams raise, and an out-of-order or missing restart marker
+raises rather than resyncing — a poisoned blob should fail the task,
+not skew the corpus (same policy as decode_png).
 
 Exactness note for closed-form oracles (q124): a block that is CONSTANT
 with an even offset from 128 survives the codec bit-exactly — its DCT
@@ -773,6 +774,10 @@ def _parse(content: bytes) -> tuple[int, int, list[np.ndarray]]:
         return _parse_progressive(content)
     if sof == 0xC3:
         return _parse_lossless(content)
+    if sof == 0xC9:  # arithmetic-coded sequential (Annex D QM-coder)
+        from .jpeg_arith import _parse_arith
+
+        return _parse_arith(content)
     return _parse_baseline(content)
 
 
@@ -790,7 +795,7 @@ def _sof_precision(content: bytes) -> int:
             pos += 1
             continue
         (length,) = struct.unpack_from(">H", content, pos + 2)
-        if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):
             return content[pos + 4]
         pos += 2 + length
     raise ValueError("JPEG missing SOF")

@@ -592,7 +592,7 @@ def formula_jpeg_color_420_ycbcr(m: int, x: int, y: int) -> tuple[int, int, int]
     )
 
 
-def formula_media_df(spark, n_audio: int = 8, n_image: int = 8, n_png: int = 0, n_jpeg: int = 0, n_jpeg_color: int = 0, n_jpeg_420: int = 0, n_jpeg_prog: int = 0, n_jpeg_lossless: int = 0, n_jpeg_lossless12: int = 0) -> DataFrame:
+def formula_media_df(spark, n_audio: int = 8, n_image: int = 8, n_png: int = 0, n_jpeg: int = 0, n_jpeg_color: int = 0, n_jpeg_420: int = 0, n_jpeg_prog: int = 0, n_jpeg_lossless: int = 0, n_jpeg_lossless12: int = 0, n_jpeg_arith: int = 0, n_jpeg_arith_color: int = 0) -> DataFrame:
     """Real WAV + BMP + PNG blobs generated from the closed-form formulas
     above. Tiny driver-side dim (n rows of <=10 KB) — the 100 TB shape is
     the downstream mapInPandas scan, not this fixture."""
@@ -679,6 +679,30 @@ def formula_media_df(spark, n_audio: int = 8, n_image: int = 8, n_png: int = 0, 
             precision=12,
         )
         rows.append((7100 + m, f"mem://jpegl12/{m}", "image/jpeg", blob))
+    for m in range(n_jpeg_arith):
+        from . import jpeg_arith
+
+        # arithmetic-coded sequential (SOF9, Annex D QM-coder): same
+        # even-offset constant-block construction as the q124 baseline
+        # fixtures, so the blocks survive the codec bit-exactly and a
+        # closed-form oracle can recompute the decoded statistics
+        blob = jpeg_arith.make_jpeg_arith_gray(
+            16, 16, lambda x, y, m=m: 128 + 2 * (((m * 7 + (x // 8) * 3 + (y // 8) * 5) % 50) - 25)
+        )
+        rows.append((9000 + m, f"mem://jpega/{m}", "image/jpeg", blob))
+    for m in range(n_jpeg_arith_color):
+        from . import jpeg_arith
+
+        blob = jpeg_arith.make_jpeg_arith_color(
+            16,
+            16,
+            lambda x, y, m=m: (
+                128 + 2 * (((m * 7 + (x // 8) * 3 + (y // 8) * 5) % 50) - 25),
+                128 + 17 * (((m + (x // 8) + (y // 8)) % 3) - 1),
+                128 + 17 * (((m + 2 * (x // 8) + (y // 8)) % 3) - 1),
+            ),
+        )
+        rows.append((9500 + m, f"mem://jpegac/{m}", "image/jpeg", blob))
     for m in range(n_image):
         w, h = formula_bmp_dims(m)
         blob = make_bmp(

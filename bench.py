@@ -95,6 +95,9 @@ HEADLINE = [
     # grid-blocked kNN classifier join the driver-visible number
     "a0003_semdedup_incremental",
     "a0004_knn_classify",
+    # round-13 wave-4 flagships: link analysis + density outliers
+    "a0013_hits_scores",
+    "a0014_lof_outliers",
 ]
 
 # queries whose DuckDB denominator is not a like-for-like comparison

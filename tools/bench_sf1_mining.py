@@ -55,6 +55,14 @@ QUERIES = [
     "a0003_semdedup_incremental",
     "a0004_knn_classify",
     "a0008_kcore_peeling",
+    # round-13 wave-4 heavies (the graph/LOF/boosting members; the
+    # bounded-output text stats get their scale evidence from the
+    # 3-SF floor ladder)
+    "a0012_label_propagation",
+    "a0013_hits_scores",
+    "a0014_lof_outliers",
+    "a0017_adaboost_stumps",
+    "a0019_ngram_self_overlap",
 ]
 
 

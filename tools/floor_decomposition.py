@@ -166,6 +166,16 @@ WEAK = [
     "a0009_pmi_collocations",
     "a0010_hill_tail_index",
     "a0011_ngram_novelty_decay",
+    # round-13 wave 4 — same convention
+    "a0012_label_propagation",
+    "a0013_hits_scores",
+    "a0014_lof_outliers",
+    "a0015_js_divergence",
+    "a0016_readability",
+    "a0017_adaboost_stumps",
+    "a0018_jl_projection_audit",
+    "a0019_ngram_self_overlap",
+    "a0020_ams_f2_sketch",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
