@@ -1081,3 +1081,123 @@ def a0021_jpeg_arith_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         el("feature", 6).alias("f4"),
     )
     return gray.unionAll(color).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# a0022 — BFS hop-distance layers from the highest-degree user (the
+# Pregel frontier-expansion shape; the hop-profile input to "within k
+# hops" features and graph-sampling fanout estimates) on the q128/
+# a0008 co-occurrence graph. Deterministic seed: max degree, ties to
+# the smallest user id. _BFS_ROUNDS = 6 unrolled rounds; each round is
+# one frontier-sized edge join + one left-anti against the visited
+# set — the frontier is node-bounded and the visited set only grows.
+# Nodes not reached within the budget report as layer -1 (disconnected
+# or farther), so the output is a total partition of the node set.
+# Scale rule (100 TB): rounds bound the radius, not the data; each
+# round's join is sized by frontier x degree, and the visited set is
+# node-sized. The oracle replays the identical rounds as unrolled
+# MATERIALIZED CTEs.
+# ---------------------------------------------------------------------------
+
+_BFS_ROUNDS = 6
+_BFS_CAP = 20  # q128's hub cap — same graph, same guard
+
+
+def _bfs_rounds_sql() -> str:
+    parts = []
+    for r in range(1, _BFS_ROUNDS + 1):
+        parts.append(
+            f"""
+    f{r} AS MATERIALIZED (
+      SELECT DISTINCT e.v AS node FROM sym e
+      JOIN f{r - 1} f ON f.node = e.u
+      WHERE e.v NOT IN (SELECT node FROM v{r - 1})),
+    v{r} AS MATERIALIZED (
+      SELECT node, layer FROM v{r - 1}
+      UNION ALL SELECT node, {r} FROM f{r})"""
+        )
+    return ",".join(parts)
+
+
+@query(
+    "a0022_bfs_layers",
+    oracle=f"""
+    WITH ev AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS b
+                FROM events),
+    bs AS (SELECT event_type, b, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+    kept AS (SELECT event_type, b FROM bs WHERE n <= {_BFS_CAP}),
+    ek AS (SELECT ev.user_id, ev.event_type, ev.b FROM ev JOIN kept USING (event_type, b)),
+    e0 AS MATERIALIZED (SELECT DISTINCT a.user_id AS u, k.user_id AS v
+           FROM ek a JOIN ek k ON a.event_type = k.event_type AND a.b = k.b
+                             AND a.user_id < k.user_id),
+    sym AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT u AS node, COUNT(*) AS c FROM sym GROUP BY u),
+    seed AS (SELECT node FROM deg ORDER BY c DESC, node LIMIT 1),
+    f0 AS MATERIALIZED (SELECT node FROM seed),
+    v0 AS MATERIALIZED (SELECT node, 0 AS layer FROM seed),
+    {_bfs_rounds_sql()},
+    unreached AS (
+      SELECT d.node, -1 AS layer FROM deg d
+      WHERE d.node NOT IN (SELECT node FROM v{_BFS_ROUNDS}))
+    SELECT CAST(layer AS BIGINT) AS layer, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM (SELECT * FROM v{_BFS_ROUNDS} UNION ALL SELECT * FROM unreached)
+    GROUP BY layer ORDER BY layer
+    """,
+    description=f"BFS hop-distance layers from the highest-degree user (ties to smallest id) on the q128/a0008 co-occurrence graph (hub cap {_BFS_CAP}): {_BFS_ROUNDS} unrolled Pregel frontier rounds, each one frontier-sized edge join + one left-anti against the growing visited set; nodes beyond the budget report layer -1, so the histogram partitions the node set exactly; the hop-profile input to within-k-hops features and sampling fanout estimates",
+)
+def a0022_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("b")
+    )
+    ba = ev.groupBy("event_type", "b").agg(
+        F.array_sort(F.collect_set("user_id")).alias("us")
+    )
+    us = F.col("us")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(us) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(us)),
+                lambda j: F.struct(
+                    F.element_at(us, i).alias("u"), F.element_at(us, j).alias("v")
+                ),
+            ),
+        )
+    )
+    guarded = F.when(F.size(us) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<u:bigint,v:bigint>>")
+    )
+    e0 = (
+        ba.filter(F.size(us) <= _BFS_CAP)
+        .select(F.explode(guarded).alias("p"))
+        .select("p.u", "p.v")
+        .distinct()
+    )
+    sym = e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint(
+        eager=False
+    )  # edge build runs once; every round reuses it
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("c"))
+    seed = deg.orderBy(F.desc("c"), "node").limit(1).select("node")
+    frontier = seed.localCheckpoint(eager=False)
+    visited = seed.select("node", F.lit(0).alias("layer")).localCheckpoint(eager=False)
+    for r in range(1, _BFS_ROUNDS + 1):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=False)  # frontier: node-bounded
+        )
+        visited = visited.unionAll(nxt.select("node", F.lit(r).alias("layer"))).localCheckpoint(
+            eager=False
+        )
+        frontier = nxt
+    unreached = deg.select("node").join(visited.select("node"), "node", "left_anti").select(
+        "node", F.lit(-1).alias("layer")
+    )
+    return (
+        visited.unionAll(unreached)
+        .groupBy(F.col("layer").cast("long").alias("layer"))
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .orderBy("layer")
+    )

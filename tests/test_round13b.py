@@ -147,3 +147,37 @@ def test_a0020_f2_estimate_quality(spark, sf_dir):
     assert row["rel_err_pct"] >= 0.0
     assert row["rel_err_pct"] < 50.0
     assert row["n_estimators"] == 5 and row["n_buckets"] == 64
+
+
+def test_a0021_jpeg_arith_media_partition(spark, sf_dir):
+    rows = QUERIES["a0021_jpeg_arith_decode"].fn(spark, sf_dir).collect()
+    assert len(rows) == 16
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"jpeg_arith", "jpeg_arith_color"}
+    for r in rows:
+        assert r["n_units"] == 256
+        if r["kind"] == "jpeg_arith":
+            assert 0.0 <= r["f1"] <= 255.0 and r["f3"] == 0.0 and r["f4"] == 0.0
+
+
+def test_a0022_layers_partition_node_set(spark, sf_dir):
+    """BFS layers plus the -1 bucket must partition the node set, layer
+    0 holds exactly the seed, and layer sizes are positive."""
+    rows = QUERIES["a0022_bfs_layers"].fn(spark, sf_dir).collect()
+    by_layer = {r["layer"]: r["n_nodes"] for r in rows}
+    assert by_layer.get(0) == 1  # the seed
+    assert all(n >= 1 for n in by_layer.values())
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("b")
+    ).distinct()
+    bs = ev.groupBy("event_type", "b").agg(F.countDistinct("user_id").alias("n"))
+    kept = bs.filter((F.col("n") <= 20) & (F.col("n") >= 2))
+    n_nodes = (
+        ev.join(kept.select("event_type", "b"), ["event_type", "b"])
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(by_layer.values()) == n_nodes

@@ -63,6 +63,7 @@ QUERIES = [
     "a0014_lof_outliers",
     "a0017_adaboost_stumps",
     "a0019_ngram_self_overlap",
+    "a0022_bfs_layers",
 ]
 
 

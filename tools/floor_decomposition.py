@@ -176,6 +176,8 @@ WEAK = [
     "a0018_jl_projection_audit",
     "a0019_ngram_self_overlap",
     "a0020_ams_f2_sketch",
+    "a0021_jpeg_arith_decode",
+    "a0022_bfs_layers",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
