@@ -154,6 +154,12 @@ def a0012_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # node-sized aggregate (the Pregel superstep); the edge frame is built
 # once and reused via localCheckpoint. More iterations only grow the
 # int magnitude logarithmically in bits.
+# Measured decades (r13): sf1.0 10.4 s vs DuckDB 4.6 s (2.26x — the
+# single-box shuffle floor), INVERTING at sf10 to 63.9 s vs 139.0 s
+# (Spark 2.2x FASTER) — the a0054/a0103 crossover class. A/B'd
+# variants: iteration-1 degree shortcut kept (12.1 -> 10.4 s at
+# sf1.0); pre-partitioned e_p/e_c edge copies rejected (a wash — the
+# cost is the partial-agg exchange, not the join shuffle).
 # ---------------------------------------------------------------------------
 
 _HITS_ITERS = 3
@@ -202,16 +208,20 @@ def a0013_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
     )
     e = o.join(l, "ok").select("c", "p").distinct().localCheckpoint(eager=False)
-    hub = e.select("c").distinct().select("c", F.lit(1).cast("long").alias("s"))
-    auth = None
-    for _ in range(_HITS_ITERS):
+    # iteration 1 shortcut: hub0 = 1 for every customer, so auth_1(p)
+    # is just the distinct-customer degree — one groupBy, no join
+    # (sf1.0 A/B: saves one of the six edge-frame joins)
+    auth = e.groupBy("p").agg(F.count("*").cast("long").alias("s")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(_HITS_ITERS - 1):
+        hub = e.join(auth, "p").groupBy("c").agg(F.sum("s").cast("long").alias("s"))
         auth = (
             e.join(hub, "c")
             .groupBy("p")
             .agg(F.sum("s").cast("long").alias("s"))
             .localCheckpoint(eager=False)  # node-sized; caps plan depth
         )
-        hub = e.join(auth, "p").groupBy("c").agg(F.sum("s").cast("long").alias("s"))
     m = auth.agg(F.max("s")).collect()[0][0]  # scalar normalizer (1 row)
     # TakeOrdered top-k FIRST (distributed partial top-k per partition),
     # then rank the k-row frame — never a global single-partition window
@@ -876,9 +886,12 @@ def a0019_ngram_self_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", X.tokens("text").alias("tk")
     )
+    # the exploded gram frame feeds BOTH the df count and the join-back —
+    # materialize the tokenize+shingle+explode once (the a095/a0085
+    # single-tokenize lesson; sf1.0 A/B: 12.2 -> 7.9 s warm, 1.49x same-run DuckDB)
     g = t.select(
         "doc_id", "source", F.explode(X.word_shingles(F.col("tk"), 3, distinct=True)).alias("gr")
-    )
+    ).localCheckpoint(eager=False)
     df = g.groupBy("gr").agg(F.count("*").alias("df"))
     ov = (
         g.join(df, "gr")
