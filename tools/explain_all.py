@@ -211,6 +211,18 @@ HEADLINE = [
     "a0009_pmi_collocations",
     "a0010_hill_tail_index",
     "a0011_ngram_novelty_decay",
+    # round-13 wave 4
+    "a0012_label_propagation",
+    "a0013_hits_scores",
+    "a0014_lof_outliers",
+    "a0015_js_divergence",
+    "a0016_readability",
+    "a0017_adaboost_stumps",
+    "a0018_jl_projection_audit",
+    "a0019_ngram_self_overlap",
+    "a0020_ams_f2_sketch",
+    "a0021_jpeg_arith_decode",
+    "a0022_bfs_layers",
 ]
 
 
