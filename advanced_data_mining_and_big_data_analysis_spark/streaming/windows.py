@@ -729,3 +729,141 @@ def ks_from_histogram(hist: DataFrame, bins: int = 1024) -> DataFrame:
             > 1.358 * F.sqrt((F.col("tot_a") + F.col("tot_b")) / (F.col("tot_a") * F.col("tot_b")))
         ).alias("drift_at_5pct"),
     )
+
+
+def write_semdedup_ingest(
+    new_vecs: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cos_threshold: float = 0.85,
+    target_cell: int = 200,
+    cap: int = 200,
+    available_now: bool = True,
+):
+    """Streaming SEMANTIC-dedup ingest — the a0003/a0001 SemDeDup idiom
+    as a continuous corpus loop (VERDICT r12 item 8's streaming twin):
+    each micro-batch of embedding vectors is (a) assigned to the
+    EXISTING coarse cells (BLAS nearest-seed kernel against the stored
+    codebook — built once from the bootstrap batch by rank-stride, the
+    same ceil(N/target) rule as a0001), (b) compared ONLY against the
+    occupants of its own cells — the corpus is stored partitioned by
+    cell, so the probe reads just the touched partitions (the q108
+    bucket-probe shape in embedding space; partition pruning does the
+    bucket lookup), and (c) appended if no earlier-priority occupant
+    (corpus member, or lower-id batch member) is cosine-similar at or
+    above the threshold. Per-batch pair work is n_new x cell, never
+    cell^2; the md5-ranked salted per-cell cap bounds every task (the
+    a0001 guard — set ``cap`` to the production value; the default
+    keeps small cells un-split so the accept rule is exact).
+
+    At 100 TB the codebook becomes the two-level/sampled structure the
+    a0001 docstring names, and the corpus store becomes a MERGE-capable
+    table (Delta/Iceberg) — same slots, same plan shape. Appends are
+    idempotent per batch only through the checkpoint contract (same
+    caveat as write_dedup_ingest).
+
+    Returns the streaming query.
+    """
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from ..operators import similarity as SIM
+
+    codebook_dir = corpus_dir.rstrip("/") + "_codebook"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        b = batch_df.select(
+            F.col(id_col).alias("vec_id"), SIM.as_double(vec_col).alias("v")
+        )
+        if not os.path.exists(codebook_dir):
+            # bootstrap: rank-stride codebook over the first batch,
+            # ceil(n/target) seeds (the a0001 rule); bounded collect
+            n = b.count()
+            if n == 0:
+                return
+            k = -(-n // target_cell)
+            step = -(-n // k)
+            w = Window.orderBy("vec_id")
+            seeds = (
+                b.withColumn("rn", F.row_number().over(w) - 1)
+                .filter(F.col("rn") % step == 0)
+                .select(F.col("vec_id").alias("seed_id"), F.col("v").alias("sv"))
+            )
+            seeds.coalesce(1).write.parquet(codebook_dir)
+        cb = spark.read.parquet(codebook_dir).orderBy("seed_id").collect()
+        sids = np.array([r["seed_id"] for r in cb], dtype=np.int64)
+        cmat = np.array([r["sv"] for r in cb], dtype=np.float64)
+        c2 = (cmat * cmat).sum(axis=1)[None, :]
+
+        def assign_batches(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                xm = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+                x2 = (xm * xm).sum(axis=1, keepdims=True)
+                acc = x2 - 2.0 * (xm @ cmat.T) + c2
+                cl = sids[np.argmin(np.round(acc, 9), axis=1)]
+                yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cl, "v": pdf["v"]})
+
+        assigned = b.mapInPandas(assign_batches, "vec_id long, cell long, v array<double>")
+        touched = [r["cell"] for r in assigned.select("cell").distinct().collect()]
+        if not touched:
+            return
+        new_side = assigned.select("vec_id", "cell", "v", F.lit(1).alias("is_new"))
+        if os.path.exists(corpus_dir):
+            members = (
+                spark.read.parquet(corpus_dir)
+                .filter(F.col("cell").isin(touched))  # partition-pruned bucket probe
+                .select("vec_id", "cell", "v", F.lit(0).alias("is_new"))
+            )
+            pool = members.unionByName(new_side)
+        else:
+            pool = new_side
+        wc = Window.partitionBy("cell").orderBy(
+            F.md5(F.concat(F.col("cell").cast("string"), F.col("vec_id").cast("string"))),
+            "vec_id",
+        )
+        salted = pool.withColumn(
+            "salt", F.floor((F.row_number().over(wc) - 1) / cap).cast("long")
+        )
+        thr = float(cos_threshold)
+
+        def probe(pdf: pd.DataFrame) -> pd.DataFrame:
+            # accept a NEW vector unless an earlier-priority occupant
+            # ((is_new, vec_id) order) in its cell shard is >= thr; the
+            # dot-first/divide-after float order matches the a0003 kernel
+            pdf = pdf.sort_values(["is_new", "vec_id"]).reset_index(drop=True)
+            isnew = pdf["is_new"].to_numpy() == 1
+            if not isnew.any():
+                return pd.DataFrame({"removed_id": []}).astype({"removed_id": "int64"})
+            xm = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(xm, axis=1)
+            norms[norms == 0.0] = 1.0
+            ids = pdf["vec_id"].to_numpy()
+            new_idx = np.nonzero(isnew)[0]
+            cos = np.round((xm[new_idx] @ xm.T) / np.outer(norms[new_idx], norms), 9)
+            removed = [
+                int(ids[ia])
+                for row, ia in enumerate(new_idx)
+                if ia > 0 and (cos[row, :ia] >= thr).any()
+            ]
+            return pd.DataFrame({"removed_id": removed}).astype({"removed_id": "int64"})
+
+        removed = salted.groupBy("cell", "salt").applyInPandas(probe, "removed_id long")
+        survivors = assigned.join(
+            removed.withColumnRenamed("removed_id", "vec_id"), "vec_id", "left_anti"
+        )
+        survivors.write.mode("append").partitionBy("cell").parquet(corpus_dir)
+
+    writer = new_vecs.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -638,3 +638,90 @@ def test_streaming_drift_histogram_equals_batch(spark, event_files, sf_dir):
     b_ks = _rows(ST.ks_from_histogram(batch_hist), ks_cols)
     assert s_ks == b_ks
     assert s_ks[0][0] > 0 and s_ks[0][1] > 0
+
+
+def test_streaming_semdedup_ingest_matches_numpy_replica(spark):
+    """Streaming SEMANTIC dedup ingest (the a0003 idiom as a corpus
+    loop): three micro-batches of 8-dim vectors with planted near-dups
+    within a batch and across batches. Expected corpus comes from an
+    INDEPENDENT numpy replay of the declared rule (rank-stride codebook
+    from the bootstrap batch, nearest-seed cells with round-9 ties to
+    the lowest seed id, arrival-priority accept at cos >= thr) — not
+    from re-running the operator, so the pin is a real cross-check."""
+    import os
+
+    import numpy as np
+    import pyspark.sql.types as T
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(6, 8)
+    rows = []
+    # batch 0 (bootstrap): 6 distinct vectors, ids 0..5
+    for i in range(6):
+        rows.append((0, i, base[i]))
+    # batch 1: near-copy of id 1 (scaled — cosine 1.0), one novel
+    rows.append((1, 10, base[1] * 1.01))
+    rows.append((1, 11, rng.randn(8)))
+    # batch 2: near-copy of the batch-1 novel AND an internal dup pair
+    rows.append((2, 20, rows[-1][2] * 0.99))
+    v = rng.randn(8)
+    rows.append((2, 21, v))
+    rows.append((2, 22, v * 1.02))
+
+    thr, target = 0.95, 4
+
+    # --- independent replica -------------------------------------------
+    n0 = 6
+    k = -(-n0 // target)
+    step = -(-n0 // k)
+    seed_ids = [i for i in range(n0) if i % step == 0]
+    cmat = np.array([base[i] for i in seed_ids], dtype=np.float64)
+
+    def cell_of(x):
+        d2 = np.round(((x - cmat) ** 2).sum(axis=1), 9)
+        return seed_ids[int(np.argmin(d2))]
+
+    corpus: list[tuple[int, int, np.ndarray]] = []  # (id, cell, v)
+    for b in range(3):
+        batch = [(i, cell_of(np.asarray(x, dtype=np.float64)), np.asarray(x, dtype=np.float64))
+                 for (bb, i, x) in rows if bb == b]
+        accepted = []
+        for i, c, x in sorted(batch):
+            occupants = [vv for (j, cc, vv) in corpus + accepted if cc == c]
+            cos = [
+                float(np.round(x @ o / (np.linalg.norm(x) * np.linalg.norm(o)), 9))
+                for o in occupants
+            ]
+            if not any(cv >= thr for cv in cos):
+                accepted.append((i, c, x))
+        corpus.extend(accepted)
+    expected = sorted(i for i, _, _ in corpus)
+
+    # --- the streaming operator ----------------------------------------
+    tmp = tempfile.mkdtemp(prefix="semdedup_ingest_")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    for b in range(3):
+        batch = [(int(i), [float(e) for e in x]) for (bb, i, x) in rows if bb == b]
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(f"{tmp}/feed/b={b}")
+    feed = ST.stream_from_directory(
+        spark, f"{tmp}/feed/b=*", schema, max_files_per_trigger=1
+    )
+    q = ST.write_semdedup_ingest(
+        feed, f"{tmp}/corpus", f"{tmp}/ckpt",
+        cos_threshold=thr, target_cell=target, cap=1000,
+    )
+    q.awaitTermination(180)
+
+    got = sorted(r["vec_id"] for r in spark.read.parquet(f"{tmp}/corpus").collect())
+    assert got == expected, (got, expected)
+    # the planted dups must actually have been dropped
+    assert 10 not in got and 20 not in got and 22 not in got
+    # codebook persisted once, from the bootstrap batch only
+    cb = sorted(r["seed_id"] for r in spark.read.parquet(f"{tmp}/corpus_codebook").collect())
+    assert cb == [i for i in range(6) if i % step == 0]
+    shutil.rmtree(tmp, ignore_errors=True)
