@@ -533,7 +533,18 @@ def _parse_arith(content: bytes) -> tuple[int, int, list[np.ndarray]]:
     """Parse an arithmetic-coded sequential (SOF9) JFIF stream into
     per-component full-resolution pixel planes. 4:4:4 only (every
     component 1x1 sampling); DRI/RST raise (the poisoned-blob policy —
-    this decoder never emits them)."""
+    this decoder never emits them).
+
+    INTEROP LIMITATION (applies to every SOF9 stream routed here): the
+    decoder's register initialization deviates from T.81 INITDEC
+    (C = B << 16; BYTEIN; C <<= 7; CT -= 7) — it loads the first two
+    bytes at C bits 31..16 with CT = 0. Encoder and decoder are pinned
+    against each other by round-trip tests AND against the Huffman
+    decode of the same image (tests/test_jpeg_arith.py), but decoding
+    of EXTERNALLY-produced conforming SOF9 streams (e.g. libjpeg >= 7
+    arithmetic output) is unverified and could silently mis-decode
+    rather than raise. Validate against a known external conformance
+    vector before trusting foreign SOF9 input."""
     import struct
 
     if content[:2] != b"\xff\xd8":

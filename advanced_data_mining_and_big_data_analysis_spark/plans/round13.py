@@ -243,11 +243,11 @@ _TOKS_SQL = (
                  SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
           FROM pts)
     SELECT tot.n_tokens, voc.vocab_size, CAST(m.n AS BIGINT) AS n_fit,
-           ROUND((m.n * sxy - sx * sy) / (m.n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((m.n * sxy - sx * sy) / (m.n * sxx - sx * sx), 6) + 0.0 AS zipf_slope,
            ROUND((sy - (m.n * sxy - sx * sy) / (m.n * sxx - sx * sx) * sx) / m.n, 6)
-             AS zipf_intercept,
+             + 0.0 AS zipf_intercept,
            ROUND(POWER(m.n * sxy - sx * sy, 2)
-                 / ((m.n * sxx - sx * sx) * (m.n * syy - sy * sy)), 6) AS r2
+                 / ((m.n * sxx - sx * sx) * (m.n * syy - sy * sy)), 6) + 0.0 AS r2
     FROM m, tot, voc
     """,
     description=f"Zipf's-law fit over the corpus frequency spectrum: one tokenize + one (token)-keyed count, rank by (count DESC, token), OLS of (ln rank, ln count) over the top-{_ZIPF_R} head — slope = Zipf exponent, with r^2 and corpus totals; everything after the count is vocabulary-bounded",
@@ -266,8 +266,12 @@ def a0005_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = cnt.select(
         "c", F.row_number().over(Window.orderBy(F.desc("c"), "w")).alias("r")
     )
-    pts = rk.filter(F.col("r") <= _ZIPF_R).select(
-        F.log(F.col("r") * 1.0).alias("x"), F.log("c").alias("y")
+    pts = (
+        rk.filter(F.col("r") <= _ZIPF_R)
+        .select(F.log(F.col("r") * 1.0).alias("x"), F.log("c").alias("y"))
+        .coalesce(1)  # <= R rows; pins the OLS summation order so the sign
+        # of a degenerate-fit cancellation residue is deterministic (a0006's
+        # -0.0 flake, same shape)
     )
     m = pts.agg(
         (F.count("*") * 1.0).alias("n"),
@@ -284,17 +288,21 @@ def a0005_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_tokens).cast("long").alias("n_tokens"),
         F.lit(vocab).cast("long").alias("vocab_size"),
         F.col("n").cast("long").alias("n_fit"),
-        F.round(slope, 6).alias("zipf_slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
-            "zipf_intercept"
-        ),
-        F.round(
-            F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
-            / (
-                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-            ),
-            6,
+        # + 0.0 normalizes IEEE -0.0 (degenerate-fit residue) to +0.0
+        (F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope"),
+        (
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6) + F.lit(0.0)
+        ).alias("zipf_intercept"),
+        (
+            F.round(
+                F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
+                / (
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                ),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("r2"),
     )
 
@@ -345,9 +353,9 @@ def a0005_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cum.dec AS decile,
            CAST(cum.tokens_prefix AS BIGINT) AS tokens_prefix,
            CAST(cum.vocab_prefix AS BIGINT) AS vocab_prefix,
-           ROUND((m.n * sxy - sx * sy) / (m.n * sxx - sx * sx), 6) AS heaps_beta,
+           ROUND((m.n * sxy - sx * sy) / (m.n * sxx - sx * sx), 6) + 0.0 AS heaps_beta,
            ROUND(exp((sy - (m.n * sxy - sx * sy) / (m.n * sxx - sx * sx) * sx) / m.n), 6)
-             AS heaps_k
+             + 0.0 AS heaps_k
     FROM cum, m ORDER BY decile
     """,
     description="Heaps'-law vocabulary growth V(T) ~ K*T^beta at ten doc-order corpus prefixes: per-token MIN(doc_id) (first occurrence) + per-doc token counts, bucketed to prefix deciles and cumulated over the 10-row frame; (K, beta) by OLS in log space over the 10 points — the tokenizer-vocabulary budget curve",
@@ -382,6 +390,10 @@ def a0006_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("toks"), F.lit(0))).over(wcum).alias("tokens_prefix"),
             F.sum(F.coalesce(F.col("vnew"), F.lit(0))).over(wcum).alias("vocab_prefix"),
         )
+        .coalesce(1)  # pin the 10-row fit input to ONE partition: the OLS
+        # sums below are ~1e-14 cancellation residues at degenerate scales
+        # (sf0.001: vocab_prefix constant), and their SIGN depends on float
+        # summation order — one partition makes the order deterministic.
         .localCheckpoint(eager=False)  # 10 rows; fit + output reuse it
     )
     lx = F.log(F.col("tokens_prefix") * 1.0)
@@ -402,10 +414,14 @@ def a0006_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dec").alias("decile"),
             F.col("tokens_prefix").cast("long").alias("tokens_prefix"),
             F.col("vocab_prefix").cast("long").alias("vocab_prefix"),
-            F.round(beta, 6).alias("heaps_beta"),
-            F.round(F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 6).alias(
-                "heaps_k"
-            ),
+            # + 0.0 after the round: IEEE -0.0 + 0.0 = +0.0, so a degenerate
+            # fit (beta mathematically 0, float residue ~ -1e-14) can never
+            # hash as "-0.0" against the oracle's "+0.0".
+            (F.round(beta, 6) + F.lit(0.0)).alias("heaps_beta"),
+            (
+                F.round(F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 6)
+                + F.lit(0.0)
+            ).alias("heaps_k"),
         )
         .orderBy("decile")
     )

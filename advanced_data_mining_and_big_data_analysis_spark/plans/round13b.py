@@ -615,6 +615,21 @@ _ADA_CANDS = [("disc", t, p) for t in _ADA_DISC for p in (1, -1)] + [
 ]
 
 
+def _round_half_up(x: float, nd: int) -> float:
+    """Round half-AWAY-from-zero, the rule DuckDB's ROUND applies.
+
+    Python's builtin round() is banker's (half-even); a0017's stump
+    SELECTION argmin runs over rounded intermediates (a1/wc/ww/e2), so an
+    exact tie at the last kept digit would pick a different stump than the
+    oracle under mixed rules. Decimal(x) converts the binary double
+    exactly, then ROUND_HALF_UP quantizes away from zero on ties.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    # decimal.ROUND_HALF_UP is defined as "ties away from zero"
+    return float(Decimal(x).quantize(Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP))
+
+
 def _ada_cand_sql() -> str:
     rows = ", ".join(f"('{f}', {t}, {p})" for f, t, p in _ADA_CANDS)
     return f"(VALUES {rows}) cand(f, thr, pol)"
@@ -710,8 +725,8 @@ def a0017_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((int(row1[f"nw_{i}"]), f, t, p) for i, (f, t, p) in enumerate(_ADA_CANDS)),
     )
     nw1, f1, t1, p1 = best1
-    a1 = round(0.5 * math.log((n - nw1) / nw1), 12)
-    wc, ww = round(math.exp(-a1), 12), round(math.exp(a1), 12)
+    a1 = _round_half_up(0.5 * math.log((n - nw1) / nw1), 12)
+    wc, ww = _round_half_up(math.exp(-a1), 12), _round_half_up(math.exp(a1), 12)
 
     # round 2: one scan keyed by the (h1-correct x h2-wrong) profile
     h1c = h(f1, t1, p1) == F.col("y")
@@ -724,12 +739,12 @@ def a0017_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = (n - nw1) * wc + nw1 * ww
     best2 = min(
         (
-            (round((int(row2[f"ncw_{i}"]) * wc + int(row2[f"nww_{i}"]) * ww) / denom, 9), f, t, p)
+            (_round_half_up((int(row2[f"ncw_{i}"]) * wc + int(row2[f"nww_{i}"]) * ww) / denom, 9), f, t, p)
             for i, (f, t, p) in enumerate(_ADA_CANDS)
         ),
     )
     e2, f2, t2, p2 = best2
-    a2 = round(0.5 * math.log((1 - e2) / e2), 12)
+    a2 = _round_half_up(0.5 * math.log((1 - e2) / e2), 12)
 
     ens = F.when(F.lit(a1) * h(f1, t1, p1) + F.lit(a2) * h(f2, t2, p2) >= 0, 1).otherwise(-1)
     acc = float(

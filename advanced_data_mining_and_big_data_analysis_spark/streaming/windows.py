@@ -751,12 +751,23 @@ def write_semdedup_ingest(
     occupants of its own cells — the corpus is stored partitioned by
     cell, so the probe reads just the touched partitions (the q108
     bucket-probe shape in embedding space; partition pruning does the
-    bucket lookup), and (c) appended if no earlier-priority occupant
-    (corpus member, or lower-id batch member) is cosine-similar at or
-    above the threshold. Per-batch pair work is n_new x cell, never
-    cell^2; the md5-ranked salted per-cell cap bounds every task (the
-    a0001 guard — set ``cap`` to the production value; the default
-    keeps small cells un-split so the accept rule is exact).
+    bucket lookup), and (c) appended if no earlier-priority member of
+    its cell is cosine-similar at or above the threshold. The accept
+    rule is the a0003 rule, stated exactly: a new vector is removed if
+    ANY earlier-priority member — corpus member, or lower-id batch
+    member *whether or not that member was itself removed* — matches.
+    (Chained duplicates therefore cascade: if A duplicates the corpus
+    and B duplicates only A, BOTH are dropped. This is deliberate —
+    a removed vector's near-duplicates are near-duplicates-of-
+    near-duplicates — and it is what makes the rule embarrassingly
+    parallel: acceptance of X never depends on acceptance of Y.)
+
+    Pair work per batch is n_new x cell, never cell^2, and it is EXACT
+    at any cell size: comparison targets are sharded per cell into
+    md5-ranked groups of <= ``cap`` and every new vector probes every
+    shard of its cell (a cogrouped kernel per (cell, shard)), so an
+    over-cap cell bounds each task at cap targets without ever hiding
+    a corpus occupant from a probe.
 
     At 100 TB the codebook becomes the two-level/sampled structure the
     a0001 docstring names, and the corpus store becomes a MERGE-capable
@@ -825,37 +836,66 @@ def write_semdedup_ingest(
             pool = members.unionByName(new_side)
         else:
             pool = new_side
+        # shard the comparison TARGETS per cell at <= cap (md5-ranked, so
+        # the split is deterministic); every new vector probes EVERY shard
+        # of its cell, so an over-cap cell bounds task size without ever
+        # dropping a corpus occupant from the probe's view
         wc = Window.partitionBy("cell").orderBy(
             F.md5(F.concat(F.col("cell").cast("string"), F.col("vec_id").cast("string"))),
             "vec_id",
         )
-        salted = pool.withColumn(
+        targets = pool.withColumn(
             "salt", F.floor((F.row_number().over(wc) - 1) / cap).cast("long")
         )
+        # bounded collect: one row per touched cell (the `touched` list is
+        # already driver-side); avoids a self-join on the targets lineage
+        mx_rows = targets.groupBy("cell").agg(F.max("salt").alias("mx")).collect()
+        shards = spark.createDataFrame(
+            [(int(r["cell"]), int(r["mx"])) for r in mx_rows], "cell long, mx long"
+        )
+        # target rows (role 0, one shard each) UNION probe rows (role 1,
+        # replicated into every shard of their cell): a single role-tagged
+        # frame keeps the lineage union-shaped (no ambiguous self-join)
+        # and one grouped kernel per (cell, shard) does the compare
+        probes = (
+            new_side.select("vec_id", "cell", "v")
+            .join(F.broadcast(shards), "cell")
+            .withColumn("salt", F.explode(F.sequence(F.lit(0), F.col("mx"))))
+            .select("cell", "salt", F.lit(1).alias("is_new"), "vec_id", "v", F.lit(1).alias("role"))
+        )
+        tagged = targets.select(
+            "cell", "salt", "is_new", "vec_id", "v", F.lit(0).alias("role")
+        ).unionByName(probes)
         thr = float(cos_threshold)
 
         def probe(pdf: pd.DataFrame) -> pd.DataFrame:
-            # accept a NEW vector unless an earlier-priority occupant
-            # ((is_new, vec_id) order) in its cell shard is >= thr; the
+            # a probe (role 1) is hit if ANY earlier-priority target —
+            # (is_new, vec_id) order; removed-or-not does not matter (the
+            # a0003 all-earlier rule) — in this shard is >= thr; the
             # dot-first/divide-after float order matches the a0003 kernel
-            pdf = pdf.sort_values(["is_new", "vec_id"]).reset_index(drop=True)
-            isnew = pdf["is_new"].to_numpy() == 1
-            if not isnew.any():
+            tdf = pdf[pdf["role"] == 0]
+            pdf = pdf[pdf["role"] == 1]
+            if not len(tdf) or not len(pdf):
                 return pd.DataFrame({"removed_id": []}).astype({"removed_id": "int64"})
-            xm = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(xm, axis=1)
-            norms[norms == 0.0] = 1.0
-            ids = pdf["vec_id"].to_numpy()
-            new_idx = np.nonzero(isnew)[0]
-            cos = np.round((xm[new_idx] @ xm.T) / np.outer(norms[new_idx], norms), 9)
-            removed = [
-                int(ids[ia])
-                for row, ia in enumerate(new_idx)
-                if ia > 0 and (cos[row, :ia] >= thr).any()
-            ]
-            return pd.DataFrame({"removed_id": removed}).astype({"removed_id": "int64"})
+            tm = np.vstack(tdf["v"].to_numpy()).astype(np.float64)
+            pm = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            tn = np.linalg.norm(tm, axis=1)
+            pn = np.linalg.norm(pm, axis=1)
+            tn[tn == 0.0] = 1.0
+            pn[pn == 0.0] = 1.0
+            cos = np.round((pm @ tm.T) / np.outer(pn, tn), 9)
+            t_old = tdf["is_new"].to_numpy() == 0
+            t_ids = tdf["vec_id"].to_numpy()
+            p_ids = pdf["vec_id"].to_numpy()
+            earlier = t_old[None, :] | (t_ids[None, :] < p_ids[:, None])
+            hit = ((cos >= thr) & earlier).any(axis=1)
+            return pd.DataFrame({"removed_id": p_ids[hit]}).astype({"removed_id": "int64"})
 
-        removed = salted.groupBy("cell", "salt").applyInPandas(probe, "removed_id long")
+        removed = (
+            tagged.groupBy("cell", "salt")
+            .applyInPandas(probe, "removed_id long")
+            .distinct()  # a probe may hit in several shards of its cell
+        )
         survivors = assigned.join(
             removed.withColumnRenamed("removed_id", "vec_id"), "vec_id", "left_anti"
         )

@@ -16,7 +16,11 @@ def canonical(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype.kind == "f":
-            df[c] = df[c].round(6)
+            # + 0.0 normalizes IEEE -0.0 to +0.0 so a ~1e-14 summation-order
+            # residue that rounds to "negative zero" on one engine cannot
+            # hash-diverge from "+0.0" on the other (astype(str) below would
+            # render them "-0.0" vs "0.0").
+            df[c] = df[c].round(6) + 0.0
         elif df[c].dtype.kind == "M":
             df[c] = df[c].astype("datetime64[us]")
     if len(df):

@@ -642,12 +642,18 @@ def test_streaming_drift_histogram_equals_batch(spark, event_files, sf_dir):
 
 def test_streaming_semdedup_ingest_matches_numpy_replica(spark):
     """Streaming SEMANTIC dedup ingest (the a0003 idiom as a corpus
-    loop): three micro-batches of 8-dim vectors with planted near-dups
-    within a batch and across batches. Expected corpus comes from an
+    loop): four micro-batches of 8-dim vectors with planted near-dups
+    within a batch, across batches, and a CHAINED pair (A duplicates
+    the corpus; B duplicates only A). Expected corpus comes from an
     INDEPENDENT numpy replay of the declared rule (rank-stride codebook
     from the bootstrap batch, nearest-seed cells with round-9 ties to
-    the lowest seed id, arrival-priority accept at cos >= thr) — not
-    from re-running the operator, so the pin is a real cross-check."""
+    the lowest seed id, and the a0003 ALL-EARLIER accept: a new vector
+    is removed if ANY earlier-priority (is_new, vec_id) member of its
+    cell matches, whether or not that member was itself removed) — not
+    from re-running the operator, so the pin is a real cross-check.
+    The chained batch makes the rule choice observable: under the
+    rival survivors-only rule B would be KEPT (asserted below), so the
+    fixture genuinely distinguishes the declared semantics."""
     import os
 
     import numpy as np
@@ -667,10 +673,22 @@ def test_streaming_semdedup_ingest_matches_numpy_replica(spark):
     v = rng.randn(8)
     rows.append((2, 21, v))
     rows.append((2, 22, v * 1.02))
+    # batch 3 (the CHAIN): id 30 duplicates corpus member 3
+    # (cos ~0.961 >= thr); id 31 duplicates ONLY 30 (cos(30,31) ~0.978,
+    # cos(31, base[3]) ~0.882 < thr). All-earlier drops both; the
+    # survivors rule would keep 31.
+    u = base[3] / np.linalg.norm(base[3])
+    w = base[4] - (base[4] @ u) * u
+    w = w / np.linalg.norm(w)
+    v30 = np.cos(0.28) * u + np.sin(0.28) * w
+    v31 = np.cos(0.49) * u + np.sin(0.49) * w
+    rows.append((3, 30, v30))
+    rows.append((3, 31, v31))
 
     thr, target = 0.95, 4
+    n_batches = 4
 
-    # --- independent replica -------------------------------------------
+    # --- independent replica (all-earlier rule) -------------------------
     n0 = 6
     k = -(-n0 // target)
     step = -(-n0 // k)
@@ -681,21 +699,41 @@ def test_streaming_semdedup_ingest_matches_numpy_replica(spark):
         d2 = np.round(((x - cmat) ** 2).sum(axis=1), 9)
         return seed_ids[int(np.argmin(d2))]
 
-    corpus: list[tuple[int, int, np.ndarray]] = []  # (id, cell, v)
-    for b in range(3):
-        batch = [(i, cell_of(np.asarray(x, dtype=np.float64)), np.asarray(x, dtype=np.float64))
-                 for (bb, i, x) in rows if bb == b]
-        accepted = []
-        for i, c, x in sorted(batch):
-            occupants = [vv for (j, cc, vv) in corpus + accepted if cc == c]
-            cos = [
-                float(np.round(x @ o / (np.linalg.norm(x) * np.linalg.norm(o)), 9))
-                for o in occupants
+    def replay(earlier_pool):
+        """earlier_pool(accepted, processed) -> the within-batch frames a
+        probe compares against, on top of the corpus; the declared rule
+        uses ALL processed earlier members, the rival uses survivors."""
+        corpus: list[tuple[int, int, np.ndarray]] = []  # (id, cell, v)
+        for b in range(n_batches):
+            batch = [
+                (i, cell_of(np.asarray(x, dtype=np.float64)), np.asarray(x, dtype=np.float64))
+                for (bb, i, x) in rows
+                if bb == b
             ]
-            if not any(cv >= thr for cv in cos):
-                accepted.append((i, c, x))
-        corpus.extend(accepted)
-    expected = sorted(i for i, _, _ in corpus)
+            accepted: list[tuple[int, int, np.ndarray]] = []
+            processed: list[tuple[int, int, np.ndarray]] = []
+            for i, c, x in sorted(batch):
+                occupants = [
+                    vv
+                    for (j, cc, vv) in corpus + earlier_pool(accepted, processed)
+                    if cc == c
+                ]
+                cos = [
+                    float(np.round(x @ o / (np.linalg.norm(x) * np.linalg.norm(o)), 9))
+                    for o in occupants
+                ]
+                if not any(cv >= thr for cv in cos):
+                    accepted.append((i, c, x))
+                processed.append((i, c, x))
+            corpus.extend(accepted)
+        return sorted(i for i, _, _ in corpus)
+
+    expected = replay(lambda accepted, processed: processed)
+    rival_survivors = replay(lambda accepted, processed: accepted)
+    # the chain distinguishes the rules: 30 falls either way, 31 only
+    # under the declared all-earlier rule
+    assert 30 not in expected and 31 not in expected
+    assert 31 in rival_survivors and expected != rival_survivors
 
     # --- the streaming operator ----------------------------------------
     tmp = tempfile.mkdtemp(prefix="semdedup_ingest_")
@@ -705,7 +743,7 @@ def test_streaming_semdedup_ingest_matches_numpy_replica(spark):
             T.StructField("embedding", T.ArrayType(T.DoubleType())),
         ]
     )
-    for b in range(3):
+    for b in range(n_batches):
         batch = [(int(i), [float(e) for e in x]) for (bb, i, x) in rows if bb == b]
         spark.createDataFrame(batch, schema).coalesce(1).write.parquet(f"{tmp}/feed/b={b}")
     feed = ST.stream_from_directory(
@@ -719,9 +757,25 @@ def test_streaming_semdedup_ingest_matches_numpy_replica(spark):
 
     got = sorted(r["vec_id"] for r in spark.read.parquet(f"{tmp}/corpus").collect())
     assert got == expected, (got, expected)
-    # the planted dups must actually have been dropped
+    # the planted dups must actually have been dropped — including BOTH
+    # ends of the chained pair (the all-earlier rule cascades)
     assert 10 not in got and 20 not in got and 22 not in got
+    assert 30 not in got and 31 not in got
     # codebook persisted once, from the bootstrap batch only
     cb = sorted(r["seed_id"] for r in spark.read.parquet(f"{tmp}/corpus_codebook").collect())
     assert cb == [i for i in range(6) if i % step == 0]
+
+    # over-cap exactness: cap=2 splits every cell into multiple target
+    # shards, and the result must be IDENTICAL — probes visit every shard
+    # of their cell, so sharding never hides a corpus occupant
+    feed2 = ST.stream_from_directory(
+        spark, f"{tmp}/feed/b=*", schema, max_files_per_trigger=1
+    )
+    q2 = ST.write_semdedup_ingest(
+        feed2, f"{tmp}/corpus2", f"{tmp}/ckpt2",
+        cos_threshold=thr, target_cell=target, cap=2,
+    )
+    q2.awaitTermination(180)
+    got2 = sorted(r["vec_id"] for r in spark.read.parquet(f"{tmp}/corpus2").collect())
+    assert got2 == expected, (got2, expected)
     shutil.rmtree(tmp, ignore_errors=True)
