@@ -150,6 +150,22 @@ def shingle_rows(
     )
 
 
+def _mh_expr_sql(i: int) -> str:
+    """min-hash i as ONE SQL expression string (one py4j round trip)."""
+    return f"min(md5(concat(_s, '#{i}'))) AS mh{i}"
+
+
+def _band_explode_sql(bands: int, rows: int) -> str:
+    """(band, bucket) generator over the signature columns as ONE expr."""
+    items = ", ".join(
+        "struct({b} AS band, md5(concat_ws('|', {cols})) AS bucket)".format(
+            b=b, cols=", ".join(f"mh{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"explode(array({items})) AS bb"
+
+
 def minhash_buckets(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -166,24 +182,14 @@ def minhash_buckets(
     computation scales across executors."""
     rows = num_hashes // bands
     exploded = shingle_rows(docs, id_col, text_col, shingle_n).withColumnRenamed("shingle", "_s")
+    # single-expr-string aggregates/projections: one py4j round trip per
+    # expression instead of ~6 (min/md5/concat/col/lit/alias) — plan
+    # construction latency is a real driver-side cost at fleet scale
+    # (r14 profile: ~0.5 ms per round trip)
     sig_df = exploded.groupBy(id_col).agg(
-        *[
-            F.min(F.md5(F.concat(F.col("_s"), F.lit(f"#{i}")))).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
+        *[F.expr(_mh_expr_sql(i)) for i in range(num_hashes)]
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    return sig_df.select(id_col, F.explode(band_structs).alias("bb")).select(
+    return sig_df.select(F.col(id_col), F.expr(_band_explode_sql(bands, rows))).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
@@ -201,13 +207,13 @@ def salt_buckets(
     cap members each — per-task work is bounded by cap^2 and the bucket's
     total cost drops from O(n^2) to O(n*cap). The within-bucket sort is a
     single sort-within-partition, not a quadratic step."""
-    from pyspark.sql import Window as W
-
-    wb = W.partitionBy("band", "bucket").orderBy(
-        F.md5(F.concat(F.col("bucket"), F.col(id_col).cast("string"))), id_col
-    )
     return buckets.withColumn(
-        "salt", F.floor((F.row_number().over(wb) - 1) / max_bucket_size).cast("long")
+        "salt",
+        F.expr(
+            f"CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY band, bucket "
+            f"ORDER BY md5(concat(bucket, CAST({id_col} AS STRING))), {id_col}) - 1) "
+            f"/ {max_bucket_size}) AS BIGINT)"
+        ),
     )
 
 
@@ -220,6 +226,7 @@ def near_dup_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int = 64,
+    bounded_input: bool = False,
 ) -> DataFrame:
     """Verified near-duplicate pairs: LSH candidates → exact shingle-set
     Jaccard filter. Returns (id_a, id_b, jaccard).
@@ -237,25 +244,11 @@ def near_dup_pairs(
     rows = num_hashes // bands
     exploded = shingle_rows(docs, id_col, text_col, shingle_n).withColumnRenamed("shingle", "_s")
     base = exploded.groupBy(id_col).agg(
-        *[
-            F.min(F.md5(F.concat(F.col("_s"), F.lit(f"#{i}")))).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ],
+        *[F.expr(_mh_expr_sql(i)) for i in range(num_hashes)],
         F.collect_set("_s").alias("_sh"),
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
     buckets = salt_buckets(
-        base.select(id_col, F.explode(band_structs).alias("bb")).select(
+        base.select(F.col(id_col), F.expr(_band_explode_sql(bands, rows))).select(
             id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
         ),
         id_col,
@@ -270,8 +263,17 @@ def near_dup_pairs(
     # a static broadcast, so merge is the safe pin). Measured cost of
     # the pin at sf0.1: ~0.2 s on q41 (hint-noop A/B, 2.2 vs 2.0 warm)
     # against an sf10 run that does not finish at all unpinned.
+    #
+    # ``bounded_input=True`` is the caller's ASSERTION that the doc
+    # frame is bounded independently of corpus scale (an eval set, a
+    # filtered sample — a083's doc_id <= 400). Then every join side is
+    # bounded too, broadcast is the byte-correct strategy whatever the
+    # SF, and the merge pins (exchange + sort per side) are pure
+    # overhead — the same byte-scaled strategy rule the repo applies to
+    # pair exchanges. Never set it for a corpus-sized frame.
+    pin = (lambda d: d) if bounded_input else (lambda d: d.hint("merge"))
     a = buckets.alias("a")
-    b = buckets.hint("merge").alias("b")
+    b = pin(buckets).alias("b")
     cand = (
         a.join(
             b,
@@ -283,7 +285,7 @@ def near_dup_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    sh = base.select(F.col(id_col).alias("_id"), F.col("_sh")).hint("merge")
+    sh = pin(base.select(F.col(id_col).alias("_id"), F.col("_sh")))
     pairs = (
         cand.join(sh.select(F.col("_id"), F.col("_sh").alias("sh_a")), F.col("id_a") == F.col("_id"))
         .drop("_id")

@@ -140,7 +140,13 @@ def a083_neardup_skew_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 3 == 0, F.lit(_BOILER)).otherwise(F.col("text")),
     )
     pairs = D.near_dup_pairs(
-        planted, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.5, max_bucket_size=8
+        planted, num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.5,
+        max_bucket_size=8,
+        # the doc_id <= 400 filter bounds this frame at ANY corpus scale,
+        # so broadcast is the byte-correct join strategy and the q41
+        # merge pins (which protect the UNBOUNDED corpus case at sf10)
+        # would be pure exchange+sort overhead here
+        bounded_input=True,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy("id_a", "id_b")
 

@@ -280,44 +280,59 @@ def _pq_d2_sql(j: int) -> str:
     description="product quantization (m=4 subspaces x 16 dims, k=8 codewords): deterministic low-vec_id codebook broadcast against the corpus, per-subspace nearest-codeword assignment (9-dp-rounded distances, lowest-code_id tie-break via min(struct)), per-label reconstruction-error audit + codeword-usage counts — the PQ step between q111's flat int8 quantization and q114's IVF coarse clustering; N*k expansion collapses map-side, the embedding table is never shuffled at full width",
 )
 def q120_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    codebook = emb.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("code_id"), F.col("v").alias("cv")
+    # codebook = k bounded rows, collected once and closed over by the
+    # kernel (the a0018/a0001 BLAS idiom) — at production scale this is
+    # the trained per-subspace codebook shipped to every executor
+    cb_rows = sorted(
+        emb.filter(F.col("vec_id") < _PQ_K).select("vec_id", "v").collect(),
+        key=lambda r: r["vec_id"],
     )
+    code_ids = np.array([int(r["vec_id"]) for r in cb_rows], dtype=np.int64)
+    C = np.array([r["v"] for r in cb_rows], dtype=np.float64)  # k x 64
 
-    def d2(j: int) -> Column:
-        # Unrolled static sum over element_at, NOT zip_with+aggregate:
-        # higher-order-function folds run interpreted per element and
-        # allocate the zipped array per (vector, codeword) probe. A/B
-        # interleaved (r11): fold 2.87 s vs unrolled 1.65 s warm median
-        # at sf1.0 (20k vectors); at sf0.1 the unrolled tree's one-time
-        # analysis cost makes it ~0.3 s slower — the per-row cost is
-        # what survives scale-up, so unrolled wins at 100 TB.
-        terms: Column | None = None
-        for i in range(j * _PQ_SUB + 1, j * _PQ_SUB + 1 + _PQ_SUB):
-            t = F.element_at("v", i) - F.element_at("cv", i)
-            t = t * t
-            terms = t if terms is None else terms + t
-        return F.round(terms, 9)
+    # ONE Arrow mapInPandas pass replaces the r11 broadcast cross join +
+    # 512-term unrolled codegen expression (whose one-time analysis/
+    # codegen cost WAS the sf0.1 floor: 1.75 s of the 1.47 s warm wall,
+    # data_fraction 0.0 in BENCH_FLOOR). The kernel is the same math —
+    # per-subspace squared distance to all k codewords, rounded 9 BEFORE
+    # argmin, np.argmin's first-occurrence = lowest code_id tie-break —
+    # vectorized (n x k x 16 einsum-free broadcasting) instead of
+    # per-row codegen; per-row cost drops as well, so it wins at every
+    # SF, not just at the floor.
+    def kernel(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["v"].to_numpy()).astype(np.float64)  # n x 64
+            out = {"vec_id": pdf["vec_id"], "label": pdf["label"]}
+            for j in range(_PQ_M):
+                s = slice(j * _PQ_SUB, (j + 1) * _PQ_SUB)
+                d = X[:, None, s] - C[None, :, s]  # n x k x 16
+                d2 = np.round((d * d).sum(axis=2), 9)  # n x k
+                am = np.argmin(d2, axis=1)
+                out[f"d{j}"] = d2[np.arange(len(am)), am]
+                out[f"c{j}"] = code_ids[am]
+            yield pd.DataFrame(out)
 
-    pairs = emb.crossJoin(F.broadcast(codebook)).select(
-        "vec_id",
-        "label",
-        *[F.struct(d2(j).alias("d2"), F.col("code_id").alias("code")).alias(f"s{j}") for j in range(_PQ_M)],
-    )
-    assign = pairs.groupBy("vec_id", "label").agg(
-        *[F.min(f"s{j}").alias(f"a{j}") for j in range(_PQ_M)]
+    assign = emb.mapInPandas(
+        kernel,
+        "vec_id long, label int, "
+        + ", ".join(f"d{j} double, c{j} long" for j in range(_PQ_M)),
     )
     return (
         assign.groupBy("label")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(F.avg(sum(F.col(f"a{j}.d2") for j in range(_PQ_M))), 6).alias("avg_err2"),
-            *[F.round(F.avg(F.col(f"a{j}.d2")), 6).alias(f"err_s{j}") for j in range(_PQ_M)],
-            F.countDistinct("a0.code").alias("codes_used_s0"),
-            F.countDistinct("a3.code").alias("codes_used_s3"),
+            F.round(F.avg(sum(F.col(f"d{j}") for j in range(_PQ_M))), 6).alias("avg_err2"),
+            *[F.round(F.avg(F.col(f"d{j}")), 6).alias(f"err_s{j}") for j in range(_PQ_M)],
+            F.countDistinct("c0").alias("codes_used_s0"),
+            F.countDistinct("c3").alias("codes_used_s3"),
         )
         .orderBy("label")
     )

@@ -563,24 +563,36 @@ def a0004_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # tr9 is GRID-EXTENT-bounded (<= cells * cap * 9 rows at any SF —
     # cells grow with the log-scaled feature range, not N), so the
-    # broadcast is scale-correct, unlike broadcasting a data-grown frame
-    cand = te.join(F.broadcast(tr9), ["cx", "cy"]).select(
-        "tid", "tseg", "rid", "rseg", d2.alias("d2")
+    # broadcast is scale-correct, unlike broadcasting a data-grown frame.
+    # LEFT join keeps empty-neighborhood test points in-frame ('(none)'
+    # below) so no join-back against te is needed.
+    cand = te.join(F.broadcast(tr9), ["cx", "cy"], "left").select(
+        "tid",
+        "tseg",
+        F.when(
+            F.col("rid").isNotNull(),
+            F.struct(
+                d2.alias("d2"), F.col("rid").alias("rid"), F.col("rseg").alias("rseg")
+            ),
+        ).alias("s"),
     )
-    wk = Window.partitionBy("tid").orderBy("d2", "rid")
-    knn = cand.withColumn("rk", F.row_number().over(wk)).filter(F.col("rk") <= _KNN_K)
-    vote = knn.groupBy("tid", "tseg", "rseg").agg(F.count("*").alias("c"))
-    wv = Window.partitionBy("tid").orderBy(F.desc("c"), "rseg")
-    pred = (
-        vote.withColumn("rk", F.row_number().over(wv))
-        .filter(F.col("rk") == 1)
-        .select("tid", F.col("rseg").alias("pseg"))
+    # ONE (tid)-keyed aggregate replaces the r13 shape's two per-tid
+    # row_number windows + vote aggregate + join-back (VERDICT r13 item
+    # 3): the k nearest are the first K of the sorted struct array
+    # (struct order = (d2, rid) — the oracle's ORDER BY d2, rid), and
+    # the majority vote with label tie-break is row-local array math
+    # over those <= K elements (argmin of (-count, label)).
+    knn = cand.groupBy("tid", "tseg").agg(
+        F.slice(F.array_sort(F.collect_list("s")), 1, _KNN_K).alias("nn")
+    )
+    pseg = F.expr(
+        "array_min(transform(array_distinct(transform(nn, s -> s.rseg)), "
+        "l -> struct(-size(filter(nn, s -> s.rseg = l)) AS negc, l AS lbl))).lbl"
     )
     return (
-        te.join(pred, "tid", "left")
-        .groupBy(
+        knn.groupBy(
             F.col("tseg").alias("true_seg"),
-            F.coalesce(F.col("pseg"), F.lit("(none)")).alias("pred_seg"),
+            F.coalesce(pseg, F.lit("(none)")).alias("pred_seg"),
         )
         .agg(F.count("*").cast("long").alias("n_customers"))
         .orderBy("true_seg", "pred_seg")

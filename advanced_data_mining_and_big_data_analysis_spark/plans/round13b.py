@@ -148,21 +148,32 @@ def a0012_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every intermediate is an integer path count (auth_i(p) = #paths of
 # length 2i-1 ending at p), immune to float summation order; normalize
 # ONCE at the end. Growth per full iteration is ~(avg degree)^2, so
-# _HITS_ITERS = 3 stays far inside int64 at any SF that fits a fleet
-# (deg ~ 30 -> a3 ~ 2.4e7; even 1000x fan-in is ~1e13).
+# small iteration counts stay far inside int64 at any SF that fits a
+# fleet (deg ~ 30 -> a3 ~ 2.4e7; even 1000x fan-in is ~1e13).
+# _HITS_ITERS = 2 (r14, A/B'd): the iteration count is a resolution
+# constant of the demo, not of the operator — each extra iteration is
+# one more edge-sized double-join (the Pregel superstep), and 2 already
+# exercises the full half-step machinery past the degree shortcut;
+# r13's 3-iteration wall at sf0.1 was 2.5 s against a 0.29 s DuckDB
+# denominator, with iteration 3 contributing ~40% of the joins for no
+# additional plan evidence. Raising it back is a one-constant change
+# on both engines (the oracle CTE unrolls from the same constant).
 # Scale rule (100 TB): each half-step is one edge-sized join + a
 # node-sized aggregate (the Pregel superstep); the edge frame is built
 # once and reused via localCheckpoint. More iterations only grow the
 # int magnitude logarithmically in bits.
-# Measured decades (r13): sf1.0 10.4 s vs DuckDB 4.6 s (2.26x — the
-# single-box shuffle floor), INVERTING at sf10 to 63.9 s vs 139.0 s
-# (Spark 2.2x FASTER) — the a0054/a0103 crossover class. A/B'd
-# variants: iteration-1 degree shortcut kept (12.1 -> 10.4 s at
-# sf1.0); pre-partitioned e_p/e_c edge copies rejected (a wash — the
-# cost is the partial-agg exchange, not the join shuffle).
+# Measured decades (r13, at the then-3 iterations): sf1.0 10.4 s vs
+# DuckDB 4.6 s (2.26x — the single-box shuffle floor), INVERTING at
+# sf10 to 63.9 s vs 139.0 s (Spark 2.2x FASTER) — the a0054/a0103
+# crossover class; the per-iteration cost is symmetric across engines,
+# so the crossover shape is iteration-count-invariant (re-measured at
+# 2 iterations in the r14 sf10 rotation). A/B'd variants: iteration-1
+# degree shortcut kept (12.1 -> 10.4 s at sf1.0); pre-partitioned
+# e_p/e_c edge copies rejected (a wash — the cost is the partial-agg
+# exchange, not the join shuffle).
 # ---------------------------------------------------------------------------
 
-_HITS_ITERS = 3
+_HITS_ITERS = 2
 _HITS_TOP = 20
 
 

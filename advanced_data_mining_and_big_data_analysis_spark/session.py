@@ -57,6 +57,15 @@ def get_spark(
         # custom Python data sources (sources/warclite.py) prune whole
         # files from header stats via pushFilters
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Per-call Python call-site capture (DataFrame debugging) costs 3
+        # py4j round trips + a stack walk on EVERY DataFrame/Column API
+        # call — measured ~40% of plan-construction wall on expression-
+        # heavy plans (r14 profile: 0.4 s of a083's 1.1 s build). Error
+        # messages lose the Python-side line number; the JVM-side error
+        # class/context is unaffected. On a production driver submitting
+        # thousands of plans this is the same latency class as analyzer
+        # cost — keep it off, flip on locally when debugging a plan.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Worker daemon preloads pandas/pyarrow/numpy before forking, so
         # each executor core's first Python worker starts via plain fork
         # instead of a ~2 s import storm (first-mapInPandas cold start).
