@@ -2262,24 +2262,25 @@ def a0089_mrl_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     step = F.ceil(F.col("ns") * 1.0 / _MRL_K).cast("long")
     sampled = ranked.filter(
         (F.col("rn") - 1) % step == F.floor((step - 1) / 2).cast("long")
-    ).select("val", "shard", step.alias("step"))
-    # cumulative weights over the <= S*k-row summary frame (constant-bounded)
-    wm = Window.orderBy("val", "shard", "step").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    merged = sampled.select("val", "step", F.sum("step").over(wm).alias("cw"))
-    n = float(load_table(spark, sf_dir, "lineitem").count())
-    qcol = spark.range(1).select(
-        F.explode(F.array(*[F.lit(q) for q in _MRL_QS])).alias("q")
-    )
-    est_rows = (
-        merged.crossJoin(F.broadcast(qcol))
-        .filter(F.col("cw") >= F.col("q") * n)
-        .groupBy("q")
-        .agg(F.min("val").alias("est"))
-        .collect()  # bounded: one row per requested quantile
-    )
-    ests = {r["q"]: r["est"] for r in est_rows}
+    ).select("val", "shard", step.alias("step"), "ns")
+    # ONE bounded collect (<= S*k rows, carrying per-shard ns) replaces
+    # the r13 shape's three driver jobs (corpus count + single-partition
+    # cumulative window + est collect): the merge — cumulative weights
+    # over (val, shard, step) order — and the per-quantile MIN(val) with
+    # cw >= q*n run driver-side over the constant-bounded summary, the
+    # identical rule the oracle's merged/est CTEs apply (every shard
+    # contributes >= 1 sample, so sum of distinct-shard ns is exactly n).
+    spdf = sampled.toPandas()  # Arrow transfer; <= S*k rows
+    n = float(spdf.drop_duplicates("shard")["ns"].sum())
+    spdf = spdf.sort_values(["val", "shard", "step"])
+    cws = spdf["step"].cumsum().to_numpy()
+    vals = spdf["val"].to_numpy()
+    ests: dict[float, float] = {}
+    for q in _MRL_QS:
+        import numpy as _np
+
+        idx = int(_np.searchsorted(cws, q * n, side="left"))
+        ests[q] = float(vals[idx])
     # exact-rank audit: the 7 estimates are literals, so the audit is ONE
     # conditional-sum aggregate over a fresh column-pruned scan — no
     # corpus checkpoint, no est x corpus row multiplication

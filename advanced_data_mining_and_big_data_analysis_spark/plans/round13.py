@@ -520,7 +520,10 @@ def a0004_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("y") * _KNN_H4).cast("long").alias("cy"),
         F.col("c_mktsegment").alias("seg"),
         (F.col("id") % 4 == 0).alias("is_test"),
-    ).localCheckpoint(eager=False)  # one feature build feeds both splits
+    ).localCheckpoint(eager=False)  # one feature build feeds both splits;
+    # A/B'd r14: dropping it is SLOWER (2.49 vs 2.24 warm) — the tr9
+    # side is a broadcast whose subtree executes as an independent job,
+    # so ReusedExchange cannot dedup the feature shuffle across splits
     te = pts.filter(F.col("is_test")).select(
         F.col("id").alias("tid"), F.col("x").alias("tx"), F.col("y").alias("ty"),
         "cx", "cy", F.col("seg").alias("tseg"),
