@@ -69,6 +69,7 @@ def all_queries() -> dict[str, QueryDef]:
         round12,
         round13,
         round13b,
+        round14,
         sessions,
         similarity,
         sources_ext,

@@ -38,9 +38,10 @@ from .similarity import _DIMS, _PAIR_COS, _SD_PLANT, _SD_THR
 # the standard cheap coarse quantizer (IVF does not need trained
 # centroids to bound memory — it needs BALANCED BUCKETS). The collected
 # codebook is k x 64 doubles = N/target rows — at 100 TB you cap the
-# codebook by sampling or go two-level (coarse IVF over codebook
-# shards); the mechanism under test is the k ∝ N rule that keeps the
-# per-task matrix at target^2.
+# codebook with the two-level build a0023 implements (plans/round14.py:
+# sqrt(N)-sized L1 collect + distributed per-cell refine); the
+# mechanism under test HERE is the k ∝ N rule that keeps the per-task
+# matrix at target^2.
 #
 # k ∝ N alone is NOT enough under adversarial duplication — measured,
 # not theorized: the sf10 corpus is the sf0.1 corpus 100x-replicated,
@@ -162,7 +163,8 @@ def _ak_salted_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", SIM.as_double("embedding").alias("v"))
     # two driver scalars + the k x 64 coarse codebook (k = N/target —
-    # bounded for any bench SF; at extreme scale sample or go two-level)
+    # bounded for any bench SF; at extreme scale swap in a0023's
+    # two-level build: O(sqrt N) driver traffic, same cell semantics)
     n = base.count()
     k = -(-n // _AK_TARGET)
     step = -(-n // k)

@@ -122,7 +122,8 @@ def a0003_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("vec_id") % 5 == 3, 1).otherwise(0).alias("is_new"),
     )
     # codebook from the OLD corpus only — the cells predate the growth
-    # batch (bounded driver collect, the a0001 documented bound)
+    # batch (bounded driver collect; at 100 TB use a0023's two-level
+    # build — plans/round14.py — whose driver traffic is O(sqrt N))
     old = base.filter(F.col("is_new") == 0)
     n_old = old.count()
     k = -(-n_old // _INC_TARGET)

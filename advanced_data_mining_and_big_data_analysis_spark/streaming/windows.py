@@ -769,8 +769,11 @@ def write_semdedup_ingest(
     over-cap cell bounds each task at cap targets without ever hiding
     a corpus occupant from a probe.
 
-    At 100 TB the codebook becomes the two-level/sampled structure the
-    a0001 docstring names, and the corpus store becomes a MERGE-capable
+    At 100 TB the codebook becomes the two-level structure a0023
+    implements as code (plans/round14.py — sqrt(N)-sized L1 driver
+    collect, per-cell L2 refine that never leaves the executors; swap
+    the bootstrap below for that build at scale), and the corpus store
+    becomes a MERGE-capable
     table (Delta/Iceberg) — same slots, same plan shape. Appends are
     idempotent per batch only through the checkpoint contract (same
     caveat as write_dedup_ingest).

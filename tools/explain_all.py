@@ -223,6 +223,8 @@ HEADLINE = [
     "a0020_ams_f2_sketch",
     "a0021_jpeg_arith_decode",
     "a0022_bfs_layers",
+    # round-14 wave
+    "a0023_semdedup_twolevel_codebook",
 ]
 
 
