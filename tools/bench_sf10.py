@@ -41,15 +41,19 @@ QUERIES = [
     "q114_semdedup",
     "q130_prefix_filter_simjoin",
     "a0053_apriori_triples",
-    # round-12 additions (VERDICT r11 item 5)
-    "a0103_adamic_adar",
-    "a0054_itemitem_cf",
     "a0001_semdedup_autok",
     # round-13 rotation (VERDICT r12 item 6): the grid-bounded CC claim
     # at the decade + the reshaped MF step + the incremental twin
     "a0002_density_level_hierarchy",
     "a0083_mf_gradient_step",
     "a0003_semdedup_incremental",
+    # round-14 rotation (VERDICT r13 item 8): a0004/a0019 rotate IN for
+    # their first decade rows; a0103/a0054 rotate OUT (inversions
+    # re-confirmed in r12 AND r13 — stable). a0013 (2-iteration re-
+    # measure) and a0085 (first decade row) run as spot-merges into
+    # BENCH_SF10.json the same session.
+    "a0004_knn_classify",
+    "a0019_ngram_self_overlap",
 ]
 # q114's oracle-pinned fixed-k regime is quadratic per decade (the a0001
 # twin carries the production rule): one warm rep, not three

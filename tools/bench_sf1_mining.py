@@ -64,6 +64,8 @@ QUERIES = [
     "a0017_adaboost_stumps",
     "a0019_ngram_self_overlap",
     "a0022_bfs_layers",
+    # round-14 wave
+    "a0023_semdedup_twolevel_codebook",
 ]
 
 

@@ -178,6 +178,8 @@ WEAK = [
     "a0020_ams_f2_sketch",
     "a0021_jpeg_arith_decode",
     "a0022_bfs_layers",
+    # round-14 wave
+    "a0023_semdedup_twolevel_codebook",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
