@@ -70,6 +70,7 @@ def all_queries() -> dict[str, QueryDef]:
         round13,
         round13b,
         round14,
+        round14b,
         sessions,
         similarity,
         sources_ext,

@@ -98,12 +98,15 @@ def test_pq_codebook_vectors_reconstruct_exactly(spark, sf_dir):
 
 
 def test_q120_no_shuffle_of_full_width_embeddings(spark, sf_dir):
-    """The N*k expansion must come from a broadcast of the k-row
-    codebook, never a shuffle/sort-merge of the embedding table."""
+    """The N*k expansion must collapse map-side — since the r14 reshape
+    it is ONE Arrow mapInPandas kernel over a closed-over k-row codebook
+    (no join at all); the embedding table must never be shuffled or
+    sort-merged at full width."""
     df = QUERIES["q120_product_quantization"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Join" not in plan  # kernel replaced the broadcast join outright
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
 
 
 # ---------------------------------------------------------------- q121 BPE
