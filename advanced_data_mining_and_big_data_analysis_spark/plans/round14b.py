@@ -401,3 +401,427 @@ def a0026_repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# a0027 — modularity of the LPA communities (Newman & Girvan 2004,
+# Phys. Rev. E 69, 026113): Q = sum_c [ e_c/(2m) - (d_c/(2m))^2 ], the
+# quality number that tells you whether a0012's label propagation
+# found real structure or noise (Q ~ 0). Communities are a0012's
+# EXACT labels (same graph, same _LP_ROUNDS synchronous rounds, same
+# count-DESC/label-ASC tie rule — the oracle reuses the identical
+# unrolled CTE chain).
+#
+# Determinism: Q is assembled from three INTEGER aggregates — within
+# (same-label directed edge count), sum of squared community degree
+# sums, and 2m — entering ONE closed-form double expression, so no
+# float summation order exists to diverge. d_c <= 2m keeps
+# sum(d_c^2) <= (2m)^2 inside int64 at any single-box SF (the oracle's
+# HUGEINT sum is CAST back).
+# Scale rule (100 TB): two edge-sized joins (label lookup per
+# endpoint) + node-sized aggregates; the LPA rounds themselves are
+# a0012's cost, re-stated here because the metric is inseparable from
+# the labels.
+# ---------------------------------------------------------------------------
+
+
+def _lpa_labels_spark(spark: SparkSession, sf_dir: str):
+    """a0012's graph + LPA labels, replayed exactly (same cap, same
+    synchronous rounds, same count-DESC/label-ASC tie rule). Returns
+    (sym_edges, labels) — sym is the direction-doubled edge frame."""
+    from .round13b import _LP_CAP, _LP_ROUNDS
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("b")
+    )
+    ba = ev.groupBy("event_type", "b").agg(
+        F.array_sort(F.collect_set("user_id")).alias("us")
+    )
+    us = F.col("us")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(us) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(us)),
+                lambda j: F.struct(
+                    F.element_at(us, i).alias("u"), F.element_at(us, j).alias("v")
+                ),
+            ),
+        )
+    )
+    guarded = F.when(F.size(us) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<u:bigint,v:bigint>>")
+    )
+    e0 = (
+        ba.filter(F.size(us) <= _LP_CAP)
+        .select(F.explode(guarded).alias("p"))
+        .select("p.u", "p.v")
+        .distinct()
+    )
+    sym = e0.unionAll(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    lbl = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LP_ROUNDS):
+        nb = sym.join(lbl.withColumnRenamed("node", "v"), "v").select(
+            F.col("u").alias("node"), "lbl"
+        )
+        ct = nb.groupBy("node", "lbl").agg(F.count("*").alias("c"))
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+        lbl = (
+            ct.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=False)
+        )
+    return sym, lbl
+
+
+def _modularity_oracle() -> str:
+    from .round13b import _LP_CAP, _LP_ROUNDS, _lpa_rounds_sql
+
+    return f"""
+    WITH ev AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS b
+                FROM events),
+    bs AS (SELECT event_type, b, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+    kept AS (SELECT event_type, b FROM bs WHERE n <= {_LP_CAP}),
+    ek AS (SELECT ev.user_id, ev.event_type, ev.b FROM ev JOIN kept USING (event_type, b)),
+    e0 AS MATERIALIZED (SELECT DISTINCT a.user_id AS u, k.user_id AS v
+           FROM ek a JOIN ek k ON a.event_type = k.event_type AND a.b = k.b
+                             AND a.user_id < k.user_id),
+    sym AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+    {_lpa_rounds_sql()},
+    fin AS (SELECT node, lbl FROM l{_LP_ROUNDS}),
+    m2 AS (SELECT COUNT(*) AS m2 FROM sym),
+    within AS (SELECT COUNT(*) AS w FROM sym
+               JOIN fin fu ON fu.node = sym.u
+               JOIN fin fv ON fv.node = sym.v
+               WHERE fu.lbl = fv.lbl),
+    deg AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY u),
+    dc AS (SELECT fin.lbl, CAST(SUM(deg.d) AS BIGINT) AS dsum
+           FROM deg JOIN fin ON fin.node = deg.node GROUP BY fin.lbl),
+    s AS (SELECT CAST(SUM(dsum * dsum) AS BIGINT) AS s2,
+                 CAST(COUNT(*) AS BIGINT) AS n_comm FROM dc),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT nn.n_nodes, s.n_comm AS n_communities,
+           CAST(m2.m2 / 2 AS BIGINT) AS n_edges,
+           CAST(within.w / 2 AS BIGINT) AS within_edges,
+           ROUND(within.w * 1.0 / m2.m2, 6) AS coverage,
+           ROUND(within.w * 1.0 / m2.m2 - s.s2 * 1.0 / (m2.m2 * m2.m2), 6)
+             AS modularity
+    FROM nn, s, m2, within
+    """
+
+
+@query(
+    "a0027_modularity_communities",
+    oracle=_modularity_oracle(),
+    description="Newman-Girvan modularity (Phys. Rev. E 69, 026113, 2004) of a0012's label-propagation communities on the same co-occurrence graph: Q = within/(2m) - sum_c (d_c/(2m))^2 assembled from three INTEGER aggregates (same-label directed edge count, sum of squared community degree sums, 2m) entering one closed-form double expression — no float summation order exists to diverge; the quality number that says whether LPA found structure (Q >> 0) or noise (Q ~ 0); two edge-sized label-lookup joins + node-sized aggregates on top of a0012's rounds",
+)
+def a0027_modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sym, lbl = _lpa_labels_spark(spark, sf_dir)
+    m2 = sym.count()  # scalar: 2m (directed edge count) — bounded collect
+    within = (
+        sym.join(lbl.withColumnRenamed("node", "u").withColumnRenamed("lbl", "lu"), "u")
+        .join(lbl.withColumnRenamed("node", "v").withColumnRenamed("lbl", "lv"), "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .count()
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    dc = deg.join(lbl, "node").groupBy("lbl").agg(F.sum("d").cast("long").alias("dsum"))
+    s = dc.agg(
+        F.sum(F.col("dsum") * F.col("dsum")).cast("long").alias("s2"),
+        F.count("*").cast("long").alias("n_comm"),
+    )
+    n_nodes = deg.count()
+    return s.select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.col("n_comm").alias("n_communities"),
+        F.lit(m2 // 2).cast("long").alias("n_edges"),
+        F.lit(within // 2).cast("long").alias("within_edges"),
+        F.round(F.lit(within) * 1.0 / m2, 6).alias("coverage"),
+        F.round(
+            F.lit(within) * 1.0 / m2 - F.col("s2") * 1.0 / (float(m2) * m2), 6
+        ).alias("modularity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0028 — harmonic closeness centrality from a bounded seed set
+# (Marchiori & Latora 2000; Boldi & Vigna 2014 form, which handles
+# disconnection gracefully): C(s) = sum over reached nodes of
+# 1/dist(s, node). Multi-source BFS — a0022's Pregel frontier
+# generalized to (seed, node) keys, so the 8 seeds ride ONE iteration
+# of joins instead of 8 sequential BFS runs (the batching that makes
+# landmark-based closeness estimation feasible at scale).
+#
+# Determinism: the harmonic sum is assembled from per-layer INTEGER
+# counts as sum(cnt_d * (60/d)) / 60 — 60 = lcm(1..6) makes the
+# numerator exact int64, so no float summation exists until the final
+# division. Seeds = 8 lowest node ids (deterministic).
+# Scale rule (100 TB): the frontier frame is (n_seeds x nodes)-bounded;
+# each round is one frontier-sized edge join + one left-anti against
+# the per-seed visited set; landmark count and radius are the knobs.
+# ---------------------------------------------------------------------------
+
+_CC_ROUNDS = 6
+_CC_CAP = 20  # q128's hub cap — same graph as a0022
+_CC_SEEDS = 8
+_CC_LCM = 60  # lcm(1..6): exact-rational harmonic numerator
+
+
+def _cc_rounds_sql() -> str:
+    parts = []
+    for r in range(1, _CC_ROUNDS + 1):
+        parts.append(
+            f"""
+    f{r} AS MATERIALIZED (
+      SELECT DISTINCT f.seed, e.v AS node FROM sym e
+      JOIN f{r - 1} f ON f.node = e.u
+      WHERE NOT EXISTS (SELECT 1 FROM v{r - 1} vv
+                        WHERE vv.seed = f.seed AND vv.node = e.v)),
+    v{r} AS MATERIALIZED (
+      SELECT seed, node, dist FROM v{r - 1}
+      UNION ALL SELECT seed, node, {r} FROM f{r})"""
+        )
+    return ",".join(parts)
+
+
+@query(
+    "a0028_closeness_centrality",
+    oracle=f"""
+    WITH ev AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS b
+                FROM events),
+    bs AS (SELECT event_type, b, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+    kept AS (SELECT event_type, b FROM bs WHERE n <= {_CC_CAP}),
+    ek AS (SELECT ev.user_id, ev.event_type, ev.b FROM ev JOIN kept USING (event_type, b)),
+    e0 AS MATERIALIZED (SELECT DISTINCT a.user_id AS u, k.user_id AS v
+           FROM ek a JOIN ek k ON a.event_type = k.event_type AND a.b = k.b
+                             AND a.user_id < k.user_id),
+    sym AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    seeds AS (SELECT DISTINCT u AS node FROM sym ORDER BY node LIMIT {_CC_SEEDS}),
+    f0 AS MATERIALIZED (SELECT node AS seed, node FROM seeds),
+    v0 AS MATERIALIZED (SELECT node AS seed, node, 0 AS dist FROM seeds),
+    {_cc_rounds_sql()},
+    layers AS (SELECT seed, dist, COUNT(*) AS cnt
+               FROM v{_CC_ROUNDS} WHERE dist > 0 GROUP BY seed, dist),
+    agg AS (SELECT seed,
+                   CAST(SUM(cnt) AS BIGINT) AS n_reached,
+                   CAST(SUM(cnt * dist) AS BIGINT) AS sum_dist,
+                   CAST(SUM(cnt * ({_CC_LCM} / dist)) AS BIGINT) AS h60
+            FROM layers GROUP BY seed)
+    SELECT seed, n_reached, sum_dist,
+           ROUND(h60 * 1.0 / {_CC_LCM}, 6) AS harmonic_closeness
+    FROM agg ORDER BY seed
+    """,
+    description=f"harmonic closeness centrality (Marchiori-Latora 2000 / Boldi-Vigna 2014) for {_CC_SEEDS} deterministic landmark seeds on the q128/a0022 co-occurrence graph (hub cap {_CC_CAP}): MULTI-source BFS — a0022's Pregel frontier generalized to (seed, node) keys so all seeds ride one join iteration — {_CC_ROUNDS} unrolled rounds; harmonic sum assembled as sum(layer_count * ({_CC_LCM}/dist))/{_CC_LCM} with {_CC_LCM}=lcm(1..{_CC_ROUNDS}), an exact-int64 numerator immune to float summation order; the landmark batching that prices closeness estimation on big graphs",
+)
+def a0028_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("b")
+    )
+    ba = ev.groupBy("event_type", "b").agg(
+        F.array_sort(F.collect_set("user_id")).alias("us")
+    )
+    us = F.col("us")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(us) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(us)),
+                lambda j: F.struct(
+                    F.element_at(us, i).alias("u"), F.element_at(us, j).alias("v")
+                ),
+            ),
+        )
+    )
+    guarded = F.when(F.size(us) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<u:bigint,v:bigint>>")
+    )
+    e0 = (
+        ba.filter(F.size(us) <= _CC_CAP)
+        .select(F.explode(guarded).alias("p"))
+        .select("p.u", "p.v")
+        .distinct()
+    )
+    sym = e0.unionAll(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    seeds = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(_CC_SEEDS)
+    )
+    frontier = seeds.select(F.col("node").alias("seed"), "node").localCheckpoint(
+        eager=False
+    )
+    visited = frontier.select("seed", "node", F.lit(0).alias("dist")).localCheckpoint(
+        eager=False
+    )
+    for r in range(1, _CC_ROUNDS + 1):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select("seed", F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
+            .localCheckpoint(eager=False)  # (seeds x node)-bounded
+        )
+        visited = visited.unionAll(
+            nxt.select("seed", "node", F.lit(r).alias("dist"))
+        ).localCheckpoint(eager=False)
+        frontier = nxt
+    layers = (
+        visited.filter(F.col("dist") > 0)
+        .groupBy("seed", "dist")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        layers.groupBy("seed")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_reached"),
+            F.sum(F.col("cnt") * F.col("dist")).cast("long").alias("sum_dist"),
+            F.sum(F.col("cnt") * (_CC_LCM / F.col("dist")).cast("long"))
+            .cast("long")
+            .alias("h60"),
+        )
+        .select(
+            "seed",
+            "n_reached",
+            "sum_dist",
+            F.round(F.col("h60") * 1.0 / _CC_LCM, 6).alias("harmonic_closeness"),
+        )
+        .orderBy("seed")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0029 — TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+# weighted PageRank over the token co-occurrence graph (adjacent-token
+# edges, weight = corpus pair count, vocabulary thresholded at
+# _TR_MIN occurrences so the node set is Zipf-bounded). The graph-based
+# twin of RAKE (a0079) and TF-IDF keywords (a0085) — TextRank ranks by
+# global graph centrality instead of per-doc frequency contrast.
+#
+# Determinism (the a0013 device, adapted to damping): the iteration
+# runs in int64 FIXED-POINT — s0 = 1e6 per node; contribution of edge
+# (u,v) is (s_u * w_uv) div W_u (integer floor div on both engines);
+# s' = 0.15e6 + (85 * sum_contrib) div 100. Every intermediate is an
+# exact integer, immune to float summation order; the float score
+# appears only at the output (s / 1e6, identical division on identical
+# ints).
+# Scale rule (100 TB): vocab and edges are Zipf-bounded by the _TR_MIN
+# threshold (raise it with corpus size); each of the K rounds is one
+# edge-sized join + one node-sized aggregate.
+# ---------------------------------------------------------------------------
+
+_TR_MIN = 5
+_TR_ITERS = 6
+_TR_SCALE = 1_000_000
+_TR_TOP = 20
+
+
+def _tr_rounds_sql() -> str:
+    parts = []
+    for k in range(1, _TR_ITERS + 1):
+        parts.append(
+            f"""
+    s{k} AS MATERIALIZED (
+      SELECT e.v AS node,
+             {_TR_SCALE * 15 // 100} + (85 * SUM((s.s * e.w) // e.wu)) // 100 AS s
+      FROM e JOIN s{k - 1} s ON s.node = e.u GROUP BY e.v)"""
+        )
+    return ",".join(parts)
+
+
+@query(
+    "a0029_textrank_keywords",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    w AS (SELECT doc_id, unnest(toks) AS w FROM base),
+    vocab AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w HAVING COUNT(*) >= {_TR_MIN}),
+    prs AS (SELECT t.a, t.b FROM (
+              SELECT unnest(list_transform(range(1, len(toks)),
+                     i -> struct_pack(a := toks[i], b := toks[i + 1]))) AS t
+              FROM base) x(t)
+            WHERE t.a <> t.b),
+    ep AS (SELECT LEAST(a, b) AS a, GREATEST(a, b) AS b, COUNT(*) AS w
+           FROM prs
+           SEMI JOIN vocab va ON va.w = prs.a
+           SEMI JOIN vocab vb ON vb.w = prs.b
+           GROUP BY 1, 2),
+    esym AS (SELECT a AS u, b AS v, w FROM ep UNION ALL SELECT b, a, w FROM ep),
+    wu AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wu FROM esym GROUP BY u),
+    e AS MATERIALIZED (SELECT esym.u, esym.v, CAST(esym.w AS BIGINT) AS w, wu.wu
+                       FROM esym JOIN wu USING (u)),
+    s0 AS (SELECT u AS node, CAST({_TR_SCALE} AS BIGINT) AS s FROM wu),
+    {_tr_rounds_sql()}
+    SELECT node AS token, ROUND(s * 1.0 / {_TR_SCALE}, 6) AS textrank
+    FROM s{_TR_ITERS} ORDER BY s DESC, node LIMIT {_TR_TOP}
+    """,
+    description=f"TextRank keyword extraction (Mihalcea-Tarau EMNLP 2004): weighted PageRank (d=0.85, {_TR_ITERS} rounds) over the adjacent-token co-occurrence graph, vocabulary Zipf-bounded at >= {_TR_MIN} corpus occurrences; the iteration runs in int64 fixed-point (s0=1e6; contribution = (s*w) div W_u; s' = 0.15e6 + (85*sum) div 100 — the a0013 exact-integer device adapted to damping) so every intermediate is immune to float summation order; the graph-centrality twin of RAKE (a0079) and TF-IDF (a0085) keyword ranking",
+)
+def a0029_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens("text").alias("toks")
+    )
+    wtok = base.select(F.explode("toks").alias("w"))
+    vocab = wtok.groupBy("w").agg(F.count("*").alias("c")).filter(
+        F.col("c") >= _TR_MIN
+    )
+    t = F.col("toks")
+    adj = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.struct(
+            F.element_at(t, i).alias("a"), F.element_at(t, i + 1).alias("b")
+        ),
+    )
+    guarded = F.when(F.size(t) >= 2, adj).otherwise(
+        F.array().cast("array<struct<a:string,b:string>>")
+    )
+    prs = (
+        base.select(F.explode(guarded).alias("p"))
+        .select("p.a", "p.b")
+        .filter(F.col("a") != F.col("b"))
+        .join(vocab.select(F.col("w").alias("a")), "a", "left_semi")
+        .join(vocab.select(F.col("w").alias("b")), "b", "left_semi")
+    )
+    ep = prs.groupBy(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).agg(F.count("*").alias("w"))
+    esym = ep.select(F.col("a").alias("u"), F.col("b").alias("v"), "w").unionAll(
+        ep.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
+    )
+    wu = esym.groupBy("u").agg(F.sum("w").cast("long").alias("wu"))
+    e = (
+        esym.join(wu, "u")
+        .select("u", "v", F.col("w").cast("long").alias("w"), "wu")
+        .localCheckpoint(eager=False)  # reused every round
+    )
+    s = wu.select(F.col("u").alias("node"), F.lit(_TR_SCALE).cast("long").alias("s"))
+    base_mass = _TR_SCALE * 15 // 100
+    for _ in range(_TR_ITERS):
+        s = (
+            e.join(s.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"), F.expr("(s * w) div wu").alias("c"))
+            .groupBy("node")
+            .agg(
+                (F.lit(base_mass) + F.expr("85 * sum(c) div 100"))
+                .cast("long")
+                .alias("s")
+            )
+            .localCheckpoint(eager=False)  # node-sized; caps plan depth
+        )
+    return (
+        s.orderBy(F.desc("s"), "node")
+        .limit(_TR_TOP)
+        .select(
+            F.col("node").alias("token"),
+            F.round(F.col("s") * 1.0 / _TR_SCALE, 6).alias("textrank"),
+        )
+    )
