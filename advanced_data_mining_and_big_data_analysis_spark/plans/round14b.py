@@ -825,3 +825,432 @@ def a0029_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s") * 1.0 / _TR_SCALE, 6).alias("textrank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a0030 — Mann-Kendall trend test (Mann 1945; Kendall 1975) on the
+# daily order-revenue series: S = sum over day pairs i<j of
+# sign(x_j - x_i), tie-corrected variance
+# Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18, and the
+# continuity-corrected z. The significance companion of a0055's
+# Theil-Sen slope (which estimates HOW MUCH; MK says WHETHER).
+#
+# Determinism: daily totals are exact DECIMAL(18,2) sums, so every
+# pairwise sign and every tie group is integer-exact; S, n and the
+# variance numerator are int64; doubles appear only in the final
+# closed-form z / var expressions over identical integers.
+# Scale shape: the pairwise self-join is CALENDAR-bounded (~2.4k days
+# -> ~2.9M pairs at ANY fact-table SF) — the fact table itself is
+# touched once by the daily rollup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a0030_mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders GROUP BY 1),
+    s AS (SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                               WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+          FROM daily a JOIN daily b ON b.d > a.d),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    ties AS (SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tt
+             FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily
+                   GROUP BY x HAVING COUNT(*) > 1)),
+    v AS (SELECT nn.n, s.s,
+                 nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tt AS vnum
+          FROM nn, s, ties)
+    SELECT n AS n_days, s AS s_stat,
+           ROUND(vnum / 18.0, 6) AS var_s,
+           ROUND(CASE WHEN s > 0 THEN (s - 1) / sqrt(vnum / 18.0)
+                      WHEN s < 0 THEN (s + 1) / sqrt(vnum / 18.0)
+                      ELSE 0.0 END, 6) AS z_score,
+           CASE WHEN s > 0 AND (s - 1) / sqrt(vnum / 18.0) > 1.959964 THEN 'increasing'
+                WHEN s < 0 AND (s + 1) / sqrt(vnum / 18.0) < -1.959964 THEN 'decreasing'
+                ELSE 'no trend' END AS trend
+    FROM v
+    """,
+    description="Mann-Kendall nonparametric trend test (Mann 1945, Kendall 1975) on daily order revenue: S from the calendar-bounded pairwise sign self-join (~2.9M day pairs at ANY fact SF — the fact table is touched once by the daily rollup), tie-corrected variance, continuity-corrected z with the 5% two-sided verdict; exact DECIMAL(18,2) daily totals make every sign and tie group integer-exact, so doubles enter only the final closed form — the significance companion of a0055's Theil-Sen slope estimate",
+)
+def a0030_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+        .localCheckpoint(eager=False)  # calendar-bounded; reused 3x
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    nn = daily.agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count("*").cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            )
+            .cast("long")
+            .alias("tt")
+        )
+    )
+    v = (
+        s.crossJoin(nn)
+        .crossJoin(ties)
+        .select(
+            "n",
+            "s",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tt")
+            ).alias("vnum"),
+        )
+    )
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(F.col("vnum") / 18.0))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(F.col("vnum") / 18.0))
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        F.col("n").alias("n_days"),
+        F.col("s").alias("s_stat"),
+        F.round(F.col("vnum") / 18.0, 6).alias("var_s"),
+        F.round(z, 6).alias("z_score"),
+        F.when((F.col("s") > 0) & (z > 1.959964), "increasing")
+        .when((F.col("s") < 0) & (z < -1.959964), "decreasing")
+        .otherwise("no trend")
+        .alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0031 — split-conformal prediction intervals (Vovk et al. 2005; Lei
+# et al. JASA 2018): the distribution-free calibration wrapper every
+# scoring service can bolt onto ANY point predictor. Deterministic
+# md5 split fit/cal/test (8/4/4 of 16 hex buckets); predictor = the
+# per-priority fit-split mean (deliberately simple — conformal
+# guarantees coverage regardless of predictor quality); q_hat = the
+# ceil((n_cal+1)*(1-alpha))-th smallest absolute calibration residual
+# (the finite-sample-valid order statistic, NOT a plug-in quantile);
+# the test-split empirical coverage audits the ~90% guarantee.
+#
+# Determinism: the split is hash-exact; group means divide an exact
+# DECIMAL sum by an integer count; q_hat is an ORDER STATISTIC
+# (row_number over (residual, orderkey)), so no interpolation
+# semantics can diverge between engines.
+# Scale shape: group frame is bounded (5 priorities) and broadcast;
+# the quantile is a per-group TopK-ish window over the calibration
+# split only; everything else is one scan + group aggregates.
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHA = 0.1
+
+
+@query(
+    "a0031_conformal_intervals",
+    oracle=f"""
+    WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS g, o_totalprice AS y,
+                      substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS h
+               FROM orders),
+    s AS (SELECT *, CASE WHEN h < '8' THEN 'fit'
+                         WHEN h < 'c' THEN 'cal' ELSE 'test' END AS sp FROM o),
+    pred AS (SELECT g,
+                    CAST(COUNT(*) AS BIGINT) AS n_fit,
+                    CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS yhat
+             FROM s WHERE sp = 'fit' GROUP BY g),
+    cal AS (SELECT s.g, s.k, ABS(s.y - pred.yhat) AS r
+            FROM s JOIN pred USING (g) WHERE sp = 'cal'),
+    rk AS (SELECT g, r, ROW_NUMBER() OVER (PARTITION BY g ORDER BY r, k) AS rn,
+                  COUNT(*) OVER (PARTITION BY g) AS nc
+           FROM cal),
+    qh AS (SELECT g, CAST(nc AS BIGINT) AS n_cal, r AS qhat FROM rk
+           WHERE rn = CAST(CEIL((nc + 1) * {1 - _CONF_ALPHA}) AS BIGINT)),
+    test AS (SELECT s.g,
+                    CAST(COUNT(*) AS BIGINT) AS n_test,
+                    CAST(SUM(CASE WHEN ABS(s.y - pred.yhat) <= qh.qhat
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS covered
+             FROM s JOIN pred USING (g) JOIN qh USING (g)
+             WHERE sp = 'test' GROUP BY s.g)
+    SELECT pred.g AS priority, pred.n_fit, qh.n_cal, test.n_test,
+           ROUND(pred.yhat, 6) AS yhat,
+           ROUND(qh.qhat, 6) AS q_hat,
+           ROUND(test.covered * 1.0 / test.n_test, 6) AS coverage
+    FROM pred JOIN qh USING (g) JOIN test ON test.g = pred.g
+    ORDER BY priority
+    """,
+    description=f"split-conformal prediction intervals (Vovk et al. 2005, Lei et al. JASA 2018, alpha={_CONF_ALPHA}): deterministic md5 fit/cal/test split (8/4/4 hex buckets), per-priority fit-mean predictor (exact DECIMAL sum / integer count), q_hat = the ceil((n+1)(1-alpha))-th smallest absolute calibration residual as a pure ORDER STATISTIC (row_number with orderkey ties — no interpolation semantics to diverge), test-split empirical coverage auditing the distribution-free ~90% guarantee; bounded group frame broadcast, one scan + group aggregates otherwise",
+)
+def a0031_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").alias("y"),
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).alias("h"),
+    )
+    s = o.select(
+        "k",
+        "g",
+        "y",
+        F.when(F.col("h") < "8", "fit").when(F.col("h") < "c", "cal").otherwise(
+            "test"
+        ).alias("sp"),
+    )
+    pred = (
+        s.filter(F.col("sp") == "fit")
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("long").alias("n_fit"),
+            (
+                F.sum(F.col("y").cast("decimal(18,2)")).cast("double") / F.count("*")
+            ).alias("yhat"),
+        )
+    )
+    cal = (
+        s.filter(F.col("sp") == "cal")
+        .join(F.broadcast(pred), "g")
+        .select("g", "k", F.abs(F.col("y") - F.col("yhat")).alias("r"))
+    )
+    wrk = Window.partitionBy("g").orderBy("r", "k")
+    wn = Window.partitionBy("g")
+    rk = cal.select(
+        "g",
+        "r",
+        F.row_number().over(wrk).alias("rn"),
+        F.count("*").over(wn).alias("nc"),
+    )
+    kth = F.ceil((F.col("nc") + 1) * (1 - _CONF_ALPHA)).cast("long")
+    qh = rk.filter(F.col("rn") == kth).select(
+        "g", F.col("nc").cast("long").alias("n_cal"), F.col("r").alias("qhat")
+    )
+    test = (
+        s.filter(F.col("sp") == "test")
+        .join(F.broadcast(pred), "g")
+        .join(F.broadcast(qh), "g")
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.abs(F.col("y") - F.col("yhat")) <= F.col("qhat"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("covered"),
+        )
+    )
+    return (
+        pred.join(qh, "g")
+        .join(test, "g")
+        .select(
+            F.col("g").alias("priority"),
+            "n_fit",
+            "n_cal",
+            "n_test",
+            F.round("yhat", 6).alias("yhat"),
+            F.round("qhat", 6).alias("q_hat"),
+            F.round(F.col("covered") * 1.0 / F.col("n_test"), 6).alias("coverage"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0032 — Markov-chain removal-effect attribution (Anderl et al. 2016,
+# Int. J. Research in Marketing 33(3)): the data-driven successor of
+# a0125's first/last-touch heuristics. User journeys (events ordered
+# by (ts, event_id), truncated at the first purchase) become a
+# first-order chain over {START, click, error, signup, view} with
+# absorbing CONV/NULL; a channel's credit is its removal effect
+# 1 - P_removed(conv)/P(conv), where removing a channel redirects
+# every transition INTO it to NULL (the paper's rule), and shares
+# normalize the effects.
+#
+# Absorption probabilities are the K-step value iteration
+# p(s) <- sum_t n_st * val(t) DIV tot_s run in int64 FIXED-POINT
+# (SCALE=1e9; val(CONV)=SCALE, val(NULL)=val(removed)=0) — every
+# intermediate is an exact integer, and the removal effects / shares
+# are ratios of integer differences, so both engines agree bit-for-
+# bit before the 6-dp round. The transition matrix is bounded by the
+# event-type alphabet (<= 6x7 rows at ANY corpus scale), so the Spark
+# side distributes the journey scan + transition aggregate and runs
+# the iteration driver-side over the bounded matrix (the a0089
+# bounded-summary idiom); the oracle unrolls the identical iteration
+# as CTEs.
+# Scale rule (100 TB): the only data-proportional stages are the
+# per-user ordered window and one grouped count; K and the state
+# alphabet are constants.
+# ---------------------------------------------------------------------------
+
+_MK_CHANNELS = ["click", "error", "signup", "view"]
+_MK_ITERS = 16
+_MK_SCALE = 1_000_000_000
+
+
+def _mk_scenario_sql(suf: str, removed: str | None) -> str:
+    """Unrolled K-step value iteration for one removal scenario."""
+    rm = f"WHEN tr.t = '{removed}' THEN 0" if removed else ""
+    wf = f"AND tr.f <> '{removed}'" if removed else ""
+    parts = [
+        f"""
+    p{suf}0 AS (SELECT f AS st, CAST(0 AS BIGINT) AS p
+                FROM tot WHERE 1 = 1 {wf.replace('tr.f', 'f')})"""
+    ]
+    for k in range(1, _MK_ITERS + 1):
+        parts.append(
+            f"""
+    p{suf}{k} AS MATERIALIZED (
+      SELECT tr.f AS st,
+             CAST(CAST(SUM(tr.n * CASE WHEN tr.t = 'CONV' THEN {_MK_SCALE}
+                                       WHEN tr.t = 'NULL' THEN 0
+                                       {rm}
+                                       ELSE COALESCE(pv.p, 0) END) AS BIGINT)
+                  // tot.n AS BIGINT) AS p
+      FROM tr JOIN tot ON tot.f = tr.f
+      LEFT JOIN p{suf}{k - 1} pv ON pv.st = tr.t
+      WHERE 1 = 1 {wf}
+      GROUP BY tr.f, tot.n)"""
+        )
+    return ",".join(parts)
+
+
+def _mk_oracle() -> str:
+    scen = [("b", None)] + [(c, c) for c in _MK_CHANNELS]
+    chains = ",".join(_mk_scenario_sql(s, r) for s, r in scen)
+    fin_rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS channel, (SELECT p FROM pb{_MK_ITERS} WHERE st = 'START')"
+        f" - (SELECT p FROM p{c}{_MK_ITERS} WHERE st = 'START') AS num"
+        for c in _MK_CHANNELS
+    )
+    return f"""
+    WITH rked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    pr AS (SELECT user_id, MIN(rn) AS prn FROM rked
+           WHERE event_type = 'purchase' GROUP BY user_id),
+    j AS (SELECT r.user_id, r.event_type, r.rn
+          FROM rked r LEFT JOIN pr ON pr.user_id = r.user_id
+          WHERE r.rn <= COALESCE(pr.prn, 9223372036854775807)),
+    steps AS (
+      SELECT CASE WHEN rn = 1 THEN 'START'
+                  ELSE LAG(event_type) OVER (PARTITION BY user_id ORDER BY rn)
+             END AS f,
+             CASE WHEN event_type = 'purchase' THEN 'CONV'
+                  ELSE event_type END AS t,
+             user_id, rn
+      FROM j),
+    lastrow AS (SELECT user_id, MAX(rn) AS mx FROM j GROUP BY user_id),
+    nulls AS (SELECT j.event_type AS f, 'NULL' AS t
+              FROM j JOIN lastrow ON lastrow.user_id = j.user_id
+                                 AND lastrow.mx = j.rn
+              WHERE j.event_type <> 'purchase'),
+    alltr AS (SELECT f, t FROM steps UNION ALL SELECT f, t FROM nulls),
+    tr AS MATERIALIZED (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n
+                        FROM alltr GROUP BY f, t),
+    tot AS MATERIALIZED (SELECT f, CAST(SUM(n) AS BIGINT) AS n FROM tr GROUP BY f),
+    {chains},
+    fin AS ({fin_rows}),
+    den AS (SELECT CAST(SUM(num) AS BIGINT) AS d FROM fin),
+    basep AS (SELECT p FROM pb{_MK_ITERS} WHERE st = 'START')
+    SELECT fin.channel,
+           ROUND(fin.num * 1.0 / basep.p, 6) AS removal_effect,
+           ROUND(fin.num * 1.0 / den.d, 6) AS attribution_share
+    FROM fin, den, basep ORDER BY fin.channel
+    """
+
+
+@query(
+    "a0032_markov_attribution",
+    oracle=_mk_oracle(),
+    description=f"Markov-chain removal-effect attribution (Anderl et al. 2016): user journeys (ordered by ts/event_id, truncated at first purchase) -> first-order transition chain over START/channels with absorbing CONV/NULL; channel credit = 1 - P_removed(conv)/P(conv) with into-channel edges redirected to NULL, shares normalized over integer differences; absorption via {_MK_ITERS}-step int64 fixed-point value iteration (SCALE={_MK_SCALE}, per-state SUM(n*val) DIV tot — exact integers end to end); transition matrix bounded by the event-type alphabet, so Spark distributes the journey scan + transition count and iterates driver-side over the bounded matrix (a0089 idiom) while the oracle unrolls the identical iteration as CTEs; the data-driven successor of a0125's first/last-touch",
+)
+def a0032_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .round13b import _round_half_up
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rked = ev.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+    pr = (
+        rked.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    j = (
+        rked.join(pr, "user_id", "left")
+        .filter(F.col("rn") <= F.coalesce("prn", F.lit(2**63 - 1)))
+        .localCheckpoint(eager=False)  # journey frame reused 3x
+    )
+    wj = Window.partitionBy("user_id").orderBy("rn")
+    steps = j.select(
+        F.when(F.col("rn") == 1, "START")
+        .otherwise(F.lag("event_type").over(wj))
+        .alias("f"),
+        F.when(F.col("event_type") == "purchase", "CONV")
+        .otherwise(F.col("event_type"))
+        .alias("t"),
+    )
+    lastrow = j.groupBy("user_id").agg(F.max("rn").alias("mx"))
+    nulls = (
+        j.join(lastrow, "user_id")
+        .filter((F.col("rn") == F.col("mx")) & (F.col("event_type") != "purchase"))
+        .select(F.col("event_type").alias("f"), F.lit("NULL").alias("t"))
+    )
+    tr = (
+        steps.unionByName(nulls)
+        .groupBy("f", "t")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    )  # bounded by the event-type alphabet: <= 6x7 rows at ANY scale
+
+    edges: dict[str, list[tuple[str, int]]] = {}
+    tot: dict[str, int] = {}
+    for r in tr:
+        edges.setdefault(r["f"], []).append((r["t"], int(r["n"])))
+        tot[r["f"]] = tot.get(r["f"], 0) + int(r["n"])
+
+    def absorb(removed: str | None) -> int:
+        p = {f: 0 for f in tot if f != removed}
+        for _ in range(_MK_ITERS):
+            nxt = {}
+            for f_state, es in edges.items():
+                if f_state == removed:
+                    continue
+                acc = 0
+                for t_state, n in es:
+                    if t_state == "CONV":
+                        acc += n * _MK_SCALE
+                    elif t_state == "NULL" or t_state == removed:
+                        pass
+                    else:
+                        acc += n * p.get(t_state, 0)
+                nxt[f_state] = acc // tot[f_state]
+            p = nxt
+        return p.get("START", 0)
+
+    base = absorb(None)
+    nums = {c: base - absorb(c) for c in _MK_CHANNELS}
+    den = sum(nums.values())
+    rows = [
+        (
+            c,
+            _round_half_up(nums[c] * 1.0 / base, 6),
+            _round_half_up(nums[c] * 1.0 / den, 6),
+        )
+        for c in sorted(_MK_CHANNELS)
+    ]
+    return spark.createDataFrame(
+        rows, "channel string, removal_effect double, attribution_share double"
+    )
