@@ -1254,3 +1254,322 @@ def a0032_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "channel string, removal_effect double, attribution_share double"
     )
+
+
+# ---------------------------------------------------------------------------
+# a0033 — pooled MATTR lexical-diversity profile (Covington & McFall
+# 2010, J. Quantitative Linguistics 17(2)): plain TTR shrinks
+# mechanically with document length (Heaps' law, a0006), so MATTR
+# measures type/token ratio inside fixed W-token sliding windows.
+# Reported per language as the POOLED (window-weighted) statistic
+# sum(distinct-per-window) / (W * n_windows) — a ratio of two integer
+# sums, chosen over mean-of-per-doc-means precisely so no float
+# summation order exists.
+#
+# Scale shape: everything before the final per-lang aggregate is
+# ROW-LOCAL (token array -> per-doc window distinct counts via array
+# lambdas — no explode, no shuffle); the aggregate carries four int64
+# columns. W is a resolution constant.
+# ---------------------------------------------------------------------------
+
+_MATTR_W = 20
+
+
+@query(
+    "a0033_mattr_lexical",
+    oracle=f"""
+    WITH t AS (SELECT lang, {_TOKS_SQL} AS toks FROM documents),
+    per AS (SELECT lang,
+                   len(toks) AS n_tok,
+                   len(list_distinct(toks)) AS n_typ,
+                   GREATEST(len(toks) - {_MATTR_W - 1}, 0) AS nw,
+                   CASE WHEN len(toks) >= {_MATTR_W} THEN
+                     list_reduce(list_transform(range(1, len(toks) - {_MATTR_W - 2}),
+                       i -> len(list_distinct(toks[i:i+{_MATTR_W - 1}]))),
+                       (a, b) -> a + b)
+                   ELSE 0 END AS sum_d
+            FROM t),
+    agg AS (SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN nw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_windowed,
+                   CAST(SUM(nw) AS BIGINT) AS n_windows,
+                   CAST(SUM(sum_d) AS BIGINT) AS sum_distinct,
+                   CAST(SUM(n_typ) AS BIGINT) AS types,
+                   CAST(SUM(n_tok) AS BIGINT) AS tokens
+            FROM per GROUP BY lang)
+    SELECT lang, n_docs, n_docs_windowed, n_windows,
+           ROUND(sum_distinct * 1.0 / ({_MATTR_W} * n_windows), 6) AS pooled_mattr,
+           ROUND(types * 1.0 / tokens, 6) AS pooled_ttr
+    FROM agg ORDER BY lang
+    """,
+    description=f"pooled MATTR lexical diversity per language (Covington-McFall 2010, window W={_MATTR_W}, stride 1): type counts inside every sliding token window, reported as the window-weighted ratio sum(distinct)/( W * n_windows ) — two integer sums, so no float summation order exists (vs the length-biased plain TTR, also reported pooled); the entire window computation is row-local array lambdas (no explode, no shuffle), one 4-int-column aggregate per language",
+)
+def a0033_mattr_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "lang", X.tokens("text").alias("toks")
+    )
+    toks = F.col("toks")
+    nw = F.greatest(F.size(toks) - (_MATTR_W - 1), F.lit(0))
+    sum_d = F.when(
+        F.size(toks) >= _MATTR_W,
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (_MATTR_W - 1)),
+                lambda i: F.size(F.array_distinct(F.slice(toks, i, _MATTR_W))),
+            ),
+            F.lit(0),
+            lambda a, b: a + b,
+        ),
+    ).otherwise(F.lit(0))
+    per = t.select(
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_typ"),
+        nw.alias("nw"),
+        sum_d.alias("sum_d"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("nw") > 0, 1).otherwise(0)).cast("long").alias(
+            "n_docs_windowed"
+        ),
+        F.sum("nw").cast("long").alias("n_windows"),
+        F.sum("sum_d").cast("long").alias("sum_distinct"),
+        F.sum("n_typ").cast("long").alias("types"),
+        F.sum("n_tok").cast("long").alias("tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_docs_windowed",
+        "n_windows",
+        F.round(F.col("sum_distinct") * 1.0 / (_MATTR_W * F.col("n_windows")), 6).alias(
+            "pooled_mattr"
+        ),
+        F.round(F.col("types") * 1.0 / F.col("tokens"), 6).alias("pooled_ttr"),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# a0034 — Gries' DP term dispersion across corpus parts (Gries 2008,
+# Int. J. Corpus Linguistics 13(4)): DP(t) = 1/2 * sum over parts of
+# |share of t's occurrences in part i - part i's share of the corpus|.
+# 0 = perfectly even (function words), ->1 = concentrated in one part
+# (jargon/boilerplate). The PART-conditional dispersion complement of
+# a0114's token burstiness (Fano factor = doc-level clumping; DP =
+# which SOURCES a term lives in). Parts are the source column.
+#
+# Determinism: both shares reduce to the common denominator C_t * N,
+# so the summand is |c_ti * N - n_i * C_t| — an exact int64 numerator
+# summed over the bounded part set; the single division + round
+# happens once per term. (At 100 TB move the numerator to
+# DECIMAL(38,0) — the oracle's HUGEINT sum already is.)
+# Scale shape: one (term, part) aggregate with map-side combine, a
+# bounded top-K term frame, a bounded part-size frame, and a K x parts
+# grid join (zero-count cells restored by the grid, since a missing
+# part contributes |0 - n_i * C_t|).
+# ---------------------------------------------------------------------------
+
+_DP_TOPK = 25
+
+
+@query(
+    "a0034_term_dispersion_dp",
+    oracle=f"""
+    WITH w AS (SELECT source, unnest({_TOKS_SQL}) AS w FROM documents),
+    parts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_i FROM w GROUP BY source),
+    nn AS (SELECT CAST(SUM(n_i) AS BIGINT) AS n FROM parts),
+    ct AS (SELECT w, source, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY w, source),
+    tot AS (SELECT w, CAST(SUM(c) AS BIGINT) AS c_t FROM ct GROUP BY w),
+    topk AS (SELECT w, c_t FROM tot ORDER BY c_t DESC, w LIMIT {_DP_TOPK}),
+    grid AS (SELECT topk.w, topk.c_t, parts.source, parts.n_i,
+                    COALESCE(ct.c, 0) AS c_ti
+             FROM topk CROSS JOIN parts
+             LEFT JOIN ct ON ct.w = topk.w AND ct.source = parts.source),
+    dp AS (SELECT w, c_t,
+                  CAST(SUM(ABS(c_ti * nn.n - n_i * c_t)) AS BIGINT) AS num,
+                  nn.n AS n
+           FROM grid, nn GROUP BY w, c_t, nn.n)
+    SELECT w AS term, c_t AS count,
+           ROUND(num * 1.0 / (2.0 * c_t * n), 6) AS dp
+    FROM dp ORDER BY count DESC, term
+    """,
+    description=f"Gries' DP dispersion (2008) of the top-{_DP_TOPK} corpus terms across source parts: DP = 1/2 sum_i |term share in part i - part size share|, 0 = even (function words) -> 1 = concentrated (boilerplate/jargon); both shares reduced to the common denominator C_t*N so the summand |c_ti*N - n_i*C_t| is an exact int64 numerator over the bounded part set (one division at the end); the part-conditional complement of a0114's doc-level Fano burstiness; one map-side-combined (term,part) aggregate + bounded top-K x parts grid join restoring zero cells",
+)
+def a0034_term_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
+    w = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(X.tokens("text")).alias("w")
+    )
+    ct = w.groupBy("w", "source").agg(F.count("*").cast("long").alias("c"))
+    parts = ct.groupBy("source").agg(F.sum("c").cast("long").alias("n_i"))
+    tot = ct.groupBy("w").agg(F.sum("c").cast("long").alias("c_t"))
+    topk = tot.orderBy(F.desc("c_t"), "w").limit(_DP_TOPK)
+    nn = parts.agg(F.sum("n_i").cast("long").alias("n"))
+    grid = (
+        F.broadcast(topk)
+        .crossJoin(F.broadcast(parts))
+        .join(ct, ["w", "source"], "left")
+        .select("w", "c_t", "source", "n_i", F.coalesce("c", F.lit(0)).alias("c_ti"))
+    )
+    dp = (
+        grid.crossJoin(F.broadcast(nn))
+        .groupBy("w", "c_t", "n")
+        .agg(
+            F.sum(F.abs(F.col("c_ti") * F.col("n") - F.col("n_i") * F.col("c_t")))
+            .cast("long")
+            .alias("num")
+        )
+    )
+    return dp.select(
+        F.col("w").alias("term"),
+        F.col("c_t").alias("count"),
+        F.round(F.col("num") * 1.0 / (2.0 * F.col("c_t") * F.col("n")), 6).alias("dp"),
+    ).orderBy(F.desc("count"), "term")
+
+
+# ---------------------------------------------------------------------------
+# a0035 — LSH recall audit against exact-Jaccard ground truth: the
+# measured S-curve of the SHIPPED q41 configuration (16 minhashes, 4
+# bands x 4 rows, salted cap 64) next to the theoretical collision
+# probability 1 - (1 - s^r)^b (Leskovec-Rajaraman-Ullman, MMDS ch. 3).
+# Ground truth = ALL shingle-sharing pairs with their exact Jaccard
+# (complete: j > 0 requires a shared shingle); per Jaccard decile, the
+# fraction of pairs the banded+capped candidate stage surfaces — at
+# high deciles that is the RECALL behind the 0.5 operating threshold,
+# at the (bimodal corpus's populous) near-zero decile it is the
+# candidate-generation COST the banding is supposed to suppress. This is the quality
+# evidence for the dedup family's recall claims — near the 0.5
+# operating threshold recall should track the S-curve, and the capped
+# salting's cost shows up as sub-theory recall inside giant buckets.
+#
+# Scale shape: the truth stage is the audit's cost (the shared-shingle
+# join is the q130 prefix-filter shape); at production scale the audit
+# runs on a hash-sampled corpus slice — the estimator is unbiased per
+# bin because sampling docs samples pairs uniformly within the slice.
+# ---------------------------------------------------------------------------
+
+_LSH_AUDIT_FLOOR = 0.0
+
+
+def _lsh_audit_oracle() -> str:
+    from .dedup_text import _TOKS as _TK, _shingles, _sig_list
+
+    return f"""
+    WITH t AS (SELECT doc_id, {_TK} AS toks FROM documents),
+    s AS (SELECT doc_id, {_shingles('toks')} AS sh FROM t),
+    s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+    ex AS (SELECT doc_id, unnest(sh) AS g FROM s2),
+    tp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+    tj AS (SELECT id_a, id_b,
+                  len(list_intersect(sa.sh, sb.sh)) * 1.0
+                  / len(list_distinct(list_concat(sa.sh, sb.sh))) AS j
+           FROM tp JOIN s2 sa ON sa.doc_id = tp.id_a
+                   JOIN s2 sb ON sb.doc_id = tp.id_b),
+    truth AS (SELECT id_a, id_b,
+                     LEAST(CAST(FLOOR(ROUND(j, 6) * 10) AS BIGINT), 9) AS bin
+              FROM tj WHERE j >= {_LSH_AUDIT_FLOOR}),
+    sig AS (SELECT doc_id, {_sig_list('sh')} AS sig FROM s2),
+    bands AS (SELECT doc_id, b,
+                     md5(array_to_string(list_slice(sig, 4 * b + 1, 4 * b + 4), '|')) AS bucket
+              FROM sig CROSS JOIN range(0, 4) r(b)),
+    salted AS (SELECT doc_id, b, bucket,
+                      (ROW_NUMBER() OVER (PARTITION BY b, bucket
+                           ORDER BY md5(bucket || CAST(doc_id AS VARCHAR)), doc_id) - 1)
+                        // 64 AS salt
+               FROM bands),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM salted a JOIN salted b
+               ON a.b = b.b AND a.bucket = b.bucket AND a.salt = b.salt
+                  AND a.doc_id < b.doc_id),
+    hits AS (SELECT truth.bin, COUNT(*) AS n_truth,
+                    SUM(CASE WHEN cand.id_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+             FROM truth LEFT JOIN cand USING (id_a, id_b)
+             GROUP BY truth.bin)
+    SELECT ROUND(bin * 0.1, 1) AS jaccard_lo,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           ROUND(n_hit * 1.0 / n_truth, 6) AS recall,
+           ROUND(1 - POWER(1 - POWER(bin * 0.1 + 0.05, 4), 4), 6) AS lsh_theory
+    FROM hits ORDER BY jaccard_lo
+    """
+
+
+@query(
+    "a0035_lsh_recall_audit",
+    oracle=_lsh_audit_oracle(),
+    description="LSH recall audit of the SHIPPED q41 config (16 minhashes, 4x4 bands, salted cap 64) against complete exact-Jaccard ground truth (shared-shingle join — complete because j>0 requires a shared shingle): per Jaccard decile over ALL shingle-sharing pairs, the fraction of true pairs the banded+capped candidate stage surfaces, next to the theoretical S-curve 1-(1-s^4)^4 (MMDS ch.3); the measured recall evidence behind the dedup family's threshold claims — at production scale the audit runs on a hash-sampled slice (unbiased per bin)",
+)
+def a0035_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    gr = D.shingle_rows(docs, "doc_id", "text").withColumnRenamed("shingle", "g")
+    sets = gr.groupBy("doc_id").agg(F.collect_set("g").alias("sh"))
+    a = gr.alias("a")
+    b = gr.hint("merge").alias("b")
+    tp = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sh = sets.hint("merge")
+    tj = (
+        tp.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("j"),
+        )
+    )
+    truth = tj.filter(F.col("j") >= _LSH_AUDIT_FLOOR).select(
+        "id_a",
+        "id_b",
+        F.least(F.floor(F.round("j", 6) * 10).cast("long"), F.lit(9)).alias("bin"),
+    )
+    cand = (
+        D.salt_buckets(D.minhash_buckets(docs), max_bucket_size=64)
+        .alias("ca")
+        .join(
+            D.salt_buckets(D.minhash_buckets(docs), max_bucket_size=64)
+            .hint("merge")
+            .alias("cb"),
+            (F.col("ca.band") == F.col("cb.band"))
+            & (F.col("ca.bucket") == F.col("cb.bucket"))
+            & (F.col("ca.salt") == F.col("cb.salt"))
+            & (F.col("ca.doc_id") < F.col("cb.doc_id")),
+        )
+        .select(
+            F.col("ca.doc_id").alias("id_a"),
+            F.col("cb.doc_id").alias("id_b"),
+            F.lit(1).alias("is_cand"),
+        )
+        .distinct()
+    )
+    hits = (
+        truth.join(cand, ["id_a", "id_b"], "left")
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_truth"),
+            F.sum(F.coalesce("is_cand", F.lit(0))).cast("long").alias("n_hit"),
+        )
+    )
+    mid = F.col("bin") * 0.1 + 0.05
+    return hits.select(
+        F.round(F.col("bin") * 0.1, 1).alias("jaccard_lo"),
+        "n_truth",
+        "n_hit",
+        F.round(F.col("n_hit") * 1.0 / F.col("n_truth"), 6).alias("recall"),
+        F.round(1 - F.pow(1 - F.pow(mid, 4), 4), 6).alias("lsh_theory"),
+    ).orderBy("jaccard_lo")
