@@ -71,6 +71,7 @@ def all_queries() -> dict[str, QueryDef]:
         round13b,
         round14,
         round14b,
+        round14c,
         sessions,
         similarity,
         sources_ext,

