@@ -138,9 +138,17 @@ def a0024_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum("c"), 6).alias("bm25"))
     )
-    lexrk = lex.select(
-        "doc_id", F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id")).alias("r")
-    ).filter(F.col("r") <= _RRF_DEPTH)
+    # TakeOrderedAndProject truncation FIRST (top-DEPTH, never a global
+    # sort of the per-doc frame), then rank assignment over the
+    # DEPTH-row frame — the a0013 window discipline
+    lexrk = (
+        lex.orderBy(F.desc("bm25"), "doc_id")
+        .limit(_RRF_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id")).alias("r"),
+        )
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", SIM.as_double("embedding").alias("v")
@@ -154,9 +162,14 @@ def a0024_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(SIM.cosine(F.col("v"), F.col("q")), 9).alias("cos"),
         )
     )
-    denrk = dense.select(
-        "doc_id", F.row_number().over(Window.orderBy(F.desc("cos"), "doc_id")).alias("r")
-    ).filter(F.col("r") <= _RRF_DEPTH)
+    denrk = (
+        dense.orderBy(F.desc("cos"), "doc_id")
+        .limit(_RRF_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number().over(Window.orderBy(F.desc("cos"), "doc_id")).alias("r"),
+        )
+    )
 
     fused = (
         lexrk.withColumnRenamed("r", "lr")

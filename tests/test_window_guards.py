@@ -62,6 +62,7 @@ ALLOWED_UNPARTITIONED: dict[str, str] = {
     "a0131_curriculum_shards": "curriculum ntile over the score order — the oracle-parity twin of repartitionByRange(score) (sampled boundaries are not engine-reproducible)",
     "a0005_zipf_fit": "spectrum rank over the (token,count) VOCABULARY frame (corpus-vocabulary-bounded, never token rows)",
     "a0006_heaps_law": "cumulative tokens/vocab over the 10-row decile spine",
+    "a0024_rrf_fusion": "rank over the two depth-50 retrieval lists already truncated by TakeOrdered limit (a0013 discipline)",
 }
 
 
