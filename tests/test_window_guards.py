@@ -63,6 +63,7 @@ ALLOWED_UNPARTITIONED: dict[str, str] = {
     "a0005_zipf_fit": "spectrum rank over the (token,count) VOCABULARY frame (corpus-vocabulary-bounded, never token rows)",
     "a0006_heaps_law": "cumulative tokens/vocab over the 10-row decile spine",
     "a0024_rrf_fusion": "rank over the two depth-50 retrieval lists already truncated by TakeOrdered limit (a0013 discipline)",
+    "a0046_ewma_anomalies": "trailing 60-day weighted window over the daily revenue rollup (calendar-bounded)",
 }
 
 
