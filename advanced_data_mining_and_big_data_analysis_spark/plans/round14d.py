@@ -21,6 +21,13 @@ from pyspark.sql import Window
 from ..sources import load_table
 from .registry import query
 
+# Shared token macro (identical to operators.text.tokens on the Spark
+# side; see round13._TOKS_SQL).
+_TOKS_SQL = (
+    "list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +'), x -> x <> '')"
+)
+
 # ---------------------------------------------------------------------------
 # a0042 — Kolmogorov-Smirnov two-sample test (returned 'R' vs
 # non-returned 'N' extended prices — the SAME samples a0073 runs the
@@ -462,4 +469,358 @@ def a0049_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w1_dollars"),
         )
         .orderBy("month_from")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a0044 — isotonic calibration of a score against outcome rates via the
+# MINIMAX identity (Ayer et al. 1955; Robertson-Wright-Dykstra 1988
+# §1.2): the PAVA solution at bin i equals
+# max_{j<=i} min_{k>=i} mean(y_j..y_k) — a closed form over prefix
+# sums, so the inherently SEQUENTIAL pool-adjacent-violators loop never
+# runs; the whole fit is relational algebra over the bounded bin frame.
+# Scorer: document length (n_chars) calibrated to P(lang='en') — the
+# same scorer a0067 (ROC-AUC) and a0068 (lift/gains) audit, completing
+# the score-quality triptych with the calibrated probabilities
+# themselves.
+#
+# Distributed shape: ONE data-sized aggregate (groupBy bin) feeds a
+# <=B-row frame; prefix sums, the j<=i<=k triangle (<=B^3 rows), and
+# both optimizations run on bounded broadcast frames. Means are exact
+# integer ratios (single division), so the minimax comparisons are
+# engine-stable without rounding tricks.
+# Scale rule (100 TB): B is a calibration-resolution constant; the
+# data-sized work is one scan + one B-key aggregate regardless of
+# corpus size.
+# ---------------------------------------------------------------------------
+
+_ISO_B = 20
+
+
+@query(
+    "a0044_isotonic_calibration",
+    oracle=f"""
+    WITH d AS (
+      SELECT n_chars AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    ext AS (SELECT MIN(s) AS mn, MAX(s) AS mx FROM d),
+    binned AS (
+      SELECT CAST(FLOOR((s - mn) * {_ISO_B} * 1.0 / (mx - mn + 1)) AS BIGINT) AS bin, y
+      FROM d CROSS JOIN ext
+    ),
+    bins AS (
+      SELECT bin, COUNT(*) AS w, CAST(SUM(y) AS BIGINT) AS pos
+      FROM binned GROUP BY bin
+    ),
+    pre AS (
+      SELECT bin, w, pos,
+             CAST(SUM(w) OVER (ORDER BY bin) AS BIGINT) AS cw,
+             CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+      FROM bins
+    ),
+    tri AS (
+      SELECT i.bin AS bin, j.cw - j.w AS wb, j.cp - j.pos AS pb,
+             k.cw AS wk, k.cp AS pk
+      FROM pre i JOIN pre j ON j.bin <= i.bin
+                 JOIN pre k ON k.bin >= i.bin
+    ),
+    inner_min AS (
+      SELECT bin, wb, pb,
+             MIN(CAST(pk - pb AS DOUBLE) / (wk - wb)) AS m
+      FROM tri GROUP BY bin, wb, pb
+    ),
+    fit AS (SELECT bin, MAX(m) AS iso FROM inner_min GROUP BY bin)
+    SELECT b.bin, CAST(e.mn + FLOOR(b.bin * (e.mx - e.mn + 1) * 1.0 / {_ISO_B}) AS BIGINT) AS lo_chars,
+           CAST(b.w AS BIGINT) AS n,
+           ROUND(CAST(b.pos AS DOUBLE) / b.w, 6) AS raw_rate,
+           ROUND(f.iso, 6) AS iso_rate
+    FROM bins b JOIN fit f ON f.bin = b.bin CROSS JOIN ext e
+    ORDER BY b.bin
+    """,
+    description=f"isotonic calibration (PAVA) of the document-length score against P(lang='en') via the minimax identity max_j<=i min_k>=i mean(y_j..y_k) — the sequential pool-adjacent-violators loop becomes closed-form relational algebra over the {_ISO_B}-bin frame (one data-sized groupBy feeds it; prefix sums + the j<=i<=k triangle are bounded broadcast frames; exact integer ratios make the minimax engine-stable); completes the a0067/a0068 score-quality triptych",
+)
+def a0044_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    ext = d.agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
+    binned = d.crossJoin(F.broadcast(ext)).select(
+        F.floor(
+            (F.col("s") - F.col("mn")) * _ISO_B * 1.0 / (F.col("mx") - F.col("mn") + 1)
+        )
+        .cast("long")
+        .alias("bin"),
+        "y",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count("*").alias("w"), F.sum("y").cast("long").alias("pos")
+    )
+    wpre = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "bin",
+        "w",
+        "pos",
+        F.sum("w").over(wpre).cast("long").alias("cw"),
+        F.sum("pos").over(wpre).cast("long").alias("cp"),
+    ).localCheckpoint(eager=False)  # the bounded bin frame feeds 3 joins
+    i = pre.select(F.col("bin").alias("bin"))
+    j = pre.select(
+        F.col("bin").alias("jbin"),
+        (F.col("cw") - F.col("w")).alias("wb"),
+        (F.col("cp") - F.col("pos")).alias("pb"),
+    )
+    k = pre.select(F.col("bin").alias("kbin"), F.col("cw").alias("wk"), F.col("cp").alias("pk"))
+    tri = (
+        i.join(F.broadcast(j), F.col("jbin") <= F.col("bin"))
+        .join(F.broadcast(k), F.col("kbin") >= F.col("bin"))
+    )
+    inner_min = tri.groupBy("bin", "wb", "pb").agg(
+        F.min((F.col("pk") - F.col("pb")).cast("double") / (F.col("wk") - F.col("wb"))).alias("m")
+    )
+    fit = inner_min.groupBy("bin").agg(F.max("m").alias("iso"))
+    out = (
+        bins.join(fit, "bin")
+        .crossJoin(F.broadcast(ext))
+        .select(
+            "bin",
+            (
+                F.col("mn")
+                + F.floor(F.col("bin") * (F.col("mx") - F.col("mn") + 1) * 1.0 / _ISO_B)
+            )
+            .cast("long")
+            .alias("lo_chars"),
+            F.col("w").cast("long").alias("n"),
+            F.round(F.col("pos").cast("double") / F.col("w"), 6).alias("raw_rate"),
+            F.round("iso", 6).alias("iso_rate"),
+        )
+    )
+    return out.orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# a0047 — ranked-retrieval evaluation: nDCG@10 (Järvelin & Kekäläinen,
+# TOIS 2002, exponential gains), AP@10, and MRR for three fixed
+# 3-term queries ranked by Okapi BM25 (a0024's scorer) against graded
+# relevance derived from an INDEPENDENT signal — the count of query
+# terms among the document's first 30 tokens (a title-field proxy), so
+# the metrics are non-trivial (full-text ranking vs title-field truth).
+#
+# Shapes: one token scan feeds both tf (posting lists filtered to the
+# 9 workload terms before any shuffle) and the title-grade frame; each
+# query's ranking is a partitioned row_number over its per-doc score
+# frame (9 workload terms -> the frame is posting-list-sized, not
+# corpus-sized) truncated at 10; IDCG comes from the <=3-row
+# relevance-level histogram joined to a literal rank spine (never a
+# corpus sort by relevance). Scores are 6-dp rounded with doc_id ties
+# so both engines replay identical permutations.
+# Scale rule (100 TB): the query workload and depth are evaluation
+# constants; the data-sized work is one tokenize + posting-list
+# aggregates (the a0024/a0165 BM25 shape).
+# ---------------------------------------------------------------------------
+
+_EVAL_QUERIES = {
+    1: ["hash", "join", "vector"],
+    2: ["merge", "sort", "stream"],
+    3: ["filter", "scan", "batch"],
+}
+_EVAL_K1, _EVAL_B = 1.2, 0.75
+_EVAL_DEPTH = 10
+_EVAL_TITLE = 30
+
+_EVAL_TERM_ROWS = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in sorted(_EVAL_QUERIES.items()) for t in ts
+)
+
+
+@query(
+    "a0047_ndcg_eval",
+    oracle=f"""
+    WITH qt AS (SELECT * FROM (VALUES {_EVAL_TERM_ROWS}) v(qid, term)),
+    base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM base),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+           WHERE term IN (SELECT term FROM qt)
+           GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    rel AS (SELECT g.qid, g.doc_id, COUNT(DISTINCT g.term) AS rel
+            FROM (SELECT b.doc_id, qt.qid, qt.term
+                  FROM (SELECT doc_id, unnest(toks[1:{_EVAL_TITLE}]) AS tok
+                        FROM base) b
+                  JOIN qt ON qt.term = b.tok) g
+            GROUP BY g.qid, g.doc_id),
+    score AS (SELECT qt.qid, tf.doc_id, ROUND(SUM(
+                ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                * (tf.tf * ({_EVAL_K1} + 1))
+                / (tf.tf + {_EVAL_K1} * (1 - {_EVAL_B} + {_EVAL_B} * dl.dl / stats.avgdl))), 6) AS bm25
+              FROM tf JOIN qt USING (term) JOIN dl USING (doc_id)
+                      JOIN df USING (term) CROSS JOIN stats
+              GROUP BY qt.qid, tf.doc_id),
+    rk AS (SELECT qid, doc_id, bm25,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS r
+           FROM score),
+    top AS (SELECT rk.qid, rk.r, COALESCE(rel.rel, 0) AS rel
+            FROM rk LEFT JOIN rel ON rel.qid = rk.qid AND rel.doc_id = rk.doc_id
+            WHERE rk.r <= {_EVAL_DEPTH}),
+    dcg AS (SELECT qid, SUM((POWER(2, rel) - 1) / (ln(r + 1) / ln(2))) AS dcg
+            FROM top GROUP BY qid),
+    hist AS (SELECT qid, rel, COUNT(*) AS cnt FROM rel WHERE rel >= 1
+             GROUP BY qid, rel),
+    hcum AS (SELECT qid, rel, cnt,
+                    COALESCE(SUM(cnt) OVER (PARTITION BY qid ORDER BY rel DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+             FROM hist),
+    spine AS (SELECT unnest(range(1, {_EVAL_DEPTH + 1})) AS pos),
+    idcg AS (SELECT h.qid,
+                    SUM((POWER(2, h.rel) - 1) / (ln(s.pos + 1) / ln(2))) AS idcg
+             FROM hcum h JOIN spine s
+               ON s.pos > h.before AND s.pos <= h.before + h.cnt
+             GROUP BY h.qid),
+    nrel AS (SELECT qid, COUNT(*) AS n_rel FROM rel WHERE rel >= 1 GROUP BY qid),
+    prec AS (SELECT qid, r, rel,
+                    SUM(CASE WHEN rel >= 1 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY qid ORDER BY r) * 1.0 / r AS p_at
+             FROM top),
+    ap AS (SELECT p.qid,
+                  SUM(CASE WHEN p.rel >= 1 THEN p.p_at ELSE 0 END)
+                    / LEAST(MAX(n.n_rel), {_EVAL_DEPTH}) AS ap10
+           FROM prec p JOIN nrel n ON n.qid = p.qid GROUP BY p.qid),
+    mrr AS (SELECT qid, MAX(CASE WHEN frank IS NULL THEN 0.0 ELSE 1.0 / frank END) AS mrr
+            FROM (SELECT qid, MIN(CASE WHEN rel >= 1 THEN r END) AS frank
+                  FROM top GROUP BY qid) f GROUP BY qid)
+    SELECT d.qid AS query_id,
+           CAST(COALESCE(n.n_rel, 0) AS BIGINT) AS n_rel,
+           ROUND(CASE WHEN COALESCE(i.idcg, 0) = 0 THEN 0.0
+                      ELSE d.dcg / i.idcg END, 6) AS ndcg10,
+           ROUND(COALESCE(a.ap10, 0), 6) AS ap10,
+           ROUND(COALESCE(m.mrr, 0), 6) AS mrr
+    FROM dcg d
+    LEFT JOIN idcg i ON i.qid = d.qid
+    LEFT JOIN nrel n ON n.qid = d.qid
+    LEFT JOIN ap a ON a.qid = d.qid
+    LEFT JOIN mrr m ON m.qid = d.qid
+    ORDER BY query_id
+    """,
+    description=f"ranked-retrieval evaluation of Okapi BM25 over {len(_EVAL_QUERIES)} fixed 3-term queries: nDCG@{_EVAL_DEPTH} (exponential gains, Järvelin-Kekäläinen TOIS 2002), AP@{_EVAL_DEPTH}, and MRR against graded relevance from an independent title-field proxy (query-term count among the first {_EVAL_TITLE} tokens) — posting lists filtered to the 9 workload terms before any shuffle, per-query rankings partitioned row_numbers over posting-list-sized frames truncated at {_EVAL_DEPTH}, IDCG from the <=3-row relevance-level histogram joined to a literal rank spine (never a corpus sort by relevance), 6-dp scores + doc_id ties replay identical permutations on both engines",
+)
+def a0047_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as X
+
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(_EVAL_QUERIES.items()) for t in ts],
+        "qid int, term string",
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", X.tokens("text").alias("toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    dl = base.select("doc_id", F.size("toks").alias("dl"))
+    all_terms = sorted({t for ts in _EVAL_QUERIES.values() for t in ts})
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    rel = (
+        base.select("doc_id", F.explode(F.slice("toks", 1, _EVAL_TITLE)).alias("tok"))
+        .join(F.broadcast(qt), F.col("term") == F.col("tok"))
+        .groupBy("qid", "doc_id")
+        .agg(F.count_distinct("term").alias("rel"))
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    denom = F.col("tf") + _EVAL_K1 * (
+        1 - _EVAL_B + _EVAL_B * F.col("dl") / F.col("avgdl")
+    )
+    score = (
+        tf.join(F.broadcast(qt), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("qid", "doc_id", (idf * (F.col("tf") * (_EVAL_K1 + 1)) / denom).alias("c"))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("bm25"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("bm25"), "doc_id")
+    top = (
+        score.select("qid", "doc_id", F.row_number().over(wq).alias("r"))
+        .filter(F.col("r") <= _EVAL_DEPTH)
+        .join(rel, ["qid", "doc_id"], "left")
+        .select("qid", "r", F.coalesce("rel", F.lit(0)).alias("rel"))
+        .localCheckpoint(eager=False)  # 30-row frame feeds dcg/prec/mrr
+    )
+    ln2 = F.log(F.lit(2.0))
+    dcg = top.groupBy("qid").agg(
+        F.sum((F.pow(F.lit(2.0), F.col("rel")) - 1) / (F.log(F.col("r") + 1) / ln2)).alias(
+            "dcg"
+        )
+    )
+    relpos = rel.filter(F.col("rel") >= 1).localCheckpoint(eager=False)
+    hist = relpos.groupBy("qid", "rel").agg(F.count("*").alias("cnt"))
+    wh = (
+        Window.partitionBy("qid")
+        .orderBy(F.desc("rel"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hcum = hist.select(
+        "qid", "rel", "cnt", F.coalesce(F.sum("cnt").over(wh), F.lit(0)).alias("before")
+    )
+    spine = spark.range(1, _EVAL_DEPTH + 1).select(F.col("id").alias("pos"))
+    idcg = (
+        hcum.join(
+            F.broadcast(spine),
+            (F.col("pos") > F.col("before")) & (F.col("pos") <= F.col("before") + F.col("cnt")),
+        )
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rel")) - 1) / (F.log(F.col("pos") + 1) / ln2)
+            ).alias("idcg")
+        )
+    )
+    nrel = relpos.groupBy("qid").agg(F.count("*").alias("n_rel"))
+    wp = Window.partitionBy("qid").orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    prec = top.select(
+        "qid",
+        "rel",
+        (
+            F.sum(F.when(F.col("rel") >= 1, 1).otherwise(0)).over(wp) * 1.0 / F.col("r")
+        ).alias("p_at"),
+    )
+    ap = (
+        prec.groupBy("qid")
+        .agg(F.sum(F.when(F.col("rel") >= 1, F.col("p_at")).otherwise(0.0)).alias("sp"))
+        .join(nrel, "qid")
+        .select(
+            "qid", (F.col("sp") / F.least(F.col("n_rel"), F.lit(_EVAL_DEPTH))).alias("ap10")
+        )
+    )
+    mrr = top.groupBy("qid").agg(
+        F.coalesce(
+            1.0 / F.min(F.when(F.col("rel") >= 1, F.col("r"))), F.lit(0.0)
+        ).alias("mrr")
+    )
+    return (
+        dcg.join(idcg, "qid", "left")
+        .join(nrel, "qid", "left")
+        .join(ap, "qid", "left")
+        .join(mrr, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
+            F.round(
+                F.when(F.coalesce("idcg", F.lit(0.0)) == 0.0, 0.0).otherwise(
+                    F.col("dcg") / F.col("idcg")
+                ),
+                6,
+            ).alias("ndcg10"),
+            F.round(F.coalesce("ap10", F.lit(0.0)), 6).alias("ap10"),
+            F.round(F.coalesce("mrr", F.lit(0.0)), 6).alias("mrr"),
+        )
+        .orderBy("query_id")
     )
