@@ -824,3 +824,156 @@ def a0047_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# a0045 — edit-distance similarity join over document prefixes with
+# PassJoin-style pigeonhole blocking (Li, Deng, Wang & Feng, VLDB
+# 2011): two fixed-32-char prefixes within Levenshtein distance
+# tau=2 must agree EXACTLY on at least one of 3 disjoint segments
+# (tau+1 segments, <=tau edits — pigeonhole), with the matching
+# segment appearing in the partner shifted by at most the net indel
+# balance (|delta| <= tau). Candidates therefore come from an
+# equi-join of exact segment keys (index side) against +-tau shifted
+# substrings (probe side) — never an all-pairs expansion — and only
+# candidates pay the O(len*tau) banded verify (the built-in
+# levenshtein, identical metric in both engines).
+#
+# Skew guard: duplicate-heavy corpora collapse segment keys (the q41
+# lesson — a 100x-replicated dup group makes one key quadratic), so
+# BOTH sides carry the md5-ranked per-(segment,key) cap (the
+# LSH/SemDeDup salted-cap guard; the oracle replays the identical
+# rank), bounding any join key at cap^2 pairs under any multiplicity.
+# Scale rule (100 TB): tau, the prefix width, and the cap are design
+# constants; the data-sized work is one scan emitting <=3 index +
+# <=15 probe keys per doc and one selective equi-join.
+# ---------------------------------------------------------------------------
+
+_ED_TAU = 2
+_ED_PLEN = 32
+_ED_SEGS = [(1, 1, 11), (2, 12, 11), (3, 23, 10)]  # (i, start, len), 1-based
+_ED_CAP = 16
+_ED_TOP = 100
+
+
+def _ed_probe_triples() -> list[tuple[int, int, int]]:
+    out = []
+    for i, p, ln in _ED_SEGS:
+        for d in range(-_ED_TAU, _ED_TAU + 1):
+            if p + d >= 1 and p + d + ln - 1 <= _ED_PLEN:
+                out.append((i, p + d, ln))
+    return out
+
+
+_ED_CAP_ORDER = "md5(CAST(seg AS VARCHAR) || '_' || key || '_' || CAST(doc_id AS VARCHAR))"
+
+
+@query(
+    "a0045_edit_distance_join",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, substr(text, 1, {_ED_PLEN}) AS p
+      FROM documents WHERE length(text) >= {_ED_PLEN}
+    ),
+    idx0 AS (
+      SELECT DISTINCT doc_id, seg, key FROM (
+        {" UNION ALL ".join(f"SELECT doc_id, {i} AS seg, substr(p, {p}, {ln}) AS key FROM s" for i, p, ln in _ED_SEGS)}
+      )
+    ),
+    idx AS (
+      SELECT doc_id, seg, key FROM (
+        SELECT doc_id, seg, key,
+               ROW_NUMBER() OVER (PARTITION BY seg, key
+                 ORDER BY {_ED_CAP_ORDER}) AS rk
+        FROM idx0) WHERE rk <= {_ED_CAP}
+    ),
+    prb0 AS (
+      SELECT DISTINCT doc_id, seg, key FROM (
+        {" UNION ALL ".join(f"SELECT doc_id, {i} AS seg, substr(p, {p}, {ln}) AS key FROM s" for i, p, ln in _ed_probe_triples())}
+      )
+    ),
+    prb AS (
+      SELECT doc_id, seg, key FROM (
+        SELECT doc_id, seg, key,
+               ROW_NUMBER() OVER (PARTITION BY seg, key
+                 ORDER BY {_ED_CAP_ORDER}) AS rk
+        FROM prb0) WHERE rk <= {_ED_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT LEAST(i.doc_id, p.doc_id) AS d1,
+                      GREATEST(i.doc_id, p.doc_id) AS d2
+      FROM idx i JOIN prb p ON p.seg = i.seg AND p.key = i.key
+                          AND p.doc_id <> i.doc_id
+    ),
+    ver AS (
+      SELECT c.d1, c.d2, levenshtein(a.p, b.p) AS dist
+      FROM cand c JOIN s a ON a.doc_id = c.d1 JOIN s b ON b.doc_id = c.d2
+    )
+    SELECT d1, d2, CAST(dist AS BIGINT) AS dist
+    FROM ver WHERE dist <= {_ED_TAU}
+    ORDER BY dist, d1, d2 LIMIT {_ED_TOP}
+    """,
+    description=f"edit-distance similarity join (tau={_ED_TAU}) over fixed-{_ED_PLEN}-char document prefixes with PassJoin pigeonhole blocking (Li et al. VLDB 2011): {len(_ED_SEGS)} disjoint segments, exact index keys vs +-tau shifted probe substrings, md5-ranked per-(segment,key) cap {_ED_CAP} on BOTH sides (the salted-cap skew guard, oracle-replayed) so duplicate groups never go quadratic, built-in levenshtein verify on candidates only; top-{_ED_TOP} pairs by (dist, ids)",
+)
+def a0045_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    s = docs.filter(F.length("text") >= _ED_PLEN).select(
+        "doc_id", F.substring("text", 1, _ED_PLEN).alias("p")
+    ).localCheckpoint(eager=False)  # feeds keys + both verify joins
+
+    def keyed(triples):
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("seg"), F.substring("p", p, ln).alias("key")
+                )
+                for i, p, ln in triples
+            ]
+        )
+        return (
+            s.select("doc_id", F.explode(arr).alias("t"))
+            .select("doc_id", "t.seg", "t.key")
+            .distinct()
+        )
+
+    def capped(df):
+        rk = F.row_number().over(
+            Window.partitionBy("seg", "key").orderBy(
+                F.md5(
+                    F.concat(
+                        F.col("seg").cast("string"),
+                        F.lit("_"),
+                        F.col("key"),
+                        F.lit("_"),
+                        F.col("doc_id").cast("string"),
+                    )
+                )
+            )
+        )
+        return df.select("doc_id", "seg", "key", rk.alias("rk")).filter(
+            F.col("rk") <= _ED_CAP
+        )
+
+    idx = capped(keyed(_ED_SEGS)).select(F.col("doc_id").alias("ida"), "seg", "key")
+    prb = capped(keyed(_ed_probe_triples())).select(
+        F.col("doc_id").alias("idb"), "seg", "key"
+    )
+    cand = (
+        idx.join(prb, ["seg", "key"])
+        .filter(F.col("ida") != F.col("idb"))
+        .select(
+            F.least("ida", "idb").alias("d1"), F.greatest("ida", "idb").alias("d2")
+        )
+        .distinct()
+    )
+    ver = (
+        cand.join(s.select(F.col("doc_id").alias("d1"), F.col("p").alias("pa")), "d1")
+        .join(s.select(F.col("doc_id").alias("d2"), F.col("p").alias("pb")), "d2")
+        .select("d1", "d2", F.levenshtein("pa", "pb").alias("dist"))
+    )
+    return (
+        ver.filter(F.col("dist") <= _ED_TAU)
+        .select("d1", "d2", F.col("dist").cast("long").alias("dist"))
+        .orderBy("dist", "d1", "d2")
+        .limit(_ED_TOP)
+    )
