@@ -977,3 +977,254 @@ def a0045_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "d1", "d2")
         .limit(_ED_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# a0043 — Boruvka minimum-spanning-forest over the weighted user
+# co-occurrence graph (Boruvka 1926; the distributed-MST round used by
+# every Pregel/GraphX MSF implementation): edge weight favors STRONGLY
+# co-occurring pairs (single-linkage clustering backbone — max-ST on
+# shared-bucket counts == min-ST on the negated key), with the total
+# order (-n, u, v) making the MSF UNIQUE, so every engine computes the
+# identical edge set. Each round every component selects its minimum
+# crossing edge (the cut property admits ANY vertex subset, so
+# selection is sound even before labels fully collapse) and labels
+# merge by min-label hook + two pointer-doubling jumps over the
+# accumulated forest (the a0002/near-dup CC recipe). Boruvka
+# guarantees the class count at least HALVES per round (every class
+# with a crossing edge merges), so _MSF_ROUNDS=12 covers forests up to
+# 2^12 nodes (the sf-ladder tops out ~1.5k); _MSF_ROUNDS unrolled
+# rounds + a FIXPOINT ASSERTION (zero label-crossing edges
+# remain; raise, never a partial forest — the a0008 discipline); the
+# oracle replays the identical rounds as unrolled CTEs and pins the
+# residual-crossing count in the output.
+#
+# Scale rule (100 TB): rounds and jumps grow with log(component
+# diameter), not N — the production driver is a while-loop over the
+# same two steps (the declared query unrolls them for oracle parity,
+# exactly like a0008/a0012/a0022); per-bucket hub caps bound the edge
+# build, selection is one groupBy(min_by) per orientation, and each
+# jump is one self-join of the node-label frame.
+# ---------------------------------------------------------------------------
+
+_MSF_ROUNDS = 12
+_MSF_JUMPS = 3
+_MSF_CAP = 20  # the q128/a0008 hub cap
+_MSF_TOP = 20
+
+
+def _msf_rounds_sql() -> str:
+    parts = []
+    for r in range(1, _MSF_ROUNDS + 1):
+        pl = f"l{r - 1}"
+        pm = f"m{r - 1}"
+        # crossing edges under current labels; per-component min edge by
+        # (n DESC, u, v) over both orientations; forest accumulates.
+        parts.append(
+            f"""
+    x{r} AS MATERIALIZED (
+      SELECT e.u, e.v, e.n, lu.lab AS cu, lv.lab AS cv
+      FROM e0 e JOIN {pl} lu ON lu.node = e.u JOIN {pl} lv ON lv.node = e.v
+      WHERE lu.lab <> lv.lab),
+    s{r} AS MATERIALIZED (
+      SELECT DISTINCT u, v, n FROM (
+        SELECT comp, u, v, n,
+               ROW_NUMBER() OVER (PARTITION BY comp ORDER BY n DESC, u, v) AS rk
+        FROM (SELECT cu AS comp, u, v, n FROM x{r}
+              UNION ALL SELECT cv AS comp, u, v, n FROM x{r})
+      ) WHERE rk = 1),
+    m{r} AS MATERIALIZED (
+      SELECT DISTINCT u, v, n FROM (
+        SELECT u, v, n FROM {pm} UNION ALL SELECT u, v, n FROM s{r})),
+    g{r} AS MATERIALIZED (
+      SELECT GREATEST(lu.lab, lv.lab) AS node, MIN(LEAST(lu.lab, lv.lab)) AS cand
+      FROM m{r} m JOIN {pl} lu ON lu.node = m.u JOIN {pl} lv ON lv.node = m.v
+      WHERE lu.lab <> lv.lab GROUP BY 1),
+    h{r} AS MATERIALIZED (
+      SELECT l.node, LEAST(l.lab, COALESCE(g.cand, l.lab)) AS lab
+      FROM {pl} l LEFT JOIN g{r} g ON g.node = l.node),"""
+            + ",".join(
+                f"""
+    j{r}_{k} AS MATERIALIZED (
+      SELECT a.node, b.lab
+      FROM {f"h{r}" if k == 1 else f"j{r}_{k - 1}"} a
+      JOIN {f"h{r}" if k == 1 else f"j{r}_{k - 1}"} b ON b.node = a.lab)"""
+                for k in range(1, _MSF_JUMPS + 1)
+            )
+            + f""",
+    l{r} AS MATERIALIZED (SELECT node, lab FROM j{r}_{_MSF_JUMPS})"""
+        )
+    return ",".join(parts)
+
+
+@query(
+    "a0043_boruvka_msf",
+    oracle=f"""
+    WITH ev AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS b
+                FROM events),
+    bs AS (SELECT event_type, b, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+    kept AS (SELECT event_type, b FROM bs WHERE cnt <= {_MSF_CAP}),
+    ek AS (SELECT ev.user_id, ev.event_type, ev.b
+           FROM ev JOIN kept USING (event_type, b)),
+    e0 AS MATERIALIZED (
+      SELECT a.user_id AS u, k.user_id AS v, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ek a JOIN ek k ON a.event_type = k.event_type AND a.b = k.b
+                        AND a.user_id < k.user_id
+      GROUP BY 1, 2),
+    l0 AS MATERIALIZED (
+      SELECT node, node AS lab FROM (
+        SELECT u AS node FROM e0 UNION SELECT v FROM e0)),
+    m0 AS (SELECT u, v, n FROM e0 WHERE 1 = 0),
+    {_msf_rounds_sql()},
+    resid AS (
+      SELECT COUNT(*) AS crossing
+      FROM e0 e JOIN l{_MSF_ROUNDS} lu ON lu.node = e.u
+                JOIN l{_MSF_ROUNDS} lv ON lv.node = e.v
+      WHERE lu.lab <> lv.lab),
+    comp AS (
+      SELECT lab, COUNT(*) AS n_nodes FROM l{_MSF_ROUNDS} GROUP BY lab),
+    fedge AS (
+      SELECT lu.lab, COUNT(*) AS n_edges, CAST(SUM(m.n) AS BIGINT) AS total_w
+      FROM m{_MSF_ROUNDS} m JOIN l{_MSF_ROUNDS} lu ON lu.node = m.u
+      GROUP BY lu.lab)
+    SELECT c.lab AS component, CAST(c.n_nodes AS BIGINT) AS n_nodes,
+           CAST(COALESCE(f.n_edges, 0) AS BIGINT) AS n_msf_edges,
+           COALESCE(f.total_w, 0) AS total_w,
+           (SELECT crossing FROM resid) AS residual_crossing
+    FROM comp c LEFT JOIN fedge f ON f.lab = c.lab
+    ORDER BY c.n_nodes DESC, c.lab LIMIT {_MSF_TOP}
+    """,
+    description=f"Boruvka minimum-spanning-forest over the hub-capped user co-occurrence graph (weights favor strongly co-occurring pairs; unique total order (-n,u,v) makes the MSF engine-identical — the single-linkage clustering backbone): {_MSF_ROUNDS} unrolled rounds of per-component min-crossing-edge selection (cut property holds for any vertex subset, so selection is sound before labels collapse) + min-label hook and {_MSF_JUMPS} pointer-doubling jumps over the accumulated forest, fixpoint-ASSERTED (zero crossing edges pinned in the output); top-{_MSF_TOP} components by size with forest edge counts and weights",
+)
+def a0043_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Iterative-truncation note (measured on pyspark 4.1.2): chained
+    # eager localCheckpoints whose plans SELF-JOIN the previous
+    # iteration (labels joins labels' own derivation — the hook+jump
+    # shape) stop truncating in practice: by ~19 chained rounds each
+    # checkpoint job doubles in wall (2^i DAG walk; the JVM burns it in
+    # the scheduler while executors idle). The fix is GraphX's: a
+    # PING-PONG parquet round-trip per round is a hard physical
+    # truncation (two alternating scratch dirs, ~0.3 s/round here; on a
+    # cluster this is the standard reliable-checkpoint-to-HDFS). The
+    # linear msf chain keeps plain localCheckpoints.
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="boruvka_labels_")
+
+    def truncate(df: DataFrame, slot: int) -> DataFrame:
+        path = f"{scratch}/pp{slot % 2}"
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("b")
+    ).distinct()
+    bs = ev.groupBy("event_type", "b").agg(F.count("*").alias("cnt"))
+    kept = bs.filter(F.col("cnt") <= _MSF_CAP).select("event_type", "b")
+    ek = ev.join(kept, ["event_type", "b"])
+    e0 = (
+        ek.alias("a")
+        .join(
+            ek.alias("k"),
+            (F.col("a.event_type") == F.col("k.event_type"))
+            & (F.col("a.b") == F.col("k.b"))
+            & (F.col("a.user_id") < F.col("k.user_id")),
+        )
+        .groupBy(F.col("a.user_id").alias("u"), F.col("k.user_id").alias("v"))
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        e0.select(F.col("u").alias("node"))
+        .union(e0.select("v"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint(eager=False)
+    )
+    msf = None
+    for rnd in range(_MSF_ROUNDS):
+        lu = labels.select(F.col("node").alias("u"), F.col("lab").alias("cu"))
+        lv = labels.select(F.col("node").alias("v"), F.col("lab").alias("cv"))
+        x = (
+            e0.join(lu, "u")
+            .join(lv, "v")
+            .filter(F.col("cu") != F.col("cv"))
+            .localCheckpoint()
+        )
+        # EARLY EXIT on convergence: once no crossing edges remain,
+        # every further round is a semantic no-op (empty selection,
+        # stable labels) — the oracle unrolls all rounds and computes
+        # the identical fixpoint, so results match by construction;
+        # small graphs stop at ~log2(n) rounds instead of paying 12.
+        if x.isEmpty():
+            break
+        both = x.select(F.col("cu").alias("comp"), "u", "v", "n").union(
+            x.select(F.col("cv").alias("comp"), "u", "v", "n")
+        )
+        sel = (
+            both.groupBy("comp")
+            .agg(
+                F.min_by(
+                    F.struct("u", "v", "n"), F.struct(-F.col("n"), F.col("u"), F.col("v"))
+                ).alias("e")
+            )
+            .select("e.u", "e.v", "e.n")
+            .distinct()
+        )
+        msf = sel if msf is None else msf.union(sel).distinct()
+        # EAGER: 12 unrolled rounds of lazy lineage would hand Catalyst
+        # one ~60-join plan; materializing the (small) forest and label
+        # frames keeps every round's plan shallow (the a0008 discipline).
+        msf = msf.localCheckpoint()
+        # hook the ROOTS (GraphX union-find style): per forest edge,
+        # the larger endpoint-CLASS representative receives the smaller
+        # one — whole classes merge in one step; member pointers catch
+        # up via the doubling jumps (hooking members instead diffuses
+        # the min label one tree hop per round and stalls).
+        lru = labels.select(F.col("node").alias("u"), F.col("lab").alias("ru"))
+        lrv = labels.select(F.col("node").alias("v"), F.col("lab").alias("rv"))
+        g = (
+            msf.join(lru, "u")
+            .join(lrv, "v")
+            .filter(F.col("ru") != F.col("rv"))
+            .groupBy(F.greatest("ru", "rv").alias("gnode"))
+            .agg(F.min(F.least("ru", "rv")).alias("cand"))
+        )
+        labels = (
+            labels.join(g, labels["node"] == g["gnode"], "left")
+            .select("node", F.least("lab", F.coalesce("cand", "lab")).alias("lab"))
+        )
+        # pointer-doubling jumps: lab <- lab's lab
+        for _j in range(_MSF_JUMPS):
+            l2 = labels.select(F.col("node").alias("lab"), F.col("lab").alias("lab2"))
+            labels = labels.join(l2, "lab").select("node", F.col("lab2").alias("lab"))
+        labels = truncate(labels, rnd)
+    lu = labels.select(F.col("node").alias("u"), F.col("lab").alias("cu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("lab").alias("cv"))
+    crossing = (
+        e0.join(lu, "u").join(lv, "v").filter(F.col("cu") != F.col("cv")).count()
+    )
+    if crossing != 0:
+        raise ValueError(
+            f"Boruvka MSF did not converge in {_MSF_ROUNDS} rounds: "
+            f"{crossing} crossing edges remain (raise _MSF_ROUNDS/_MSF_JUMPS)"
+        )
+    comp = labels.groupBy("lab").agg(F.count("*").alias("n_nodes"))
+    fedge = (
+        msf.join(labels.select(F.col("node").alias("u"), F.col("lab").alias("elab")), "u")
+        .groupBy("elab")
+        .agg(F.count("*").alias("n_edges"), F.sum("n").alias("total_w"))
+    )
+    return (
+        comp.join(fedge, comp["lab"] == fedge["elab"], "left")
+        .select(
+            F.col("lab").alias("component"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_msf_edges"),
+            F.coalesce("total_w", F.lit(0)).cast("long").alias("total_w"),
+            F.lit(crossing).cast("long").alias("residual_crossing"),
+        )
+        .orderBy(F.desc("n_nodes"), "component")
+        .limit(_MSF_TOP)
+    )
