@@ -1228,3 +1228,217 @@ def a0043_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_nodes"), "component")
         .limit(_MSF_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# a0048 — Holt linear-trend exponential smoothing (Holt 1957 /
+# Gardner 1985 §3) over daily revenue, distributed as an ASSOCIATIVE
+# AFFINE-MAP SCAN: the recurrence (l_t, b_t) = A·(l_{t-1}, b_{t-1}) +
+# c_t (A the constant 2x2 smoothing matrix, c_t = (αx_t, αβx_t))
+# composes associatively — (P,d)∘(Q,e) = (PQ, Pe+d) — so the
+# inherently sequential filter runs as ceil(log2 T) Hillis-Steele
+# doubling rounds of LAG windows over the calendar-bounded daily
+# spine. This generalizes a0092's integer min-plus doubling to the
+# (×,+) semiring: the same pattern distributes ANY bounded-state
+# linear recurrence (EWMA, Kalman-style filters, IIR features).
+#
+# Determinism device: floats compose in whatever order the scan
+# shape dictates, so the ORACLE REPLAYS THE IDENTICAL DOUBLING
+# ROUNDS (the a0089 replay discipline — same expression DAG → bit-
+# identical doubles on both engines); the independent sequential
+# ground truth is pinned by a numpy replica in
+# tests/test_round14.py at 1e-9. Smoothing constants are dyadic
+# (α=0.25, β=0.125) so literals parse identically.
+# Scale rule (100 TB): the spine is calendar-bounded (one data-sized
+# aggregate feeds it) and rounds grow with log2(T), not N; at row
+# scale the same scan runs over any keyed partition (windows gain a
+# PARTITION BY key).
+# ---------------------------------------------------------------------------
+
+_HW_ALPHA = 0.25
+_HW_BETA = 0.125
+_HW_ROUNDS = 12  # 2^12 = 4096 >= the ~2.4k-day calendar spine
+_HW_TAIL = 30
+
+# A = [[1-a, 1-a], [-ab, b(1-a)+1-b]] — constants rendered once, reused
+# as literals in BOTH engines.
+_HW_A11 = 1 - _HW_ALPHA
+_HW_A12 = 1 - _HW_ALPHA
+_HW_A21 = -_HW_ALPHA * _HW_BETA
+_HW_A22 = _HW_BETA * (1 - _HW_ALPHA) + 1 - _HW_BETA
+
+
+def _hw_rounds_sql() -> str:
+    parts = []
+    for k in range(_HW_ROUNDS):
+        p = f"s{k}"
+        lagn = 2**k
+        lag = lambda c: f"LAG({c}, {lagn}) OVER (ORDER BY rn)"  # noqa: E731
+        parts.append(
+            f"""
+    s{k + 1} AS (
+      SELECT rn, day, xc,
+             CASE WHEN {lag("rn")} IS NULL THEN p11
+                  ELSE p11 * {lag("p11")} + p12 * {lag("p21")} END AS p11,
+             CASE WHEN {lag("rn")} IS NULL THEN p12
+                  ELSE p11 * {lag("p12")} + p12 * {lag("p22")} END AS p12,
+             CASE WHEN {lag("rn")} IS NULL THEN p21
+                  ELSE p21 * {lag("p11")} + p22 * {lag("p21")} END AS p21,
+             CASE WHEN {lag("rn")} IS NULL THEN p22
+                  ELSE p21 * {lag("p12")} + p22 * {lag("p22")} END AS p22,
+             CASE WHEN {lag("rn")} IS NULL THEN d1
+                  ELSE p11 * {lag("d1")} + p12 * {lag("d2")} + d1 END AS d1,
+             CASE WHEN {lag("rn")} IS NULL THEN d2
+                  ELSE p21 * {lag("d1")} + p22 * {lag("d2")} + d2 END AS d2
+      FROM {p})"""
+        )
+    return ",".join(parts)
+
+
+@query(
+    "a0048_holt_linear_scan",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT) AS DOUBLE)
+               / 100.0 AS x
+      FROM orders GROUP BY 1
+    ),
+    spine AS (
+      SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS rn0 FROM daily
+    ),
+    init AS (
+      SELECT MAX(CASE WHEN rn0 = 1 THEN x END) AS l1,
+             MAX(CASE WHEN rn0 = 2 THEN x END) - MAX(CASE WHEN rn0 = 1 THEN x END) AS b1
+      FROM spine WHERE rn0 <= 2
+    ),
+    s0 AS (
+      SELECT rn0 - 1 AS rn, day, x AS xc,
+             CAST({_HW_A11} AS DOUBLE) AS p11, CAST({_HW_A12} AS DOUBLE) AS p12,
+             CAST({_HW_A21} AS DOUBLE) AS p21, CAST({_HW_A22} AS DOUBLE) AS p22,
+             CAST({_HW_ALPHA} AS DOUBLE) * x AS d1,
+             CAST({_HW_ALPHA * _HW_BETA} AS DOUBLE) * x AS d2
+      FROM spine WHERE rn0 >= 2
+    ),
+    {_hw_rounds_sql()},
+    st AS (
+      SELECT s.rn, s.day, s.xc,
+             s.p11 * i.l1 + s.p12 * i.b1 + s.d1 AS level,
+             s.p21 * i.l1 + s.p22 * i.b1 + s.d2 AS trend
+      FROM s{_HW_ROUNDS} s CROSS JOIN init i
+    ),
+    fc AS (
+      SELECT rn, day, xc, level, trend,
+             LAG(level) OVER (ORDER BY rn) AS pl,
+             LAG(trend) OVER (ORDER BY rn) AS pt
+      FROM st
+    )
+    SELECT day, ROUND(xc, 2) AS revenue,
+           ROUND(level, 2) AS level, ROUND(trend, 4) AS trend,
+           ROUND(COALESCE(pl + pt,
+             (SELECT l1 + b1 FROM init)), 2) AS fitted,
+           ROUND(xc - COALESCE(pl + pt, (SELECT l1 + b1 FROM init)), 2) AS resid
+    FROM fc ORDER BY day DESC LIMIT {_HW_TAIL}
+    """,
+    description=f"Holt linear-trend exponential smoothing (alpha={_HW_ALPHA}, beta={_HW_BETA}, dyadic literals) over daily revenue, distributed as an associative affine-map scan: (l,b)_t = A(l,b)_(t-1) + c_t composes as (P,d)o(Q,e) = (PQ, Pe+d), so the sequential filter becomes {_HW_ROUNDS} Hillis-Steele LAG-doubling rounds over the calendar-bounded spine — the a0092 min-plus pattern generalized to the (x,+) semiring (distributes any bounded-state linear recurrence); oracle replays the identical doubling rounds (bit-identical expression DAG), sequential numpy ground truth pinned in tests; last {_HW_TAIL} days with one-step fitted values and residuals",
+)
+def a0048_holt_linear_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = od.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        (F.round(F.sum("o_totalprice") * 100, 0).cast("long") / 100.0).alias("x")
+    )
+    wd = Window.orderBy("day")  # calendar-bounded daily spine
+    spine = daily.select("day", "x", F.row_number().over(wd).alias("rn0")).localCheckpoint(
+        eager=False
+    )  # feeds init + scan
+    init = spine.filter(F.col("rn0") <= 2).agg(
+        F.max(F.when(F.col("rn0") == 1, F.col("x"))).alias("l1"),
+        (
+            F.max(F.when(F.col("rn0") == 2, F.col("x")))
+            - F.max(F.when(F.col("rn0") == 1, F.col("x")))
+        ).alias("b1"),
+    )
+    s = spine.filter(F.col("rn0") >= 2).select(
+        (F.col("rn0") - 1).alias("rn"),
+        "day",
+        F.col("x").alias("xc"),
+        F.lit(_HW_A11).alias("p11"),
+        F.lit(_HW_A12).alias("p12"),
+        F.lit(_HW_A21).alias("p21"),
+        F.lit(_HW_A22).alias("p22"),
+        (F.lit(_HW_ALPHA) * F.col("x")).alias("d1"),
+        (F.lit(_HW_ALPHA * _HW_BETA) * F.col("x")).alias("d2"),
+    )
+    wr = Window.orderBy("rn")
+    for k in range(_HW_ROUNDS):
+        lagn = 2**k
+        lg = {c: F.lag(c, lagn).over(wr) for c in ["rn", "p11", "p12", "p21", "p22", "d1", "d2"]}
+        has = lg["rn"].isNotNull()
+        s = s.select(
+            "rn",
+            "day",
+            "xc",
+            F.when(~has, F.col("p11"))
+            .otherwise(F.col("p11") * lg["p11"] + F.col("p12") * lg["p21"])
+            .alias("np11"),
+            F.when(~has, F.col("p12"))
+            .otherwise(F.col("p11") * lg["p12"] + F.col("p12") * lg["p22"])
+            .alias("np12"),
+            F.when(~has, F.col("p21"))
+            .otherwise(F.col("p21") * lg["p11"] + F.col("p22") * lg["p21"])
+            .alias("np21"),
+            F.when(~has, F.col("p22"))
+            .otherwise(F.col("p21") * lg["p12"] + F.col("p22") * lg["p22"])
+            .alias("np22"),
+            F.when(~has, F.col("d1"))
+            .otherwise(F.col("p11") * lg["d1"] + F.col("p12") * lg["d2"] + F.col("d1"))
+            .alias("nd1"),
+            F.when(~has, F.col("d2"))
+            .otherwise(F.col("p21") * lg["d1"] + F.col("p22") * lg["d2"] + F.col("d2"))
+            .alias("nd2"),
+        ).select(
+            "rn",
+            "day",
+            "xc",
+            F.col("np11").alias("p11"),
+            F.col("np12").alias("p12"),
+            F.col("np21").alias("p21"),
+            F.col("np22").alias("p22"),
+            F.col("nd1").alias("d1"),
+            F.col("nd2").alias("d2"),
+        )
+    st = s.crossJoin(F.broadcast(init)).select(
+        "rn",
+        "day",
+        "xc",
+        (F.col("p11") * F.col("l1") + F.col("p12") * F.col("b1") + F.col("d1")).alias(
+            "level"
+        ),
+        (F.col("p21") * F.col("l1") + F.col("p22") * F.col("b1") + F.col("d2")).alias(
+            "trend"
+        ),
+        (F.col("l1") + F.col("b1")).alias("init_fc"),
+    )
+    fc = st.select(
+        "day",
+        "xc",
+        "level",
+        "trend",
+        F.lag("level").over(wr).alias("pl"),
+        F.lag("trend").over(wr).alias("pt"),
+        "init_fc",
+        F.col("rn"),
+    )
+    fitted = F.coalesce(F.col("pl") + F.col("pt"), F.col("init_fc"))
+    return (
+        fc.select(
+            "day",
+            F.round("xc", 2).alias("revenue"),
+            F.round("level", 2).alias("level"),
+            F.round("trend", 4).alias("trend"),
+            F.round(fitted, 2).alias("fitted"),
+            F.round(F.col("xc") - fitted, 2).alias("resid"),
+        )
+        .orderBy(F.desc("day"))
+        .limit(_HW_TAIL)
+    )

@@ -211,3 +211,159 @@ def test_a0035_audit_counts_consistent(spark, sf_dir):
         assert 0 <= r["n_hit"] <= r["n_truth"]
     hi = [r for r in rows if r["jaccard_lo"] >= 0.9]
     assert hi and all(r["recall"] >= 0.9 for r in hi)
+
+
+# ---------------------------------------------------------------------------
+# wave 4 (a0042-a0049) structural invariants + independent replicas
+# ---------------------------------------------------------------------------
+
+
+def test_a0042_ks_matches_numpy_ecdf(spark, sf_dir):
+    """Independent numpy replica of the two-sample KS statistic (exact
+    ECDF max-gap over the merged sample), not a re-run of the query."""
+    import numpy as np
+    import pandas as pd
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice", "l_returnflag"])
+    a = np.sort(li.loc[li.l_returnflag == "R", "l_extendedprice"].to_numpy())
+    b = np.sort(li.loc[li.l_returnflag == "N", "l_extendedprice"].to_numpy())
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    d_true = np.max(np.abs(fa - fb))
+    row = QUERIES["a0042_ks_two_sample"].fn(spark, sf_dir).collect()[0]
+    assert row["n1"] == len(a) and row["n2"] == len(b)
+    assert abs(row["ks_d"] - d_true) < 1e-6
+    assert 0.0 <= row["p_value"] <= 1.0
+
+
+def test_a0043_spanning_forest_invariants(spark, sf_dir):
+    """Each component's forest is a spanning tree: edges == nodes - 1,
+    and the fixpoint pin must report zero crossing edges."""
+    rows = QUERIES["a0043_boruvka_msf"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["residual_crossing"] == 0
+        assert r["n_msf_edges"] == r["n_nodes"] - 1
+        assert r["total_w"] >= r["n_msf_edges"]  # weights are counts >= 1
+
+
+def test_a0044_isotonic_monotone_and_mean_preserving(spark, sf_dir):
+    """The PAVA fit must be non-decreasing in the score bin and preserve
+    the weighted mean (the L2 projection onto the isotone cone keeps
+    block means)."""
+    rows = sorted(
+        QUERIES["a0044_isotonic_calibration"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    fits = [r["iso_rate"] for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(fits, fits[1:]))
+    wm_raw = sum(r["n"] * r["raw_rate"] for r in rows)
+    wm_iso = sum(r["n"] * r["iso_rate"] for r in rows)
+    assert abs(wm_raw - wm_iso) < max(1e-6 * wm_raw, 1e-2)
+
+
+def test_a0045_pairs_verified_by_python_dp(spark, sf_dir):
+    """Every returned pair re-verified by an independent O(len*tau)
+    banded Levenshtein in pure Python."""
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pref = {
+        int(r.doc_id): r.text[:32] for r in docs.itertuples() if len(r.text) >= 32
+    }
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i] + [0] * len(t)
+            for j, ct in enumerate(t, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct))
+            prev = cur
+        return prev[-1]
+
+    rows = QUERIES["a0045_edit_distance_join"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["d1"] < r["d2"]
+        assert lev(pref[r["d1"]], pref[r["d2"]]) == r["dist"] <= 2
+
+
+def test_a0046_ewma_bounded_by_window(spark, sf_dir):
+    """The renormalized EWMA is a convex combination of the trailing
+    window, so it must lie within the window's min/max; the reported
+    deviation must be consistent with revenue/ewma - 1."""
+    rows = QUERIES["a0046_ewma_anomalies"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["ewma"] > 0
+        assert abs((r["revenue"] / r["ewma"] - 1.0) - r["deviation"]) < 1e-2
+
+
+def test_a0047_metric_ranges(spark, sf_dir):
+    rows = QUERIES["a0047_ndcg_eval"].fn(spark, sf_dir).collect()
+    assert [r["query_id"] for r in rows] == [1, 2, 3]
+    for r in rows:
+        assert 0.0 <= r["ndcg10"] <= 1.0
+        assert 0.0 <= r["ap10"] <= 1.0
+        assert 0.0 <= r["mrr"] <= 1.0
+        assert r["n_rel"] >= 0
+
+
+def test_a0048_matches_sequential_numpy(spark, sf_dir):
+    """The affine-map doubling scan must equal the plain sequential
+    Holt recursion (independent numpy replica) to 1e-9 relative."""
+    import numpy as np
+    import pandas as pd
+
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        od.assign(day=od.o_orderdate.dt.floor("D"))
+        .groupby("day")["o_totalprice"]
+        .sum()
+        .sort_index()
+    )
+    x = (daily * 100).round(0).to_numpy() / 100.0
+    a, b = 0.25, 0.125
+    l, t = x[0], x[1] - x[0]
+    levels = {}
+    for i in range(1, len(x)):
+        nl = a * x[i] + (1 - a) * (l + t)
+        t = b * (nl - l) + (1 - b) * t
+        l = nl
+        levels[daily.index[i].date()] = (l, t)
+    rows = QUERIES["a0048_holt_linear_scan"].fn(spark, sf_dir).collect()
+    assert len(rows) == 30
+    for r in rows:
+        lv, tr = levels[r["day"]]
+        assert abs(r["level"] - lv) < max(1e-9 * abs(lv), 1e-2)
+        assert abs(r["trend"] - tr) < max(1e-6 * abs(tr), 1e-3)
+
+
+def test_a0049_w1_matches_numpy_one_pair(spark, sf_dir):
+    """Independent numpy 1-D Wasserstein (quantile-integral identity)
+    for the first month pair."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(
+        QUERIES["a0049_wasserstein_drift"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["month_from"],
+    )
+    assert rows
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    m = od.o_orderdate.dt.to_period("M")
+    first = rows[0]
+    p1 = pd.Period(first["month_from"], freq="M")
+    p2 = pd.Period(first["month_to"], freq="M")
+    u = np.sort(np.round(od.loc[m == p1, "o_totalprice"].to_numpy() * 100) / 100.0)
+    v = np.sort(np.round(od.loc[m == p2, "o_totalprice"].to_numpy() * 100) / 100.0)
+    assert first["n_from"] == len(u) and first["n_to"] == len(v)
+    # W1 = integral |F1 - F2| dx over the merged support
+    grid = np.unique(np.concatenate([u, v]))
+    fu = np.searchsorted(u, grid, side="right") / len(u)
+    fv = np.searchsorted(v, grid, side="right") / len(v)
+    w1 = float(np.sum(np.abs(fu[:-1] - fv[:-1]) * np.diff(grid)))
+    assert abs(first["w1_dollars"] - w1) < max(1e-6 * w1, 1e-3)
+    for r in rows:
+        assert r["w1_dollars"] >= 0

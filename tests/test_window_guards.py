@@ -64,6 +64,8 @@ ALLOWED_UNPARTITIONED: dict[str, str] = {
     "a0006_heaps_law": "cumulative tokens/vocab over the 10-row decile spine",
     "a0024_rrf_fusion": "rank over the two depth-50 retrieval lists already truncated by TakeOrdered limit (a0013 discipline)",
     "a0046_ewma_anomalies": "trailing 60-day weighted window over the daily revenue rollup (calendar-bounded)",
+    "a0044_isotonic_calibration": "prefix sums over the 20-bin calibration frame, never document rows",
+    "a0048_holt_linear_scan": "affine-map LAG-doubling rounds over the daily revenue spine (calendar-bounded, the a0092 discipline)",
 }
 
 
