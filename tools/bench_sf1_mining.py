@@ -66,6 +66,22 @@ QUERIES = [
     "a0022_bfs_layers",
     # round-14 wave
     "a0023_semdedup_twolevel_codebook",
+    # round-14 waves 2-4 data-growing members (bounded-frame members
+    # — a0029/a0030/a0031/a0032/a0033/a0034/a0038/a0039/a0040/a0041/
+    # a0044/a0046/a0047/a0048 — get their scale evidence from the 3-SF
+    # floor ladder; see BENCH_SF1_MINING _notes)
+    "a0024_rrf_fusion",
+    "a0025_matryoshka_recall",
+    "a0026_repeated_substring_spans",
+    "a0027_modularity_communities",
+    "a0028_closeness_centrality",
+    "a0035_lsh_recall_audit",
+    "a0036_ktruss_edges",
+    "a0037_personalized_pagerank",
+    "a0042_ks_two_sample",
+    "a0043_boruvka_msf",
+    "a0045_edit_distance_join",
+    "a0049_wasserstein_drift",
 ]
 
 

@@ -180,6 +180,35 @@ WEAK = [
     "a0022_bfs_layers",
     # round-14 wave
     "a0023_semdedup_twolevel_codebook",
+    # round-14 waves 2-4: every new query gets the 3-SF ladder (the
+    # standing convention — bounded-frame members show data_fraction ~0,
+    # data-growing members show the marginal-vs-DuckDB ratio)
+    "a0024_rrf_fusion",
+    "a0025_matryoshka_recall",
+    "a0026_repeated_substring_spans",
+    "a0027_modularity_communities",
+    "a0028_closeness_centrality",
+    "a0029_textrank_keywords",
+    "a0030_mann_kendall_trend",
+    "a0031_conformal_intervals",
+    "a0032_markov_attribution",
+    "a0033_mattr_lexical",
+    "a0034_term_dispersion_dp",
+    "a0035_lsh_recall_audit",
+    "a0036_ktruss_edges",
+    "a0037_personalized_pagerank",
+    "a0038_brier_decomposition",
+    "a0039_mmr_rerank",
+    "a0040_shapley_attribution",
+    "a0041_good_turing",
+    "a0042_ks_two_sample",
+    "a0043_boruvka_msf",
+    "a0044_isotonic_calibration",
+    "a0045_edit_distance_join",
+    "a0046_ewma_anomalies",
+    "a0047_ndcg_eval",
+    "a0048_holt_linear_scan",
+    "a0049_wasserstein_drift",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
