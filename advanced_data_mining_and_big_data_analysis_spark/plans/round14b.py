@@ -206,7 +206,8 @@ def a0024_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the full-width top-10; recall@10 per prefix width is the shipping
 # decision number.
 #
-# Scale shape: the query workload is bounded (vec_id % 73 == 0) and
+# Scale shape: the query workload is bounded (vec_id % 73 == 0 below a
+# fixed vec_id ceiling, so it does NOT grow with the corpus) and
 # broadcast; each (query, prefix) candidate list is a per-partition
 # TopK over ONE corpus scan (the prefix widths ride the same scan via a
 # posexploded constant array — no re-read per width). Distances are
@@ -217,6 +218,7 @@ def a0024_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MRL_PREFIXES = [8, 16, 32, 64]
 _MRL_QMOD = 73
+_MRL_QCAP = 4096  # workload ceiling: the query set must NOT grow with the corpus
 _MRL_TOPK = 10
 
 
@@ -231,7 +233,8 @@ def _mrl_d2_sql(p: int) -> str:
     "a0025_matryoshka_recall",
     oracle=f"""
     WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    qs AS (SELECT vec_id AS qid, v AS q FROM x WHERE vec_id % {_MRL_QMOD} = 0),
+    qs AS (SELECT vec_id AS qid, v AS q FROM x
+           WHERE vec_id % {_MRL_QMOD} = 0 AND vec_id < {_MRL_QCAP}),
     pd AS (SELECT qs.qid, x.vec_id, p.p,
                   CASE {" ".join(f"WHEN p.p = {p} THEN {_mrl_d2_sql(p)}" for p in _MRL_PREFIXES)}
                   END AS d2
@@ -250,7 +253,7 @@ def _mrl_d2_sql(p: int) -> str:
            CAST(COUNT(*) AS BIGINT) AS n_queries
     FROM hits GROUP BY p ORDER BY prefix_dims
     """,
-    description=f"Matryoshka-truncation recall audit (Kusupati et al. NeurIPS 2022): top-{_MRL_TOPK} by squared L2 over the first p of {_DIMS} embedding dims (p in {_MRL_PREFIXES}) vs the full-width ground truth, recall@{_MRL_TOPK} averaged over a bounded deterministic query set (vec_id % {_MRL_QMOD} = 0) — the number that prices truncating an index to 1/8 the FLOPs; one corpus scan carries all prefix widths via a posexploded constant array, queries broadcast, 9-dp-rounded distances with vec_id ties make both engines pick identical neighbor sets",
+    description=f"Matryoshka-truncation recall audit (Kusupati et al. NeurIPS 2022): top-{_MRL_TOPK} by squared L2 over the first p of {_DIMS} embedding dims (p in {_MRL_PREFIXES}) vs the full-width ground truth, recall@{_MRL_TOPK} averaged over a bounded deterministic query set (vec_id % {_MRL_QMOD} = 0 AND vec_id < {_MRL_QCAP} — the ceiling keeps the workload scale-invariant) — the number that prices truncating an index to 1/8 the FLOPs; one corpus scan carries all prefix widths via a posexploded constant array, queries broadcast, 9-dp-rounded distances with vec_id ties make both engines pick identical neighbor sets",
 )
 def a0025_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as SIM
@@ -258,7 +261,9 @@ def a0025_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", SIM.as_double("embedding").alias("v")
     )
-    qs = x.filter(F.col("vec_id") % _MRL_QMOD == 0).select(
+    qs = x.filter(
+        (F.col("vec_id") % _MRL_QMOD == 0) & (F.col("vec_id") < _MRL_QCAP)
+    ).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("q")
     )
     pref = F.array([F.lit(p) for p in _MRL_PREFIXES])
@@ -1466,13 +1471,23 @@ def a0034_term_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LSH_AUDIT_FLOOR = 0.0
+# Audit slice: md5 first hex nibble in 0-3 (a deterministic 25% doc
+# sample, identical rule in both engines). Sampling docs samples pairs
+# uniformly within the slice, so per-bin recall stays unbiased while the
+# quadratic truth join shrinks 16x — at sf1.0 the UNSAMPLED join's
+# duplicate groups (10x replicas) OOMed a 128 GiB heap; this IS the
+# documented production rule, now in code. The slice rate is the 100 TB
+# knob (tighten the nibble set as the corpus grows).
+_LSH_AUDIT_NIBBLES = ("0", "1", "2", "3")
 
 
 def _lsh_audit_oracle() -> str:
     from .dedup_text import _TOKS as _TK, _shingles, _sig_list
 
     return f"""
-    WITH t AS (SELECT doc_id, {_TK} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, {_TK} AS toks FROM documents
+               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     IN ({", ".join(repr(n) for n in _LSH_AUDIT_NIBBLES)})),
     s AS (SELECT doc_id, {_shingles('toks')} AS sh FROM t),
     s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
     ex AS (SELECT doc_id, unnest(sh) AS g FROM s2),
@@ -1515,12 +1530,16 @@ def _lsh_audit_oracle() -> str:
 @query(
     "a0035_lsh_recall_audit",
     oracle=_lsh_audit_oracle(),
-    description="LSH recall audit of the SHIPPED q41 config (16 minhashes, 4x4 bands, salted cap 64) against complete exact-Jaccard ground truth (shared-shingle join — complete because j>0 requires a shared shingle): per Jaccard decile over ALL shingle-sharing pairs, the fraction of true pairs the banded+capped candidate stage surfaces, next to the theoretical S-curve 1-(1-s^4)^4 (MMDS ch.3); the measured recall evidence behind the dedup family's threshold claims — at production scale the audit runs on a hash-sampled slice (unbiased per bin)",
+    description="LSH recall audit of the SHIPPED q41 config (16 minhashes, 4x4 bands, salted cap 64) against exact-Jaccard ground truth on a deterministic md5-nibble 25% audit slice (shared-shingle join — complete within the slice because j>0 requires a shared shingle; doc sampling keeps per-bin recall unbiased and bounds the quadratic truth join): per Jaccard decile over the slice's shingle-sharing pairs, the fraction of true pairs the banded+capped candidate stage surfaces, next to the theoretical S-curve 1-(1-s^4)^4 (MMDS ch.3); the measured recall evidence behind the dedup family's threshold claims — at production scale the audit runs on a hash-sampled slice (unbiased per bin)",
 )
 def a0035_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            *_LSH_AUDIT_NIBBLES
+        )
+    )
     gr = D.shingle_rows(docs, "doc_id", "text").withColumnRenamed("shingle", "g")
     sets = gr.groupBy("doc_id").agg(F.collect_set("g").alias("sh"))
     a = gr.alias("a")

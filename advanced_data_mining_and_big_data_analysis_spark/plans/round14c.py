@@ -239,8 +239,13 @@ def a0037_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
     dg = d.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("c"))
-    seed_row = dg.orderBy(F.desc("c"), "node").limit(1).collect()[0]
-    seed = int(seed_row["node"])
+    seed_rows = dg.orderBy(F.desc("c"), "node").limit(1).collect()
+    if not seed_rows:
+        # hub caps can empty the graph at replica scales (every bucket
+        # over-cap) — the a0008 empty-graph regime; surface an empty
+        # frame with the declared schema instead of crashing.
+        return spark.createDataFrame([], "user_id long, mass_scaled long, ppr double")
+    seed = int(seed_rows[0]["node"])
     restart = 15 * _PPR_SCALE // 100
 
     p = spark.createDataFrame([(seed, _PPR_SCALE)], "node long, m long")

@@ -1142,7 +1142,10 @@ def a0043_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("lab"))
         .localCheckpoint(eager=False)
     )
-    msf = None
+    # empty schema'd accumulator: hub caps can empty the graph at
+    # replica scales (the a0008 empty-graph regime) — the loop then
+    # exits on round 1 and the output is the well-typed empty frame.
+    msf = spark.createDataFrame([], "u long, v long, n long")
     for rnd in range(_MSF_ROUNDS):
         lu = labels.select(F.col("node").alias("u"), F.col("lab").alias("cu"))
         lv = labels.select(F.col("node").alias("v"), F.col("lab").alias("cv"))
@@ -1172,7 +1175,7 @@ def a0043_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("e.u", "e.v", "e.n")
             .distinct()
         )
-        msf = sel if msf is None else msf.union(sel).distinct()
+        msf = msf.union(sel).distinct()
         # EAGER: 12 unrolled rounds of lazy lineage would hand Catalyst
         # one ~60-join plan; materializing the (small) forest and label
         # frames keeps every round's plan shallow (the a0008 discipline).
