@@ -73,6 +73,25 @@ def get_spark(
             "spark.python.daemon.module",
             "advanced_data_mining_and_big_data_analysis_spark.daemon_preload",
         )
+        # Long-lived-session hygiene (r14, measured): a session that runs
+        # many queries degrades progressively — after ~40 headline queries
+        # the sort/join-heavy plans ran 3-6x their fresh-session wall
+        # (a0089 2.1 -> 8.8 s, a0013 1.8 -> 7.2 s in a controlled A/B).
+        # Two accumulation channels, two fixes:
+        # (1) ContextCleaner frees shuffle files / broadcasts / cached
+        #     localCheckpoint RDDs only when a DRIVER GC collects their
+        #     references; the default periodicGC.interval of 30min lets a
+        #     multi-query session pile them up. 45s bounds the backlog
+        #     (A/B: contamination pass 87 -> 63 s, a0089 back to 4.0 s).
+        # (2) Whole-stage codegen compiles hundreds of generated classes
+        #     per session; the JVM's default 240 MB ReservedCodeCacheSize
+        #     fills, the JIT stops compiling, and later queries run
+        #     interpreted. 1g keeps the JIT on (A/B both fixes together:
+        #     pass 53 s, a0089 2.9 s, a0013 2.8 s — fresh-session class).
+        # Same knobs apply verbatim on a production driver that submits
+        # thousands of queries per session.
+        .config("spark.cleaner.periodicGC.interval", "45s")
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
