@@ -498,17 +498,27 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     failure-recovery depth grow per iteration (GraphX checkpoints for
     exactly this reason; q114's pre-fix plan string carried 800+
     exchange nodes).
+
+    All checkpoints are LAZY (eager=False): each round's convergence
+    count is the action that materializes that round's labels, so the
+    loop runs ONE job per round instead of two (eager checkpoint job +
+    count job — r14 profile: q114 spent 36 AQE jobs, a third of them
+    these doubled materializations), and the edge/label init frames
+    materialize inside round 1's job rather than as two up-front jobs.
+    The RDD contents are identical either way.
     """
     ed = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     # no distinct on the doubled edge list: duplicate edges are harmless
     # under min-aggregation, and dropping the dedup saves a full shuffle
     # of the pair set (the largest frame in the loop)
-    edges = ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
+    edges = ed.union(
+        ed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     changed = 0
     for _ in range(max_iters):
@@ -520,7 +530,7 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(F.col("id"), F.least(F.col("label"), F.col("nmin")).alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")

@@ -101,8 +101,14 @@ def a0050_acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("d") * F.col(f"d{k}")).alias(f"s{k}")
             for k in range(1, _ACF_LAGS + 1)
         ],
-    ).localCheckpoint(eager=False)
-    out = None
+    )
+    # ONE explode over an array of 14 per-lag structs instead of a
+    # 14-branch unionByName of 1-row selects (r14): under AQE every
+    # union branch was its own query stage — 14 jobs against a 1-row
+    # frame; the exploded form is a single stage with the identical
+    # per-lag expressions (so the checkpoint the branches shared is
+    # no longer needed either).
+    rows = []
     for k in range(1, _ACF_LAGS + 1):
         q_expr = None
         for j in range(1, k + 1):
@@ -110,14 +116,19 @@ def a0050_acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n") - j
             )
             q_expr = term if q_expr is None else q_expr + term
-        row = s.select(
-            F.lit(k).cast("long").alias("lag_k"),
-            F.col("n").cast("long").alias("n"),
-            F.round(F.col(f"s{k}") / F.col("s0"), 6).alias("acf"),
-            F.round(F.col("n") * (F.col("n") + 2.0) * q_expr, 4).alias("ljung_box_q"),
+        rows.append(
+            F.struct(
+                F.lit(k).cast("long").alias("lag_k"),
+                F.col("n").cast("long").alias("n"),
+                F.round(F.col(f"s{k}") / F.col("s0"), 6).alias("acf"),
+                F.round(F.col("n") * (F.col("n") + 2.0) * q_expr, 4).alias("ljung_box_q"),
+            )
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("lag_k")
+    return (
+        s.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.lag_k", "r.n", "r.acf", "r.ljung_box_q")
+        .orderBy("lag_k")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1432,79 +1443,78 @@ def a0061_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         *[F.col("embedding")[i].alias(f"e{i}") for i in range(D)]
     )
-    mom = emb.agg(
+    # ONE data pass: the d x d covariance aggregate. Everything after it
+    # is arithmetic over 10 scalars, so it runs DRIVER-SIDE (r14): the
+    # former in-plan squaring chain re-selected the 1-row frame 16 times,
+    # needed two eager localCheckpoint jobs just to cap Catalyst analysis
+    # cost, and fanned the output through a 4-branch union — 3+ jobs and
+    # ~3 s of floor for what is 4x4 matrix math on bounded state (the
+    # guide's "driver does no DATA work" rule cuts the other way here:
+    # this is not data work). Python floats are IEEE doubles and every
+    # sum below keeps the exact left-to-right operand order of the old
+    # column expressions AND the DuckDB oracle, so the values are
+    # bit-identical; the 6-dp rounding still happens in Spark (HALF_UP,
+    # matching DuckDB ROUND — Python round() is banker's and never used).
+    row = emb.agg(
         *[
             F.covar_pop(f"e{i}", f"e{j}").alias(f"c{i}{j}")
             for i in range(D)
             for j in range(D)
             if i <= j
         ]
-    ).localCheckpoint(eager=False)
-    keep = [f"c{i}{j}" for i in range(D) for j in range(D) if i <= j]
+    ).collect()[0]
+    c = {}
+    for i in range(D):
+        for j in range(D):
+            if i <= j:
+                c[(i, j)] = float(row[f"c{i}{j}"])
 
     def cc(i, j):
-        return F.col(f"c{min(i, j)}{max(i, j)}")
-
-    def mm(i, j):
-        return F.col(f"m{min(i, j)}{max(i, j)}")
+        return c[(min(i, j), max(i, j))]
 
     trace0 = sum((cc(i, i) for i in range(1, D)), cc(0, 0))
-    it = mom.select(
-        "*", *[(cc(i, j) / trace0).alias(f"m{i}{j}") for i in range(D) for j in range(D) if i <= j]
-    )
-    for r in range(_PCA_SQUARINGS):
-        qs = [
-            sum((mm(i, k) * mm(k, j) for k in range(1, D)), mm(i, 0) * mm(0, j)).alias(f"q{i}{j}")
+    m = {
+        (i, j): cc(i, j) / trace0 for i in range(D) for j in range(D) if i <= j
+    }
+
+    def mm(i, j):
+        return m[(min(i, j), max(i, j))]
+
+    for _ in range(_PCA_SQUARINGS):
+        q = {
+            (i, j): sum((mm(i, k) * mm(k, j) for k in range(1, D)), mm(i, 0) * mm(0, j))
             for i in range(D)
             for j in range(D)
             if i <= j
-        ]
-        it = it.select(*keep, *qs)
-        tq = sum((F.col(f"q{i}{i}") for i in range(1, D)), F.col("q00"))
-        it = it.select(
-            *keep,
-            *[
-                (F.col(f"q{i}{j}") / tq).alias(f"m{i}{j}")
-                for i in range(D)
-                for j in range(D)
-                if i <= j
-            ],
-        )
-        if r % 3 == 2:
-            # each squaring substitutes every m-entry 4x into the next —
-            # eager-checkpoint the 1-ROW frame every 3 rounds to cap
-            # Catalyst analysis cost (same lesson as the EM/Hilbert chains)
-            it = it.localCheckpoint(eager=True)
+        }
+        tq = sum((q[(i, i)] for i in range(1, D)), q[(0, 0)])
+        m = {k: v / tq for k, v in q.items()}
     u = [
-        sum((mm(i, j) * F.lit(0.5) for j in range(1, D)), mm(i, 0) * F.lit(0.5)).alias(f"u{i}")
-        for i in range(D)
+        sum((mm(i, j) * 0.5 for j in range(1, D)), mm(i, 0) * 0.5) for i in range(D)
     ]
-    it = it.select(*keep, *u)
-    unrm = F.sqrt(sum((F.col(f"u{i}") * F.col(f"u{i}") for i in range(1, D)), F.col("u0") * F.col("u0")))
-    it = it.select(*keep, *[(F.col(f"u{i}") / unrm).alias(f"v{i}") for i in range(D)])
+    import math
+
+    unrm = math.sqrt(sum((u[i] * u[i] for i in range(1, D)), u[0] * u[0]))
+    v = [u[i] / unrm for i in range(D)]
     lam = sum(
         (
-            F.col(f"v{i}") * sum((cc(i, j) * F.col(f"v{j}") for j in range(1, D)), cc(i, 0) * F.col("v0"))
+            v[i] * sum((cc(i, j) * v[j] for j in range(1, D)), cc(i, 0) * v[0])
             for i in range(1, D)
         ),
-        F.col("v0") * sum((cc(0, j) * F.col(f"v{j}") for j in range(1, D)), cc(0, 0) * F.col("v0")),
+        v[0] * sum((cc(0, j) * v[j] for j in range(1, D)), cc(0, 0) * v[0]),
     )
-    fin = it.select(
-        *[F.col(f"v{i}") for i in range(D)],
-        F.when(F.col("v0") < 0, -1.0).otherwise(1.0).alias("sgn"),
-        lam.alias("lam"),
-        (lam / trace0).alias("shr"),
-    ).localCheckpoint(eager=False)
-    out = None
-    for i in range(D):
-        row = fin.select(
-            F.lit(i).cast("long").alias("dim"),
-            F.round(F.col("sgn") * F.col(f"v{i}"), 6).alias("loading"),
-            F.round("lam", 6).alias("eigenvalue"),
-            F.round("shr", 6).alias("explained_share"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("dim")
+    sgn = -1.0 if v[0] < 0 else 1.0
+    shr = lam / trace0
+    out = spark.createDataFrame(
+        [(i, sgn * v[i], lam, shr) for i in range(D)],
+        "dim long, loading double, eigenvalue double, explained_share double",
+    )
+    return out.select(
+        "dim",
+        F.round("loading", 6).alias("loading"),
+        F.round("eigenvalue", 6).alias("eigenvalue"),
+        F.round("explained_share", 6).alias("explained_share"),
+    ).orderBy("dim")
 
 
 # ---------------------------------------------------------------------------

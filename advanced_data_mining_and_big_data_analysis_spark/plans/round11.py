@@ -136,9 +136,14 @@ def _km_update_spark(assigned: DataFrame) -> DataFrame:
             for i in range(1, _KM_DIMS + 1)
         ]
     )
+    # No checkpoint (r14): the ONLY consumer is _km_assign_spark's k-row
+    # cb.collect(), which itself truncates lineage (the next iteration's
+    # plan starts from the collected numpy codebook, not this frame) —
+    # the former eager localCheckpoint here was a second job per Lloyd
+    # iteration doing the same materialization the collect repeats.
     return cents.select(
         "cid", F.array(*[F.col(f"c{i}") for i in range(1, _KM_DIMS + 1)]).alias("cv")
-    ).localCheckpoint(eager=True)  # 8-row frame: truncate the unrolled lineage
+    )
 
 
 # Scale rule (100 TB): k is fixed at 8 for oracle parity; in production k
@@ -2557,16 +2562,21 @@ def a0092_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c0").alias("m10"),
         F.col("c1").alias("m11"),
     )
-    n_days = m.count()  # scalar: calendar length, bounds the doubling rounds
+    # calendar length from the 1-row bounds aggregate (r14): datediff+1
+    # IS the spine length (sequence d0..d1 inclusive), so the doubling
+    # rounds come from a light daily0 min/max job instead of a count()
+    # that materialized the whole windowed cost frame a job early
+    b = bounds.select(F.datediff("d1", "d0").alias("dd")).collect()[0]
+    n_days = int(b["dd"]) + 1
     rounds = max(1, (n_days - 1).bit_length())
 
     wr = Window.orderBy("rn")
     # FUSED forward+backward scans: one frame carries both the prefix
     # product P (combined with lag — new element on the right) and the
     # suffix product Q (combined with lead — new element on the left),
-    # so each doubling round is ONE window stage instead of two; eager
+    # so each doubling round is ONE window stage instead of two; lazy
     # checkpoints every 3 rounds cap the chained-select analysis cost
-    # (the a0061 lesson).
+    # (plan truncation happens at checkpoint-call time).
     pq = m.select(
         "rn",
         "day",
@@ -2596,7 +2606,11 @@ def a0092_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
         if k % 3 == 2:
-            pq = pq.localCheckpoint(eager=True)
+            # LAZY (r14): localCheckpoint truncates the logical plan at
+            # call time whether eager or not (the RDD is created, just
+            # not yet run) — eager=True was 4 extra driver jobs per query
+            # that the single final action now absorbs
+            pq = pq.localCheckpoint(eager=False)
     # init = (0, INF): forward cost vector is row 0 of P, clamped
     fwd = pq.select(
         "rn", "day", "c",

@@ -261,9 +261,14 @@ def a0005_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = w.groupBy("w").agg((F.count("*") * 1.0).alias("c")).localCheckpoint(
         eager=False
-    )  # vocab-bounded; feeds vocab count + ranked fit
-    n_tokens = int(cnt.agg(F.sum("c")).collect()[0][0])
-    vocab = cnt.count()
+    )  # vocab-bounded; feeds corpus totals + ranked fit
+    # corpus totals folded INTO the plan (r14): a broadcast crossJoin of
+    # the 1-row (sum, count) aggregate replaces two separate driver jobs
+    # (an agg collect + a count) — the whole query is ONE action and the
+    # checkpointed count frame feeds all three subtrees inside it
+    tot = cnt.agg(
+        F.sum("c").cast("long").alias("_nt"), F.count("*").cast("long").alias("_vs")
+    )
     rk = cnt.select(
         "c", F.row_number().over(Window.orderBy(F.desc("c"), "w")).alias("r")
     )
@@ -285,9 +290,9 @@ def a0005_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
-    return m.select(
-        F.lit(n_tokens).cast("long").alias("n_tokens"),
-        F.lit(vocab).cast("long").alias("vocab_size"),
+    return m.crossJoin(F.broadcast(tot)).select(
+        F.col("_nt").alias("n_tokens"),
+        F.col("_vs").alias("vocab_size"),
         F.col("n").cast("long").alias("n_fit"),
         # + 0.0 normalizes IEEE -0.0 (degenerate-fit residue) to +0.0
         (F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope"),
@@ -367,9 +372,14 @@ def a0006_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", X.tokens("text").alias("tk")
     )
-    nd = float(d.count())
-    dl = d.select(
-        F.floor(F.col("doc_id") * 10.0 / nd).cast("long").alias("dec"),
+    # doc census folded INTO the plan (r14): the decile denominator rides
+    # as a broadcast 1-row COUNT(*) aggregate (the oracle's nn CTE) in
+    # both bucketing branches instead of a separate d.count() driver job
+    # — the count branch prunes the tokenize column, so it stays a
+    # metadata-cheap scan; the whole query is ONE action.
+    nn = d.agg((F.count("*") * 1.0).alias("_nd"))
+    dl = d.crossJoin(F.broadcast(nn)).select(
+        F.floor(F.col("doc_id") * 10.0 / F.col("_nd")).cast("long").alias("dec"),
         F.size("tk").alias("dlen"),
     )
     t_by = dl.groupBy("dec").agg(F.sum("dlen").cast("long").alias("toks"))
@@ -378,8 +388,8 @@ def a0006_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.min("doc_id").alias("fdoc"))
     )
-    v_by = fo.groupBy(
-        F.floor(F.col("fdoc") * 10.0 / nd).cast("long").alias("dec")
+    v_by = fo.crossJoin(F.broadcast(nn)).groupBy(
+        F.floor(F.col("fdoc") * 10.0 / F.col("_nd")).cast("long").alias("dec")
     ).agg(F.count("*").cast("long").alias("vnew"))
     decs = spark.range(10).select(F.col("id").cast("long").alias("dec"))
     wcum = Window.orderBy("dec")
@@ -764,20 +774,29 @@ def a0009_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.count("*") * 1.0).alias("cu"))
         .localCheckpoint(eager=False)  # vocab-bounded; joined twice
     )
-    n = float(uni.agg(F.sum("cu")).collect()[0][0])
-    n2 = float(c12.agg(F.sum("c")).collect()[0][0])
+    # corpus totals folded INTO the plan (r14): N (token count) and N2
+    # (bigram count) ride as one broadcast crossJoin of the two 1-row
+    # sums (the oracle's nn/n2 CTEs) instead of two separate driver
+    # collect jobs — the whole query is ONE action; the PMI argument
+    # keeps the identical operand order (c * n * n / (n2 * c1 * c2))
+    nn = uni.agg(F.sum("cu").alias("_n")).crossJoin(c12.agg(F.sum("c").alias("_n2")))
     u1 = uni.select(F.col("w").alias("w1"), F.col("cu").alias("c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("cu").alias("c2"))
     return (
         c12.filter(F.col("c") >= _PMI_MIN)
         .join(F.broadcast(u1), "w1")
         .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nn))
         .select(
             "w1",
             "w2",
             F.col("c").cast("long").alias("pair_count"),
             F.round(
-                F.log(F.col("c") * n * n / (n2 * F.col("c1") * F.col("c2"))), 6
+                F.log(
+                    F.col("c") * F.col("_n") * F.col("_n")
+                    / (F.col("_n2") * F.col("c1") * F.col("c2"))
+                ),
+                6,
             ).alias("pmi"),
         )
         .orderBy(F.desc("pmi"), "w1", "w2")
@@ -892,13 +911,21 @@ def a0008_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("u", "v")
             .localCheckpoint(eager=False)  # shrinking frame; caps plan depth
         )
-    fin = degrees(edges).localCheckpoint(eager=False)
-    stats = fin.agg(
-        F.count("*").cast("long").alias("n_core_nodes"),
-        F.coalesce(F.max("c"), F.lit(0)).cast("long").alias("max_core_degree"),
-        F.coalesce(F.min("c"), F.lit(_KC_K)).alias("min_deg"),
-    ).collect()[0]
-    n_edges = edges.count()
+    # ONE collect (r14): the node-stats aggregate and the edge count ride
+    # the same action via a crossJoin of the two 1-row aggregates — the
+    # former separate edges.count() job re-materialized nothing (the
+    # checkpointed edge frame feeds both), it just paid one more job floor
+    fin = degrees(edges)
+    stats = (
+        fin.agg(
+            F.count("*").cast("long").alias("n_core_nodes"),
+            F.coalesce(F.max("c"), F.lit(0)).cast("long").alias("max_core_degree"),
+            F.coalesce(F.min("c"), F.lit(_KC_K)).alias("min_deg"),
+        )
+        .crossJoin(edges.agg(F.count("*").alias("n_edges")))
+        .collect()[0]
+    )
+    n_edges = stats["n_edges"]
     # fixpoint assertion (the a0002 discipline): after _KC_ROUNDS peels
     # every surviving node must already satisfy the core condition —
     # raise rather than return a partial core
@@ -967,8 +994,17 @@ def a0010_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.count("*") * 1.0).alias("c"))
         .localCheckpoint(eager=False)  # census count + tail reuse it
     )
-    n_users = u.count()
-    top = u.orderBy(F.desc("c"), "user_id").limit(_HILL_H + 1).collect()
+    # ONE collect (r14): the user census rides the TakeOrdered collect as
+    # a broadcast 1-row COUNT(*) crossJoined onto the (H+1)-row tail —
+    # the former separate u.count() job paid one more job floor against
+    # the same checkpointed frame
+    top = (
+        u.orderBy(F.desc("c"), "user_id")
+        .limit(_HILL_H + 1)
+        .crossJoin(F.broadcast(u.agg(F.count("*").alias("_nu"))))
+        .collect()
+    )
+    n_users = int(top[0]["_nu"]) if top else 0
     xs = sorted(((r["c"], r["user_id"]) for r in top), key=lambda t: (-t[0], t[1]))
     xm = xs[-1][0]
     import math
@@ -1040,7 +1076,10 @@ def a0011_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", X.tokens("text").alias("tk")
     )
-    nd = float(d.count())
+    # doc census folded INTO the plan (r14, the a0006 reshape): the
+    # decile denominator rides as a broadcast 1-row COUNT(*) (the
+    # oracle's nn CTE) instead of a separate d.count() driver job
+    nn = d.agg((F.count("*") * 1.0).alias("_nd"))
     grams = F.transform(
         F.sequence(F.lit(1), F.size("tk") - (_NOV_N - 1)),
         lambda i: F.concat_ws(
@@ -1065,7 +1104,8 @@ def a0011_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        per_doc.groupBy(F.floor(F.col("doc_id") * 10.0 / nd).cast("long").alias("decile"))
+        per_doc.crossJoin(F.broadcast(nn))
+        .groupBy(F.floor(F.col("doc_id") * 10.0 / F.col("_nd")).cast("long").alias("decile"))
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("n_grams").cast("long").alias("n_grams"),

@@ -233,7 +233,12 @@ def a0013_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("s").cast("long").alias("s"))
             .localCheckpoint(eager=False)  # node-sized; caps plan depth
         )
-    m = auth.agg(F.max("s")).collect()[0][0]  # scalar normalizer (1 row)
+    # scalar normalizer folded INTO the plan (r14): a broadcast crossJoin
+    # of the 1-row MAX aggregate onto the k-row top frame replaces the
+    # separate m = collect() driver job — the whole query is ONE action,
+    # and the checkpointed auth frame feeds both subtrees inside it
+    # (max(s) cast to double = the oracle's MAX(s) * 1.0)
+    mx = auth.agg((F.max("s") * 1.0).alias("m"))
     # TakeOrdered top-k FIRST (distributed partial top-k per partition),
     # then rank the k-row frame — never a global single-partition window
     top = (
@@ -241,11 +246,11 @@ def a0013_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_HITS_TOP)
         .select("p", "s", F.row_number().over(Window.orderBy(F.desc("s"), "p")).alias("rank"))
     )
-    return top.select(
+    return top.crossJoin(F.broadcast(mx)).select(
         F.col("rank").cast("long"),
         F.col("p").cast("long").alias("partkey"),
         F.col("s").cast("long").alias("auth_paths"),
-        F.round(F.col("s") / F.lit(float(m)), 6).alias("auth_score"),
+        F.round(F.col("s") / F.col("m"), 6).alias("auth_score"),
     ).orderBy("rank")
 
 
@@ -991,7 +996,6 @@ def a0020_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = toks.groupBy("w").agg(F.count("*").alias("c")).localCheckpoint(
         eager=False
     )  # vocab-bounded; feeds exact F2 + all estimators
-    f2_exact = int(cnt.agg(F.sum(F.col("c") * F.col("c"))).collect()[0][0])
     est = cnt.select(
         "w", "c", F.explode(F.array(*[F.lit(e) for e in range(_AMS_EST)])).alias("e")
     )
@@ -1016,7 +1020,15 @@ def a0020_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sc").alias("v")
     )
     f2e = sk.groupBy("e").agg(F.sum(F.col("v") * F.col("v")).cast("long").alias("f2"))
-    vals = sorted(int(r["f2"]) for r in f2e.collect())  # 5-row frame
+    # ONE collect (r14): the exact-F2 scalar rides the 5-row estimator
+    # collect as a broadcast 1-row aggregate crossJoin — the former
+    # separate f2_exact job paid one more floor against the same
+    # checkpointed count frame
+    rows = f2e.crossJoin(
+        F.broadcast(cnt.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("_f2x")))
+    ).collect()
+    f2_exact = int(rows[0]["_f2x"])
+    vals = sorted(int(r["f2"]) for r in rows)  # 5-row frame
     f2_est = vals[(_AMS_EST - 1) // 2]
     out = spark.createDataFrame(
         [(f2_exact, f2_est, _AMS_EST, _AMS_B)],

@@ -541,12 +541,17 @@ def _modularity_oracle() -> str:
 )
 def a0027_modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym, lbl = _lpa_labels_spark(spark, sf_dir)
-    m2 = sym.count()  # scalar: 2m (directed edge count) — bounded collect
+    # ONE action (r14): 2m, the same-label edge count and the node count
+    # ride the final select as crossJoined broadcast 1-row aggregates
+    # (the oracle's m2/within/nn CTEs) instead of three separate driver
+    # count jobs against the same checkpointed frames; every closed-form
+    # float keeps the identical operand order
+    m2 = sym.agg(F.count("*").alias("_m2"))
     within = (
         sym.join(lbl.withColumnRenamed("node", "u").withColumnRenamed("lbl", "lu"), "u")
         .join(lbl.withColumnRenamed("node", "v").withColumnRenamed("lbl", "lv"), "v")
         .filter(F.col("lu") == F.col("lv"))
-        .count()
+        .agg(F.count("*").alias("_w"))
     )
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
     dc = deg.join(lbl, "node").groupBy("lbl").agg(F.sum("d").cast("long").alias("dsum"))
@@ -554,16 +559,23 @@ def a0027_modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("dsum") * F.col("dsum")).cast("long").alias("s2"),
         F.count("*").cast("long").alias("n_comm"),
     )
-    n_nodes = deg.count()
-    return s.select(
-        F.lit(n_nodes).cast("long").alias("n_nodes"),
-        F.col("n_comm").alias("n_communities"),
-        F.lit(m2 // 2).cast("long").alias("n_edges"),
-        F.lit(within // 2).cast("long").alias("within_edges"),
-        F.round(F.lit(within) * 1.0 / m2, 6).alias("coverage"),
-        F.round(
-            F.lit(within) * 1.0 / m2 - F.col("s2") * 1.0 / (float(m2) * m2), 6
-        ).alias("modularity"),
+    nn = deg.agg(F.count("*").alias("_nn"))
+    return (
+        s.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(m2))
+        .crossJoin(F.broadcast(within))
+        .select(
+            F.col("_nn").cast("long").alias("n_nodes"),
+            F.col("n_comm").alias("n_communities"),
+            (F.col("_m2") / 2).cast("long").alias("n_edges"),
+            (F.col("_w") / 2).cast("long").alias("within_edges"),
+            F.round(F.col("_w") * 1.0 / F.col("_m2"), 6).alias("coverage"),
+            F.round(
+                F.col("_w") * 1.0 / F.col("_m2")
+                - F.col("s2") * 1.0 / (F.col("_m2").cast("double") * F.col("_m2")),
+                6,
+            ).alias("modularity"),
+        )
     )
 
 

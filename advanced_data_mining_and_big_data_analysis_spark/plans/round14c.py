@@ -156,21 +156,37 @@ def a0036_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # support of the final frame WITHIN itself; an edge in zero
     # triangles has no support row, so convergence is the count
     # comparison "re-peeling drops nothing", never a MIN over rows
+    # ONE collect (r14): edge count, re-peel survivor count, max support
+    # and node count ride one action as crossJoined 1-row aggregates —
+    # the former FOUR sequential driver jobs re-materialized nothing (the
+    # checkpointed edge frame feeds every subtree), they just paid four
+    # job floors; the fixpoint assertion below is unchanged
     sv = support(edges).localCheckpoint(eager=False)
-    n_edges = edges.count()
-    n_repeel = sv.filter(F.col("sup") >= _KT_K - 2).count()
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    stats = (
+        edges.agg(F.count("*").alias("ne"))
+        .crossJoin(
+            sv.agg(
+                F.sum((F.col("sup") >= _KT_K - 2).cast("long")).alias("nr"),
+                F.coalesce(F.max("sup"), F.lit(0)).cast("long").alias("ms"),
+            )
+        )
+        .crossJoin(nodes.agg(F.count("*").alias("nn")))
+        .collect()[0]
+    )
+    n_edges = int(stats["ne"])
+    n_repeel = int(stats["nr"] if stats["nr"] is not None else 0)
     if n_repeel != n_edges:
         raise RuntimeError(
             f"k-truss peeling did not converge in {_KT_ROUNDS} rounds "
             f"({n_edges - n_repeel} edges still under-supported)"
         )
-    max_sup = sv.agg(F.coalesce(F.max("sup"), F.lit(0)).cast("long").alias("m")).collect()[0]["m"]
-    n_nodes = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .distinct()
-        .count()
-    )
+    max_sup = stats["ms"]
+    n_nodes = int(stats["nn"])
     return spark.createDataFrame(
         [(_KT_K, int(n_edges), int(n_nodes), int(max_sup), 1)],
         "k long, n_truss_edges long, n_truss_nodes long, max_support long, converged long",
