@@ -65,39 +65,33 @@ def q102_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("next_et"),
     )
     # The aggregated edge list is |event_type|^2 rows — dimension-sized
-    # no matter how big the fact table is. The LAZY localCheckpoint
-    # materializes it inside the single final action (r14: the node
-    # census is no longer a separate driver job — see below), so the
-    # expensive part (events scan + per-user window) still runs exactly
-    # one time and every unrolled iteration reuses the tiny cached frame.
+    # no matter how big the fact table is. localCheckpoint materializes
+    # it once, so the expensive part (events scan + per-user window) runs
+    # exactly one time and every unrolled iteration + the node-count
+    # action reuse the tiny materialized frame. (ReusedExchange would
+    # share subtrees within ONE action, but nodes.count() below is a
+    # separate action — without the checkpoint the full scan runs twice.)
     e = (
         seq.filter(F.col("next_et").isNotNull())
         .groupBy(F.col("event_type").alias("src"), F.col("next_et").alias("dst"))
         .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     p = e.select(
         "src", "dst", (F.col("w") / F.sum("w").over(W.partitionBy("src"))).alias("p")
     )
     nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct()
-    # node census folded INTO the plan (r14): 1/n rides as a broadcast
-    # 1-row COUNT(*) carried through the iteration frames (the oracle's
-    # n CTE) instead of a separate nodes.count() driver job — the whole
-    # query is ONE action
-    nn = nodes.agg(F.count("*").alias("_n"))
-    r = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", "_n", (F.lit(1.0) / F.col("_n")).alias("r")
-    )
+    n_nodes = nodes.count()  # scalar: node-type cardinality, not data volume
+    r = nodes.withColumn("r", F.lit(1.0 / n_nodes))
     for _ in range(_ITERS):
         contrib = (
-            p.join(r.withColumnRenamed("node", "src").select("src", "r"), "src")
+            p.join(r.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("r") * F.col("p")).alias("_in"))
         )
-        r = nodes.crossJoin(F.broadcast(nn)).join(contrib, "node", "left").select(
+        r = nodes.join(contrib, "node", "left").select(
             "node",
-            "_n",
-            (F.lit(0.15) / F.col("_n") + _DAMP * F.coalesce("_in", F.lit(0.0))).alias("r"),
+            (F.lit(0.15 / n_nodes) + _DAMP * F.coalesce("_in", F.lit(0.0))).alias("r"),
         )
     return r.select("node", F.round("r", 6).alias("pagerank")).orderBy("node")
 
