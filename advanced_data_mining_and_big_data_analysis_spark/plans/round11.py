@@ -2288,31 +2288,45 @@ def a0089_mrl_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ests[q] = float(vals[idx])
     # exact-rank audit: the 7 estimates are literals, so the audit is ONE
     # conditional-sum aggregate over a fresh column-pruned scan — no
-    # corpus checkpoint, no est x corpus row multiplication
-    audit = (
-        load_table(spark, sf_dir, "lineitem")
-        .agg(
-            *[
-                F.sum((F.col("l_extendedprice") < F.lit(ests[q])).cast("long")).alias(
-                    f"tr_{i}"
-                )
-                for i, q in enumerate(_MRL_QS)
-            ]
-        )
-        .collect()[0]
+    # corpus checkpoint, no est x corpus row multiplication. r14 opt
+    # round: the audit collect + driver-side createDataFrame (two more
+    # driver jobs) fold into the SAME action — the 1-row audit aggregate
+    # explodes into the 7-row output in-plan (q/est are literals, n is a
+    # literal, true_rank comes from the aggregate columns; F.round is
+    # HALF_UP like SQL ROUND, so rank_err keeps the oracle's rounding).
+    audit = load_table(spark, sf_dir, "lineitem").agg(
+        *[
+            F.sum((F.col("l_extendedprice") < F.lit(ests[q])).cast("long")).alias(
+                f"tr_{i}"
+            )
+            for i, q in enumerate(_MRL_QS)
+        ]
     )
-    import math
-
-    out = []
-    for i, q in enumerate(_MRL_QS):
-        tr = int(audit[f"tr_{i}"])
-        # half-away-from-zero like SQL ROUND (python round() is half-even)
-        err = math.floor(abs(tr - q * n) / n * 1e6 + 0.5) / 1e6
-        wb = 1 if abs(tr - q * n) <= 2.0 * n / _MRL_K + _MRL_SHARDS else 0
-        out.append((q, ests[q], tr, err, wb))
-    return spark.createDataFrame(
-        out,
-        "q double, est_value double, true_rank long, rank_err double, within_bound long",
+    rows = audit.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q"),
+                        F.lit(ests[q]).alias("est_value"),
+                        F.col(f"tr_{i}").cast("long").alias("true_rank"),
+                    )
+                    for i, q in enumerate(_MRL_QS)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    qn = F.col("q") * F.lit(n)
+    bound = F.lit(2.0 * n / _MRL_K + _MRL_SHARDS)
+    return rows.select(
+        "q",
+        "est_value",
+        "true_rank",
+        F.round(F.abs(F.col("true_rank") - qn) / F.lit(n), 6).alias("rank_err"),
+        F.when(F.abs(F.col("true_rank") - qn) <= bound, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("within_bound"),
     ).orderBy("q")
 
 

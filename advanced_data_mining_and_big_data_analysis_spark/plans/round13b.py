@@ -222,31 +222,32 @@ def a0013_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iteration 1 shortcut: hub0 = 1 for every customer, so auth_1(p)
     # is just the distinct-customer degree — one groupBy, no join
     # (sf1.0 A/B: saves one of the six edge-frame joins)
-    auth = e.groupBy("p").agg(F.count("*").cast("long").alias("s")).localCheckpoint(
-        eager=False
-    )
-    for _ in range(_HITS_ITERS - 1):
+    auth = e.groupBy("p").agg(F.count("*").cast("long").alias("s"))
+    for i in range(_HITS_ITERS - 1):
         hub = e.join(auth, "p").groupBy("c").agg(F.sum("s").cast("long").alias("s"))
-        auth = (
-            e.join(hub, "c")
-            .groupBy("p")
-            .agg(F.sum("s").cast("long").alias("s"))
-            .localCheckpoint(eager=False)  # node-sized; caps plan depth
-        )
-    # scalar normalizer folded INTO the plan (r14): a broadcast crossJoin
-    # of the 1-row MAX aggregate onto the k-row top frame replaces the
-    # separate m = collect() driver job — the whole query is ONE action,
-    # and the checkpointed auth frame feeds both subtrees inside it
-    # (max(s) cast to double = the oracle's MAX(s) * 1.0)
-    mx = auth.agg((F.max("s") * 1.0).alias("m"))
+        auth = e.join(hub, "c").groupBy("p").agg(F.sum("s").cast("long").alias("s"))
+        if i < _HITS_ITERS - 2:
+            # node-sized; caps plan depth on deep iteration counts — at
+            # the LAST iteration the single downstream consumer makes
+            # the truncation pure overhead (r14 opt: each lazy
+            # localCheckpoint is a Catalyst compile point + a persist)
+            auth = auth.localCheckpoint(eager=False)
+    # normalizer folded into the k-row frame (r14 opt round): the global
+    # MAX(s) is BY DEFINITION the s of the rank-1 row, which the top-k
+    # frame already contains — so m = max(s) over the k-row window
+    # replaces the whole second auth subtree (the 1-row MAX aggregate +
+    # broadcast crossJoin), and auth drops to exactly ONE consumer,
+    # letting both intermediate localCheckpoint compile points go:
+    # 4 Catalyst compiles -> 2, no broadcast build job.
     # TakeOrdered top-k FIRST (distributed partial top-k per partition),
     # then rank the k-row frame — never a global single-partition window
     top = (
         auth.orderBy(F.desc("s"), "p")
         .limit(_HITS_TOP)
         .select("p", "s", F.row_number().over(Window.orderBy(F.desc("s"), "p")).alias("rank"))
+        .withColumn("m", F.max("s").over(Window.partitionBy()) * 1.0)
     )
-    return top.crossJoin(F.broadcast(mx)).select(
+    return top.select(
         F.col("rank").cast("long"),
         F.col("p").cast("long").alias("partkey"),
         F.col("s").cast("long").alias("auth_paths"),
@@ -563,7 +564,6 @@ def a0014_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") <= _LOF_K)
         .select("aid", "bid", "d2")
-        .localCheckpoint(eager=False)  # feeds kd, rch and lof
     )
     kd = knn.groupBy(F.col("aid").alias("id")).agg(
         F.max("d2").alias("kdist"), F.count("*").alias("n_nb")

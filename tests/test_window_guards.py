@@ -32,7 +32,7 @@ ALLOWED_UNPARTITIONED: dict[str, str] = {
     "a096_ivf_multiprobe": "probe ranking over the query-to-centroid distance frame (k_clusters rows)",
     "q102_pagerank_transitions": "rank over the 5-node page dim (graph dim, not events)",
     "q103_weighted_sample": "A-ES top-k rank over the k-row candidate frame after TakeOrdered",
-    "a0013_hits_scores": "rank over the 20-row top-authority frame already truncated by TakeOrdered limit",
+    "a0013_hits_scores": "rank + max-normalizer over the 20-row top-authority frame already truncated by TakeOrdered limit (the global MAX(s) is the rank-1 row's s, so it rides the k-row frame)",
     "a0014_lof_outliers": "rank over the 20-row top-LOF frame already truncated by TakeOrdered limit",
     "q107_winsorize": "percentile interpolation over per-source aggregates (#sources rows)",
     "q110_token_budget": "weight-sum window over the per-source frame (one row per source)",
