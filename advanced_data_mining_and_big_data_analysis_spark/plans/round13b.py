@@ -223,9 +223,22 @@ def a0013_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is just the distinct-customer degree — one groupBy, no join
     # (sf1.0 A/B: saves one of the six edge-frame joins)
     auth = e.groupBy("p").agg(F.count("*").cast("long").alias("s"))
+    # broadcast the node-aggregate side of each half-step join (guide
+    # §3.1): the checkpointed edge RDD has no Catalyst stats, so the
+    # planner falls back to SortMergeJoin and SHUFFLES THE EDGE FRAME
+    # once per half-step (the two hashpartitioning(c)/(p) exchanges in
+    # the r15 before-plan) even though auth/hub are node-sized — smaller
+    # than the edge frame by the average-degree factor. The hint moves
+    # the per-iteration cost from two edge-sized exchanges to two
+    # node-sized broadcast builds (r15 A/B: warm 6.4 -> 3.1 s, jobs
+    # 10 -> 8, stages 23 -> 13, results byte-identical). Beyond-broadcast
+    # node counts (the 8 GB relation cap) revert to SMJ by deleting the
+    # two hints — the pre-partitioned-edge-copy alternative stays
+    # rejected (a DataFrame localCheckpoint erases Catalyst-visible
+    # partitioning, so the copies still re-shuffle; r13 A/B).
     for i in range(_HITS_ITERS - 1):
-        hub = e.join(auth, "p").groupBy("c").agg(F.sum("s").cast("long").alias("s"))
-        auth = e.join(hub, "c").groupBy("p").agg(F.sum("s").cast("long").alias("s"))
+        hub = e.join(F.broadcast(auth), "p").groupBy("c").agg(F.sum("s").cast("long").alias("s"))
+        auth = e.join(F.broadcast(hub), "c").groupBy("p").agg(F.sum("s").cast("long").alias("s"))
         if i < _HITS_ITERS - 2:
             # node-sized; caps plan depth on deep iteration counts — at
             # the LAST iteration the single downstream consumer makes
@@ -565,27 +578,42 @@ def a0014_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _LOF_K)
         .select("aid", "bid", "d2")
     )
+    # kd/lrd are scored-point-sized — bounded by (grid cells x cap), the
+    # same boundedness that justifies broadcast(nbr) above — but they sit
+    # above window/aggregate nodes whose Catalyst size estimates are
+    # unknown, so the planner picked SortMergeJoin and re-shuffled the
+    # knn frame by bid/aid once per consumer (the r15 before-plan is a
+    # 196-node tree with the knn subtree duplicated per join). Broadcast
+    # hints (guide §3.1) keep every post-window frame in the window's
+    # aid-partitioning: the groupBy("aid") aggregates reuse it (§2.4)
+    # and the bid-keyed joins become broadcast builds. r15 A/B: warm
+    # 9.3 -> 4.0 s (best-rep 5.3 -> 3.5), jobs 10 -> 9, stages 20 -> 17,
+    # results byte-identical; a knn localCheckpoint variant measured
+    # MORE jobs (13) for no wall gain — ReusedExchange already covers
+    # the duplicated subtree at runtime.
     kd = knn.groupBy(F.col("aid").alias("id")).agg(
         F.max("d2").alias("kdist"), F.count("*").alias("n_nb")
     )
     rch = knn.join(
-        kd.select(F.col("id").alias("bid"), F.col("kdist").alias("bkd")), "bid"
+        F.broadcast(kd.select(F.col("id").alias("bid"), F.col("kdist").alias("bkd"))), "bid"
     ).select("aid", "bid", F.greatest("d2", "bkd").alias("reach"))
     lrd = (
         rch.groupBy("aid")
         .agg(F.sum("reach").alias("sr"))
-        .join(kd.select(F.col("id").alias("aid"), "n_nb"), "aid")
+        .join(F.broadcast(kd.select(F.col("id").alias("aid"), "n_nb")), "aid")
         .select(
             F.col("aid").alias("id"),
             F.round(F.col("n_nb") / F.greatest(F.col("sr"), F.lit(1e-12)), 9).alias("lrd"),
         )
     )
     lof = (
-        knn.join(lrd.select(F.col("id").alias("bid"), F.col("lrd").alias("lrdb")), "bid")
+        knn.join(
+            F.broadcast(lrd.select(F.col("id").alias("bid"), F.col("lrd").alias("lrdb"))), "bid"
+        )
         .groupBy("aid")
         .agg(F.sum("lrdb").alias("slb"))
-        .join(lrd.select(F.col("id").alias("aid"), F.col("lrd").alias("lrda")), "aid")
-        .join(kd.select(F.col("id").alias("aid"), "n_nb"), "aid")
+        .join(F.broadcast(lrd.select(F.col("id").alias("aid"), F.col("lrd").alias("lrda"))), "aid")
+        .join(F.broadcast(kd.select(F.col("id").alias("aid"), "n_nb")), "aid")
         .select(
             "aid",
             "n_nb",

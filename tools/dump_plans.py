@@ -27,7 +27,7 @@ def main() -> None:
         names = [n for n in bench.HEADLINE if n in qs]
     spark = get_spark("dump_plans")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = os.path.join(here, "plans", "r14")
+    outdir = os.path.join(here, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"))
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         try:
