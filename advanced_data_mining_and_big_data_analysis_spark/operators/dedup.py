@@ -544,18 +544,25 @@ def near_dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        # r15: the convergence flag rides the update frame itself —
+        # label shrinks this round iff a neighbor label undercuts it
+        # (nmin < label; the null-nmin isolated case keeps its label),
+        # so the former new-vs-old compare JOIN (an extra SortMergeJoin
+        # + two exchanges inside every round's convergence job) is a
+        # per-row boolean for free. The checkpointed frame carries the
+        # flag; the count(chg) both materializes the round's labels and
+        # returns the convergence scalar in the same single job.
+        new_full = (
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
-            .select(F.col("id"), F.least(F.col("label"), F.col("nmin")).alias("label"))
+            .select(
+                F.col("id"),
+                F.least(F.col("label"), F.col("nmin")).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("chg"),
+            )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_full.filter(F.col("chg")).count()
+        labels = new_full.select("id", "label")
         if changed == 0:
             break
     if changed != 0:
