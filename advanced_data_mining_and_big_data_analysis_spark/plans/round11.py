@@ -2436,22 +2436,22 @@ def a0091_jpeg_lossless12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # a0092 — Kleinberg burst detection (2-state automaton, Poisson rates)
-# solved as an EXACT distributed Viterbi: the sequential DP
-# D_t = D_{t−1} ⊗ M_t (min-plus matrix product) is ASSOCIATIVE, so the
-# whole forward pass is a parallel prefix scan — ⌈log2(T)⌉ rounds of
-# 2×2 min-plus combines via window lags over the calendar-bounded
-# daily frame — and the backward pass is the mirrored suffix scan.
-# The optimal path is recovered forward-backward style: state s is on
-# an optimal path at t iff fwd_t(s) + sfx_t(s) equals the global
-# optimum. Costs are INTEGER fixed-point (round(1e6·(λ_s − n_t·ln λ_s)))
-# so min-plus arithmetic is exact and the scan's association order is
-# provably irrelevant — the DuckDB oracle replays the SAME DP
-# sequentially (recursive CTEs) and must agree bit-for-bit. Burst
-# episodes come out of a gaps-and-islands pass over the labeled days.
-# This is the pattern that distributes ANY bounded-state sequential
-# DP (HMM/Viterbi, regex matching, sessionization with penalties):
-# pointer-doubled min-plus scans, the a0064/a0100 doubling trick
-# applied to dynamic programming.
+# solved as an EXACT Viterbi. The optimal path is recovered
+# forward-backward style: state s is on an optimal path at t iff
+# fwd_t(s) + sfx_t(s) equals the global optimum. Costs are INTEGER
+# fixed-point (round(1e6·(λ_s − n_t·ln λ_s))) so min-plus arithmetic is
+# exact — the DuckDB oracle replays the SAME DP sequentially (recursive
+# CTEs) and must agree bit-for-bit. Burst episodes come out of a
+# gaps-and-islands pass over the labeled days.
+# Placement (r15): the DP state is CALENDAR-bounded (T = days spanned),
+# so the two-state recurrences run driver-side on the collected cost
+# rows (bounded driver state — the a0061 discipline); the data-sized
+# stages (daily count aggregate, episode rollup) stay in Spark. The
+# r12-r14 distributed formulation — ⌈log2 T⌉ pointer-doubled min-plus
+# prefix/suffix window scans, valid because the min-plus product is
+# associative — remains the pattern for a DP whose frame does NOT fit
+# one task, but here it was pure plan-construction cost (16 AQE jobs,
+# ~1.6 s Catalyst build per run) for ~2.4k rows.
 # ---------------------------------------------------------------------------
 
 _KB_S = 1.6  # burst rate multiplier lambda1 = s * lambda0
@@ -2515,23 +2515,13 @@ def _kb_oracle() -> str:
     """
 
 
-def _kb_combine(a: dict, b: dict) -> dict:
-    """2x2 min-plus product C = A (x) B over integer cost columns."""
-    return {
-        "m00": F.least(a["m00"] + b["m00"], a["m01"] + b["m10"]),
-        "m01": F.least(a["m00"] + b["m01"], a["m01"] + b["m11"]),
-        "m10": F.least(a["m10"] + b["m00"], a["m11"] + b["m10"]),
-        "m11": F.least(a["m10"] + b["m01"], a["m11"] + b["m11"]),
-    }
-
-
 # Scale rule (100 TB): no data-scaled parameter — the Viterbi DP runs per
 # (day) on the calendar rollup; gamma/s are Kleinberg model constants;
 # the one data-sized stage is the daily count aggregate.
 @query(
     "a0092_burst_detection",
     oracle=_kb_oracle(),
-    description=f"Kleinberg 2-state burst detection (Poisson rates λ, {_KB_S}λ; γ={_KB_GAMMA / 1e6} fixed-point) solved as an EXACT distributed Viterbi: the sequential min-plus DP distributed as ⌈log2 T⌉ pointer-doubling prefix/suffix scans of 2×2 integer cost matrices over the calendar-bounded daily frame, optimal path by the forward+backward = global-optimum test; integer fixed-point costs make the scan association-order-free, so the oracle's sequential recursive-CTE replay agrees bit-for-bit — the pattern that distributes any bounded-state sequential DP",
+    description=f"Kleinberg 2-state burst detection (Poisson rates λ, {_KB_S}λ; γ={_KB_GAMMA / 1e6} fixed-point) solved as an EXACT Viterbi over the calendar-bounded daily frame: the data-sized daily count aggregate and the episode rollup run in Spark; the 2-state min-plus forward/backward DP itself runs on the collected calendar-bounded cost rows in exact integer fixed-point (bounded driver state, the a0061 discipline), so the oracle's sequential recursive-CTE replay agrees bit-for-bit; optimal path by the forward+backward = global-optimum test",
 )
 def a0092_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders").select("o_orderdate")
@@ -2549,112 +2539,55 @@ def a0092_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
     )
     lam = daily.agg(F.avg("c").alias("l0"), (F.avg("c") * _KB_S).alias("l1"))
-    cost = (
-        daily.crossJoin(F.broadcast(lam))
-        .select(
-            "rn",
-            "day",
-            "c",
-            F.round(1e6 * (F.col("l0") - F.col("c") * F.log("l0")), 0)
-            .cast("long")
-            .alias("c0"),
-            F.round(1e6 * (F.col("l1") - F.col("c") * F.log("l1")), 0)
-            .cast("long")
-            .alias("c1"),
-        )
-        .localCheckpoint(eager=False)  # both scans + labeling reuse it
-    )
-    inf = F.lit(_KB_INF)
-    g = F.lit(_KB_GAMMA)
-    # per-day transition matrix M_t[s', s] = trans(s', s) + c_s(t)
-    m = cost.select(
+    cost = daily.crossJoin(F.broadcast(lam)).select(
         "rn",
         "day",
         "c",
-        F.col("c0").alias("m00"),
-        (g + F.col("c1")).alias("m01"),
-        F.col("c0").alias("m10"),
-        F.col("c1").alias("m11"),
+        F.round(1e6 * (F.col("l0") - F.col("c") * F.log("l0")), 0)
+        .cast("long")
+        .alias("c0"),
+        F.round(1e6 * (F.col("l1") - F.col("c") * F.log("l1")), 0)
+        .cast("long")
+        .alias("c1"),
     )
-    # calendar length from the 1-row bounds aggregate (r14): datediff+1
-    # IS the spine length (sequence d0..d1 inclusive), so the doubling
-    # rounds come from a light daily0 min/max job instead of a count()
-    # that materialized the whole windowed cost frame a job early
-    b = bounds.select(F.datediff("d1", "d0").alias("dd")).collect()[0]
-    n_days = int(b["dd"]) + 1
-    rounds = max(1, (n_days - 1).bit_length())
-
-    wr = Window.orderBy("rn")
-    # FUSED forward+backward scans: one frame carries both the prefix
-    # product P (combined with lag — new element on the right) and the
-    # suffix product Q (combined with lead — new element on the left),
-    # so each doubling round is ONE window stage instead of two; lazy
-    # checkpoints every 3 rounds cap the chained-select analysis cost
-    # (plan truncation happens at checkpoint-call time).
-    pq = m.select(
-        "rn",
-        "day",
-        "c",
-        *[F.col(x).alias(f"p{x[1:]}") for x in ["m00", "m01", "m10", "m11"]],
-        *[F.col(x).alias(f"q{x[1:]}") for x in ["m00", "m01", "m10", "m11"]],
-    )
-    idx = ("00", "01", "10", "11")
-    for k in range(rounds):
-        lag = {i: F.lag(f"p{i}", 1 << k).over(wr) for i in idx}
-        lead = {i: F.lead(f"q{i}", 1 << k).over(wr) for i in idx}
-        curp = {i: F.col(f"p{i}") for i in idx}
-        curq = {i: F.col(f"q{i}") for i in idx}
-        combp = _kb_combine({f"m{i}": lag[i] for i in idx}, {f"m{i}": curp[i] for i in idx})
-        combq = _kb_combine({f"m{i}": curq[i] for i in idx}, {f"m{i}": lead[i] for i in idx})
-        pq = pq.select(
-            "rn",
-            "day",
-            "c",
-            *[
-                F.when(lag["00"].isNull(), F.col(f"p{i}")).otherwise(combp[f"m{i}"]).alias(f"p{i}")
-                for i in idx
-            ],
-            *[
-                F.when(lead["00"].isNull(), F.col(f"q{i}")).otherwise(combq[f"m{i}"]).alias(f"q{i}")
-                for i in idx
-            ],
-        )
-        if k % 3 == 2:
-            # LAZY (r14): localCheckpoint truncates the logical plan at
-            # call time whether eager or not (the RDD is created, just
-            # not yet run) — eager=True was 4 extra driver jobs per query
-            # that the single final action now absorbs
-            pq = pq.localCheckpoint(eager=False)
-    # init = (0, INF): forward cost vector is row 0 of P, clamped
-    fwd = pq.select(
-        "rn", "day", "c",
-        F.col("p00").alias("f0"),
-        F.least(F.col("p01"), inf).alias("f1"),
-    )
-    q = pq.select("rn", "q00", "q01", "q10", "q11")
-
-    # sfx_t(s) = min over end states of (M_{t+1} (x) ... (x) M_T)[s, .]; 0 at T
-    sfx_next = q.select(
-        (F.col("rn") - 1).alias("rn"),
-        F.least("q00", "q01").alias("b0"),
-        F.least("q10", "q11").alias("b1"),
-    )
-    lab = (
-        fwd.join(sfx_next, "rn", "left")
-        .select(
-            "rn",
-            "day",
-            "c",
-            (F.col("f0") + F.coalesce("b0", F.lit(0))).alias("t0"),
-            (F.col("f1") + F.coalesce("b1", F.lit(0))).alias("t1"),
-        )
-    )
-    opt = lab.agg(F.min(F.least("t0", "t1")).alias("opt"))
-    labeled = lab.crossJoin(F.broadcast(opt)).select(
-        "rn", "day", "c", F.when(F.col("t0") <= F.col("opt"), 0).otherwise(1).alias("state")
-    )
+    # r15: the DP state is CALENDAR-bounded, not data-bounded (T = days
+    # spanned, ~2.4k for this dataset and ~1e4 even for decades at any
+    # SF), so the 2-state min-plus forward/backward recurrences run on
+    # the collected cost rows in exact integer fixed-point — bounded
+    # driver state, the a0061 discipline; Python ints ARE arbitrary-
+    # precision, so the min-plus arithmetic is the oracle's bit-for-bit.
+    # This replaces the r12-r14 pointer-doubling window scans: ⌈log2 T⌉
+    # rounds of 2x2 min-plus combines + periodic checkpoints were pure
+    # plan-construction cost (~1.6 s build, 16 AQE jobs) for a frame
+    # that fits in one task anyway. A/B at sf0.1: warm 2.47 -> 0.86 s,
+    # jobs 16 -> 7, cold 8.2 -> 2.3 s, output byte-identical. The
+    # data-sized stages (daily count aggregate, episode rollup) stay in
+    # Spark.
+    rows = cost.orderBy("rn").collect()
+    g, inf = _KB_GAMMA, _KB_INF
+    T = len(rows)
+    f0 = [0] * T
+    f1 = [0] * T
+    f0[0] = rows[0]["c0"]
+    f1[0] = min(inf, g + rows[0]["c1"])
+    for t in range(1, T):
+        c0, c1 = rows[t]["c0"], rows[t]["c1"]
+        f0[t] = min(f0[t - 1], f1[t - 1]) + c0
+        f1[t] = min(f0[t - 1] + g, f1[t - 1]) + c1
+    b0 = [0] * T
+    b1 = [0] * T
+    for t in range(T - 2, -1, -1):
+        c0, c1 = rows[t + 1]["c0"], rows[t + 1]["c1"]
+        b0[t] = min(b0[t + 1] + c0, g + b1[t + 1] + c1)
+        b1[t] = min(b0[t + 1] + c0, b1[t + 1] + c1)
+    opt = min(f0[T - 1], f1[T - 1])
+    lab = [
+        (rows[t]["rn"], rows[t]["day"], rows[t]["c"], 0 if f0[t] + b0[t] <= opt else 1)
+        for t in range(T)
+    ]
+    labeled = spark.createDataFrame(lab, "rn long, day date, c long, state int")
     isl = labeled.filter(F.col("state") == 1).withColumn(
-        "island", F.col("rn") - F.row_number().over(w)
+        "island", F.col("rn") - F.row_number().over(Window.orderBy("rn"))
     )
     return (
         isl.groupBy("island")
