@@ -83,13 +83,24 @@ def q102_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct()
     n_nodes = nodes.count()  # scalar: node-type cardinality, not data volume
     r = nodes.withColumn("r", F.lit(1.0 / n_nodes))
+    # Broadcast every iteration join (guide §3.1): all frames here are
+    # dimension-sized (|event_type|^2 edges, |event_type| nodes) at ANY
+    # SF, but they sit above the checkpointed RDD whose Catalyst stats
+    # are unknown, so the planner picked SortMergeJoin — two exchanges
+    # per iteration over unrolled frames. Unlike the r14 scalar-census
+    # fold (reverted: a BroadcastExchange of the COUNT rode inside all
+    # 11 unrolled frames and piled up across reps), these broadcasts
+    # replace existing shuffles rather than adding new subtrees: a
+    # 10-rep same-session stress shows NO escalation (1.19-1.35 s flat
+    # vs the SMJ shape's 1.23->2.50 tail), warm median 1.45 -> 1.32,
+    # cold 7.5 -> 1.8 s, rows byte-identical.
     for _ in range(_ITERS):
         contrib = (
-            p.join(r.withColumnRenamed("node", "src"), "src")
+            p.join(F.broadcast(r.withColumnRenamed("node", "src")), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("r") * F.col("p")).alias("_in"))
         )
-        r = nodes.join(contrib, "node", "left").select(
+        r = nodes.join(F.broadcast(contrib), "node", "left").select(
             "node",
             (F.lit(0.15 / n_nodes) + _DAMP * F.coalesce("_in", F.lit(0.0))).alias("r"),
         )
