@@ -54,6 +54,9 @@ QUERIES = [
     # BENCH_SF10.json the same session.
     "a0004_knn_classify",
     "a0019_ngram_self_overlap",
+    # round-15 rotation (VERDICT r14 item 4): a0085's first decade row —
+    # the remaining `weak` entry without an sf10 measurement.
+    "a0085_tfidf_keywords",
 ]
 # q114's oracle-pinned fixed-k regime is quadratic per decade (the a0001
 # twin carries the production rule): one warm rep, not three
